@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver-provided parquet tables (see TESTDATA.md).
+  *
+  * All tables live as single parquet files under a scale-factor directory.
+  * At cluster scale these would be partitioned datasets; the loaders go
+  * through `spark.read.parquet` so predicate pushdown / column pruning
+  * apply identically either way.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Floating-point determinism helpers.
+  *
+  * The driver's correctness gate hash-compares our parquet output against a
+  * DuckDB run of the oracle SQL. Double summation order differs between
+  * engines, so money-like aggregates are computed in exact integer units
+  * (cents) and divided back at the end; transcendental outputs are rounded
+  * to a fixed number of decimals on BOTH sides.
+  */
+object Det {
+  /** Exact integer cents from a 2-decimal double column. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer percent from a 2-decimal fraction column (e.g. discount 0.05 -> 5). */
+  def pct(c: Column): Column = round(c * 100).cast("long")
+
+  /** Round a double column to `d` decimals (matches DuckDB ROUND for doubles). */
+  def r(c: Column, d: Int): Column = round(c, d)
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.core.{Tables, Det}
+
+/** Core relational surface: scans, filters, aggregation, joins (broadcast +
+  * shuffle), window functions, semi-joins, distinct, top-k — exercised over
+  * the driver's TPC-H-ish tables.
+  *
+  * Determinism notes: money aggregates are summed as exact integer cents
+  * (LongType; DuckDB side CASTs its HUGEINT sum back to BIGINT) and divided
+  * to doubles only at the end, so Spark and DuckDB hash-match bit-for-bit
+  * regardless of summation order. `l_quantity` is integer-valued.
+  */
+object Relational {
+
+  val qs: Seq[Q] = Seq(
+    // -- TPC-H Q1-style pricing summary: single-pass partial+final agg, no join.
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT)/1000000.0 AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ext = Det.cents(col("l_extendedprice"))
+      val disc = lit(100L) - Det.pct(col("l_discount"))
+      val tax = lit(100L) + Det.pct(col("l_tax"))
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          (sum(ext) / 100.0).as("sum_base_price"),
+          (sum(ext * disc) / 10000.0).as("sum_disc_price"),
+          (sum(ext * disc * tax) / 1000000.0).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // -- Broadcast join lineitem x part, top-10 brands by exact revenue.
+    Q("q02_top_brands",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val rev = Det.cents(col("l_extendedprice")) * (lit(100L) - Det.pct(col("l_discount")))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg((sum(rev) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("p_brand").asc)
+        .limit(10)
+    },
+
+    // -- 5-way star join: revenue by region/nation (all dims broadcast).
+    Q("q03_revenue_by_nation",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val rev = Det.cents(col("l_extendedprice")) * (lit(100L) - Det.pct(col("l_discount")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg((sum(rev) / 10000.0).as("revenue"))
+    },
+
+    // -- Semi-join (EXISTS): orders with any line shipped >60 days after order.
+    Q("q04_order_priority",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // -- Window functions: per-supplier running quantity + rank (deterministic order).
+    Q("q05_supplier_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty,
+        |  ROW_NUMBER() OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_qty"),
+        row_number().over(w).as("rn"))
+    },
+
+    // -- Distinct aggregation.
+    Q("q06_distinct_counts",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // -- Anti-join: customers with no orders in window.
+    Q("q07_inactive_customers",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    })
+}
