@@ -46,6 +46,15 @@ object Det {
   /** Exact integer percent from a 2-decimal fraction column (e.g. discount 0.05 -> 5). */
   def pct(c: Column): Column = round(c * 100).cast("long")
 
-  /** Round a double column to `d` decimals (matches DuckDB ROUND for doubles). */
-  def r(c: Column, d: Int): Column = round(c, d)
+  /** Deterministic cross-engine rounding to 1/scale: round(x*scale)/scale
+    * with the scaling done in doubles on BOTH sides. Plain ROUND(x, d)
+    * disagrees between Spark (exact BigDecimal of the double) and DuckDB
+    * (scaled-double) when x*scale lands exactly on .5 — write the scaled
+    * form in the oracle SQL too: round((expr) * 1e6) / 1e6. */
+  def r6(c: Column): Column = round(c * 1e6) / 1e6
+  def r9(c: Column): Column = round(c * 1e9) / 1e9
+
+  /** SQL-side mirror of r6/r9. */
+  def r6Sql(e: String): String = s"round(($e) * 1e6) / 1e6"
+  def r9Sql(e: String): String = s"round(($e) * 1e9) / 1e9"
 }
