@@ -10,7 +10,8 @@ object SparkEntry {
   /** All verifiable queries, in registration order. */
   def registry: Seq[Q] =
     _root_.graft.queries.Relational.qs ++
-      _root_.graft.queries.Rime.qs
+      _root_.graft.queries.Rime.qs ++
+      _root_.graft.queries.Predict.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

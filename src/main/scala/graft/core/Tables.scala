@@ -57,4 +57,17 @@ object Det {
   /** SQL-side mirror of r6/r9. */
   def r6Sql(e: String): String = s"round(($e) * 1e6) / 1e6"
   def r9Sql(e: String): String = s"round(($e) * 1e9) / 1e9"
+
+  /** Exact fixed-point sum: terms are rounded to 1/scale, accumulated as
+    * longs (order-independent, overflow-free at our magnitudes), divided
+    * back at the end. This is the deterministic analogue of the
+    * reference's Kahan-compensated source sums
+    * (africanus/experimental/rime/fused/core.py:98-118) for oracle
+    * hash-matching; the performance path uses plain double sums. */
+  def fsum(term: Column, scale: Double = 1e6): Column =
+    sum(round(term * scale).cast("long")) / scale
+
+  /** SQL mirror of fsum (DuckDB SUM(BIGINT) is HUGEINT — cast back). */
+  def fsumSql(e: String, scale: String = "1e6"): String =
+    s"CAST(SUM(CAST(ROUND(($e) * $scale) AS BIGINT)) AS BIGINT)/$scale"
 }

@@ -18,14 +18,11 @@ import SyntheticMs._
   */
 object Rime {
 
-  private val phaseSql =
-    "(-2 * pi() / 299792458e0) * (u*l + v*m + w*(sqrt(greatest(0e0, 1e0 - l*l - m*m)) - 1e0)) * freq"
+  private val phaseSql = SyntheticMs.phaseSql
   private val lSql = "cos(dec)*sin(ra - 25e-2)"
   private val mSql = "sin(dec)*cos(-38e-2) - cos(dec)*sin(-38e-2)*cos(ra - 25e-2)"
-  private val logSql =
-    "flux * exp(spi0 * ln(freq/ref_freq) + spi1 * (ln(freq/ref_freq)*ln(freq/ref_freq)))"
-  private val ordSql =
-    "flux + spi0 * (freq/ref_freq - 1e0) + spi1 * ((freq/ref_freq - 1e0)*(freq/ref_freq - 1e0))"
+  private val logSql = SyntheticMs.specLogSql
+  private val ordSql = SyntheticMs.specOrdSql
 
   val qs: Seq[Q] = Seq(
 

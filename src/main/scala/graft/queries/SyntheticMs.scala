@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -133,4 +133,62 @@ object SyntheticMs {
        |  -15e-1 + t.n_nationkey * 2e-1 + a.n_nationkey * 3e-2 AS pa
        |FROM nation t, nation a
        |WHERE t.n_nationkey < $nTime AND a.n_nationkey < $nAnt""".stripMargin
+
+  /** Direction-independent complex gains per (time_index, ant).
+    *
+    * Values are dyadic rationals (small ints / 8) so every complex product
+    * downstream is exact in IEEE double and order-independent — the
+    * predict/corrupt/residual oracles hash-match bit-for-bit with no
+    * rounding. Mirrors the per-(time, ant) Jones gathers of
+    * africanus/rime/predict.py:199-224.
+    */
+  def gains(s: SparkSession, dir: String,
+            nTime: Int = 16, nAnt: Int = 7): DataFrame = {
+    val t = col("time_index")
+    val a = col("ant")
+    paTable(s, dir, nTime, nAnt).select(
+      t, a,
+      (lit(15e-1) + ((t * 7 + a * 5) % 9 - 4) / 8e0).as("g_re"),
+      (((t * 3 + a * 11) % 7 - 3) / 8e0).as("g_im"))
+  }
+
+  def gainsSql(nTime: Int = 16, nAnt: Int = 7): String =
+    s"""SELECT CAST(t.n_nationkey AS BIGINT) AS time_index,
+       |  CAST(a.n_nationkey AS BIGINT) AS ant,
+       |  15e-1 + ((t.n_nationkey * 7 + a.n_nationkey * 5) % 9 - 4) / 8e0 AS g_re,
+       |  ((t.n_nationkey * 3 + a.n_nationkey * 11) % 7 - 3) / 8e0 AS g_im
+       |FROM nation t, nation a
+       |WHERE t.n_nationkey < $nTime AND a.n_nationkey < $nAnt""".stripMargin
+
+  /** Per-(source, row, chan) model coherencies, dyadic (ints / 16): the
+    * "X_pqs" input of predict_vis / corrupt_vis. Computed as expressions on
+    * an existing (src x row x chan) frame — also emitted as SQL snippets so
+    * the oracle builds bit-identical inputs. */
+  def cohRe(src: Column, row: Column, chan: Column): Column =
+    ((src * 5 + row * 3 + chan) % 17 - 8) / 16e0
+  def cohIm(src: Column, row: Column, chan: Column): Column =
+    ((src * 7 + row * 11 + chan * 3) % 13 - 6) / 16e0
+  val cohReSql = "((src_id * 5 + row_id * 3 + chan) % 17 - 8) / 16e0"
+  val cohImSql = "((src_id * 7 + row_id * 11 + chan * 3) % 13 - 6) / 16e0"
+
+  /** Dyadic per-(row, chan) base visibilities (the "B_pq" / dirty-vis input). */
+  def baseRe(row: Column, chan: Column): Column =
+    ((row * 13 + chan * 5) % 19 - 9) / 16e0
+  def baseIm(row: Column, chan: Column): Column =
+    ((row * 17 + chan * 7) % 11 - 5) / 16e0
+  val baseReSql = "((row_id * 13 + chan * 5) % 19 - 9) / 16e0"
+  val baseImSql = "((row_id * 17 + chan * 7) % 11 - 5) / 16e0"
+
+  // -- Shared oracle-SQL snippets over the synthetic column names.
+  // Keep these textually in sync with the Scala expressions in
+  // graft.functions (Phase.realPhase, Spectral.wsclean*): the driver's
+  // DuckDB run must evaluate the same IEEE expression tree.
+  val phaseSql =
+    "(-2 * pi() / 299792458e0) * (u*l + v*m + w*(sqrt(greatest(0e0, 1e0 - l*l - m*m)) - 1e0)) * freq"
+  val phaseCasaSql =
+    "(2 * pi() / 299792458e0) * (u*l + v*m + w*(sqrt(greatest(0e0, 1e0 - l*l - m*m)) - 1e0)) * freq"
+  val specLogSql =
+    "flux * exp(spi0 * ln(freq/ref_freq) + spi1 * (ln(freq/ref_freq)*ln(freq/ref_freq)))"
+  val specOrdSql =
+    "flux + spi0 * (freq/ref_freq - 1e0) + spi1 * ((freq/ref_freq - 1e0)*(freq/ref_freq - 1e0))"
 }
