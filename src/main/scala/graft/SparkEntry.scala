@@ -11,7 +11,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     _root_.graft.queries.Relational.qs ++
       _root_.graft.queries.Rime.qs ++
-      _root_.graft.queries.Predict.qs
+      _root_.graft.queries.Predict.qs ++
+      _root_.graft.queries.AveragingQ.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

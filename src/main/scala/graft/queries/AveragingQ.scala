@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+import graft.operators.{Averaging, Sessionize}
+
+/** Averaging subsystem queries — SURVEY §2.5 A1-A7.
+  *
+  * The synthetic MS rows give every baseline a DENSE per-baseline time grid
+  * (seq % 64 consecutive seconds, interval = 1 s), so the general greedy
+  * sessionizer (graft.operators.Sessionize — the real operator, exercised
+  * with irregular intervals in its spec) provably reduces to
+  * bin = floor((time - t0) / binSecs), which is what the DuckDB oracle
+  * states. All averaged inputs are dyadic rationals — sums are exact and
+  * order-independent, divisions/sqrt are single IEEE ops, so every query
+  * hash-matches with no rounding.
+  *
+  * Physical shape at scale: one shuffle keyed by baseline for the binning,
+  * then window + groupBy sharing the (baseline, bin) partitioning; payload
+  * columns never pass through the sessionizer (joined back on row_id).
+  */
+object AveragingQ {
+
+  // ---- synthetic MS-main-table view -------------------------------------
+
+  /** Spark side: row_id, ant1, ant2, seq, time, ivl, exposure, weight,
+    * sigma, flag_row, u, v, w. NOTE: no `bin` column here — Spark derives
+    * bins with the real sessionizer; only the oracle states the closed
+    * form. */
+  def avRows(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val base = Tables.orders(s, dir).select(
+      k.as("row_id"),
+      (k % 4).as("ant1"),
+      ((k % 16) / 4).cast("long").as("ant2"))
+    val seq = row_number()
+      .over(Window.partitionBy("ant1", "ant2").orderBy("row_id"))
+      .cast("long") - 1L
+    base.withColumn("seq", seq)
+      .withColumn("time", lit(1e3) + (col("seq") % 64).cast("double"))
+      .withColumn("ivl", lit(1e0))
+      .withColumn("exposure", (col("row_id") % 3 + 1) / 4e0)
+      .withColumn("weight", (col("row_id") % 5 + 1) / 8e0)
+      .withColumn("sigma", (col("row_id") % 7 + 1) / 8e0)
+      .withColumn("flag_row",
+        (col("row_id") % 11 === 0) || (col("seq") % 64 < 4))
+      .withColumn("u", (col("row_id") % 201 - 100) / 4e0)
+      .withColumn("v", ((col("row_id") * 3) % 201 - 100) / 4e0)
+      .withColumn("w", ((col("row_id") * 7) % 41 - 20) / 8e0)
+  }
+
+  /** Oracle CTE chain: av0 (baseline + dense seq), av (columns + the
+    * closed-form bin the sessionizer must reproduce). */
+  private val avCte =
+    """av0 AS (
+      |  SELECT o_orderkey AS row_id,
+      |    o_orderkey % 4 AS ant1,
+      |    (o_orderkey % 16) // 4 AS ant2,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4, (o_orderkey % 16) // 4
+      |                       ORDER BY o_orderkey) - 1 AS seq
+      |  FROM orders),
+      |av AS (
+      |  SELECT row_id, ant1, ant2, seq,
+      |    1e3 + (seq % 64) * 1e0 AS time,
+      |    1e0 AS ivl,
+      |    (row_id % 3 + 1) / 4e0 AS exposure,
+      |    (row_id % 5 + 1) / 8e0 AS weight,
+      |    (row_id % 7 + 1) / 8e0 AS sigma,
+      |    (row_id % 11 = 0) OR (seq % 64 < 4) AS flag_row,
+      |    (row_id % 201 - 100) / 4e0 AS u,
+      |    ((row_id * 3) % 201 - 100) / 4e0 AS v,
+      |    ((row_id * 7) % 41 - 20) / 8e0 AS w,
+      |    CAST((seq % 64) // 4 AS BIGINT) AS bin
+      |  FROM av0)""".stripMargin
+
+  /** Flag-match chain over (ant1, ant2, bin) — mirror of
+    * operators.Averaging.withFlagMatch. */
+  private val avFlagCte =
+    """avb AS (
+      |  SELECT *, (MIN(CASE WHEN flag_row THEN 1 ELSE 0 END)
+      |             OVER (PARTITION BY ant1, ant2, bin) = 1) AS all_flagged
+      |  FROM av),
+      |avc AS (SELECT *, (flag_row = all_flagged) AS contrib FROM avb)""".stripMargin
+
+  private val a04Select =
+    """SELECT ant1, ant2, bin,
+      |  AVG(CASE WHEN contrib THEN time END) AS time_avg,
+      |  SUM(CASE WHEN contrib THEN ivl END) AS interval_sum,
+      |  SUM(CASE WHEN contrib THEN exposure END) AS exposure_sum,
+      |  AVG(CASE WHEN contrib THEN u END) AS u_avg,
+      |  AVG(CASE WHEN contrib THEN v END) AS v_avg,
+      |  AVG(CASE WHEN contrib THEN w END) AS w_avg,
+      |  SUM(CASE WHEN contrib THEN weight END) AS weight_sum,
+      |  sqrt(SUM(CASE WHEN contrib THEN weight*weight*sigma*sigma END))
+      |    / SUM(CASE WHEN contrib THEN weight END) AS sigma_out,
+      |  (MIN(CASE WHEN flag_row THEN 1 ELSE 0 END) = 1) AS bin_flag,
+      |  CAST(SUM(CASE WHEN contrib THEN 1 ELSE 0 END) AS BIGINT) AS n_contrib
+      |FROM avc GROUP BY ant1, ant2, bin""".stripMargin
+
+  /** Per-(row, chan) visibility samples (4 channels) + flag-match chain
+    * over (ant1, ant2, bin, chan_bin). */
+  private val chvCte =
+    """chv AS (
+      |  SELECT av.*, c.chan, c.chan // 2 AS chan_bin,
+      |    ((av.row_id * 5 + c.chan * 3) % 17 - 8) / 16e0 AS vre,
+      |    ((av.row_id * 7 + c.chan * 5) % 13 - 6) / 16e0 AS vim,
+      |    ((av.row_id + c.chan) % 4 + 1) / 4e0 AS ws,
+      |    ((av.row_id * 7 + c.chan) % 5 + 1) / 8e0 AS sp,
+      |    ((av.row_id * 3 + c.chan) % 5 = 0) AS fl
+      |  FROM av, (SELECT CAST(n_nationkey AS BIGINT) AS chan
+      |            FROM nation WHERE n_nationkey < 4) c),
+      |cb AS (
+      |  SELECT *, (MIN(CASE WHEN fl THEN 1 ELSE 0 END)
+      |             OVER (PARTITION BY ant1, ant2, bin, chan_bin) = 1) AS all_flagged
+      |  FROM chv),
+      |cc AS (SELECT *, (fl = all_flagged) AS contrib FROM cb)""".stripMargin
+
+  private val a06Select =
+    """SELECT ant1, ant2, bin, chan_bin,
+      |  SUM(CASE WHEN contrib THEN ws * vre END)
+      |    / SUM(CASE WHEN contrib THEN ws END) AS vre_avg,
+      |  SUM(CASE WHEN contrib THEN ws * vim END)
+      |    / SUM(CASE WHEN contrib THEN ws END) AS vim_avg,
+      |  SUM(CASE WHEN contrib THEN ws END) AS ws_sum,
+      |  sqrt(SUM(CASE WHEN contrib THEN ws*ws*sp*sp END))
+      |    / SUM(CASE WHEN contrib THEN ws END) AS sigma_sp,
+      |  (MIN(CASE WHEN fl THEN 1 ELSE 0 END) = 1) AS bin_flag,
+      |  CAST(SUM(CASE WHEN contrib THEN 1 ELSE 0 END) AS BIGINT) AS n_samples
+      |FROM cc GROUP BY ant1, ant2, bin, chan_bin""".stripMargin
+
+  // ---- Spark-side building blocks ---------------------------------------
+
+  /** avRows + sessionizer bins joined back on row_id (the real operator
+    * path: payload never passes through flatMapGroups). */
+  private def binned(s: SparkSession, dir: String): DataFrame = {
+    val av = avRows(s, dir)
+    val bins = Sessionize.timeBins(av, 4.0, "ivl").select("row_id", "bin")
+    av.join(bins, "row_id")
+  }
+
+  private def rowAverage(df: DataFrame): DataFrame = {
+    import Averaging.{cwhen, sigmaOut}
+    Averaging.withFlagMatch(df, "flag_row", Seq("ant1", "ant2", "bin"))
+      .groupBy("ant1", "ant2", "bin")
+      .agg(
+        avg(cwhen(col("time"))).as("time_avg"),
+        sum(cwhen(col("ivl"))).as("interval_sum"),
+        sum(cwhen(col("exposure"))).as("exposure_sum"),
+        avg(cwhen(col("u"))).as("u_avg"),
+        avg(cwhen(col("v"))).as("v_avg"),
+        avg(cwhen(col("w"))).as("w_avg"),
+        sum(cwhen(col("weight"))).as("weight_sum"),
+        sigmaOut(col("weight"), col("sigma")).as("sigma_out"),
+        (min(when(col("flag_row"), 1L).otherwise(0L)) === 1L).as("bin_flag"),
+        sum(when(col("contrib"), 1L).otherwise(0L)).as("n_contrib"))
+  }
+
+  private def chanVis(s: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val ch = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 4)
+      .select(col("n_nationkey").cast("long").as("chan")))
+    df.crossJoin(ch)
+      .withColumn("chan_bin", (col("chan") / 2).cast("long"))
+      .withColumn("vre", ((col("row_id") * 5 + col("chan") * 3) % 17 - 8) / 16e0)
+      .withColumn("vim", ((col("row_id") * 7 + col("chan") * 5) % 13 - 6) / 16e0)
+      .withColumn("ws", ((col("row_id") + col("chan")) % 4 + 1) / 4e0)
+      .withColumn("sp", ((col("row_id") * 7 + col("chan")) % 5 + 1) / 8e0)
+      .withColumn("fl", (col("row_id") * 3 + col("chan")) % 5 === 0)
+  }
+
+  private def rowChanAverage(df: DataFrame): DataFrame = {
+    import Averaging.{cwhen, sigmaOut, wmean}
+    Averaging.withFlagMatch(df, "fl", Seq("ant1", "ant2", "bin", "chan_bin"))
+      .groupBy("ant1", "ant2", "bin", "chan_bin")
+      .agg(
+        wmean(col("ws"), col("vre")).as("vre_avg"),
+        wmean(col("ws"), col("vim")).as("vim_avg"),
+        sum(cwhen(col("ws"))).as("ws_sum"),
+        sigmaOut(col("ws"), col("sp")).as("sigma_sp"),
+        (min(when(col("fl"), 1L).otherwise(0L)) === 1L).as("bin_flag"),
+        sum(when(col("contrib"), 1L).otherwise(0L)).as("n_samples"))
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  val qs: Seq[Q] = Seq(
+
+    // -- A1: unique baselines + dense inverse index + counts
+    //    (africanus/averaging/support.py:11-105).
+    Q("a01_unique_baselines",
+      s"""WITH $avCte
+         |SELECT ant1, ant2,
+         |  CAST(DENSE_RANK() OVER (ORDER BY ant1, ant2) - 1 AS BIGINT) AS bl_idx,
+         |  n_rows, first_row
+         |FROM (SELECT ant1, ant2, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |        MIN(row_id) AS first_row
+         |      FROM av GROUP BY ant1, ant2)""".stripMargin) { (s, dir) =>
+      avRows(s, dir)
+        .groupBy("ant1", "ant2")
+        .agg(count(lit(1)).as("n_rows"), min(col("row_id")).as("first_row"))
+        .withColumn("bl_idx",
+          (dense_rank().over(Window.orderBy("ant1", "ant2")) - 1).cast("long"))
+        .select("ant1", "ant2", "bl_idx", "n_rows", "first_row")
+    },
+
+    // -- A2: row_mapper — greedy per-baseline time binning; the oracle
+    //    states the closed form valid on the dense grid.
+    Q("a02_row_mapper",
+      s"""WITH $avCte
+         |SELECT row_id, ant1, ant2, bin FROM av""".stripMargin) { (s, dir) =>
+      Sessionize.timeBins(avRows(s, dir), 4.0, "ivl")
+    },
+
+    // -- A5: channel bin averages (africanus/averaging/time_and_channel_avg
+    //    .py:680-753): mean freq, summed width per 2-channel bin.
+    Q("a05_chan_average",
+      s"""WITH ch AS (${SyntheticMs.channelsSql(8)})
+         |SELECT chan // 2 AS chan_bin,
+         |  AVG(freq) AS freq_avg,
+         |  SUM(1e6 * (chan % 3 + 1)) AS width_sum,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chans
+         |FROM ch GROUP BY chan // 2""".stripMargin) { (s, dir) =>
+      SyntheticMs.channels(s, dir, 8)
+        .withColumn("chan_bin", (col("chan") / 2).cast("long"))
+        .groupBy("chan_bin")
+        .agg(avg(col("freq")).as("freq_avg"),
+          sum(lit(1e6) * (col("chan") % 3 + 1)).as("width_sum"),
+          count(lit(1)).as("n_chans"))
+    },
+
+    // -- A4: row averages under the flag-match rule.
+    Q("a04_row_average",
+      s"""WITH $avCte, $avFlagCte
+         |$a04Select""".stripMargin) { (s, dir) =>
+      rowAverage(binned(s, dir))
+    },
+
+    // -- A6: (row, chan) weighted visibility averages with flag consensus.
+    Q("a06_row_chan_average",
+      s"""WITH $avCte, $chvCte
+         |$a06Select""".stripMargin) { (s, dir) =>
+      rowChanAverage(chanVis(s, dir, binned(s, dir)))
+    },
+
+    // -- A7: composite time_and_channel — row-level and chan-level averages
+    //    assembled into one output (time_and_channel_avg.py:763-974).
+    Q("a07_time_channel",
+      s"""WITH $avCte, $avFlagCte, $chvCte,
+         |r AS ($a04Select), c AS ($a06Select)
+         |SELECT r.ant1, r.ant2, r.bin, c.chan_bin,
+         |  r.time_avg, r.interval_sum, r.exposure_sum, r.weight_sum,
+         |  r.sigma_out, r.bin_flag AS row_flag,
+         |  c.vre_avg, c.vim_avg, c.ws_sum, c.bin_flag AS chan_flag
+         |FROM r JOIN c
+         |  ON r.ant1 = c.ant1 AND r.ant2 = c.ant2 AND r.bin = c.bin""".stripMargin) { (s, dir) =>
+      val b = binned(s, dir)
+      val r = rowAverage(b)
+        .withColumnRenamed("bin_flag", "row_flag")
+      val c = rowChanAverage(chanVis(s, dir, b))
+        .withColumnRenamed("bin_flag", "chan_flag")
+      r.join(c, Seq("ant1", "ant2", "bin"))
+        .select("ant1", "ant2", "bin", "chan_bin",
+          "time_avg", "interval_sum", "exposure_sum", "weight_sum",
+          "sigma_out", "row_flag", "vre_avg", "vim_avg", "ws_sum", "chan_flag")
+    })
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sessionize
+
+/** Greedy time-binning semantics on irregular intervals — the general case
+  * the closed-form oracle of a02 cannot express
+  * (africanus/averaging/time_and_channel_mapping.py:66-358 semantics). */
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("greedy bins close when accumulated interval would exceed binSecs") {
+    import spark.implicits._
+    // (row_id, ant1, ant2, time, interval)
+    val rows = Seq(
+      (0L, 0L, 1L, 0.0, 3.0), // bin 0: acc 3
+      (1L, 0L, 1L, 1.0, 2.0), // 3+2 > 4 -> bin 1: acc 2
+      (2L, 0L, 1L, 5.0, 1.0), // bin 1: acc 3
+      (3L, 0L, 1L, 6.0, 1.0), // bin 1: acc 4 (== binSecs stays)
+      (4L, 0L, 1L, 7.0, 4.0), // 4+4 > 4 -> bin 2
+      (5L, 0L, 1L, 7.0, 4.0), // same timestep -> same bin 2
+      // independent baseline
+      (6L, 2L, 2L, 0.0, 1.0), // bin 0
+      (7L, 2L, 2L, 9.0, 1.0)) // acc 1+1 <= 4 -> still bin 0 (no gap rule)
+      .toDF("row_id", "ant1", "ant2", "time", "interval")
+    val got = Sessionize.timeBins(rows, 4.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 2L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("rows arriving out of time order are sorted before binning") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, 0L, 0L, 3.0, 2.0),
+      (11L, 0L, 0L, 0.0, 2.0),
+      (12L, 0L, 0L, 1.0, 2.0))
+      .toDF("row_id", "ant1", "ant2", "time", "interval")
+    // sorted: t0 acc2, t1 acc4, t3 -> 4+2 > 4 -> bin 1
+    val got = Sessionize.timeBins(rows, 4.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(11L -> 0L, 12L -> 0L, 10L -> 1L))
+  }
+}
