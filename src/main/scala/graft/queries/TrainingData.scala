@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Tables
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, token-Jaccard, SimHash),
+  * text analysis (quality metrics, language id, fingerprinting) and
+  * similarity search (brute-force cosine top-k + LSH-bucketed variant,
+  * per-label centroids).
+  *
+  * Cross-engine determinism strategy: every inexact quantity is reduced to
+  * INTEGER arithmetic before aggregation — embedding floats are quantized
+  * to round(x·1e6) longs (dot products and norms are then exact,
+  * order-independent integer sums), text features are character counts via
+  * length/replace, and hashes are positional polynomial sums under small
+  * moduli. Divisions/sqrt happen once, after aggregation, so Spark and
+  * DuckDB agree bit-for-bit.
+  *
+  * Scale notes (100 TB): exact dedup and fingerprints are single
+  * shuffle-by-hash aggs; Jaccard uses token-postings self-join (bounded by
+  * blocking keys at scale); brute-force ANN is the correctness baseline
+  * while the LSH variant is the scale path (bucket join replaces the full
+  * cross product); centroids are one partial+final agg.
+  */
+object TrainingData {
+
+  // ---- shared quantized-embedding explodes ------------------------------
+
+  /** (id, pos 1-based, qv = round(val·1e6) as long). */
+  private def qExplode(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), posexplode(col("embedding")))
+      .select(col(idAs), (col("pos") + 1).as("pos"),
+        round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+
+  private def qExplodeSql(idAs: String, filter: String): String =
+    s"""SELECT vec_id AS $idAs,
+       |  unnest(generate_series(1, len(embedding))) AS pos,
+       |  CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |FROM embeddings $filter""".stripMargin
+
+  /** Σ qv² per vector (exact). */
+  private def norms(e: DataFrame, idAs: String): DataFrame =
+    e.groupBy(idAs).agg(sum(col("qv") * col("qv")).as(s"${idAs}_n2"))
+
+  // ---- queries ----------------------------------------------------------
+
+  val qs: Seq[Q] = Seq(
+
+    // -- exact deduplication: hash-groupBy on content; keeper = min id.
+    Q("t01_exact_dedup",
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // -- text quality metrics: token/punctuation/stopword densities from
+    //    exact character counts; single projection, no shuffle.
+    Q("t02_text_quality",
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  length(text) - length(replace(text, '.', '')) AS n_periods,
+        |  (length(text) - length(replace(text, ' the ', ''))) / 5 AS n_the,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len,
+        |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS DOUBLE)
+        |    / (length(text) - length(replace(text, ' ', '')) + 1) AS stop_ratio
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val noSpace = expr("replace(text, ' ', '')")
+      val nTokens = length(t) - length(noSpace) + 1
+      val nThe = (length(t) - length(expr("replace(text, ' the ', '')"))) / 5
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(t).as("n_chars_m"),
+        nTokens.as("n_tokens"),
+        (length(t) - length(expr("replace(text, '.', '')"))).as("n_periods"),
+        nThe.as("n_the"),
+        (length(noSpace).cast("double") / nTokens).as("avg_token_len"),
+        (nThe.cast("double") / nTokens).as("stop_ratio"))
+    },
+
+    // -- language id: n-gram (function-word) indicator scores, argmax with
+    //    deterministic tie order en > de > es > fr.
+    Q("t03_language_id",
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    (length(text) - length(replace(text, ' the ', ''))) / 5
+        |      + (length(text) - length(replace(text, ' and ', ''))) / 5 AS s_en,
+        |    (length(text) - length(replace(text, ' der ', ''))) / 5
+        |      + (length(text) - length(replace(text, ' und ', ''))) / 5 AS s_de,
+        |    (length(text) - length(replace(text, ' el ', ''))) / 4
+        |      + (length(text) - length(replace(text, ' los ', ''))) / 5 AS s_es,
+        |    (length(text) - length(replace(text, ' le ', ''))) / 4
+        |      + (length(text) - length(replace(text, ' et ', ''))) / 4 AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred,
+        |  (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END = lang) AS hit
+        |FROM sc""".stripMargin) { (s, dir) =>
+      def cnt(w: String): org.apache.spark.sql.Column =
+        (length(col("text")) - length(expr(s"replace(text, ' $w ', '')"))) / (w.length + 2)
+      val sEn = cnt("the") + cnt("and")
+      val sDe = cnt("der") + cnt("und")
+      val sEs = cnt("el") + cnt("los")
+      val sFr = cnt("le") + cnt("et")
+      val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+        .when(sDe >= sEs && sDe >= sFr, "de")
+        .when(sEs >= sFr, "es")
+        .otherwise("fr")
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), pred.as("lang_pred"),
+        (pred === col("lang")).as("hit"))
+    },
+
+    // -- rolling positional fingerprint: Σ ascii(c_i)·w(i) mod 2^30 with
+    //    integer position weights (exact, order-free).
+    Q("t04_fingerprint",
+      """WITH cp AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+        |        * ((i * 2654435761) % 1048576 + 1)) % 1073741824 AS BIGINT) AS fp
+        |FROM cp GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")))).as("i"))
+        .select(col("doc_id"),
+          (expr("CAST(ascii(substring(text, i, 1)) AS BIGINT)")
+            * ((col("i").cast("long") * 2654435761L) % 1048576L + 1L)).as("term"))
+        .groupBy("doc_id")
+        .agg((sum(col("term")) % 1073741824L).as("fp"))
+    },
+
+    // -- token-set Jaccard near-duplicates (first 64 docs): postings
+    //    self-join on token, |A∩B| / |A∪B| >= 0.25.
+    Q("t05_token_jaccard",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 64),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, c, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 25e-2""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = toks.select(col("doc_id").as("id_a"), col("tok"))
+      val b = toks.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      val pairs = a.join(b, col("tok") === col("tok_b") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      val sa = sizes.select(col("doc_id").as("ida2"), col("n").as("n_a"))
+      val sb = sizes.select(col("doc_id").as("idb2"), col("n").as("n_b"))
+      val jac = col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))
+      pairs.join(sa, col("id_a") === col("ida2"))
+        .join(sb, col("id_b") === col("idb2"))
+        .select(col("id_a"), col("id_b"), col("c"), col("n_a"), col("n_b"),
+          jac.as("jaccard"))
+        .filter(col("jaccard") >= 25e-2)
+    },
+
+    // -- SimHash (8-bit) from integer token hashes: per-token positional
+    //    char hash mod 4096, bitwise majority vote over distinct tokens.
+    Q("t06_simhash",
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tc AS (
+         |  SELECT doc_id, tok, unnest(generate_series(1, length(tok))) AS i
+         |  FROM toks),
+         |th AS (
+         |  SELECT doc_id, tok,
+         |    CAST(SUM(CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+         |          * ((i * 37) % 64 + 1)) % 4096 AS BIGINT) AS h
+         |  FROM tc GROUP BY doc_id, tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(b =>
+                s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+                .mkString(",\n    ")}
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(${(0 until 8).map(b =>
+              s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")}
+         |    AS BIGINT) AS simhash
+         |FROM votes""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val th = toks
+        .select(col("doc_id"), col("tok"),
+          explode(sequence(lit(1), length(col("tok")))).as("i"))
+        .select(col("doc_id"), col("tok"),
+          (expr("CAST(ascii(substring(tok, i, 1)) AS BIGINT)")
+            * ((col("i").cast("long") * 37L) % 64L + 1L)).as("term"))
+        .groupBy("doc_id", "tok")
+        .agg((sum(col("term")) % 4096L).as("h"))
+      val voteCols = (0 until 8).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$b"))
+      val votes = th.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      votes.select(col("doc_id"),
+        (0 until 8).map(b =>
+          when(col(s"v$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).cast("long").as("simhash"))
+    },
+
+    // -- MinHash signatures: 4 permutations simulated by seeded md5 over
+    //    the distinct token set (min of a keyed hash ≙ minhash).
+    Q("t07_minhash_signatures",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2,
+        |  MIN(md5('c' || tok)) AS h3, MIN(md5('d' || tok)) AS h4
+        |FROM toks GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("a"), col("tok")))).as("h1"),
+          min(md5(concat(lit("b"), col("tok")))).as("h2"),
+          min(md5(concat(lit("c"), col("tok")))).as("h3"),
+          min(md5(concat(lit("d"), col("tok")))).as("h4"))
+    },
+
+    // -- MinHash LSH: band (h1, h2) -> bucket join -> near-dup candidate
+    //    pairs (bounded to doc_id < 256 to keep the verify output small;
+    //    at scale the band width bounds bucket sizes instead).
+    Q("t08_minhash_lsh_pairs",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 256),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2,
+        |    MIN(md5('c' || tok)) AS h3, MIN(md5('d' || tok)) AS h4
+        |  FROM toks GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
+        |   + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) AS extra_bands
+        |FROM sig a JOIN sig b
+        |  ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < 256)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sig = toks.groupBy("doc_id").agg(
+        min(md5(concat(lit("a"), col("tok")))).as("h1"),
+        min(md5(concat(lit("b"), col("tok")))).as("h2"),
+        min(md5(concat(lit("c"), col("tok")))).as("h3"),
+        min(md5(concat(lit("d"), col("tok")))).as("h4"))
+      val a = sig.select(col("doc_id").as("id_a"), col("h1"), col("h2"),
+        col("h3").as("a3"), col("h4").as("a4"))
+      val b = sig.select(col("doc_id").as("id_b"), col("h1").as("b1"),
+        col("h2").as("b2"), col("h3").as("b3"), col("h4").as("b4"))
+      a.join(b, col("h1") === col("b1") && col("h2") === col("b2")
+          && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (when(col("a3") === col("b3"), 1).otherwise(0)
+            + when(col("a4") === col("b4"), 1).otherwise(0)).as("extra_bands"))
+    },
+
+    // -- brute-force cosine top-k (k=5) for 8 query vectors: the ANN
+    //    correctness baseline. Integer dot products + norms; one division
+    //    and two sqrts after aggregation.
+    Q("e01_knn_bruteforce",
+      s"""WITH qe AS (${qExplodeSql("qid", "WHERE vec_id < 8")}),
+         |ce AS (${qExplodeSql("cid", "")}),
+         |qn AS (SELECT qid, SUM(qv*qv) AS qid_n2 FROM qe GROUP BY qid),
+         |cn AS (SELECT cid, SUM(qv*qv) AS cid_n2 FROM ce GROUP BY cid),
+         |dot AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  GROUP BY qe.qid, ce.cid),
+         |cos AS (
+         |  SELECT dot.qid, dot.cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(qn.qid_n2 AS DOUBLE)) * sqrt(CAST(cn.cid_n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN qn ON dot.qid = qn.qid JOIN cn ON dot.cid = cn.cid
+         |  WHERE dot.qid <> dot.cid)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+         |  FROM cos) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qe = broadcast(qExplode(emb.filter(col("vec_id") < 8), "qid"))
+      val ce = qExplode(emb, "cid")
+      val qn = broadcast(norms(qExplode(emb.filter(col("vec_id") < 8), "qid"), "qid"))
+      val cn = norms(ce, "cid")
+      val dot = ce.join(qe.withColumnRenamed("qv", "qqv"), "pos")
+        .groupBy("qid", "cid")
+        .agg(sum(col("qqv") * col("qv")).as("d"))
+      val cos = dot.join(qn, "qid").join(cn, "cid")
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (col("d").cast("double") /
+            (sqrt(col("qid_n2").cast("double")) * sqrt(col("cid_n2").cast("double"))))
+            .as("cosine"))
+      cos.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("qid", "cid", "cosine", "rank")
+    },
+
+    // -- LSH-bucketed ANN (the scale path): 2 deterministic integer
+    //    hyperplanes -> 4 buckets; candidates only within the query's
+    //    bucket; top-3 by cosine. At 100 TB the bucket join replaces the
+    //    full cross product of e01.
+    Q("e02_lsh_ann",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |sig AS (
+         |  SELECT cid,
+         |    SUM(qv * ((pos * 2654435761) % 2048 - 1024)) AS s1,
+         |    SUM(qv * ((pos * 40503) % 2048 - 1024)) AS s2,
+         |    SUM(qv*qv) AS n2
+         |  FROM ce GROUP BY cid),
+         |bk AS (
+         |  SELECT cid, n2,
+         |    (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+         |      + (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS bucket
+         |  FROM sig),
+         |dot AS (
+         |  SELECT a.cid AS qid, b.cid AS cid, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.cid <> b.cid
+         |    JOIN ce ea ON ea.cid = a.cid
+         |    JOIN ce eb ON eb.cid = b.cid AND ea.pos = eb.pos
+         |  WHERE a.cid < 8
+         |  GROUP BY a.cid, b.cid),
+         |cos AS (
+         |  SELECT dot.qid, dot.cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN bk na ON dot.qid = na.cid JOIN bk nb ON dot.cid = nb.cid)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+         |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val ce = qExplode(Tables.embeddings(s, dir), "cid")
+      val sig = ce.groupBy("cid").agg(
+        sum(col("qv") * ((col("pos") * 2654435761L) % 2048L - 1024L)).as("s1"),
+        sum(col("qv") * ((col("pos") * 40503L) % 2048L - 1024L)).as("s2"),
+        sum(col("qv") * col("qv")).as("n2"))
+      val bk = sig.select(col("cid"), col("n2"),
+        (when(col("s1") > 0, 2).otherwise(0)
+          + when(col("s2") > 0, 1).otherwise(0)).as("bucket"))
+      val qb = broadcast(bk.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("bucket"), col("n2").as("q_n2")))
+      val cand = bk.join(qb, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .select("qid", "cid", "q_n2", "n2")
+      val qe = broadcast(qExplode(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 8), "qid")
+        .withColumnRenamed("qv", "qqv"))
+      val dot = cand.join(ce, "cid").join(qe, Seq("qid", "pos"))
+        .groupBy("qid", "cid", "q_n2", "n2")
+        .agg(sum(col("qqv") * col("qv")).as("d"))
+      val cos = dot.select(col("qid"), col("cid"),
+        (col("d").cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cosine"))
+      cos.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "cid", "cosine", "rank")
+    },
+
+    // -- per-label centroids (embedding aggregation): partial+final avg of
+    //    quantized components.
+    Q("e03_label_centroids",
+      s"""WITH ce AS (
+         |  SELECT vec_id, label,
+         |    unnest(generate_series(1, len(embedding))) AS pos,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+         |  FROM embeddings)
+         |SELECT label, pos, AVG(CAST(qv AS DOUBLE)) AS centroid_q,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM ce GROUP BY label, pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("label", "pos")
+        .agg(avg(col("qv").cast("double")).as("centroid_q"),
+          count(lit(1)).as("n"))
+    })
+}
