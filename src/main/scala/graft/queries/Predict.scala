@@ -31,7 +31,7 @@ object Predict {
     * rows ⋈ g(time_index, ant1) ⋈ g(time_index, ant2), both broadcast
     * (the (time, ant) Jones table is tiny relative to the row table —
     * same build-side choice as the reference's per-row gather). */
-  private def withGains(rws: DataFrame, g: DataFrame): DataFrame = {
+  def withGains(rws: DataFrame, g: DataFrame): DataFrame = {
     val gp = g.select(col("time_index").as("tp"), col("ant").as("ap"),
       col("g_re").as("gp_re"), col("g_im").as("gp_im"))
     val gq = g.select(col("time_index").as("tq"), col("ant").as("aq"),
