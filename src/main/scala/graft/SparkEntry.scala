@@ -16,7 +16,8 @@ object SparkEntry {
       _root_.graft.queries.BdaQ.qs ++
       _root_.graft.queries.TrainingData.qs ++
       _root_.graft.queries.CalibrationQ.qs ++
-      _root_.graft.queries.GriddingQ.qs
+      _root_.graft.queries.GriddingQ.qs ++
+      _root_.graft.queries.FusedRime.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
