@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators over the driver's `events` table (nanosecond
+  * epoch `ts`). The reference is batch-only, but its A8 binner is a
+  * session window in disguise (SURVEY §2.12) — these are the Structured
+  * Streaming-facing counterparts our engine adds.
+  */
+object EventOps {
+
+  /** Batch gap-based sessionization: a session closes when the gap to the
+    * previous event exceeds `gapNanos`. One shuffle keyed by user; both
+    * window passes share the partitioning. Scales: per-user state is a
+    * running sum, never materialized per group. */
+  def gapSessions(df: DataFrame, gapNanos: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df.withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_s")
+  }
+
+  final case class Ev(userId: Long, ts: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(userId: Long, start: Long, end: Long, n: Long,
+                              sum: Double)
+
+  /** Streaming sessionization with explicit keyed state
+    * (`flatMapGroupsWithState`): events for a user extend the open session
+    * while within `gapNanos`; a larger gap emits the closed session and
+    * opens a new one. Mirrors the A8 binner's greedy admit/close loop with
+    * Spark-managed state instead of a per-group array. */
+  def streamingSessions(ds: Dataset[Ev], gapNanos: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts, e.value))
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts - s.last > gapNanos =>
+                out += SessionOut(userId, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1L, s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.{Det, Tables}
+import graft.operators.EventOps
+
+/** Event analytics over the driver's `events` table (ts = epoch
+  * nanoseconds) — the batch faces of the streaming operators: tumbling
+  * windows, gap sessionization, and property extraction.
+  */
+object EventsQ {
+
+  // Spark reads the parquet TIMESTAMP(NANOS) column as a raw long
+  // (nanosAsLong); DuckDB truncates it to microsecond TIMESTAMP precision.
+  // All time arithmetic therefore happens at µs: `ts div 1000` on the
+  // Spark side == `epoch_us(ts)` on the DuckDB side.
+  private val GapMicros = 1800000000L // 30 min
+  private val HourMicros = 3600000000L
+
+  val qs: Seq[Q] = Seq(
+
+    // -- tumbling 1-hour windows per event type: the batch equivalent of
+    //    the streaming windowed aggregation (StreamingSpec covers the
+    //    readStream + watermark path).
+    Q("s01_event_windows",
+      s"""SELECT epoch_us(ts) // $HourMicros AS win, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY epoch_us(ts) // $HourMicros, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr(s"(ts div 1000) div $HourMicros").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(Det.cents(col("value"))) / 100.0).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // -- gap-based sessionization (30 min) + per-session rollup.
+    Q("s02_event_sessions",
+      s"""WITH s AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus, value,
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+         |             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |              > $GapMicros THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s2 AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM s)
+         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MIN(tus) AS t_start, MAX(tus) AS t_end,
+         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM s2 GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      EventOps.gapSessions(
+          Tables.events(s, dir).withColumn("ts", expr("ts div 1000")),
+          GapMicros)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+          sum(Det.cents(col("value"))).as("value_cents"))
+    },
+
+    // -- property extraction from the JSON-ish props payload (pure string
+    //    ops so both engines parse identically) + rollup.
+    Q("s03_props_rollup",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(expr("""CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT)"""))
+          .as("sum_k"),
+          count(lit(1)).as("n"))
+    })
+}
