@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.queries.GriddingQ.qs ++
       _root_.graft.queries.FusedRime.qs ++
       _root_.graft.queries.EventsQ.qs ++
-      _root_.graft.queries.MediaQ.qs
+      _root_.graft.queries.MediaQ.qs ++
+      _root_.graft.queries.RimeMore.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

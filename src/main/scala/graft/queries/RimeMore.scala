@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Det
+import graft.core.Det.r6Sql
+import SyntheticMs._
+
+/** Remaining RIME-family kernels — SURVEY §2.1 R4/R6/R10, §2.3 C2 — as
+  * pure column-expression queries over the synthetic dim tables (all are
+  * shuffle-free broadcast-expansion projections at cluster scale).
+  */
+object RimeMore {
+
+  val qs: Seq[Q] = Seq(
+
+    // -- C2: lmn -> radec, inverse of C1
+    //    (africanus/coordinates/coordinates.py:121-197).
+    Q("c02_lmn_to_radec",
+      s"""WITH src AS (${sourcesSql(25)}),
+         |lmn AS (SELECT src_id, l, m,
+         |  sqrt(1e0 - l*l - m*m) AS n FROM src)
+         |SELECT src_id,
+         |  ${r6Sql("25e-2 + atan2(l, n*cos(-38e-2) - m*sin(-38e-2))")} AS ra,
+         |  ${r6Sql("asin(m*cos(-38e-2) + n*sin(-38e-2))")} AS dec
+         |FROM lmn""".stripMargin) { (s, dir) =>
+      val n = sqrt(lit(1e0) - col("l") * col("l") - col("m") * col("m"))
+      sources(s, dir, 25).select(
+        col("src_id"),
+        Det.r6(lit(Ra0) + atan2(col("l"),
+          n * cos(lit(Dec0)) - col("m") * sin(lit(Dec0)))).as("ra"),
+        Det.r6(asin(col("m") * cos(lit(Dec0)) + n * sin(lit(Dec0)))).as("dec"))
+    },
+
+    // -- R4: parallactic angles, 'test' backend formula
+    //    (africanus/rime/parangles.py:21-68): ha from a synthetic lst,
+    //    antenna latitude from a dyadic position model.
+    Q("r04_parallactic_angles",
+      s"""WITH pat AS (${paTableSql()}),
+         |geo AS (
+         |  SELECT time_index, ant,
+         |    1e-1 * time_index - 3e-1 AS ha,
+         |    35e-2 + ant * 25e-3 AS lat,
+         |    -38e-2 AS dec
+         |  FROM pat)
+         |SELECT time_index, ant,
+         |  ${r6Sql("atan2(cos(lat)*sin(ha), sin(lat)*cos(dec) - cos(lat)*sin(dec)*cos(ha))")} AS pa
+         |FROM geo""".stripMargin) { (s, dir) =>
+      val ha = lit(1e-1) * col("time_index") - 3e-1
+      val lat = lit(35e-2) + col("ant") * 25e-3
+      val dec = lit(-38e-2)
+      paTable(s, dir).select(
+        col("time_index"), col("ant"),
+        Det.r6(atan2(cos(lat) * sin(ha),
+          sin(lat) * cos(dec) - cos(lat) * sin(dec) * cos(ha))).as("pa"))
+    },
+
+    // -- R6: transform_sources (africanus/rime/transform.py:12-99):
+    //    rotate lm by the parallactic angle, add pointing errors, scale
+    //    per antenna, append scaled frequency — over src x (time, ant) x chan.
+    Q("r06_transform_sources",
+      s"""WITH src AS (${sourcesSql(5)}), pat AS (${paTableSql(4, 3)}),
+         |ch AS (${channelsSql(4)})
+         |SELECT src_id, time_index, ant, chan,
+         |  ${r6Sql("(1e0 + ant * 125e-3) * (l*cos(pa) - m*sin(pa) + (time_index - 1) * 25e-4)")} AS lt,
+         |  ${r6Sql("(1e0 - ant * 625e-4) * (l*sin(pa) + m*cos(pa) + (ant - 1) * 125e-4)")} AS mt,
+         |  freq / 14e8 AS ft
+         |FROM src, pat, ch""".stripMargin) { (s, dir) =>
+      val scaleL = lit(1e0) + col("ant") * 125e-3
+      val scaleM = lit(1e0) - col("ant") * 625e-4
+      val peL = (col("time_index") - 1) * 25e-4
+      val peM = (col("ant") - 1) * 125e-4
+      sources(s, dir, 5)
+        .crossJoin(broadcast(paTable(s, dir, 4, 3)))
+        .crossJoin(broadcast(channels(s, dir, 4)))
+        .select(col("src_id"), col("time_index"), col("ant"), col("chan"),
+          Det.r6(scaleL * (col("l") * cos(col("pa")) - col("m") * sin(col("pa")) + peL)).as("lt"),
+          Det.r6(scaleM * (col("l") * sin(col("pa")) + col("m") * cos(col("pa")) + peM)).as("mt"),
+          (col("freq") / 14e8).as("ft"))
+    },
+
+    // -- R10: Gaussian source shape taper
+    //    (africanus/model/shape/gaussian_shape.py:11-66): rotate uv by the
+    //    position angle, squash by the axis ratio, exp-decay with
+    //    frequency-scaled extent.
+    Q("r10_gaussian_shape",
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)}),
+         |ch AS (${channelsSql(4)}),
+         |gp AS (
+         |  SELECT src_id, l, m,
+         |    1e-4 * (src_id + 2) AS emaj, 5e-5 * (src_id + 1) AS emin,
+         |    3e-1 * src_id AS ang
+         |  FROM src)
+         |SELECT src_id, row_id, chan,
+         |  ${r6Sql(
+             "exp(-(pi()*pi()/(4e0*ln(2e0))) * ((freq/299792458e0)*(freq/299792458e0)) * " +
+             "(((u*cos(ang) + v*sin(ang)) * (emin/emaj)) * ((u*cos(ang) + v*sin(ang)) * (emin/emaj)) " +
+             "+ (-u*sin(ang) + v*cos(ang)) * (-u*sin(ang) + v*cos(ang))) * (emaj*emaj))")} AS shape
+         |FROM gp, rws, ch""".stripMargin) { (s, dir) =>
+      val gp = sources(s, dir, 5).select(col("src_id"),
+        (lit(1e-4) * (col("src_id") + 2)).as("emaj"),
+        (lit(5e-5) * (col("src_id") + 1)).as("emin"),
+        (lit(3e-1) * col("src_id")).as("ang"))
+      val u1 = (col("u") * cos(col("ang")) + col("v") * sin(col("ang"))) *
+        (col("emin") / col("emaj"))
+      val v1 = -col("u") * sin(col("ang")) + col("v") * cos(col("ang"))
+      val fsq = (col("freq") / 299792458e0) * (col("freq") / 299792458e0)
+      val k = lit(-(math.Pi * math.Pi)) / (lit(4e0) * log(lit(2e0)))
+      uvwRows(s, dir, 64)
+        .crossJoin(broadcast(gp))
+        .crossJoin(broadcast(channels(s, dir, 4)))
+        .select(col("src_id"), col("row_id"), col("chan"),
+          Det.r6(exp(k * fsq * (u1 * u1 + v1 * v1) * (col("emaj") * col("emaj"))))
+            .as("shape"))
+    })
+}
