@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.FusedRime.qs ++
       _root_.graft.queries.EventsQ.qs ++
       _root_.graft.queries.MediaQ.qs ++
-      _root_.graft.queries.RimeMore.qs
+      _root_.graft.queries.RimeMore.qs ++
+      _root_.graft.queries.ModelFit.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
