@@ -1,0 +1,127 @@
+package graft.operators
+
+/** Image-domain deconvolution + numeric support utilities — SURVEY §2.8 I1
+  * (hogbom CLEAN), §2.5 A10 (natural cubic splines), §2.9 L1 (Kronecker
+  * products). All driver-side: a single image/spline/factor set fits in
+  * memory (the reference's position too — these are support code around
+  * the distributed operators, e.g. per-facet CLEAN via mapGroups).
+  */
+object Deconv {
+
+  final case class CleanResult(
+      components: Seq[(Int, Int, Double)], // (x, y, flux)
+      residual: Array[Double], iterations: Int)
+
+  /** Hogbom CLEAN (africanus/deconv/hogbom/clean.py:122-198): find the
+    * absolute peak, subtract gamma·peak·shifted-PSF, accumulate the clean
+    * component, until |peak| < threshold or niter. `psf` is (2n+1)²,
+    * centre at (n, n). */
+  def hogbomClean(image: Array[Double], nx: Int, ny: Int,
+                  psf: Array[Double], psfHalf: Int,
+                  gamma: Double = 0.1, threshold: Double = 1e-3,
+                  maxIter: Int = 200): CleanResult = {
+    val res = image.clone()
+    val comps = Seq.newBuilder[(Int, Int, Double)]
+    var it = 0
+    var run = true
+    while (run && it < maxIter) {
+      var peak = 0.0; var px = 0; var py = 0
+      var i = 0
+      while (i < res.length) {
+        val a = math.abs(res(i))
+        if (a > peak) { peak = a; px = i / ny; py = i % ny }
+        i += 1
+      }
+      if (peak < threshold) run = false
+      else {
+        val flux = gamma * res(px * ny + py)
+        comps += ((px, py, flux))
+        var dx = -psfHalf
+        while (dx <= psfHalf) {
+          var dy = -psfHalf
+          while (dy <= psfHalf) {
+            val x = px + dx; val y = py + dy
+            if (x >= 0 && x < nx && y >= 0 && y < ny)
+              res(x * ny + y) -=
+                flux * psf((dx + psfHalf) * (2 * psfHalf + 1) + (dy + psfHalf))
+            dy += 1
+          }
+          dx += 1
+        }
+        it += 1
+      }
+    }
+    CleanResult(comps.result(), res, it)
+  }
+
+  /** Natural cubic spline fit (africanus/averaging/splines.py:14-130):
+    * returns second derivatives via the tridiagonal solve. */
+  def fitCubicSpline(x: Array[Double], y: Array[Double]): Array[Double] = {
+    val n = x.length
+    val m = new Array[Double](n) // second derivatives, natural: m(0)=m(n-1)=0
+    if (n < 3) return m
+    val a = new Array[Double](n); val b = new Array[Double](n)
+    val c = new Array[Double](n); val d = new Array[Double](n)
+    for (i <- 1 until n - 1) {
+      a(i) = (x(i) - x(i - 1)) / 6.0
+      b(i) = (x(i + 1) - x(i - 1)) / 3.0
+      c(i) = (x(i + 1) - x(i)) / 6.0
+      d(i) = (y(i + 1) - y(i)) / (x(i + 1) - x(i)) -
+        (y(i) - y(i - 1)) / (x(i) - x(i - 1))
+    }
+    // Thomas algorithm on rows 1..n-2
+    for (i <- 2 until n - 1) {
+      val w = a(i) / b(i - 1)
+      b(i) -= w * c(i - 1)
+      d(i) -= w * d(i - 1)
+    }
+    m(n - 2) = d(n - 2) / b(n - 2)
+    for (i <- n - 3 to 1 by -1) m(i) = (d(i) - c(i) * m(i + 1)) / b(i)
+    m
+  }
+
+  /** Evaluate the fitted spline at `xs`. */
+  def evalSpline(x: Array[Double], y: Array[Double], m: Array[Double],
+                 xs: Array[Double]): Array[Double] =
+    xs.map { xv =>
+      var i = java.util.Arrays.binarySearch(x, xv)
+      if (i < 0) i = -i - 2
+      val j = math.max(0, math.min(i, x.length - 2))
+      val h = x(j + 1) - x(j)
+      val t = (x(j + 1) - xv) / h
+      val u = (xv - x(j)) / h
+      t * y(j) + u * y(j + 1) +
+        ((t * t * t - t) * m(j) + (u * u * u - u) * m(j + 1)) * h * h / 6.0
+    }
+
+  /** Kronecker matrix-vector product (⊗_d A_d)·b without materializing
+    * the full operator (africanus/linalg/kronecker_tools.py:58-96).
+    * Each A_d is square (n_d x n_d), row-major. */
+  def kronMatvec(factors: Seq[(Array[Double], Int)], b: Array[Double]): Array[Double] = {
+    var x = b.clone()
+    val total = x.length
+    for ((a, n) <- factors) {
+      val cols = total / n
+      val out = new Array[Double](total)
+      // reshape x as (n, cols): out = A · X, then transpose-roll
+      var r = 0
+      while (r < n) {
+        var k = 0
+        while (k < n) {
+          val av = a(r * n + k)
+          if (av != 0.0) {
+            var c = 0
+            while (c < cols) {
+              out(c * n + r) += av * x(k * cols + c)
+              c += 1
+            }
+          }
+          k += 1
+        }
+        r += 1
+      }
+      x = out
+    }
+    x
+  }
+}
