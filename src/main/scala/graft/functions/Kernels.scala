@@ -1,0 +1,61 @@
+package graft.functions
+
+/** Anti-alias gridding kernel construction — SURVEY §2.7 F8
+  * (africanus/gridding/perleypolyhedron/kernels.py:17-186). Driver-side
+  * precompute; the resulting taps are broadcast constants for the
+  * gridder (operators.Gridder).
+  */
+object Kernels {
+
+  /** Unnormalized sinc kernel over `w` half-support, `oversample` taps per
+    * cell (kernels.py:31-43 shape). */
+  def sinc(w: Int, oversample: Int = 5): Array[Double] = {
+    val n = w * oversample
+    Array.tabulate(2 * n + 1) { i =>
+      val x = (i - n).toDouble / oversample
+      if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+    }
+  }
+
+  /** Modified Bessel I0 by power series (for the Kaiser-Bessel window). */
+  def besselI0(x: Double): Double = {
+    var term = 1.0
+    var sum = 1.0
+    var k = 1
+    while (term > 1e-16 * sum && k < 64) {
+      val t = x / (2.0 * k)
+      term *= t * t
+      sum += term
+      k += 1
+    }
+    sum
+  }
+
+  /** Kaiser-Bessel windowed sinc (kernels.py:45-76): beta defaults to the
+    * published optimum for the half-support. */
+  def kbSinc(w: Int, oversample: Int = 5, betaOpt: Option[Double] = None): Array[Double] = {
+    val beta = betaOpt.getOrElse(2.34 * w)
+    val base = sinc(w, oversample)
+    val n = w * oversample
+    Array.tabulate(base.length) { i =>
+      val u = (i - n).toDouble / n // in [-1, 1]
+      base(i) * besselI0(beta * math.sqrt(math.max(0.0, 1.0 - u * u))) / besselI0(beta)
+    }
+  }
+
+  /** Hanning-windowed sinc (kernels.py:78-95). */
+  def hanningSinc(w: Int, oversample: Int = 5): Array[Double] = {
+    val base = sinc(w, oversample)
+    val n = w * oversample
+    Array.tabulate(base.length) { i =>
+      base(i) * (0.5 + 0.5 * math.cos(math.Pi * (i - n).toDouble / (n + 1)))
+    }
+  }
+
+  /** Oversampled kernel -> per-cell (offset, weight) taps at a given
+    * sub-cell position (pack/unpack analogue, kernels.py:97-120). */
+  def taps(kernel: Array[Double], w: Int, oversample: Int): Seq[(Int, Double)] = {
+    val n = w * oversample
+    (-w to w).map(o => o -> kernel(n + o * oversample))
+  }
+}

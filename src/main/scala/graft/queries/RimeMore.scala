@@ -79,6 +79,30 @@ object RimeMore {
           (col("freq") / 14e8).as("ft"))
     },
 
+    // -- R11: 1-D shapelet visibility basis
+    //    (africanus/model/shape/shapelets.py:57-153): Hermite-windowed
+    //    Gaussian in u, orders 0-2, per-source scale beta and dyadic
+    //    coefficients.
+    Q("r11_shapelet", {
+      val t = "(u / (5e1 * (src_id + 1)))"
+      val env = s"exp(-($t*$t) / 2e0)"
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)})
+         |SELECT src_id, row_id,
+         |  ${r6Sql(
+             s"((src_id % 3 + 1) / 4e0 * 1e0 + (src_id % 4 + 1) / 4e0 * (2e0 * $t) " +
+             s"+ (src_id % 5 + 1) / 4e0 * (4e0 * $t * $t - 2e0)) * $env")} AS sval
+         |FROM src, rws""".stripMargin
+    }) { (s, dir) =>
+      val t = col("u") / (lit(5e1) * (col("src_id") + 1))
+      val env = exp(-(t * t) / 2e0)
+      def cf(m: Int) = (col("src_id") % m + 1) / 4e0
+      val sval = (cf(3) * lit(1e0) + cf(4) * (lit(2e0) * t)
+        + cf(5) * (lit(4e0) * t * t - 2e0)) * env
+      sources(s, dir, 5).select("src_id")
+        .crossJoin(uvwRows(s, dir, 64).select("row_id", "u"))
+        .select(col("src_id"), col("row_id"), Det.r6(sval).as("sval"))
+    },
+
     // -- R10: Gaussian source shape taper
     //    (africanus/model/shape/gaussian_shape.py:11-66): rotate uv by the
     //    position angle, squash by the axis ratio, exp-decay with
