@@ -61,6 +61,23 @@ object EventsQ {
           sum(Det.cents(col("value"))).as("value_cents"))
     },
 
+    // -- salted two-phase aggregation: the skew pattern for hot keys at
+    //    100 TB (one event_type dominating). Phase 1 aggregates on
+    //    (key, salt) — spreading a hot key over 16 reducers — phase 2
+    //    merges the partials. Result is identical to the direct rollup,
+    //    which is exactly what the oracle states.
+    Q("s04_salted_rollup",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), (col("event_id") % 16).as("salt"))
+        .agg(sum(Det.cents(col("value"))).as("pc"), count(lit(1)).as("pn"))
+        .groupBy("event_type")
+        .agg(sum(col("pc")).as("cents"), sum(col("pn")).as("n"))
+    },
+
     // -- property extraction from the JSON-ish props payload (pure string
     //    ops so both engines parse identically) + rollup.
     Q("s03_props_rollup",

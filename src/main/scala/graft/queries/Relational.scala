@@ -138,6 +138,24 @@ object Relational {
           count(lit(1)).as("n_rows"))
     },
 
+    // -- Big-big join: lineitem x orders are BOTH fact-sized at 100 TB, so
+    //    neither side broadcasts — a sort-merge join (hinted here because
+    //    the test tables fit under the auto-broadcast threshold) feeding a
+    //    partial+final rollup. AQE coalesces the post-shuffle partitions.
+    Q("q08_customer_ltv",
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("cents"),
+          count(lit(1)).as("n_items"))
+    },
+
     // -- Anti-join: customers with no orders in window.
     Q("q07_inactive_customers",
       """SELECT c_mktsegment, COUNT(*) AS n_customers
