@@ -156,6 +156,22 @@ object Relational {
           count(lit(1)).as("n_items"))
     },
 
+    // -- SQL entry point: the same engine surface through spark.sql over
+    //    registered temp views (the text below runs verbatim on BOTH
+    //    engines).
+    Q("q09_sql_interface",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
     // -- Anti-join: customers with no orders in window.
     Q("q07_inactive_customers",
       """SELECT c_mktsegment, COUNT(*) AS n_customers

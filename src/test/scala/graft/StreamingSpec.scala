@@ -34,6 +34,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the events table matches the batch result") {
+    // file-source streams need a directory; stage the table into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batch = spark.read.parquet(dir.toString)
+    val expected = batch.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(dir.toString)
+      .groupBy("event_type").count()
+    val q = stream.writeStream.format("memory").queryName("ev_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("stateful sessions survive across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
