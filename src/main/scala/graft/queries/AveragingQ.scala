@@ -255,7 +255,10 @@ object AveragingQ {
          |  c.vre_avg, c.vim_avg, c.ws_sum, c.bin_flag AS chan_flag
          |FROM r JOIN c
          |  ON r.ant1 = c.ant1 AND r.ant2 = c.ant2 AND r.bin = c.bin""".stripMargin) { (s, dir) =>
-      val b = binned(s, dir)
+      // both average branches consume the sessionizer output — persist it
+      // so the per-baseline binning (the only flatMapGroups stage) runs
+      // once, not once per branch
+      val b = binned(s, dir).persist()
       val r = rowAverage(b)
         .withColumnRenamed("bin_flag", "row_flag")
       val c = rowChanAverage(chanVis(s, dir, b))
