@@ -1,0 +1,102 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst extensions — the "custom Expression beats UDF" tier of
+  * SURVEY §7.3 — registered through `SparkSessionExtensions` (class
+  * `GraftExtensions`) or directly on a live session
+  * (`GraftFunctions.register`).
+  */
+
+/** sinc(x) = sin(x)/x (1 at 0) — the decorrelation kernel of the BDA
+  * binner (africanus/averaging/bda_mapping.py:62-110) as a codegen'd
+  * scalar expression: stays inside whole-stage codegen, no UDF boxing. */
+case class Sinc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sinc"
+
+  override protected def nullSafeEval(x: Any): Any = {
+    val v = x.asInstanceOf[Double]
+    if (v == 0.0) 1.0 else math.sin(v) / v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($c == 0.0) ? 1.0 : (java.lang.Math.sin($c) / $c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Sinc =
+    copy(child = newChild)
+}
+
+/** Compensated double sum — Neumaier's (Kahan-Babuška) variant, which
+  * also survives terms larger than the running sum. The declarative
+  * analogue of the reference's compensated source sums
+  * (africanus/experimental/rime/fused/core.py:98-118): (sum, comp)
+  * buffer, error-preserving update and merge. */
+case class KahanSum(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kahan_sum"
+
+  private lazy val sum = AttributeReference("sum", DoubleType, nullable = false)()
+  private lazy val comp = AttributeReference("comp", DoubleType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sum, comp)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0), Literal(0.0))
+
+  /** comp' = comp + ((big − t) + small), branching on which operand
+    * dominated; sum' = t = sum + x. */
+  private def neumaier(s: Expression, c: Expression, x: Expression): Seq[Expression] = {
+    val t = Add(s, x)
+    val err = If(GreaterThanOrEqual(Abs(s), Abs(x)),
+      Add(Subtract(s, t), x),
+      Add(Subtract(x, t), s))
+    Seq(t, Add(c, err))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] =
+    neumaier(sum, comp, Coalesce(Seq(child, Literal(0.0))))
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val Seq(s1, c1) = neumaier(sum.left, comp.left, sum.right)
+    Seq(s1, Add(c1, comp.right))
+  }
+
+  override lazy val evaluateExpression: Expression = Add(sum, comp)
+
+  override protected def withNewChildInternal(newChild: Expression): KahanSum =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("sinc"),
+      new ExpressionInfo(classOf[Sinc].getName, "sinc"),
+      (args: Seq[Expression]) => Sinc(Cast(args.head, DoubleType))),
+    (FunctionIdentifier("kahan_sum"),
+      new ExpressionInfo(classOf[KahanSum].getName, "kahan_sum"),
+      (args: Seq[Expression]) => KahanSum(Cast(args.head, DoubleType)).toAggregateExpression()))
+
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    fns.foreach(ext.injectFunction)
+
+  /** Register on an already-built session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.expr.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injectInto(ext)
+}

@@ -14,6 +14,17 @@ class BucketingSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
       .select("o_orderkey", "o_custkey")
+    // the catalog is in-memory per JVM: clear leftover warehouse dirs from
+    // prior runs before writing
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     li.write.mode("overwrite").bucketBy(4, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
     o.write.mode("overwrite").bucketBy(4, "o_orderkey")
