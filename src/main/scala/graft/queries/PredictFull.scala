@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.CxCol
+import graft.functions.Feeds.Jones2x2
+import SyntheticMs._
+
+/** Full-polarization predict — SURVEY §2.1 R2 in JONES_2X2 mode
+  * (africanus/rime/predict.py:199-224: V = G_p · (Σ_s X_s) · G_q^H with
+  * full 2x2 complex matmuls per row/channel).
+  *
+  * The oracle SQL is GENERATED with a string-level complex/matrix algebra
+  * (`CS`/`MS`) whose operations mirror `CxCol`/`Jones2x2` term for term,
+  * so the Spark and DuckDB expression trees are identical by
+  * construction; with dyadic inputs every value is exact.
+  */
+object PredictFull {
+
+  // ---- string-side complex algebra (mirrors CxCol exactly) --------------
+  private final case class CS(re: String, im: String) {
+    def +(o: CS): CS = CS(s"(${re} + ${o.re})", s"(${im} + ${o.im})")
+    def *(o: CS): CS = CS(
+      s"(${re}*${o.re} - ${im}*${o.im})",
+      s"(${re}*${o.im} + ${im}*${o.re})")
+    def conj: CS = CS(re, s"(-${im})")
+  }
+
+  // mirrors Feeds.Jones2x2.mul / herm
+  private final case class MS(m00: CS, m01: CS, m10: CS, m11: CS)
+  private def mulS(a: MS, b: MS): MS = MS(
+    a.m00 * b.m00 + a.m01 * b.m10, a.m00 * b.m01 + a.m01 * b.m11,
+    a.m10 * b.m00 + a.m11 * b.m10, a.m10 * b.m01 + a.m11 * b.m11)
+  private def hermS(a: MS): MS =
+    MS(a.m00.conj, a.m10.conj, a.m01.conj, a.m11.conj)
+
+  // ---- the 2x2 gain model (dyadic; diag dominant so it stays invertible)
+  private def g2(t: String, a: String): MS = {
+    MS(
+      CS(s"(15e-1 + (($t*7 + $a*5) % 9 - 4) / 8e0)", s"((($t*3 + $a*11) % 7 - 3) / 8e0)"),
+      CS(s"((($t*5 + $a*3) % 5 - 2) / 16e0)", s"((($t*11 + $a*7) % 5 - 2) / 16e0)"),
+      CS(s"((($t*13 + $a*9) % 5 - 2) / 16e0)", s"((($t*9 + $a*13) % 5 - 2) / 16e0)"),
+      CS(s"(15e-1 + (($t*11 + $a*3) % 9 - 4) / 8e0)", s"((($t*5 + $a*13) % 7 - 3) / 8e0)"))
+  }
+
+  private def g2Col(t: Column, a: Column): Jones2x2 = Jones2x2(
+    CxCol(lit(15e-1) + ((t * 7 + a * 5) % 9 - 4) / 8e0, ((t * 3 + a * 11) % 7 - 3) / 8e0),
+    CxCol(((t * 5 + a * 3) % 5 - 2) / 16e0, ((t * 11 + a * 7) % 5 - 2) / 16e0),
+    CxCol(((t * 13 + a * 9) % 5 - 2) / 16e0, ((t * 9 + a * 13) % 5 - 2) / 16e0),
+    CxCol(lit(15e-1) + ((t * 11 + a * 3) % 9 - 4) / 8e0, ((t * 5 + a * 13) % 7 - 3) / 8e0))
+
+  /** summed coherency columns xs.<c>_re/_im as a string matrix. */
+  private def xsS: MS = MS(
+    CS("xs.xx_re", "xs.xx_im"), CS("xs.xy_re", "xs.xy_im"),
+    CS("xs.yx_re", "xs.yx_im"), CS("xs.yy_re", "xs.yy_im"))
+
+  val qs: Seq[Q] = Seq(
+    Q("g04_predict_full", {
+      val v = mulS(mulS(g2("xs.time_index", "xs.ant1"), xsS),
+        hermS(g2("xs.time_index", "xs.ant2")))
+      val corrs = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+      val sumCols = (0 until 4).flatMap { ci =>
+        val n = Seq("xx", "xy", "yx", "yy")(ci)
+        Seq(
+          s"    SUM(((src_id * 5 + row_id * 3 + chan + ${ci * 8}) % 17 - 8) / 16e0) AS ${n}_re",
+          s"    SUM(((src_id * 7 + row_id * 11 + (chan + ${ci * 8}) * 3) % 13 - 6) / 16e0) AS ${n}_im")
+      }.mkString(",\n")
+      s"""WITH rws AS (${uvwRowsSql(16)}), src AS (${sourcesSql(5)}),
+         |ch AS (${channelsSql(8)}),
+         |xs AS (
+         |  SELECT row_id, time_index, ant1, ant2, chan,
+         |$sumCols
+         |  FROM rws, src, ch GROUP BY row_id, time_index, ant1, ant2, chan)
+         |SELECT xs.row_id, xs.chan,
+         |  ${corrs.map { case (n, z) => s"${z.re} AS ${n}_re,\n  ${z.im} AS ${n}_im" }
+               .mkString(",\n  ")}
+         |FROM xs""".stripMargin
+    }) { (s, dir) =>
+      val rws = uvwRows(s, dir, 16)
+      val src = broadcast(sources(s, dir, 5))
+      val ch = broadcast(channels(s, dir, 8))
+      val sumCols = (0 until 4).flatMap { ci =>
+        val n = Seq("xx", "xy", "yx", "yy")(ci)
+        Seq(sum(cohRe(col("src_id"), col("row_id"), col("chan") + ci * 8)).as(s"${n}_re"),
+          sum(cohIm(col("src_id"), col("row_id"), col("chan") + ci * 8)).as(s"${n}_im"))
+      }
+      val xs = rws.crossJoin(src).crossJoin(ch)
+        .groupBy("row_id", "time_index", "ant1", "ant2", "chan")
+        .agg(sumCols.head, sumCols.tail: _*)
+      // the 2x2 gains are arithmetic in (time_index, ant) — generated
+      // in-place, no gather join needed (the joined variant is exercised
+      // by r02/g01)
+      val x2 = Jones2x2(
+        CxCol(col("xx_re"), col("xx_im")), CxCol(col("xy_re"), col("xy_im")),
+        CxCol(col("yx_re"), col("yx_im")), CxCol(col("yy_re"), col("yy_im")))
+      val gp = g2Col(col("time_index"), col("ant1"))
+      val gq = g2Col(col("time_index"), col("ant2"))
+      val v = Jones2x2.mul(Jones2x2.mul(gp, x2), Jones2x2.herm(gq))
+      xs.select(col("row_id"), col("chan"),
+        v.m00.re.as("xx_re"), v.m00.im.as("xx_im"),
+        v.m01.re.as("xy_re"), v.m01.im.as("xy_im"),
+        v.m10.re.as("yx_re"), v.m10.im.as("yx_im"),
+        v.m11.re.as("yy_re"), v.m11.im.as("yy_im"))
+    })
+}
