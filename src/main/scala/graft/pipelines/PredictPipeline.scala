@@ -1,0 +1,56 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Det
+import graft.functions.{Coordinates, Phase, Spectral}
+import graft.io.WSCleanReader
+
+/** The end-to-end predict pipeline — the Spark port of the reference's
+  * flagship example (africanus/rime/examples/predict.py:548-586, traced in
+  * SURVEY §3.2):
+  *
+  *   sky-model text file → broadcast source table
+  *   → radec→lm about the phase centre (C1)
+  *   → WSClean spectra (M2) × phase delay (R1), summed over source (R9)
+  *   → MODEL_DATA written back to parquet.
+  *
+  * One shuffle total (the partial+final source sum keyed by row/chan —
+  * volume = output size); everything else is broadcast expansion inside
+  * whole-stage codegen. At 100 TB the uvw table is the only large input.
+  */
+object PredictPipeline {
+
+  /** skyModelPath: WSClean component list. uvw: (row_id, u, v, w).
+    * chans: (chan, freq). Returns (row_id, chan, vre, vim). */
+  def modelData(spark: SparkSession, skyModelPath: String,
+                uvw: DataFrame, chans: DataFrame,
+                ra0: Double, dec0: Double): DataFrame = {
+    val srcRaw = WSCleanReader.read(spark, skyModelPath)
+    val src = srcRaw.select(
+      col("flux"),
+      col("logSI").as("log_poly"),
+      col("refFreq").as("ref_freq"),
+      // first two spectral terms (pad with 0; try_element_at -> null when
+      // the component has fewer terms)
+      coalesce(try_element_at(col("spi"), lit(1)), lit(0.0)).as("spi0"),
+      coalesce(try_element_at(col("spi"), lit(2)), lit(0.0)).as("spi1"),
+      col("ra"), col("dec"))
+    val lmn = Coordinates.radecToLmn(col("ra"), col("dec"), lit(ra0), lit(dec0))
+    val srcLm = src.withColumn("l", lmn.l).withColumn("m", lmn.m)
+    val spec = Spectral.wscleanSpectra(col("flux"),
+      Seq(col("spi0"), col("spi1")), col("log_poly"),
+      col("ref_freq"), col("freq"))
+    val ph = Phase.phaseDelay(col("l"), col("m"),
+      col("u"), col("v"), col("w"), col("freq"))
+    uvw.crossJoin(broadcast(srcLm)).crossJoin(broadcast(chans))
+      .groupBy("row_id", "chan")
+      .agg(Det.fsum(spec * ph.re).as("vre"), Det.fsum(spec * ph.im).as("vim"))
+  }
+
+  /** Full run: predict + write-back (the MODEL_DATA sink). */
+  def run(spark: SparkSession, skyModelPath: String, uvw: DataFrame,
+          chans: DataFrame, ra0: Double, dec0: Double, outPath: String): Unit =
+    modelData(spark, skyModelPath, uvw, chans, ra0, dec0)
+      .write.mode("overwrite").partitionBy("chan").parquet(outPath)
+}

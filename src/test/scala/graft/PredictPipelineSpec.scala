@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipelines.PredictPipeline
+
+/** End-to-end: sky-model file → predict → MODEL_DATA parquet → read back.
+  * A single zenith point source has unit |V| at every uv point; a known
+  * two-source model is cross-checked against a direct computation. */
+class PredictPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeModel(text: String): String = {
+    val f = java.nio.file.Files.createTempFile("skymodel", ".txt")
+    java.nio.file.Files.writeString(f, text)
+    f.toString
+  }
+
+  test("point source at the phase centre predicts |V| = flux everywhere") {
+    import spark.implicits._
+    // phase centre ra0 = 3h = 45deg, dec0 = 0
+    val model = writeModel(
+      """Format = Name, Type, Ra, Dec, I, SpectralIndex, LogarithmicSI, ReferenceFrequency='1.4e9', MajorAxis, MinorAxis, Orientation
+        |centre,POINT,03:00:00,00.00.00,2.0,[],false,,,,
+        |""".stripMargin)
+    val uvw = Seq((0L, 100.0, -50.0, 2.0), (1L, -30.0, 75.0, -1.0))
+      .toDF("row_id", "u", "v", "w")
+    val chans = Seq((0L, 1.4e9), (1L, 1.5e9)).toDF("chan", "freq")
+    val out = java.nio.file.Files.createTempDirectory("model_data").toString
+    PredictPipeline.run(spark, model, uvw, chans, math.Pi / 4, 0.0, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    // l = m = 0 -> phase = 0 -> V = flux exactly (fsum-rounded)
+    back.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("vre") - 2.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("vim")) < 1e-5)
+    }
+  }
+
+  test("two-source model matches a direct computation") {
+    import spark.implicits._
+    val model = writeModel(
+      """Format = Name, Type, Ra, Dec, I, SpectralIndex, LogarithmicSI, ReferenceFrequency='1.4e9', MajorAxis, MinorAxis, Orientation
+        |a,POINT,03:00:00,00.00.00,1.0,[],false,,,,
+        |b,POINT,03:02:00,00.30.00,0.5,[0.2],false,,,,
+        |""".stripMargin)
+    val uvw = Seq((0L, 1000.0, 500.0, 10.0)).toDF("row_id", "u", "v", "w")
+    val chans = Seq((0L, 1.4e9)).toDF("chan", "freq")
+    val got = PredictPipeline
+      .modelData(spark, model, uvw, chans, math.Pi / 4, 0.0)
+      .collect()(0)
+    // direct: source a at centre contributes (1, 0); source b at its lm
+    val ra = 3.0 * math.Pi / 12 + 2.0 / 60 * math.Pi / 12
+    val dec = 0.5 * math.Pi / 180
+    val l = math.cos(dec) * math.sin(ra - math.Pi / 4)
+    val m = math.sin(dec)
+    val n = math.sqrt(1 - l * l - m * m)
+    val spec = 0.5 + 0.2 * (1.4e9 / 1.4e9 - 1.0) // = 0.5
+    val ph = -2 * math.Pi / 299792458.0 *
+      (1000.0 * l + 500.0 * m + 10.0 * (n - 1)) * 1.4e9
+    val expRe = 1.0 + spec * math.cos(ph)
+    val expIm = 0.0 + spec * math.sin(ph)
+    assert(math.abs(got.getAs[Double]("vre") - expRe) < 1e-5)
+    assert(math.abs(got.getAs[Double]("vim") - expIm) < 1e-5)
+  }
+}
