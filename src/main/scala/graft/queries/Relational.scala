@@ -103,18 +103,22 @@ object Relational {
         .agg(count(lit(1)).as("order_count"))
     },
 
-    // -- Window functions: per-supplier running quantity + rank (deterministic order).
+    // -- Window functions: per-supplier running quantity + rank. NOTE:
+    //    (l_orderkey, l_linenumber) is NOT unique in this generator, so
+    //    l_quantity joins the ordering — rows still tied after that are
+    //    fully interchangeable (equal increments), keeping the output
+    //    multiset engine-independent.
     Q("q05_supplier_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty,
         |  ROW_NUMBER() OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS rn
         |FROM lineitem""".stripMargin) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(col("l_quantity").cast("long"))
