@@ -71,7 +71,8 @@ object TrainingData {
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len,
         |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS DOUBLE)
-        |    / (length(text) - length(replace(text, ' ', '')) + 1) AS stop_ratio
+        |    / (length(text) - length(replace(text, ' ', '')) + 1) AS stop_ratio,
+        |  CAST(CEIL(length(text) / 4e0) AS BIGINT) AS n_bpe_est
         |FROM documents""".stripMargin) { (s, dir) =>
       val t = col("text")
       val noSpace = expr("replace(text, ' ', '')")
@@ -84,7 +85,21 @@ object TrainingData {
         (length(t) - length(expr("replace(text, '.', '')"))).as("n_periods"),
         nThe.as("n_the"),
         (length(noSpace).cast("double") / nTokens).as("avg_token_len"),
-        (nThe.cast("double") / nTokens).as("stop_ratio"))
+        (nThe.cast("double") / nTokens).as("stop_ratio"),
+        // BPE-ish token estimate: ~4 chars/token heuristic
+        ceil(length(t) / 4e0).cast("long").as("n_bpe_est"))
+    },
+
+    // -- vocabulary histogram: token frequencies, deterministic top-50.
+    Q("t09_vocab_topk",
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)
     },
 
     // -- language id: n-gram (function-word) indicator scores, argmax with
@@ -383,6 +398,85 @@ object TrainingData {
         (col("d").cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
           .as("cosine"))
+      cos.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "cid", "cosine", "rank")
+    },
+
+    // -- IVF-style ANN: quantized per-label centroids act as the coarse
+    //    quantizer; every vector is assigned to its nearest cell by exact
+    //    integer L2, and the search probes only the query's cell. The
+    //    third point on the ANN accuracy/cost curve next to e01 (exact)
+    //    and e02 (hyperplane LSH).
+    Q("e04_ivf_ann",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |cent AS (
+         |  SELECT label, pos, CAST(ROUND(AVG(CAST(qv AS DOUBLE))) AS BIGINT) AS cq
+         |  FROM (SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS pos,
+         |          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+         |        FROM embeddings)
+         |  GROUP BY label, pos),
+         |dist AS (
+         |  SELECT ce.cid, cent.label,
+         |    SUM((ce.qv - cent.cq)*(ce.qv - cent.cq)) AS d2
+         |  FROM ce JOIN cent ON ce.pos = cent.pos
+         |  GROUP BY ce.cid, cent.label),
+         |cell AS (
+         |  SELECT cid, label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, label) AS rk
+         |    FROM dist) WHERE rk = 1),
+         |n2 AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |cand AS (
+         |  SELECT q.cid AS qid, c.cid AS cid
+         |  FROM cell q JOIN cell c ON q.label = c.label AND q.cid <> c.cid
+         |  WHERE q.cid < 8),
+         |dot AS (
+         |  SELECT cand.qid, cand.cid, CAST(SUM(a.qv * b.qv) AS BIGINT) AS d
+         |  FROM cand
+         |  JOIN ce a ON a.cid = cand.qid
+         |  JOIN ce b ON b.cid = cand.cid AND a.pos = b.pos
+         |  GROUP BY cand.qid, cand.cid),
+         |cos AS (
+         |  SELECT dot.qid, dot.cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN n2 na ON na.cid = dot.qid JOIN n2 nb ON nb.cid = dot.cid)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+         |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val ce = qExplode(emb, "cid")
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
+      val dist = ce.join(broadcast(cent), "pos")
+        .groupBy("cid", "label")
+        .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2"))
+      val cell = dist.withColumn("rk",
+          row_number().over(Window.partitionBy("cid").orderBy("d2", "label")))
+        .filter(col("rk") === 1).select("cid", "label")
+      val n2 = ce.groupBy("cid").agg(sum(col("qv") * col("qv")).as("n2"))
+      val qcell = broadcast(cell.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("label")))
+      val cand = cell.join(qcell, "label").filter(col("qid") =!= col("cid"))
+        .select("qid", "cid")
+      val qe = broadcast(qExplode(emb.filter(col("vec_id") < 8), "qid")
+        .withColumnRenamed("qv", "qqv"))
+      val dot = cand.join(ce, "cid").join(qe, Seq("qid", "pos"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("qqv") * col("qv")).as("d"))
+      val na = broadcast(n2.select(col("cid").as("qid"), col("n2").as("q_n2")))
+      val cos = dot.join(na, "qid").join(n2, "cid")
+        .select(col("qid"), col("cid"),
+          (col("d").cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+            .as("cosine"))
       cos.withColumn("rank",
           row_number().over(Window.partitionBy("qid")
             .orderBy(col("cosine").desc, col("cid"))).cast("long"))
