@@ -141,7 +141,7 @@ object AveragingQ {
     av.join(bins, "row_id")
   }
 
-  private def rowAverage(df: DataFrame): DataFrame = {
+  def rowAverage(df: DataFrame): DataFrame = {
     import Averaging.{cwhen, sigmaOut}
     Averaging.withFlagMatch(df, "flag_row", Seq("ant1", "ant2", "bin"))
       .groupBy("ant1", "ant2", "bin")
