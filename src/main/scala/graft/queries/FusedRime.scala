@@ -12,6 +12,9 @@ import SyntheticMs._
   */
 object FusedRime {
 
+  import SqlCx.{CS, MS, mulS, hermS}
+  import graft.core.Det.r6Sql
+
   private val qSql = "((src_id % 3) - 1)/4e0"
 
   private def tri(re: String, im: String): (String, String) = (
@@ -63,5 +66,53 @@ object FusedRime {
       RimeCompiler.plan("(Gp,Kpq,Bpq,Gq): [I,Q] -> [XX,YY]",
         srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8),
         Some(gains(s, dir)))
+    },
+
+    // -- feed-rotation (L) term: the rotation mixes correlations, so the
+    //    compiler carries the full 2x2 matrix through the source sum and
+    //    applies R_p · M · R_q^T outside it:
+    //    "(Lp,Kpq,Bpq,Lq): [I,Q] -> [XX,XY,YX,YY]".
+    Q("x03_fused_rime_feed", {
+      val k = CS(s"cos($phaseSql)", s"sin($phaseSql)")
+      // mirrors sampler(): k.scale(b) for the real diag, CxCol(0,±0)*k off-diag
+      def scaleS(b: String) = CS(s"(${k.re} * ($b))", s"(${k.im} * ($b))")
+      val samplers = Seq(
+        "xx" -> scaleS(s"flux + $qSql"),
+        "xy" -> (CS("0e0", "0e0") * k),
+        "yx" -> (CS("0e0", "(-0e0)") * k),
+        "yy" -> scaleS(s"flux - $qSql"))
+      val sumCols = samplers.map { case (n, z) =>
+        s"    ${fsumSql(z.re)} AS ${n}_re,\n    ${fsumSql(z.im)} AS ${n}_im"
+      }.mkString(",\n")
+      val xsM = MS(CS("xs.xx_re", "xs.xx_im"), CS("xs.xy_re", "xs.xy_im"),
+        CS("xs.yx_re", "xs.yx_im"), CS("xs.yy_re", "xs.yy_im"))
+      def rot(p: String) = MS(
+        CS(s"cos($p.pa)", "0e0"), CS(s"sin($p.pa)", "0e0"),
+        CS(s"(-sin($p.pa))", "0e0"), CS(s"cos($p.pa)", "0e0"))
+      val v = mulS(mulS(rot("pp"), xsM), hermS(rot("pq")))
+      val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) =>
+          s"  ${r6Sql(z.re)} AS ${n}_re,\n  ${r6Sql(z.im)} AS ${n}_im"
+        }.mkString(",\n")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)}), pat AS (${paTableSql()}),
+         |xs AS (
+         |  SELECT row_id, time_index, ant1, ant2, chan,
+         |$sumCols
+         |  FROM rws, src, ch GROUP BY row_id, time_index, ant1, ant2, chan)
+         |SELECT xs.row_id, xs.chan,
+         |$out
+         |FROM xs
+         |JOIN pat pp ON pp.time_index = xs.time_index AND pp.ant = xs.ant1
+         |JOIN pat pq ON pq.time_index = xs.time_index AND pq.ant = xs.ant2""".stripMargin
+    }) { (s, dir) =>
+      val out = RimeCompiler.plan("(Lp,Kpq,Bpq,Lq): [I,Q] -> [XX,XY,YX,YY]",
+        srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8),
+        None, Some(paTable(s, dir)))
+      val rounded = Seq("xx", "xy", "yx", "yy").flatMap { n =>
+        Seq(graft.core.Det.r6(col(s"${n}_re")).as(s"${n}_re"),
+          graft.core.Det.r6(col(s"${n}_im")).as(s"${n}_im"))
+      }
+      out.select((col("row_id") +: col("chan") +: rounded): _*)
     })
 }

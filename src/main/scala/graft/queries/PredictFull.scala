@@ -18,22 +18,7 @@ import SyntheticMs._
   */
 object PredictFull {
 
-  // ---- string-side complex algebra (mirrors CxCol exactly) --------------
-  private final case class CS(re: String, im: String) {
-    def +(o: CS): CS = CS(s"(${re} + ${o.re})", s"(${im} + ${o.im})")
-    def *(o: CS): CS = CS(
-      s"(${re}*${o.re} - ${im}*${o.im})",
-      s"(${re}*${o.im} + ${im}*${o.re})")
-    def conj: CS = CS(re, s"(-${im})")
-  }
-
-  // mirrors Feeds.Jones2x2.mul / herm
-  private final case class MS(m00: CS, m01: CS, m10: CS, m11: CS)
-  private def mulS(a: MS, b: MS): MS = MS(
-    a.m00 * b.m00 + a.m01 * b.m10, a.m00 * b.m01 + a.m01 * b.m11,
-    a.m10 * b.m00 + a.m11 * b.m10, a.m10 * b.m01 + a.m11 * b.m11)
-  private def hermS(a: MS): MS =
-    MS(a.m00.conj, a.m10.conj, a.m01.conj, a.m11.conj)
+  import SqlCx.{CS, MS, mulS, hermS}
 
   // ---- the 2x2 gain model (dyadic; diag dominant so it stays invertible)
   private def g2(t: String, a: String): MS = {

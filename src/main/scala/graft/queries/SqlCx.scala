@@ -1,0 +1,27 @@
+package graft.queries
+
+/** String-side complex / 2x2-matrix algebra for GENERATING oracle SQL:
+  * each operation mirrors `graft.core.CxCol` / `Feeds.Jones2x2` term for
+  * term, so a Spark plan built with the column algebra and an oracle built
+  * with this one evaluate identical expression trees. */
+object SqlCx {
+
+  final case class CS(re: String, im: String) {
+    def +(o: CS): CS = CS(s"(${re} + ${o.re})", s"(${im} + ${o.im})")
+    def *(o: CS): CS = CS(
+      s"(${re}*${o.re} - ${im}*${o.im})",
+      s"(${re}*${o.im} + ${im}*${o.re})")
+    def conj: CS = CS(re, s"(-${im})")
+  }
+
+  final case class MS(m00: CS, m01: CS, m10: CS, m11: CS)
+
+  /** mirrors Feeds.Jones2x2.mul */
+  def mulS(a: MS, b: MS): MS = MS(
+    a.m00 * b.m00 + a.m01 * b.m10, a.m00 * b.m01 + a.m01 * b.m11,
+    a.m10 * b.m00 + a.m11 * b.m10, a.m10 * b.m01 + a.m11 * b.m11)
+
+  /** mirrors Feeds.Jones2x2.herm */
+  def hermS(a: MS): MS =
+    MS(a.m00.conj, a.m10.conj, a.m01.conj, a.m11.conj)
+}

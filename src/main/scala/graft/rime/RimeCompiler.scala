@@ -29,7 +29,7 @@ final case class RimeSpec(terms: Seq[Char], stokes: Seq[String], corrs: Seq[Stri
 }
 
 object RimeSpec {
-  private val KnownTerms = Set('K', 'B', 'G')
+  private val KnownTerms = Set('K', 'B', 'G', 'L')
   private val KnownStokes = Set("I", "Q", "U", "V")
   private val KnownCorrs = Set("XX", "XY", "YX", "YY")
   private val Shape = """\(([^)]*)\)\s*:\s*\[([^\]]*)\]\s*->\s*\[([^\]]*)\]""".r
@@ -63,10 +63,15 @@ object RimeCompiler {
     * correlation.
     */
   def plan(specStr: String, src: DataFrame, rows: DataFrame,
-           chans: DataFrame, gainsDf: Option[DataFrame] = None): DataFrame = {
+           chans: DataFrame, gainsDf: Option[DataFrame] = None,
+           paDf: Option[DataFrame] = None): DataFrame = {
     val spec = RimeSpec.parse(specStr)
     require(!spec.hasTerm('G') || gainsDf.isDefined,
       "spec contains G but no gains table was supplied")
+    require(!spec.hasTerm('L') || paDf.isDefined,
+      "spec contains L but no parallactic-angle table was supplied")
+    require(!(spec.hasTerm('L') && spec.hasTerm('G')),
+      "combining L and G terms is not supported yet")
 
     // implicit-zero stokes (conversion.py:163-198)
     def st(n: String): Column =
@@ -89,10 +94,15 @@ object RimeCompiler {
     }
 
     val expanded = rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
+    val needsAnts = spec.hasTerm('G') || spec.hasTerm('L')
     val gKeys =
-      if (spec.hasTerm('G')) Seq("row_id", "time_index", "ant1", "ant2", "chan")
+      if (needsAnts) Seq("row_id", "time_index", "ant1", "ant2", "chan")
       else Seq("row_id", "chan")
-    val sumCols = spec.corrs.flatMap { c =>
+    // the feed-rotation term mixes correlations, so its path carries the
+    // full 2x2 matrix through the sum regardless of the requested subset
+    val sumCorrs =
+      if (spec.hasTerm('L')) Seq("XX", "XY", "YX", "YY") else spec.corrs
+    val sumCols = sumCorrs.flatMap { c =>
       val x = sampler(c)
       val n = c.toLowerCase
       Seq(Det.fsum(x.re).as(s"${n}_re"), Det.fsum(x.im).as(s"${n}_im"))
@@ -100,7 +110,30 @@ object RimeCompiler {
     val summed = expanded.groupBy(gKeys.map(col): _*)
       .agg(sumCols.head, sumCols.tail: _*)
 
-    if (!spec.hasTerm('G')) summed
+    if (spec.hasTerm('L')) {
+      import graft.functions.Feeds
+      val pa = paDf.get
+      val pp = broadcast(pa.select(col("time_index").as("lt"),
+        col("ant").as("la"), col("pa").as("pap")))
+      val pq = broadcast(pa.select(col("time_index").as("mt"),
+        col("ant").as("ma"), col("pa").as("paq")))
+      val j = summed
+        .join(pp, col("time_index") === col("lt") && col("ant1") === col("la"))
+        .join(pq, col("time_index") === col("mt") && col("ant2") === col("ma"))
+      val m = Feeds.Jones2x2(
+        CxCol(col("xx_re"), col("xx_im")), CxCol(col("xy_re"), col("xy_im")),
+        CxCol(col("yx_re"), col("yx_im")), CxCol(col("yy_re"), col("yy_im")))
+      val rp = Feeds.feedRotation(col("pap"), "linear")
+      val rq = Feeds.feedRotation(col("paq"), "linear")
+      val v = Feeds.Jones2x2.mul(Feeds.Jones2x2.mul(rp, m),
+        Feeds.Jones2x2.herm(rq))
+      val entry = Map("XX" -> v.m00, "XY" -> v.m01, "YX" -> v.m10, "YY" -> v.m11)
+      val outCols = spec.corrs.flatMap { c =>
+        val n = c.toLowerCase
+        Seq(entry(c).re.as(s"${n}_re"), entry(c).im.as(s"${n}_im"))
+      }
+      j.select((col("row_id") +: col("chan") +: outCols): _*)
+    } else if (!spec.hasTerm('G')) summed
     else {
       val withG = graft.queries.Predict.withGains(summed, gainsDf.get)
       val gp = CxCol(col("gp_re"), col("gp_im"))
