@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.{Det, Tables}
@@ -59,6 +60,25 @@ object EventsQ {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
           sum(Det.cents(col("value"))).as("value_cents"))
+    },
+
+    // -- sliding range-frame window: per user, event count + value sum
+    //    over the trailing hour (numeric RANGE frame on µs — identical
+    //    peer semantics on both engines).
+    Q("s05_sliding_window",
+      s"""SELECT event_id, user_id,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
+         |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+         |             RANGE BETWEEN $HourMicros PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-HourMicros, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(Det.cents(col("value"))).over(w).as("cents_last_hour"))
     },
 
     // -- salted two-phase aggregation: the skew pattern for hot keys at

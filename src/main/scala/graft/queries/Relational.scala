@@ -160,6 +160,31 @@ object Relational {
           count(lit(1)).as("n_items"))
     },
 
+    // -- ROLLUP super-aggregates (hierarchical totals in one pass).
+    Q("q10_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // -- pivot: per-returnflag quantity totals spread over line statuses
+    //    (oracle states the equivalent conditional aggregation).
+    Q("q11_pivot",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("long")))
+    },
+
     // -- SQL entry point: the same engine surface through spark.sql over
     //    registered temp views (the text below runs verbatim on BOTH
     //    engines).
