@@ -152,14 +152,17 @@ object TrainingData {
         |  CAST(SUM(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
         |        * ((i * 2654435761) % 1048576 + 1)) % 1073741824 AS BIGINT) AS fp
         |FROM cp GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")))).as("i"))
-        .select(col("doc_id"),
-          (expr("CAST(ascii(substring(text, i, 1)) AS BIGINT)")
-            * ((col("i").cast("long") * 2654435761L) % 1048576L + 1L)).as("term"))
-        .groupBy("doc_id")
-        .agg((sum(col("term")) % 1073741824L).as("fp"))
+      // Spark side: a higher-order aggregate over the char positions — one
+      // codegen'd expression per document, NO row explosion and NO
+      // shuffle (the oracle states the equivalent explode+sum; integer
+      // sums are order-free so the two agree exactly)
+      Tables.documents(s, dir).select(col("doc_id"),
+        expr("""aggregate(
+                  sequence(1, length(text)),
+                  0L,
+                  (acc, i) -> acc + CAST(ascii(substring(text, i, 1)) AS BIGINT)
+                    * ((CAST(i AS BIGINT) * 2654435761) % 1048576 + 1)
+                ) % 1073741824""").as("fp"))
     },
 
     // -- token-set Jaccard near-duplicates (first 64 docs): postings
@@ -322,18 +325,26 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      // Spark side: quantize + dot product as higher-order expressions
+      // over the raw array columns — broadcast nested-loop of 8 query
+      // vectors against the corpus scan, no 64x explode and no position
+      // join (the oracle states the exploded equivalent; integer sums are
+      // order-free so they agree exactly)
       val emb = Tables.embeddings(s, dir)
-      val qe = broadcast(qExplode(emb.filter(col("vec_id") < 8), "qid"))
-      val ce = qExplode(emb, "cid")
-      val qn = broadcast(norms(qExplode(emb.filter(col("vec_id") < 8), "qid"), "qid"))
-      val cn = norms(ce, "cid")
-      val dot = ce.join(qe.withColumnRenamed("qv", "qqv"), "pos")
-        .groupBy("qid", "cid")
-        .agg(sum(col("qqv") * col("qv")).as("d"))
-      val cos = dot.join(qn, "qid").join(cn, "cid")
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val n2 = expr("aggregate(qv, 0L, (a, x) -> a + x * x)")
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("cid_n2", n2)
+      val queries = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), qCol.as("qqv"))
+        .withColumn("qid_n2", expr("aggregate(qqv, 0L, (a, x) -> a + x * x)")))
+      val dot = expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      val cos = corpus.crossJoin(queries)
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          (col("d").cast("double") /
+          (dot.cast("double") /
             (sqrt(col("qid_n2").cast("double")) * sqrt(col("cid_n2").cast("double"))))
             .as("cosine"))
       cos.withColumn("rank",
