@@ -387,26 +387,30 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
-      val ce = qExplode(Tables.embeddings(s, dir), "cid")
-      val sig = ce.groupBy("cid").agg(
-        sum(col("qv") * ((col("pos") * 2654435761L) % 2048L - 1024L)).as("s1"),
-        sum(col("qv") * ((col("pos") * 40503L) % 2048L - 1024L)).as("s2"),
-        sum(col("qv") * col("qv")).as("n2"))
-      val bk = sig.select(col("cid"), col("n2"),
-        (when(col("s1") > 0, 2).otherwise(0)
-          + when(col("s2") > 0, 1).otherwise(0)).as("bucket"))
+      // signatures + dots as higher-order expressions over the raw array
+      // columns — no explode, no position join (i + 1 matches the
+      // oracle's 1-based generate_series positions; integer sums are
+      // order-free so the oracle is unchanged)
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      def proj(mult: Long) = expr(
+        s"""aggregate(transform(qv, (x, i) ->
+           |  x * ((CAST(i + 1 AS BIGINT) * $mult) % 2048 - 1024)),
+           |0L, (a, x) -> a + x)""".stripMargin)
+      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("bucket",
+          when(proj(2654435761L) > 0, 2).otherwise(0)
+            + when(proj(40503L) > 0, 1).otherwise(0))
       val qb = broadcast(bk.filter(col("cid") < 8)
-        .select(col("cid").as("qid"), col("bucket"), col("n2").as("q_n2")))
+        .select(col("cid").as("qid"), col("bucket"),
+          col("n2").as("q_n2"), col("qv").as("qqv")))
       val cand = bk.join(qb, Seq("bucket")).filter(col("qid") =!= col("cid"))
-        .select("qid", "cid", "q_n2", "n2")
-      val qe = broadcast(qExplode(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 8), "qid")
-        .withColumnRenamed("qv", "qqv"))
-      val dot = cand.join(ce, "cid").join(qe, Seq("qid", "pos"))
-        .groupBy("qid", "cid", "q_n2", "n2")
-        .agg(sum(col("qqv") * col("qv")).as("d"))
-      val cos = dot.select(col("qid"), col("cid"),
-        (col("d").cast("double") /
+      val dot = expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      val cos = cand.select(col("qid"), col("cid"),
+        (dot.cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
           .as("cosine"))
       cos.withColumn("rank",
@@ -459,35 +463,39 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      // centroid training is the one genuine aggregation (explode +
+      // groupBy); assignment and search use centroid VECTORS (pos-ordered
+      // collect) with higher-order zip_with distances — no position joins
       val emb = Tables.embeddings(s, dir)
-      val ce = qExplode(emb, "cid")
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
       val cent = emb.select(col("label"), posexplode(col("embedding")))
         .select(col("label"), (col("pos") + 1).as("pos"),
           round(col("col").cast("double") * 1e6).cast("long").as("qv"))
         .groupBy("label", "pos")
         .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
-      val dist = ce.join(broadcast(cent), "pos")
-        .groupBy("cid", "label")
-        .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2"))
-      val cell = dist.withColumn("rk",
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
+          .as("cvec"))
+      val d2 = expr(
+        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
+      val cell = corpus.crossJoin(broadcast(cent))
+        .select(col("cid"), col("label"), col("qv"), col("n2"), d2.as("d2"))
+        .withColumn("rk",
           row_number().over(Window.partitionBy("cid").orderBy("d2", "label")))
-        .filter(col("rk") === 1).select("cid", "label")
-      val n2 = ce.groupBy("cid").agg(sum(col("qv") * col("qv")).as("n2"))
+        .filter(col("rk") === 1).select("cid", "label", "qv", "n2")
       val qcell = broadcast(cell.filter(col("cid") < 8)
-        .select(col("cid").as("qid"), col("label")))
+        .select(col("cid").as("qid"), col("label"),
+          col("qv").as("qqv"), col("n2").as("q_n2")))
       val cand = cell.join(qcell, "label").filter(col("qid") =!= col("cid"))
-        .select("qid", "cid")
-      val qe = broadcast(qExplode(emb.filter(col("vec_id") < 8), "qid")
-        .withColumnRenamed("qv", "qqv"))
-      val dot = cand.join(ce, "cid").join(qe, Seq("qid", "pos"))
-        .groupBy("qid", "cid")
-        .agg(sum(col("qqv") * col("qv")).as("d"))
-      val na = broadcast(n2.select(col("cid").as("qid"), col("n2").as("q_n2")))
-      val cos = dot.join(na, "qid").join(n2, "cid")
-        .select(col("qid"), col("cid"),
-          (col("d").cast("double") /
-            (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
-            .as("cosine"))
+      val dot = expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      val cos = cand.select(col("qid"), col("cid"),
+        (dot.cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cosine"))
       cos.withColumn("rank",
           row_number().over(Window.partitionBy("qid")
             .orderBy(col("cosine").desc, col("cid"))).cast("long"))
