@@ -114,5 +114,45 @@ object FusedRime {
           graft.core.Det.r6(col(s"${n}_im")).as(s"${n}_im"))
       }
       out.select((col("row_id") +: col("chan") +: rounded): _*)
+    },
+
+    // -- fully-fused zero-shuffle predict: the source dimension table is
+    //    collected (it is driver-sized, like the reference's parsed sky
+    //    model) and inlined as an array literal; the source sum runs as a
+    //    single higher-order aggregate INSIDE the row projection — the
+    //    closest Spark analogue of the reference's fused numba kernel
+    //    (africanus/experimental/rime/fused/intrinsics.py). Same math and
+    //    oracle as r09, with NO aggregation exchange in the plan at all.
+    //    Measured tradeoff at sf0.1: the groupBy path (r09) is ~2x faster
+    //    locally (hash-agg codegen beats HOF lambdas), but its shuffle
+    //    grows with output size while this plan never shuffles — the
+    //    preferred shape when the cluster's exchange is the bottleneck.
+    Q("x04_fused_projection",
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, chan,
+         |  ${fsumSql(s"(CASE WHEN log_poly THEN $specLogSql ELSE $specOrdSql END) * cos($phaseSql)")} AS vre,
+         |  ${fsumSql(s"(CASE WHEN log_poly THEN $specLogSql ELSE $specOrdSql END) * sin($phaseSql)")} AS vim
+         |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin) { (s, dir) =>
+      def d(v: Double) = java.lang.Double.toString(v) + "D" // round-trips
+      val arr = sources(s, dir, 5).collect().map { r =>
+        s"named_struct('l', ${d(r.getAs[Double]("l"))}, 'm', ${d(r.getAs[Double]("m"))}, " +
+          s"'flux', ${d(r.getAs[Double]("flux"))}, 'spi0', ${d(r.getAs[Double]("spi0"))}, " +
+          s"'spi1', ${d(r.getAs[Double]("spi1"))}, 'rf', ${d(r.getAs[Double]("ref_freq"))}, " +
+          s"'lp', ${r.getAs[Boolean]("log_poly")})"
+      }.mkString("array(", ", ", ")")
+      val ph = "(-2 * pi() / 299792458D) * (u*s.l + v*s.m + " +
+        "w*(sqrt(greatest(0D, 1D - s.l*s.l - s.m*s.m)) - 1D)) * freq"
+      val spec = "(CASE WHEN s.lp THEN s.flux * exp(s.spi0 * ln(freq/s.rf) " +
+        "+ s.spi1 * (ln(freq/s.rf)*ln(freq/s.rf))) " +
+        "ELSE s.flux + s.spi0 * (freq/s.rf - 1D) " +
+        "+ s.spi1 * ((freq/s.rf - 1D)*(freq/s.rf - 1D)) END)"
+      def fusedSum(trig: String) = expr(
+        s"""aggregate($arr, 0L, (acc, s) ->
+           |  acc + CAST(ROUND(($spec * $trig($ph)) * 1e6) AS BIGINT)) / 1e6""".stripMargin)
+      uvwRows(s, dir, 16)
+        .crossJoin(broadcast(channels(s, dir, 8)))
+        .select(col("row_id"), col("chan"),
+          fusedSum("cos").as("vre"), fusedSum("sin").as("vim"))
     })
 }
