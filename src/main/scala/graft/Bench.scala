@@ -21,7 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1L << 22).selectExpr("sum(id * 3)").collect() // warmup
+    // warmup: codegen machinery + parquet reader/footers for the big facts
+    spark.range(1L << 22).selectExpr("sum(id * 3)").collect()
+    Seq("lineitem", "orders").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => }
+    }
     // two timed runs per query, report the min — single-run wall-clock at
     // this scale is dominated by scheduler jitter
     def once(q: Q): Double = {

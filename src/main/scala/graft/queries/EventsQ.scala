@@ -98,6 +98,23 @@ object EventsQ {
         .agg(sum(col("pc")).as("cents"), sum(col("pn")).as("n"))
     },
 
+    // -- event enrichment: events joined to the customer dimension
+    //    (broadcast) and rolled up per market segment.
+    Q("s06_events_by_segment",
+      """SELECT c_mktsegment, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin) { (s, dir) =>
+      val c = broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment"))
+      Tables.events(s, dir)
+        .join(c, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(Det.cents(col("value"))).as("cents"))
+    },
+
     // -- property extraction from the JSON-ish props payload (pure string
     //    ops so both engines parse identically) + rollup.
     Q("s03_props_rollup",

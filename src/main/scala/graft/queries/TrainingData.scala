@@ -225,17 +225,18 @@ object TrainingData {
               s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")}
          |    AS BIGINT) AS simhash
          |FROM votes""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
+      // token hash as a higher-order aggregate over the token's chars —
+      // one expression per (doc, token), no char explosion
+      val th = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
-      val th = toks
         .select(col("doc_id"), col("tok"),
-          explode(sequence(lit(1), length(col("tok")))).as("i"))
-        .select(col("doc_id"), col("tok"),
-          (expr("CAST(ascii(substring(tok, i, 1)) AS BIGINT)")
-            * ((col("i").cast("long") * 37L) % 64L + 1L)).as("term"))
-        .groupBy("doc_id", "tok")
-        .agg((sum(col("term")) % 4096L).as("h"))
+          expr("""aggregate(
+                    sequence(1, length(tok)),
+                    0L,
+                    (acc, i) -> acc + CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                      * ((CAST(i AS BIGINT) * 37) % 64 + 1)
+                  ) % 4096""").as("h"))
       val voteCols = (0 until 8).map(b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
           .otherwise(-1L)).as(s"v$b"))
