@@ -1,0 +1,62 @@
+package graft.functions
+
+/** General Noll-indexed Zernike evaluation — SURVEY §2.1 R8
+  * (africanus/rime/zernike.py:8-144: `zernike_rad` radial polynomial +
+  * Noll de-indexing). Driver-side math: coefficients tables are
+  * dimension-table sized; the distributed query (r08) evaluates the
+  * resulting polynomials as column expressions.
+  */
+object Zernike {
+
+  /** Noll index j (1-based) → (n, m signed; m < 0 selects the sin term).
+    * Within a radial order n, |m| ascends and the EVEN j of each ±|m|
+    * pair carries the cosine (+m) term — Noll's convention. */
+  def nollToNM(j: Int): (Int, Int) = {
+    require(j >= 1, s"noll index must be >= 1, got $j")
+    var n = 0
+    var first = 1 // first j of row n (each row holds n + 1 indices)
+    while (j >= first + n + 1) { first += n + 1; n += 1 }
+    // build the row's signed-m sequence
+    val absMs = (if (n % 2 == 0) 0 to n by 2 else 1 to n by 2).toIndexedSeq
+    val row = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var jj = first
+    for (am <- absMs) {
+      if (am == 0) { row += 0; jj += 1 }
+      else {
+        // two consecutive js: the even one gets +am
+        if (jj % 2 == 0) { row += am; row += -am }
+        else { row += -am; row += am }
+        jj += 2
+      }
+    }
+    (n, row(j - first))
+  }
+
+  /** Radial polynomial R_n^{|m|}(rho) by the explicit factorial sum
+    * (zernike.py:23-44). */
+  def zernikeRad(m: Int, n: Int, rho: Double): Double = {
+    val am = math.abs(m)
+    if ((n - am) % 2 != 0) return 0.0
+    def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+    var sum = 0.0
+    var k = 0
+    while (k <= (n - am) / 2) {
+      val c = (if (k % 2 == 0) 1.0 else -1.0) * fact(n - k) /
+        (fact(k) * fact((n + am) / 2 - k) * fact((n - am) / 2 - k))
+      sum += c * math.pow(rho, n - 2 * k)
+      k += 1
+    }
+    sum
+  }
+
+  /** Noll-normalized Zernike Z_j at cartesian (x, y). */
+  def zernike(j: Int, x: Double, y: Double): Double = {
+    val (n, m) = nollToNM(j)
+    val rho = math.hypot(x, y)
+    val theta = math.atan2(y, x)
+    val r = zernikeRad(m, n, rho)
+    if (m == 0) math.sqrt(n + 1.0) * r
+    else if (m > 0) math.sqrt(2.0 * (n + 1)) * r * math.cos(m * theta)
+    else math.sqrt(2.0 * (n + 1)) * r * math.sin(-m * theta)
+  }
+}
