@@ -18,7 +18,7 @@ import SyntheticMs._
   */
 object PredictFull {
 
-  import SqlCx.{CS, MS, mulS, hermS}
+  import SqlCx.{CS, MS, mulS, hermS, invS}
 
   // ---- the 2x2 gain model (dyadic; diag dominant so it stays invertible)
   private def g2(t: String, a: String): MS = {
@@ -83,6 +83,41 @@ object PredictFull {
       val gq = g2Col(col("time_index"), col("ant2"))
       val v = Jones2x2.mul(Jones2x2.mul(gp, x2), Jones2x2.herm(gq))
       xs.select(col("row_id"), col("chan"),
+        v.m00.re.as("xx_re"), v.m00.im.as("xx_im"),
+        v.m01.re.as("xy_re"), v.m01.im.as("xy_im"),
+        v.m10.re.as("yx_re"), v.m10.im.as("yx_im"),
+        v.m11.re.as("yy_re"), v.m11.im.as("yy_im"))
+    },
+
+    // -- G2 FULL mode: correct_vis with the 2x2 complex inverse,
+    //    V' = G_p^{-1} V G_q^{-H} (calibration/utils/correct_vis.py FULL
+    //    path). The diag-dominant gain model keeps |det| >= ~0.9 so the
+    //    inverse is well-conditioned; all divisions are single IEEE ops
+    //    over exact dyadics — bit-deterministic, no rounding.
+    Q("g07_correct_full", {
+      val gpInv = invS(g2("rws.time_index", "rws.ant1"))
+      val gqInv = invS(g2("rws.time_index", "rws.ant2"))
+      val vIn = MS(CS("cv.xx_re", "cv.xx_im"), CS("cv.xy_re", "cv.xy_im"),
+        CS("cv.yx_re", "cv.yx_im"), CS("cv.yy_re", "cv.yy_im"))
+      val v = mulS(mulS(gpInv, vIn), hermS(gqInv))
+      val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) => s"  ${z.re} AS ${n}_re,\n  ${z.im} AS ${n}_im" }
+        .mkString(",\n")
+      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)})
+         |SELECT cv.row_id,
+         |$out
+         |FROM cv JOIN rws ON cv.row_id = rws.row_id""".stripMargin
+    }) { (s, dir) =>
+      val j = corrVis(s, dir, 16)
+        .join(uvwRows(s, dir, 16).select("row_id", "time_index", "ant1", "ant2"),
+          "row_id")
+      val vIn = Jones2x2(
+        CxCol(col("xx_re"), col("xx_im")), CxCol(col("xy_re"), col("xy_im")),
+        CxCol(col("yx_re"), col("yx_im")), CxCol(col("yy_re"), col("yy_im")))
+      val gpInv = Jones2x2.inv(g2Col(col("time_index"), col("ant1")))
+      val gqInv = Jones2x2.inv(g2Col(col("time_index"), col("ant2")))
+      val v = Jones2x2.mul(Jones2x2.mul(gpInv, vIn), Jones2x2.herm(gqInv))
+      j.select(col("row_id"),
         v.m00.re.as("xx_re"), v.m00.im.as("xx_im"),
         v.m01.re.as("xy_re"), v.m01.im.as("xy_im"),
         v.m10.re.as("yx_re"), v.m10.im.as("yx_im"),
