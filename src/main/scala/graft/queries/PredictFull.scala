@@ -95,28 +95,71 @@ object PredictFull {
     //    inverse is well-conditioned; all divisions are single IEEE ops
     //    over exact dyadics — bit-deterministic, no rounding.
     Q("g07_correct_full", {
-      val gpInv = invS(g2("rws.time_index", "rws.ant1"))
-      val gqInv = invS(g2("rws.time_index", "rws.ant2"))
+      // the 2x2 inverse is PRECOMPUTED per (time, antenna) in a dimension
+      // table and gathered per row — inlining it per row blew the
+      // expression out of JIT range (measured 2x slower); this is also
+      // the reference's shape (invert the gain grid once, gather many)
+      val inv = invS(g2("t.n_nationkey", "a.n_nationkey"))
+      val invCols = Seq("i00" -> inv.m00, "i01" -> inv.m01,
+        "i10" -> inv.m10, "i11" -> inv.m11)
+        .map { case (n, z) => s"    ${z.re} AS ${n}_re, ${z.im} AS ${n}_im" }
+        .mkString(",\n")
+      def gmat(al: String): MS = MS(
+        CS(s"$al.i00_re", s"$al.i00_im"), CS(s"$al.i01_re", s"$al.i01_im"),
+        CS(s"$al.i10_re", s"$al.i10_im"), CS(s"$al.i11_re", s"$al.i11_im"))
       val vIn = MS(CS("cv.xx_re", "cv.xx_im"), CS("cv.xy_re", "cv.xy_im"),
         CS("cv.yx_re", "cv.yx_im"), CS("cv.yy_re", "cv.yy_im"))
-      val v = mulS(mulS(gpInv, vIn), hermS(gqInv))
+      val v = mulS(mulS(gmat("gp"), vIn), hermS(gmat("gq")))
       val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
         .map { case (n, z) => s"  ${z.re} AS ${n}_re,\n  ${z.im} AS ${n}_im" }
         .mkString(",\n")
-      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)})
+      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)}),
+         |gi AS (
+         |  SELECT CAST(t.n_nationkey AS BIGINT) AS time_index,
+         |    CAST(a.n_nationkey AS BIGINT) AS ant,
+         |$invCols
+         |  FROM nation t, nation a
+         |  WHERE t.n_nationkey < 16 AND a.n_nationkey < 7)
          |SELECT cv.row_id,
          |$out
-         |FROM cv JOIN rws ON cv.row_id = rws.row_id""".stripMargin
+         |FROM cv
+         |JOIN rws ON cv.row_id = rws.row_id
+         |JOIN gi gp ON gp.time_index = rws.time_index AND gp.ant = rws.ant1
+         |JOIN gi gq ON gq.time_index = rws.time_index AND gq.ant = rws.ant2""".stripMargin
     }) { (s, dir) =>
+      val grid = graft.core.Tables.nation(s, dir)
+        .filter(col("n_nationkey") < 16)
+        .select(col("n_nationkey").cast("long").as("time_index"))
+        .crossJoin(graft.core.Tables.nation(s, dir)
+          .filter(col("n_nationkey") < 7)
+          .select(col("n_nationkey").cast("long").as("ant")))
+      val inv = Jones2x2.inv(g2Col(col("time_index"), col("ant")))
+      val gi = grid.select(col("time_index"), col("ant"),
+        inv.m00.re.as("i00_re"), inv.m00.im.as("i00_im"),
+        inv.m01.re.as("i01_re"), inv.m01.im.as("i01_im"),
+        inv.m10.re.as("i10_re"), inv.m10.im.as("i10_im"),
+        inv.m11.re.as("i11_re"), inv.m11.im.as("i11_im"))
+      def gmat(p: String): Jones2x2 = Jones2x2(
+        CxCol(col(s"${p}00_re"), col(s"${p}00_im")),
+        CxCol(col(s"${p}01_re"), col(s"${p}01_im")),
+        CxCol(col(s"${p}10_re"), col(s"${p}10_im")),
+        CxCol(col(s"${p}11_re"), col(s"${p}11_im")))
+      def side(p: String, tKey: String, aKey: String) = broadcast(gi.select(
+        col("time_index").as(tKey) +: col("ant").as(aKey) +:
+          Seq("00", "01", "10", "11").flatMap(e => Seq(
+            col(s"i${e}_re").as(s"$p${e}_re"),
+            col(s"i${e}_im").as(s"$p${e}_im"))): _*))
+      val gp = side("p", "tp", "ap")
+      val gq = side("q", "tq", "aq")
       val j = corrVis(s, dir, 16)
         .join(uvwRows(s, dir, 16).select("row_id", "time_index", "ant1", "ant2"),
           "row_id")
+        .join(gp, col("time_index") === col("tp") && col("ant1") === col("ap"))
+        .join(gq, col("time_index") === col("tq") && col("ant2") === col("aq"))
       val vIn = Jones2x2(
         CxCol(col("xx_re"), col("xx_im")), CxCol(col("xy_re"), col("xy_im")),
         CxCol(col("yx_re"), col("yx_im")), CxCol(col("yy_re"), col("yy_im")))
-      val gpInv = Jones2x2.inv(g2Col(col("time_index"), col("ant1")))
-      val gqInv = Jones2x2.inv(g2Col(col("time_index"), col("ant2")))
-      val v = Jones2x2.mul(Jones2x2.mul(gpInv, vIn), Jones2x2.herm(gqInv))
+      val v = Jones2x2.mul(Jones2x2.mul(gmat("p"), vIn), Jones2x2.herm(gmat("q")))
       j.select(col("row_id"),
         v.m00.re.as("xx_re"), v.m00.im.as("xx_im"),
         v.m01.re.as("xy_re"), v.m01.im.as("xy_im"),
