@@ -28,22 +28,39 @@ object Bench {
       catch { case _: Throwable => }
     }
     // two timed runs per query, report the min — single-run wall-clock at
-    // this scale is dominated by scheduler jitter
-    def once(q: Q): Double = {
+    // this scale is dominated by scheduler jitter. A failed run yields the
+    // -1 sentinel (never a phantom elapsed time).
+    def once(q: Q): Option[Double] = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.registry.map { q =>
-      q.name -> math.min(once(q), once(q))
+      val v = (once(q), once(q)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case _ => -1.0
+      }
+      q.name -> v
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // total FIRST so a tail-truncated capture still carries the headline;
+    // per-query map (3 dp) kept short, and the full line also goes to a file.
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qs}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("bench_results.json")
+      w.println(line); w.close()
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -13,9 +13,14 @@ import graft.operators.EventOps
 object EventsQ {
 
   // Spark reads the parquet TIMESTAMP(NANOS) column as a raw long
-  // (nanosAsLong); DuckDB truncates it to microsecond TIMESTAMP precision.
-  // All time arithmetic therefore happens at µs: `ts div 1000` on the
-  // Spark side == `epoch_us(ts)` on the DuckDB side.
+  // (nanosAsLong); all time arithmetic happens at µs via `ts div 1000`.
+  // The oracle must TRUNCATE ns→µs identically on every DuckDB version:
+  // 1.0.0 truncates to µs TIMESTAMP on read (epoch_ns then yields µs·1000),
+  // newer readers keep TIMESTAMP_NS (epoch_ns yields true ns) — in both
+  // cases epoch_ns(ts) // 1000 is the truncated µs value, whereas
+  // epoch_us(ts) may ROUND on engines that cast ns→µs, which flipped the
+  // s02 hash on the driver.
+  private val TusSql = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
   private val GapMicros = 1800000000L // 30 min
   private val HourMicros = 3600000000L
 
@@ -25,11 +30,11 @@ object EventsQ {
     //    the streaming windowed aggregation (StreamingSpec covers the
     //    readStream + watermark path).
     Q("s01_event_windows",
-      s"""SELECT epoch_us(ts) // $HourMicros AS win, event_type,
+      s"""SELECT $TusSql // $HourMicros AS win, event_type,
          |  CAST(COUNT(*) AS BIGINT) AS n_events,
          |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value,
          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         |FROM events GROUP BY epoch_us(ts) // $HourMicros, event_type""".stripMargin) { (s, dir) =>
+         |FROM events GROUP BY $TusSql // $HourMicros, event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(expr(s"(ts div 1000) div $HourMicros").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -40,9 +45,9 @@ object EventsQ {
     // -- gap-based sessionization (30 min) + per-session rollup.
     Q("s02_event_sessions",
       s"""WITH s AS (
-         |  SELECT event_id, user_id, epoch_us(ts) AS tus, value,
-         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-         |             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |  SELECT event_id, user_id, $TusSql AS tus, value,
+         |    CASE WHEN $TusSql - LAG($TusSql) OVER (
+         |             PARTITION BY user_id ORDER BY $TusSql, event_id)
          |              > $GapMicros THEN 1 ELSE 0 END AS new_s
          |  FROM events),
          |s2 AS (
@@ -69,7 +74,7 @@ object EventsQ {
       s"""SELECT event_id, user_id,
          |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
          |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
-         |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+         |FROM (SELECT event_id, user_id, $TusSql AS tus, value FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY tus
          |             RANGE BETWEEN $HourMicros PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("tus")

@@ -32,9 +32,13 @@ object SyntheticMs {
       (k % 2 === 1).as("log_poly"),
       // direct lm (pure arithmetic, bit-identical across engines) for the
       // phase/predict kernels; the trig-derived lmn path is exercised
-      // separately by the radec_to_lmn query.
-      (lit(-2e-2) + k * 1e-2).as("l"),
-      (lit(1e-2) - (k % 3) * 5e-3).as("m"))
+      // separately by the radec_to_lmn query. The /1024 (dyadic) keeps
+      // |2π/c · (u·l + v·m + w(n−1)) · freq| ≲ 1 rad so the hash-compared
+      // cos/sin evaluate at SMALL arguments, where JVM and DuckDB libm
+      // agree to ≤1 ulp — large arguments go through env-sensitive range
+      // reduction and flipped a round(x·1e6) boundary on the driver.
+      ((lit(-2e-2) + k * 1e-2) / 1024e0).as("l"),
+      ((lit(1e-2) - (k % 3) * 5e-3) / 1024e0).as("m"))
   }
 
   def sourcesSql(n: Int = 5): String =
@@ -46,8 +50,8 @@ object SyntheticMs {
        |  -25e-3 + (n_nationkey % 4) * 25e-3 AS spi1,
        |  14e8 AS ref_freq,
        |  (n_nationkey % 2 = 1) AS log_poly,
-       |  -2e-2 + n_nationkey * 1e-2 AS l,
-       |  1e-2 - (n_nationkey % 3) * 5e-3 AS m
+       |  (-2e-2 + n_nationkey * 1e-2) / 1024e0 AS l,
+       |  (1e-2 - (n_nationkey % 3) * 5e-3) / 1024e0 AS m
        |FROM nation WHERE n_nationkey < $n""".stripMargin
 
   /** Phase centre used throughout. */

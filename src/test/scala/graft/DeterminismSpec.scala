@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.SyntheticMs
+
+/** Guards the cross-engine float-determinism contract for the hash-compared
+  * transcendental queries (CLAUDE.md float rules).
+  *
+  * 1. Trig arguments must stay SMALL: for |phase| ≲ a few radians the JVM
+  *    and DuckDB libms agree to ≤1 ulp (~2.2e-16); large arguments go
+  *    through env-sensitive range reduction with errors up to ~1e-11 that
+  *    flipped r01's round(x·1e6) boundary on the driver's DuckDB.
+  * 2. No rounded value may sit NEAR a .5 boundary of its scale: a 1-ulp
+  *    disagreement then cannot flip the rounded digit. With small args the
+  *    flip window is |frac(x·1e6) − .5| < 2.2e-10; we assert a 100× margin.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def grid(dir: String) = {
+    val src = SyntheticMs.sources(spark, dir, 5)
+    val rws = SyntheticMs.uvwRows(spark, dir, 16)
+    val ch = SyntheticMs.channels(spark, dir, 8)
+    rws.crossJoin(broadcast(src)).crossJoin(broadcast(ch))
+      .select(graft.functions.Phase.realPhase(col("l"), col("m"),
+        col("u"), col("v"), col("w")).multiply(col("freq")).as("phase"))
+  }
+
+  private def dirs = Seq(TestSpark.sf, "/root/testdata/sf0.01") ++
+    (if (new java.io.File("/root/testdata/sf0.1").isDirectory)
+      Seq("/root/testdata/sf0.1") else Nil)
+
+  test("r01 phase arguments are small (libm-safe regime)") {
+    for (d <- dirs) {
+      val m = grid(d).agg(max(abs(col("phase")))).head.getDouble(0)
+      assert(m < 4.0, s"max |phase| = $m at $d — must stay ≲ π for " +
+        "cross-engine trig agreement")
+    }
+  }
+
+  test("r01 rounded cos/sin stay far from .5 rounding boundaries") {
+    for (d <- dirs) {
+      // distance of x*1e6 from the nearest .5 flip boundary, minimized
+      // over both trig outputs of every grid row
+      val dist = grid(d).select(
+        least(
+          abs(abs(cos(col("phase")) * 1e6 - floor(cos(col("phase")) * 1e6)) - 0.5),
+          abs(abs(sin(col("phase")) * 1e6 - floor(sin(col("phase")) * 1e6)) - 0.5))
+          .as("dst"))
+        .agg(min(col("dst"))).head.getDouble(0)
+      assert(dist > 1e-8, s"min boundary distance $dist at $d — a value " +
+        "sits within 1e-8 of a round(x*1e6) flip; adjust the fixture")
+    }
+  }
+}
