@@ -13,6 +13,7 @@ object SparkEntry {
       _root_.graft.queries.Rime.qs ++
       _root_.graft.queries.Predict.qs ++
       _root_.graft.queries.AveragingQ.qs ++
+      _root_.graft.queries.ArrayMsQ.qs ++
       _root_.graft.queries.BdaQ.qs ++
       _root_.graft.queries.TrainingData.qs ++
       _root_.graft.queries.CalibrationQ.qs ++

@@ -35,6 +35,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("a11: in-row array channel averaging is a zero-shuffle projection") {
+    val p = planOf("a11_array_chan_avg")
+    assert(!p.contains("Exchange"), "array-native per-row op must not shuffle")
+  }
+
+  test("a12: array row+chan averaging shuffles exactly once (partial+final agg)") {
+    val p = planOf("a12_array_row_chan_avg")
+    assert("Exchange".r.findAllIn(p).size === 1)
+    assert(p.contains("HashAggregate"))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
