@@ -40,6 +40,21 @@ object PredictFull {
     CS("xs.xx_re", "xs.xx_im"), CS("xs.xy_re", "xs.xy_im"),
     CS("xs.yx_re", "xs.yx_im"), CS("xs.yy_re", "xs.yy_im"))
 
+  // ---- per-SOURCE 2x2 DDE Jones (depends on src, time, antenna) — the
+  // E term of predict_vis's dde_1_jones/dde_2_jones arguments
+  // (africanus/rime/predict.py:505-563). Dyadic, diag-dominant.
+  private def e2(s: String, t: String, a: String): MS = MS(
+    CS(s"(1e0 + (($s*3 + $t*7 + $a*5) % 9 - 4) / 8e0)", s"((($s*5 + $t*3 + $a*11) % 7 - 3) / 8e0)"),
+    CS(s"((($s*7 + $t*5 + $a*3) % 5 - 2) / 16e0)", s"((($s*11 + $t*7 + $a*9) % 5 - 2) / 16e0)"),
+    CS(s"((($s*13 + $t*9 + $a*7) % 5 - 2) / 16e0)", s"((($s*9 + $t*13 + $a*5) % 5 - 2) / 16e0)"),
+    CS(s"(1e0 + (($s*5 + $t*11 + $a*3) % 9 - 4) / 8e0)", s"((($s*7 + $t*5 + $a*13) % 7 - 3) / 8e0)"))
+
+  private def e2Col(s: Column, t: Column, a: Column): Jones2x2 = Jones2x2(
+    CxCol(lit(1e0) + ((s * 3 + t * 7 + a * 5) % 9 - 4) / 8e0, ((s * 5 + t * 3 + a * 11) % 7 - 3) / 8e0),
+    CxCol(((s * 7 + t * 5 + a * 3) % 5 - 2) / 16e0, ((s * 11 + t * 7 + a * 9) % 5 - 2) / 16e0),
+    CxCol(((s * 13 + t * 9 + a * 7) % 5 - 2) / 16e0, ((s * 9 + t * 13 + a * 5) % 5 - 2) / 16e0),
+    CxCol(lit(1e0) + ((s * 5 + t * 11 + a * 3) % 9 - 4) / 8e0, ((s * 7 + t * 5 + a * 13) % 7 - 3) / 8e0))
+
   val qs: Seq[Q] = Seq(
     Q("g04_predict_full", {
       val v = mulS(mulS(g2("xs.time_index", "xs.ant1"), xsS),
@@ -87,6 +102,47 @@ object PredictFull {
         v.m01.re.as("xy_re"), v.m01.im.as("xy_im"),
         v.m10.re.as("yx_re"), v.m10.im.as("yx_im"),
         v.m11.re.as("yy_re"), v.m11.im.as("yy_im"))
+    },
+
+    // -- R2 DDE mode: V = Σ_s E_ps · X_s · E_qs^H — the per-SOURCE Jones
+    //    pair sits INSIDE the source sum (africanus/rime/predict.py:505-563),
+    //    unlike g04 where the DIE gain factors out. The triple product is
+    //    evaluated per (src, row, chan) cell inside whole-stage codegen over
+    //    the broadcast-expanded grid; the only exchange is the partial+final
+    //    source contraction keyed by (row, chan) — shuffle volume = output.
+    Q("r03_predict_dde", {
+      val ep = e2("src_id", "time_index", "ant1")
+      val eq = e2("src_id", "time_index", "ant2")
+      def x2S(ci: Int): CS = CS(
+        s"(((src_id * 5 + row_id * 3 + chan + ${ci * 8}) % 17 - 8) / 16e0)",
+        s"(((src_id * 7 + row_id * 11 + (chan + ${ci * 8}) * 3) % 13 - 6) / 16e0)")
+      val x = MS(x2S(0), x2S(1), x2S(2), x2S(3))
+      val v = mulS(mulS(ep, x), hermS(eq))
+      val corrs = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+      s"""WITH rws AS (${uvwRowsSql(16)}), src AS (${sourcesSql(5)}),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, chan,
+         |  ${corrs.map { case (n, z) =>
+               s"SUM(${z.re}) AS ${n}_re,\n  SUM(${z.im}) AS ${n}_im" }
+             .mkString(",\n  ")}
+         |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin
+    }) { (s, dir) =>
+      val rws = uvwRows(s, dir, 16)
+      val src = broadcast(sources(s, dir, 5))
+      val ch = broadcast(channels(s, dir, 8))
+      val grid = rws.crossJoin(src).crossJoin(ch)
+      def x2(ci: Int): CxCol = CxCol(
+        cohRe(col("src_id"), col("row_id"), col("chan") + ci * 8),
+        cohIm(col("src_id"), col("row_id"), col("chan") + ci * 8))
+      val x = Jones2x2(x2(0), x2(1), x2(2), x2(3))
+      val ep = e2Col(col("src_id"), col("time_index"), col("ant1"))
+      val eq = e2Col(col("src_id"), col("time_index"), col("ant2"))
+      val v = Jones2x2.mul(Jones2x2.mul(ep, x), Jones2x2.herm(eq))
+      grid.groupBy("row_id", "chan").agg(
+        sum(v.m00.re).as("xx_re"), sum(v.m00.im).as("xx_im"),
+        sum(v.m01.re).as("xy_re"), sum(v.m01.im).as("xy_im"),
+        sum(v.m10.re).as("yx_re"), sum(v.m10.im).as("yx_im"),
+        sum(v.m11.re).as("yy_re"), sum(v.m11.im).as("yy_im"))
     },
 
     // -- G2 FULL mode: correct_vis with the 2x2 complex inverse,
