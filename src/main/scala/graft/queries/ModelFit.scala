@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.{Det, Tables}
@@ -68,38 +68,70 @@ object ModelFit {
         ((col("swy") - alpha * col("swx")) / col("sw")).as("log_i0"))
     },
 
-    // -- R7: beam cube sampling — bilinear corner gather, exact dyadic.
+    // -- R7: beam_cube_dde, full semantics
+    //    (africanus/rime/fast_beam_cubes.py:10-54 freq_grid_interp,
+    //    110-238 trilinear gather + amplitude renorm):
+    //    * data frequencies interpolate BETWEEN beam freq planes
+    //      (grid 9e8 + fi·2e8; channels 0 and 7 fall OUTSIDE the grid and
+    //      take the reference's extrapolation: clamp to the boundary plane
+    //      and SCALE the (l, m) coordinates by f/f_boundary);
+    //    * 8-corner trilinear gather over the broadcast cube;
+    //    * amplitude renormalization: the complex blend is rescaled so its
+    //      modulus equals the blended modulus of the corners.
+    //    Every op below is single-IEEE-expression deterministic (sqrt is
+    //    correctly rounded on both engines) — no rounding layer needed.
     Q("r07_beam_cube", {
-      val cube =
-        """cube AS (
-          |  SELECT CAST(li.n_nationkey AS BIGINT) AS li,
-          |    CAST(mi.n_nationkey AS BIGINT) AS mi,
-          |    CAST(fi.n_nationkey AS BIGINT) AS fi,
-          |    ((li.n_nationkey*3 + mi.n_nationkey*5 + fi.n_nationkey*7) % 11 - 5) / 8e0 AS b_re,
-          |    ((li.n_nationkey*7 + mi.n_nationkey*3 + fi.n_nationkey*5) % 9 - 4) / 8e0 AS b_im
-          |  FROM nation li, nation mi, nation fi
-          |  WHERE li.n_nationkey < 8 AND mi.n_nationkey < 8 AND fi.n_nationkey < 4)""".stripMargin
-      s"""WITH src AS (${sourcesSql(20)}), ch AS (${channelsSql(4)}), $cube,
-         |pt AS (
+      val corners = for (dli <- 0 to 1; dmi <- 0 to 1; dfi <- 0 to 1)
+        yield (s"c$dli$dmi$dfi", dli, dmi, dfi)
+      def wS(dli: Int, dmi: Int, dfi: Int): String = Seq(
+        if (dli == 0) "(1e0-dl)" else "dl",
+        if (dmi == 0) "(1e0-dm)" else "dm",
+        if (dfi == 0) "(1e0-fw)" else "fw").mkString("*")
+      def blendS(f: String => String): String =
+        corners.map { case (nm, a, b, c) => s"${wS(a, b, c)}*${f(nm)}" }
+          .mkString(" + ")
+      val wre = blendS(nm => s"$nm.b_re")
+      val wim = blendS(nm => s"$nm.b_im")
+      val wabs = blendS(nm => s"sqrt($nm.b_re*$nm.b_re + $nm.b_im*$nm.b_im)")
+      val den = s"sqrt(($wre)*($wre) + ($wim)*($wim))"
+      val joins = corners.map { case (nm, a, b, c) =>
+        s"JOIN cube $nm ON $nm.li = pp.l0+$a AND $nm.mi = pp.m0+$b AND $nm.fi = pp.f0+$c"
+      }.mkString("\n")
+      s"""WITH src AS (${sourcesSql(20)}), ch AS (${channelsSql(8)}),
+         |cube AS (
+         |  SELECT CAST(li.n_nationkey AS BIGINT) AS li,
+         |    CAST(mi.n_nationkey AS BIGINT) AS mi,
+         |    CAST(fi.n_nationkey AS BIGINT) AS fi,
+         |    ((li.n_nationkey*3 + mi.n_nationkey*5 + fi.n_nationkey*7) % 11 - 5) / 8e0 AS b_re,
+         |    ((li.n_nationkey*7 + mi.n_nationkey*3 + fi.n_nationkey*5) % 9 - 4) / 8e0 AS b_im
+         |  FROM nation li, nation mi, nation fi
+         |  WHERE li.n_nationkey < 8 AND mi.n_nationkey < 8 AND fi.n_nationkey < 4),
+         |fq AS (
          |  SELECT src_id, chan,
-         |    ((src_id * 5) % 28) / 4e0 AS lc,
-         |    ((src_id * 3 + chan * 5) % 28) / 4e0 AS mc
+         |    CASE WHEN freq < 9e8 THEN freq/9e8
+         |         WHEN freq > 15e8 THEN freq/15e8 ELSE 1e0 END AS fscale,
+         |    CASE WHEN freq < 9e8 THEN 9e8
+         |         WHEN freq > 15e8 THEN 15e8 ELSE freq END AS fc
          |  FROM src, ch),
+         |pt AS (
+         |  SELECT src_id, chan, fscale,
+         |    (((src_id * 5) % 21) / 4e0 + 1e0) * fscale AS lc,
+         |    (((src_id * 3 + chan * 5) % 21) / 4e0 + 1e0) * fscale AS mc,
+         |    LEAST(CAST(FLOOR((fc - 9e8)/2e8) AS BIGINT), 2) AS f0,
+         |    (fc - (9e8 + LEAST(CAST(FLOOR((fc - 9e8)/2e8) AS BIGINT), 2) * 2e8)) / 2e8 AS fw
+         |  FROM fq),
          |pp AS (
-         |  SELECT src_id, chan, lc, mc,
+         |  SELECT src_id, chan, f0, fw,
          |    CAST(FLOOR(lc) AS BIGINT) AS l0, CAST(FLOOR(mc) AS BIGINT) AS m0,
          |    lc - FLOOR(lc) AS dl, mc - FLOOR(mc) AS dm
          |  FROM pt)
          |SELECT pp.src_id, pp.chan,
-         |  (1e0-dl)*(1e0-dm)*c00.b_re + (1e0-dl)*dm*c01.b_re
-         |    + dl*(1e0-dm)*c10.b_re + dl*dm*c11.b_re AS e_re,
-         |  (1e0-dl)*(1e0-dm)*c00.b_im + (1e0-dl)*dm*c01.b_im
-         |    + dl*(1e0-dm)*c10.b_im + dl*dm*c11.b_im AS e_im
+         |  CASE WHEN $den = 0e0 THEN $wre
+         |       ELSE ($wre) * (($wabs) / ($den)) END AS e_re,
+         |  CASE WHEN $den = 0e0 THEN $wim
+         |       ELSE ($wim) * (($wabs) / ($den)) END AS e_im
          |FROM pp
-         |JOIN cube c00 ON c00.li = pp.l0   AND c00.mi = pp.m0   AND c00.fi = pp.chan
-         |JOIN cube c01 ON c01.li = pp.l0   AND c01.mi = pp.m0+1 AND c01.fi = pp.chan
-         |JOIN cube c10 ON c10.li = pp.l0+1 AND c10.mi = pp.m0   AND c10.fi = pp.chan
-         |JOIN cube c11 ON c11.li = pp.l0+1 AND c11.mi = pp.m0+1 AND c11.fi = pp.chan""".stripMargin
+         |$joins""".stripMargin
     }) { (s, dir) =>
       val n = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("k"))
       val cube = n.filter(col("k") < 8).select(col("k").as("li"))
@@ -108,31 +140,46 @@ object ModelFit {
         .select(col("li"), col("mi"), col("fi"),
           (((col("li") * 3 + col("mi") * 5 + col("fi") * 7) % 11 - 5) / 8e0).as("b_re"),
           (((col("li") * 7 + col("mi") * 3 + col("fi") * 5) % 9 - 4) / 8e0).as("b_im"))
+      val fscale = when(col("freq") < 9e8, col("freq") / 9e8)
+        .when(col("freq") > 15e8, col("freq") / 15e8).otherwise(lit(1e0))
+      val fc = when(col("freq") < 9e8, lit(9e8))
+        .when(col("freq") > 15e8, lit(15e8)).otherwise(col("freq"))
       val pt = sources(s, dir, 20).select("src_id")
-        .crossJoin(broadcast(channels(s, dir, 4).select("chan")))
-        .withColumn("lc", ((col("src_id") * 5) % 28) / 4e0)
-        .withColumn("mc", ((col("src_id") * 3 + col("chan") * 5) % 28) / 4e0)
+        .crossJoin(broadcast(channels(s, dir, 8)))
+        .withColumn("fscale", fscale)
+        .withColumn("fc", fc)
+        .withColumn("lc", (((col("src_id") * 5) % 21) / 4e0 + 1e0) * col("fscale"))
+        .withColumn("mc", (((col("src_id") * 3 + col("chan") * 5) % 21) / 4e0 + 1e0) * col("fscale"))
+        .withColumn("f0", least(floor((col("fc") - 9e8) / 2e8).cast("long"), lit(2L)))
+        .withColumn("fw", (col("fc") - (lit(9e8) + col("f0") * 2e8)) / 2e8)
         .withColumn("l0", floor(col("lc")).cast("long"))
         .withColumn("m0", floor(col("mc")).cast("long"))
         .withColumn("dl", col("lc") - floor(col("lc")))
         .withColumn("dm", col("mc") - floor(col("mc")))
-      def corner(nm: String, dli: Int, dmi: Int) =
-        broadcast(cube.select(col("li").as(s"${nm}_li"), col("mi").as(s"${nm}_mi"),
-          col("fi").as(s"${nm}_fi"), col("b_re").as(s"${nm}_re"),
-          col("b_im").as(s"${nm}_im")))
+      val corners = for (dli <- 0 to 1; dmi <- 0 to 1; dfi <- 0 to 1)
+        yield (s"c$dli$dmi$dfi", dli, dmi, dfi)
       var j = pt
-      for ((nm, dli, dmi) <- Seq(("c00", 0, 0), ("c01", 0, 1), ("c10", 1, 0), ("c11", 1, 1)))
-        j = j.join(corner(nm, dli, dmi),
+      for ((nm, dli, dmi, dfi) <- corners)
+        j = j.join(
+          broadcast(cube.select(col("li").as(s"${nm}_li"), col("mi").as(s"${nm}_mi"),
+            col("fi").as(s"${nm}_fi"), col("b_re").as(s"${nm}_re"),
+            col("b_im").as(s"${nm}_im"))),
           col(s"${nm}_li") === col("l0") + dli && col(s"${nm}_mi") === col("m0") + dmi
-            && col(s"${nm}_fi") === col("chan"))
-      val dl = col("dl"); val dm = col("dm")
-      def blend(sfx: String) =
-        (lit(1e0) - dl) * (lit(1e0) - dm) * col(s"c00_$sfx") +
-          (lit(1e0) - dl) * dm * col(s"c01_$sfx") +
-          dl * (lit(1e0) - dm) * col(s"c10_$sfx") +
-          dl * dm * col(s"c11_$sfx")
+            && col(s"${nm}_fi") === col("f0") + dfi)
+      def w(dli: Int, dmi: Int, dfi: Int): Column =
+        (if (dli == 0) lit(1e0) - col("dl") else col("dl")) *
+          (if (dmi == 0) lit(1e0) - col("dm") else col("dm")) *
+          (if (dfi == 0) lit(1e0) - col("fw") else col("fw"))
+      def blend(f: String => Column): Column =
+        corners.map { case (nm, a, b, c) => w(a, b, c) * f(nm) }.reduce(_ + _)
+      val wre = blend(nm => col(s"${nm}_re"))
+      val wim = blend(nm => col(s"${nm}_im"))
+      val wabs = blend(nm =>
+        sqrt(col(s"${nm}_re") * col(s"${nm}_re") + col(s"${nm}_im") * col(s"${nm}_im")))
+      val den = sqrt(wre * wre + wim * wim)
       j.select(col("src_id"), col("chan"),
-        blend("re").as("e_re"), blend("im").as("e_im"))
+        when(den === 0e0, wre).otherwise(wre * (wabs / den)).as("e_re"),
+        when(den === 0e0, wim).otherwise(wim * (wabs / den)).as("e_im"))
     },
 
     // -- R8: Zernike polynomial beam, Noll modes 1-6, per-antenna coeffs.
