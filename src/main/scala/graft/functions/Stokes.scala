@@ -13,49 +13,129 @@ import graft.core.{Cx, CxCol}
   */
 object StokesConvert {
 
+  final class MissingConversionInputs(msg: String)
+    extends IllegalArgumentException(msg)
+  final class DimensionMismatch(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** CASA stokes enumeration (casacore Stokes.h order; the reference's
+    * STOKES_TYPES, africanus/util/casa_types.py:4-44). Index IS the id. */
+  val StokesTypes: Seq[String] = Seq(
+    "Undefined", "I", "Q", "U", "V", "RR", "RL", "LR", "LL",
+    "XX", "XY", "YX", "YY", "RX", "RY", "LX", "LY", "XR", "XL", "YR", "YL",
+    "PP", "PQ", "QP", "QQ", "RCircular", "LCircular", "Linear",
+    "Ptotal", "Plinear", "PFtotal", "PFlinear", "Pangle")
+  private val idToName: Map[Int, String] = StokesTypes.zipWithIndex
+    .map { case (n, i) => i -> n }.toMap
+
   /** (a+bi)/2i = b/2 - (a/2)i. */
   private def divTwoI(z: CxCol): CxCol = CxCol(z.im / lit(2.0), -z.re / lit(2.0))
 
-  /** Convert the available components in `in` to the requested `targets`.
-    * Components are any of I,Q,U,V,XX,XY,YX,YY,RR,RL,LR,LL.
-    * Throws at plan time if a target is underivable — mirroring the
-    * reference's MissingConversionInputs (conversion.py:163-198). */
-  def convert(in: Map[String, CxCol], targets: Seq[String]): Seq[(String, CxCol)] =
-    targets.map(t => t -> one(in, t))
+  /** Conversion tables (conversion.py:19-48). Each target lists candidate
+    * (c1, c2, fn) derivations, tried in declaration order. */
+  private val two = lit(2.0)
+  private type Fn = (CxCol, CxCol) => CxCol
+  private val stokesToCorr: Map[String, Seq[(String, String, Fn)]] = Map(
+    "RR" -> Seq(("I", "V", (i: CxCol, v: CxCol) => i + v)),
+    "RL" -> Seq(("Q", "U", (q: CxCol, u: CxCol) => q + (Cx.i * u))),
+    "LR" -> Seq(("Q", "U", (q: CxCol, u: CxCol) => q - (Cx.i * u))),
+    "LL" -> Seq(("I", "V", (i: CxCol, v: CxCol) => i - v)),
+    "XX" -> Seq(("I", "Q", (i: CxCol, q: CxCol) => i + q)),
+    "XY" -> Seq(("U", "V", (u: CxCol, v: CxCol) => u + (Cx.i * v))),
+    "YX" -> Seq(("U", "V", (u: CxCol, v: CxCol) => u - (Cx.i * v))),
+    "YY" -> Seq(("I", "Q", (i: CxCol, q: CxCol) => i - q)))
+  private val corrToStokes: Map[String, Seq[(String, String, Fn)]] = Map(
+    "I" -> Seq(
+      ("XX", "YY", (a: CxCol, b: CxCol) => (a + b) / two),
+      ("RR", "LL", (a: CxCol, b: CxCol) => (a + b) / two)),
+    "Q" -> Seq(
+      ("XX", "YY", (a: CxCol, b: CxCol) => (a - b) / two),
+      ("RL", "LR", (a: CxCol, b: CxCol) => (a + b) / two)),
+    "U" -> Seq(
+      ("XY", "YX", (a: CxCol, b: CxCol) => (a + b) / two),
+      ("RL", "LR", (a: CxCol, b: CxCol) => divTwoI(a - b))),
+    "V" -> Seq(
+      ("XY", "YX", (a: CxCol, b: CxCol) => divTwoI(a - b)),
+      ("RR", "LL", (a: CxCol, b: CxCol) => (a - b) / two)))
+  private val conversionSchema = stokesToCorr ++ corrToStokes
 
-  private def one(in: Map[String, CxCol], t: String): CxCol = {
-    def g(k: String): Option[CxCol] = in.get(k)
-    def both(a: String, b: String)(f: (CxCol, CxCol) => CxCol): Option[CxCol] =
-      for (x <- g(a); y <- g(b)) yield f(x, y)
-    val two = lit(2.0)
-    val candidates: Seq[Option[CxCol]] = t match {
-      // stokes -> corr (conversion.py:19-28)
-      case "RR" => Seq(both("I", "V")(_ + _))
-      case "RL" => Seq(both("Q", "U")((q, u) => q + (Cx.i * u)))
-      case "LR" => Seq(both("Q", "U")((q, u) => q - (Cx.i * u)))
-      case "LL" => Seq(both("I", "V")(_ - _))
-      case "XX" => Seq(both("I", "Q")(_ + _))
-      case "XY" => Seq(both("U", "V")((u, v) => u + (Cx.i * v)))
-      case "YX" => Seq(both("U", "V")((u, v) => u - (Cx.i * v)))
-      case "YY" => Seq(both("I", "Q")(_ - _))
-      // corr -> stokes (conversion.py:31-48)
-      case "I" => Seq(
-        both("XX", "YY")((a, b) => (a + b) / two),
-        both("RR", "LL")((a, b) => (a + b) / two))
-      case "Q" => Seq(
-        both("XX", "YY")((a, b) => (a - b) / two),
-        both("RL", "LR")((a, b) => (a + b) / two))
-      case "U" => Seq(
-        both("XY", "YX")((a, b) => (a + b) / two),
-        both("RL", "LR")((a, b) => divTwoI(a - b)))
-      case "V" => Seq(
-        both("XY", "YX")((a, b) => divTwoI(a - b)),
-        both("RR", "LL")((a, b) => (a - b) / two))
-      case other => throw new IllegalArgumentException(s"unknown component $other")
+  /** Flatten a (possibly nested) correlation schema into leaf names in
+    * traversal order. Elements are component name strings OR CASA integer
+    * ids; nesting must be rectangular (conversion.py:94-142). */
+  def elementNames(schema: Any): Seq[String] = {
+    val shape = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(node: Any, depth: Int): Unit = node match {
+      case s: Seq[_] =>
+        if (shape.size <= depth) shape += s.size
+        else if (shape(depth) != s.size)
+          throw new DimensionMismatch(
+            s"Dimension mismatch ${shape(depth)} != ${s.size} at depth $depth")
+        s.foreach(walk(_, depth + 1))
+      case name: String =>
+        if (out.contains(name))
+          throw new IllegalArgumentException(s"'$name' defined multiple times")
+        out += name
+      case id: Int =>
+        val name = idToName.getOrElse(id,
+          throw new IllegalArgumentException(s"Invalid CASA stokes id '$id'"))
+        if (out.contains(name))
+          throw new IllegalArgumentException(s"'$name' defined multiple times")
+        out += name
+      case other =>
+        throw new IllegalArgumentException(s"Invalid schema element '$other'")
     }
-    g(t).orElse(candidates.flatten.headOption).getOrElse(
-      throw new IllegalArgumentException(
-        s"cannot derive $t from inputs ${in.keys.mkString(",")}"))
+    walk(schema match { case s: Seq[_] => s; case e => Seq(e) }, 0)
+    out.toSeq
+  }
+
+  /** Schema-driven conversion planner (conversion.py:145-230): for every
+    * output leaf pick the derivation with the most REAL inputs; when
+    * `implicitStokes` is set, missing stokes default to zero for
+    * stokes→corr outputs (['I'] → ['XX','XY','YX','YY'] becomes legal).
+    * `input` supplies complex columns in flattened inputSchema order.
+    * Throws MissingConversionInputs when no derivation is satisfiable. */
+  def convertSchema(input: Seq[CxCol], inputSchema: Any, outputSchema: Any,
+                    implicitStokes: Boolean = false): Seq[(String, CxCol)] = {
+    val inNames = elementNames(inputSchema)
+    require(inNames.size == input.size,
+      s"input has ${input.size} columns but schema has ${inNames.size} leaves")
+    val byName: Map[String, CxCol] = inNames.zip(input).toMap
+    elementNames(outputSchema).map { okey =>
+      val deps = conversionSchema.getOrElse(okey,
+        throw new IllegalArgumentException(
+          s"Unknown output $okey. Known outputs: ${conversionSchema.keys.mkString(",")}"))
+      val canDefault = implicitStokes && stokesToCorr.contains(okey)
+      // candidate = (number of real inputs, expression); stable order keeps
+      // the table's declaration priority among equals
+      val candidates = deps.flatMap { case (c1, c2, fn) =>
+        val a = byName.get(c1)
+        val b = byName.get(c2)
+        if ((a.isDefined || canDefault) && (b.isDefined || canDefault))
+          Some((a.size + b.size,
+            fn(a.getOrElse(Cx.zero), b.getOrElse(Cx.zero))))
+        else None
+      }
+      if (candidates.isEmpty)
+        throw new MissingConversionInputs(
+          s"None of the supplied inputs '${inNames.mkString(",")}' can " +
+            s"produce output '$okey'. It can be produced by " +
+            deps.map { case (a, b, _) => s"($a,$b)" }.mkString(","))
+      okey -> candidates.maxBy(_._1)._2
+    }
+  }
+
+  /** Convert the available components in `in` to the requested `targets` —
+    * thin wrapper over [[convertSchema]] with flat schemas and an identity
+    * fallback for targets already present in the input. */
+  def convert(in: Map[String, CxCol], targets: Seq[String]): Seq[(String, CxCol)] = {
+    val (names, cols) = in.toSeq.unzip
+    targets.map { t =>
+      in.get(t) match {
+        case Some(z) => t -> z
+        case None => convertSchema(cols, names, Seq(t)).head
+      }
+    }
   }
 }
 

@@ -119,6 +119,49 @@ object Rime {
       }: _*)
     },
 
+    // -- M4b: the schema-driven coherency PLANNER end to end
+    //    (conversion.py:145-230): stage 1 derives IQUV from CIRCULAR
+    //    correlations (the planner must pick the RR/LL + RL/LR rules since
+    //    no linear corrs exist); stage 2 converts [I, V] — given as CASA
+    //    integer ids [1, 4] — to the nested linear schema [[XX,XY],[YX,YY]]
+    //    with implicit-zero Q and U. The oracle states the same derivation
+    //    chain via the string complex algebra, term for term.
+    Q("m06_coherency_planner", {
+      import SqlCx.CS
+      val rr = CS("xx_re", "xx_im"); val rl = CS("xy_re", "xy_im")
+      val lr = CS("yx_re", "yx_im"); val ll = CS("yy_re", "yy_im")
+      def divTwoIS(z: CS) = CS(s"(${z.im} / 2e0)", s"((-${z.re}) / 2e0)")
+      val zero = CS("0e0", "0e0"); val iU = CS("0e0", "1e0")
+      val i = (rr + ll) / "2e0"
+      val q = (rl + lr) / "2e0"
+      val u = divTwoIS(rl - lr)
+      val v = (rr - ll) / "2e0"
+      val outs = Seq(
+        "i" -> i, "q" -> q, "u" -> u, "v" -> v,
+        "xx" -> (i + zero), "xy" -> (zero + (iU * v)),
+        "yx" -> (zero - (iU * v)), "yy" -> (i - zero))
+      s"""WITH cv AS (${corrVisSql(8)})
+         |SELECT row_id,
+         |  ${outs.map { case (n, z) =>
+               s"${z.re} AS ${n}_re,\n  ${z.im} AS ${n}_im" }.mkString(",\n  ")}
+         |FROM cv""".stripMargin
+    }) { (s, dir) =>
+      val cv = corrVis(s, dir, 8)
+      val circ = Seq(
+        CxCol(col("xx_re"), col("xx_im")), CxCol(col("xy_re"), col("xy_im")),
+        CxCol(col("yx_re"), col("yx_im")), CxCol(col("yy_re"), col("yy_im")))
+      val stokes = StokesConvert.convertSchema(
+        circ, Seq("RR", "RL", "LR", "LL"), Seq("I", "Q", "U", "V")).toMap
+      val lin = StokesConvert.convertSchema(
+        Seq(stokes("I"), stokes("V")), Seq(1, 4),
+        Seq(Seq("XX", "XY"), Seq("YX", "YY")), implicitStokes = true)
+      val outs = Seq("i" -> stokes("I"), "q" -> stokes("Q"),
+        "u" -> stokes("U"), "v" -> stokes("V")) ++
+        lin.map { case (n, z) => n.toLowerCase -> z }
+      cv.select(col("row_id") +: outs.flatMap { case (n, z) =>
+        Seq(z.re.as(s"${n}_re"), z.im.as(s"${n}_im")) }: _*)
+    },
+
     // -- R5: feed rotation matrices (linear + circular) per (time, ant).
     Q("r05_feed_rotation",
       s"""WITH pat AS (${paTableSql()})

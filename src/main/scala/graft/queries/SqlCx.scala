@@ -14,6 +14,8 @@ object SqlCx {
       s"(${re}*${o.im} + ${im}*${o.re})")
     def conj: CS = CS(re, s"(-${im})")
     def neg: CS = CS(s"(-${re})", s"(-${im})")
+    /** mirrors CxCol./(s: Column): componentwise divide by a real scalar */
+    def /(s: String): CS = CS(s"(${re} / $s)", s"(${im} / $s)")
     /** mirrors CxCol./(CxCol): a·conj(b) / |b|² */
     def /(o: CS): CS = {
       val d = s"(${o.re}*${o.re} + ${o.im}*${o.im})"

@@ -38,6 +38,48 @@ class StokesJonesSpec extends AnyFunSuite {
       StokesConvert.convert(in, Seq("I"))) // needs YY too
   }
 
+  test("CASA integer ids resolve through the casacore enumeration") {
+    assert(StokesConvert.elementNames(Seq(9, 10, 11, 12)) ===
+      Seq("XX", "XY", "YX", "YY"))
+    assert(StokesConvert.elementNames(Seq(1, 2, 3, 4)) ===
+      Seq("I", "Q", "U", "V"))
+    assertThrows[IllegalArgumentException](StokesConvert.elementNames(Seq(99)))
+  }
+
+  test("nested schemas must be rectangular; duplicates rejected") {
+    assert(StokesConvert.elementNames(
+      Seq(Seq("XX", "XY"), Seq("YX", "YY"))) === Seq("XX", "XY", "YX", "YY"))
+    assertThrows[IllegalArgumentException](
+      StokesConvert.elementNames(Seq(Seq("XX", "XY"), Seq("YX"))))
+    assertThrows[IllegalArgumentException](
+      StokesConvert.elementNames(Seq("XX", "XX")))
+  }
+
+  test("implicit zeros legalize ['I'] -> linear corrs, but never corr->stokes") {
+    val i = CxCol(lit(2.0), lit(0.0))
+    val out = eval(StokesConvert.convertSchema(
+      Seq(i), Seq("I"), Seq("XX", "XY", "YX", "YY"), implicitStokes = true))
+    assert(out("XX") === ((2.0, 0.0)))
+    assert(out("XY") === ((0.0, 0.0)))
+    assert(out("YY") === ((2.0, 0.0)))
+    // without the flag the same plan must fail
+    assertThrows[IllegalArgumentException](StokesConvert.convertSchema(
+      Seq(i), Seq("I"), Seq("XX", "XY", "YX", "YY")))
+    // defaults never apply to corr->stokes outputs
+    assertThrows[IllegalArgumentException](StokesConvert.convertSchema(
+      Seq(CxCol(lit(1.0), lit(0.0))), Seq("XX"), Seq("Q"),
+      implicitStokes = true))
+  }
+
+  test("planner prefers derivations with more real inputs") {
+    // both (XX,YY) and (RR,LL) could make I; with only RR/LL real the
+    // implicit-zero (XX,YY) pair must NOT win even when defaults are legal
+    val in = Seq(CxCol(lit(3.0), lit(0.0)), CxCol(lit(1.0), lit(0.0)))
+    val out = eval(StokesConvert.convertSchema(
+      Seq(in(0), in(1)), Seq("RR", "LL"), Seq("I")))
+    assert(out("I") === ((2.0, 0.0)))
+  }
+
   test("Jones 2x2: J * inv(J) is the identity") {
     val j = Feeds.Jones2x2(
       CxCol(lit(1.5), lit(0.25)), CxCol(lit(-0.5), lit(1.0)),
