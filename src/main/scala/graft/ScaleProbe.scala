@@ -72,6 +72,69 @@ object ScaleProbe {
       }
       println(f"$k,$nRows,$tAgg%.2f,$tJoin%.2f,$tPredict%.2f")
     }
+
+    // ---- dedup/ANN growth probes: candidate volume must stay BOUNDED
+    // (≈linear in corpus size), or the scale story of e02/t05 is a lie.
+    val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val maxVec = emb0.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    val doc0 = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val maxDoc = doc0.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val qCol = expr(
+      "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+    val code = expr(
+      """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+        |  CASE WHEN aggregate(transform(qv, (x, i) ->
+        |         x * ((CAST(i + 1 AS BIGINT) * (2654435761 + CAST(j AS BIGINT) * 40503)) % 2048 - 1024)),
+        |       0L, (a, x) -> a + x) > 0
+        |  THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
+    val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i) ++:
+      (for (i <- 0 until 16; j <- i + 1 until 16) yield (1L << i) | (1L << j))
+    import spark.implicits._
+    val maskDf = masks.toDF("mask")
+
+    println("probe,k,corpus,candidates,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map(i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionAll _)
+      var cands = 0L
+      val t = time {
+        val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+          .withColumn("code", code).drop("qv")
+        val qb = broadcast(bk.filter(col("cid") < 8)
+          .select(col("cid").as("qid"), col("code").as("qcode"))
+          .crossJoin(maskDf)
+          .withColumn("probe", expr("qcode ^ mask")))
+        cands = bk.join(qb, col("code") === col("probe"))
+          .filter(col("qid") =!= col("cid")).count()
+      }
+      println(f"lsh_multiprobe,$k,${k * maxVec},$cands,$t%.2f")
+    }
+    // organic corpus growth (doc slice, not replication): the UNBLOCKED
+    // postings join grows quadratically through the hot tokens while the
+    // df-blocked join stays bounded — the contrast IS the t05 scale claim.
+    println("probe,k,corpus,cands_blocked,cands_unblocked,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val docs = doc0.filter(col("doc_id") < 256L * k)
+      var blocked = 0L; var unblocked = 0L
+      val t = time {
+        val toks0 = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val keep = toks0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 16).select("tok")
+        val toks = toks0.join(keep, "tok")
+        blocked = toks.select(col("doc_id").as("a"), col("tok"))
+          .join(toks.select(col("doc_id").as("b"), col("tok")), "tok")
+          .filter(col("a") < col("b")).count()
+        unblocked = toks0.select(col("doc_id").as("a"), col("tok"))
+          .join(toks0.select(col("doc_id").as("b"), col("tok")), "tok")
+          .filter(col("a") < col("b")).count()
+      }
+      println(f"jaccard_blocking,$k,${256L * k},$blocked,$unblocked,$t%.2f")
+    }
     spark.stop()
   }
 }

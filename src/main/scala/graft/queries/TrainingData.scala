@@ -28,6 +28,17 @@ import graft.core.Tables
   */
 object TrainingData {
 
+  // ---- tuning knobs (demo-sized here; the QUERY SHAPES are what hold at
+  // scale — raise the caps and the plans are unchanged) -------------------
+
+  /** t05: doc-id cap for the near-dup demo output. */
+  val T05MaxDoc = 64
+  /** t05: stop-token blocking threshold — max document frequency a token
+    * may have and still enter the postings self-join. */
+  val T05DfMax = 16
+  /** t08: doc-id cap for the banded-minhash pair output. */
+  val T08MaxDoc = 256
+
   // ---- shared quantized-embedding explodes ------------------------------
 
   /** (id, pos 1-based, qv = round(val·1e6) as long). */
@@ -165,12 +176,22 @@ object TrainingData {
                 ) % 1073741824""").as("fp"))
     },
 
-    // -- token-set Jaccard near-duplicates (first 64 docs): postings
-    //    self-join on token, |A∩B| / |A∪B| >= 0.25.
+    // -- token-set Jaccard near-duplicates over the PRUNED vocabulary:
+    //    tokens with document frequency > DfMax are stop-tokens — they
+    //    carry no dedup signal and make the postings self-join quadratic
+    //    in the hottest bucket (one stop-token at 100 TB = an (N·df)²
+    //    blowup). Dropping them BEFORE the join (standard blocking) bounds
+    //    every posting list at DfMax entries, so candidate volume is
+    //    ≤ df·DfMax per token. Jaccard is then computed self-consistently
+    //    over the pruned token sets.
     Q("t05_token_jaccard",
-      """WITH toks AS (
+      s"""WITH toks0 AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents WHERE doc_id < 64),
+        |  FROM documents WHERE doc_id < $T05MaxDoc),
+        |df AS (SELECT tok, COUNT(*) AS df FROM toks0 GROUP BY tok),
+        |toks AS (
+        |  SELECT toks0.doc_id, toks0.tok
+        |  FROM toks0 JOIN df ON toks0.tok = df.tok WHERE df.df <= $T05DfMax),
         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
@@ -182,9 +203,12 @@ object TrainingData {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 25e-2""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      val toks0 = Tables.documents(s, dir).filter(col("doc_id") < T05MaxDoc)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
+      val dfT = toks0.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= T05DfMax).select("tok")
+      val toks = toks0.join(dfT, "tok").select("doc_id", "tok")
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = toks.select(col("doc_id").as("id_a"), col("tok"))
       val b = toks.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
@@ -272,9 +296,9 @@ object TrainingData {
     //    pairs (bounded to doc_id < 256 to keep the verify output small;
     //    at scale the band width bounds bucket sizes instead).
     Q("t08_minhash_lsh_pairs",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents WHERE doc_id < 256),
+        |  FROM documents WHERE doc_id < $T08MaxDoc),
         |sig AS (
         |  SELECT doc_id,
         |    MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2,
@@ -285,7 +309,7 @@ object TrainingData {
         |   + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) AS extra_bands
         |FROM sig a JOIN sig b
         |  ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir).filter(col("doc_id") < 256)
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < T08MaxDoc)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
       val sig = toks.groupBy("doc_id").agg(
@@ -355,35 +379,41 @@ object TrainingData {
         .select("qid", "cid", "cosine", "rank")
     },
 
-    // -- LSH-bucketed ANN (the scale path): 2 deterministic integer
-    //    hyperplanes -> 4 buckets; candidates only within the query's
-    //    bucket; top-3 by cosine. At 100 TB the bucket join replaces the
-    //    full cross product of e01.
+    // -- LSH-bucketed ANN (the scale path): 16 deterministic integer
+    //    hyperplanes -> a 16-bit bucket code (65536 buckets, so bucket
+    //    cardinality stays bounded as the corpus grows), plus MULTIPROBE
+    //    for recall: each query probes every bucket within Hamming
+    //    distance 2 of its own code (1 + 16 + 120 = 137 probes). The
+    //    corpus side is a single equi-join against the broadcast probe
+    //    list — never an in-bucket cross product over a fat bucket.
     Q("e02_lsh_ann",
       s"""WITH ce AS (${qExplodeSql("cid", "")}),
-         |sig AS (
-         |  SELECT cid,
-         |    SUM(qv * ((pos * 2654435761) % 2048 - 1024)) AS s1,
-         |    SUM(qv * ((pos * 40503) % 2048 - 1024)) AS s2,
-         |    SUM(qv*qv) AS n2
-         |  FROM ce GROUP BY cid),
+         |proj AS (
+         |  SELECT cid, j,
+         |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
+         |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+         |  GROUP BY cid, j),
          |bk AS (
-         |  SELECT cid, n2,
-         |    (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
-         |      + (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS bucket
-         |  FROM sig),
+         |  SELECT cid, CAST(SUM(CASE WHEN s > 0
+         |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM proj GROUP BY cid),
+         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |cand AS (
+         |  SELECT q.cid AS qid, c.cid AS cid
+         |  FROM bk q JOIN bk c
+         |    ON q.cid < 8 AND q.cid <> c.cid
+         |    AND bit_count(xor(q.code, c.code)) <= 2),
          |dot AS (
-         |  SELECT a.cid AS qid, b.cid AS cid, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.cid <> b.cid
-         |    JOIN ce ea ON ea.cid = a.cid
-         |    JOIN ce eb ON eb.cid = b.cid AND ea.pos = eb.pos
-         |  WHERE a.cid < 8
-         |  GROUP BY a.cid, b.cid),
+         |  SELECT cand.qid, cand.cid, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM cand
+         |    JOIN ce ea ON ea.cid = cand.qid
+         |    JOIN ce eb ON eb.cid = cand.cid AND ea.pos = eb.pos
+         |  GROUP BY cand.qid, cand.cid),
          |cos AS (
          |  SELECT dot.qid, dot.cid,
          |    CAST(dot.d AS DOUBLE)
          |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
-         |  FROM dot JOIN bk na ON dot.qid = na.cid JOIN bk nb ON dot.cid = nb.cid)
+         |  FROM dot JOIN n2t na ON dot.qid = na.cid JOIN n2t nb ON dot.cid = nb.cid)
          |SELECT qid, cid, cosine, rank FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
@@ -395,19 +425,30 @@ object TrainingData {
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
-      def proj(mult: Long) = expr(
-        s"""aggregate(transform(qv, (x, i) ->
-           |  x * ((CAST(i + 1 AS BIGINT) * $mult) % 2048 - 1024)),
-           |0L, (a, x) -> a + x)""".stripMargin)
+      val code = expr(
+        """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+          |  CASE WHEN aggregate(transform(qv, (x, i) ->
+          |         x * ((CAST(i + 1 AS BIGINT) * (2654435761 + CAST(j AS BIGINT) * 40503)) % 2048 - 1024)),
+          |       0L, (a, x) -> a + x) > 0
+          |  THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-        .withColumn("bucket",
-          when(proj(2654435761L) > 0, 2).otherwise(0)
-            + when(proj(40503L) > 0, 1).otherwise(0))
+        .withColumn("code", code)
+      // Hamming<=2 probe masks: the identity, every single bit, and every
+      // bit pair — a STATIC 137-element list, exploded on the (tiny) query
+      // side only
+      val masks: Seq[Long] = 0L +:
+        (0 until 16).map(i => 1L << i) ++:
+        (for (i <- 0 until 16; j <- i + 1 until 16)
+          yield (1L << i) | (1L << j))
+      val maskDf = { import s.implicits._; masks.toDF("mask") }
       val qb = broadcast(bk.filter(col("cid") < 8)
-        .select(col("cid").as("qid"), col("bucket"),
-          col("n2").as("q_n2"), col("qv").as("qqv")))
-      val cand = bk.join(qb, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .select(col("cid").as("qid"), col("code").as("qcode"),
+          col("n2").as("q_n2"), col("qv").as("qqv"))
+        .crossJoin(maskDf)
+        .withColumn("probe", expr("qcode ^ mask")).drop("mask", "qcode"))
+      val cand = bk.join(qb, col("code") === col("probe"))
+        .filter(col("qid") =!= col("cid"))
       val dot = expr(
         "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
       val cos = cand.select(col("qid"), col("cid"),
