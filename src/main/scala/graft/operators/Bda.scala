@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * instead of the full Atemkeng sinc² fit); the greedy structure, the
   * dual close conditions, and the factor snapping are the reference's.
   *
-  * Spark shape: identical to Sessionize — one shuffle on the baseline key,
-  * per-group sorted streaming scan, perfectly parallel across baselines.
+  * Spark shape: identical to Sessionize — one repartition on the baseline
+  * key, sortWithinPartitions, then a constant-memory streaming
+  * mapPartitions scan (per-key state is a handful of scalars; no per-group
+  * array ever materializes), perfectly parallel across baselines.
   */
 object Bda {
 
@@ -38,14 +40,20 @@ object Bda {
         col("ivl").cast("double"), col("u").cast("double"),
         col("v").cast("double"), col("w").cast("double"))
       .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
-      .groupByKey(r => (r._2, r._3))
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(r => (r._4, r._1))
+      .repartition(col("ant1"), col("ant2"))
+      .sortWithinPartitions(col("ant1"), col("ant2"), col("time"), col("row_id"))
+      .mapPartitions { it =>
+        var curA1 = -1L; var curA2 = -1L
         var bin = -1L
         var acc = 0.0
         var lastTime = Double.NaN
         var u0 = 0.0; var v0 = 0.0; var w0 = 0.0
-        rows.iterator.map { r =>
+        it.map { r =>
+          if (r._2 != curA1 || r._3 != curA2) {
+            curA1 = r._2; curA2 = r._3
+            bin = -1L; acc = 0.0; lastTime = Double.NaN
+            u0 = 0.0; v0 = 0.0; w0 = 0.0
+          }
           if (lastTime != r._4) {
             val du = r._6 - u0; val dv = r._7 - v0; val dw = r._8 - w0
             val decorr = sinc(

@@ -42,6 +42,9 @@ object EventOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          // the per-trigger batch for one user must be time-ordered before
+          // the greedy scan; memory here is bounded by ONE user's events in
+          // ONE micro-batch (watermark-limited), not by observation length
           val sorted = events.toSeq.sortBy(e => (e.ts, e.value))
           var cur = state.getOption
           val out = Seq.newBuilder[SessionOut]

@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   * interval would exceed `binSecs`. Rows sharing a timestep always land in
   * the same bin. Bin ids are 0-based per baseline.
   *
-  * Spark shape: ONE shuffle on the baseline key, then a per-group sorted
-  * scan (`Dataset.flatMapGroups`). Groups are independent, so this
-  * parallelizes across baselines exactly like the reference's dask layer;
-  * within a group the scan is O(rows). At 100 TB the baseline count
-  * (~ant²/2, thousands) times utimes bounds group size, not total rows —
-  * a group never needs to exceed executor memory because only (time,
-  * interval) pairs participate; payload columns are joined back afterward
-  * on row_id.
+  * Spark shape: ONE shuffle — `repartition` on the baseline key — then
+  * `sortWithinPartitions(baseline, time)` and a STREAMING `mapPartitions`
+  * scan that detects key changes as it walks the sorted partition. Per-key
+  * state is three scalars, so executor memory is CONSTANT no matter how
+  * long the observation runs (a per-group toArray would grow with
+  * history length). Groups are independent and parallel across baselines,
+  * exactly like the reference's dask layer; payload columns are joined
+  * back afterward on row_id.
   */
 object Sessionize {
 
@@ -31,14 +31,21 @@ object Sessionize {
     df.select(col("row_id").cast("long"), col("ant1").cast("long"),
         col("ant2").cast("long"), col("time").cast("double"),
         col(intervalCol).cast("double"))
+      .repartition(col("ant1"), col("ant2"))
+      .sortWithinPartitions(col("ant1"), col("ant2"), col("time"), col("row_id"))
       .as[(Long, Long, Long, Double, Double)]
-      .groupByKey(r => (r._2, r._3))
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(r => (r._4, r._1))
+      .mapPartitions { it =>
+        // streaming scan over (baseline-sorted, time-sorted) rows:
+        // constant-memory greedy binning, reset at every key change
+        var curA1 = -1L; var curA2 = -1L
         var bin = -1L
         var acc = 0.0
         var lastTime = Double.NaN
-        rows.iterator.map { r =>
+        it.map { r =>
+          if (r._2 != curA1 || r._3 != curA2) {
+            curA1 = r._2; curA2 = r._3
+            bin = -1L; acc = 0.0; lastTime = Double.NaN
+          }
           if (lastTime != r._4) {
             if (bin < 0L || acc + r._5 > binSecs) { bin += 1L; acc = 0.0 }
             acc += r._5

@@ -29,6 +29,24 @@ class SessionizeSpec extends AnyFunSuite {
       4L -> 2L, 5L -> 2L, 6L -> 0L, 7L -> 0L))
   }
 
+  test("plan is a streaming scan: one exchange, key-prefixed sort, no per-group array") {
+    // use a non-trivial input: EliminateSorts removes the sort on a
+    // maxRows<=1 relation and would void the assertion
+    val rows = spark.range(100).selectExpr("id AS row_id", "id % 3 AS ant1",
+      "id % 5 AS ant2", "CAST(id % 7 AS DOUBLE) AS time",
+      "1.0 AS interval")
+    val plan = Sessionize.timeBins(rows, 4.0)
+      .queryExecution.executedPlan.toString
+    // constant-memory shape: repartition + sortWithinPartitions +
+    // mapPartitions — NOT flatMapGroups (whose per-group materialization
+    // grows with observation length)
+    assert(plan.contains("MapPartitions"), "expected a mapPartitions scan")
+    assert(!plan.contains("FlatMapGroups"), "per-group materialization crept back")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
+    // the sort is the within-partition key+time sort, nothing else
+    assert(plan.contains("Sort [ant1"))
+  }
+
   test("rows arriving out of time order are sorted before binning") {
     import spark.implicits._
     val rows = Seq(
