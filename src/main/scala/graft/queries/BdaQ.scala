@@ -80,6 +80,91 @@ object BdaQ {
       (s, dir) => mapped(s, dir)
     },
 
+    // -- A8b: the RAGGED channel map (bda_mapping.py:192-277 finalise_bin
+    //    + :575-614 offsets): per output bin, the Atemkeng-derived channel
+    //    count — Δν = (c/2π)·(decorrelation/max_abs_dist) from the bin's
+    //    central uvw, divided by the PER-CHANNEL widths (varying
+    //    EFFECTIVE_BW), min-capped, snapped UP to the next factor of
+    //    nchan — plus flattened-channel-axis offsets, decorrelated channel
+    //    width, and the bin's time centroid/interval. Auto-correlated
+    //    baselines collapse to one channel (finalise_bin's auto_corr
+    //    branch). Offsets are a distributed two-level prefix scan:
+    //    per-baseline running sums (partitioned window) + baseline base
+    //    offsets (a window over the BASELINE-COUNT relation — tiny by
+    //    construction, never data-sized).
+    Q("a10_bda_ragged_map", {
+      val cw = Seq("1e7", "1125e4", "125e5", "1375e4") // per-channel widths
+      s"""WITH $bdaCte,
+         |bb AS (
+         |  SELECT ant1, ant2, bin, MIN(time) AS t0, MAX(time) AS t1
+         |  FROM bda GROUP BY ant1, ant2, bin),
+         |bx AS (
+         |  SELECT *,
+         |    (299792458e0/(2e0*pi()))
+         |      * (98e-2 / sqrt(abs(sqrt((ant1*2 - ant2)*(ant1*2 - ant2)*1e0
+         |             + (ant1 + ant2*2)*(ant1 + ant2*2)*1e0)) * 5e-1
+         |           + abs((ant1 - ant2)/2e0) * abs(sqrt(75e-2) - 1e0))) AS dnu
+         |  FROM bb),
+         |bn AS (
+         |  SELECT ant1, ant2, bin, t0, t1,
+         |    CASE WHEN ant1 = ant2 THEN CAST(1 AS BIGINT)
+         |         WHEN CEIL(4e0 / GREATEST(
+         |             LEAST(${cw.map(c => s"dnu/$c").mkString(", ")}), 1e0)) <= 1
+         |           THEN CAST(1 AS BIGINT)
+         |         WHEN CEIL(4e0 / GREATEST(
+         |             LEAST(${cw.map(c => s"dnu/$c").mkString(", ")}), 1e0)) <= 2
+         |           THEN CAST(2 AS BIGINT)
+         |         ELSE CAST(4 AS BIGINT) END AS nchan
+         |  FROM bx)
+         |SELECT ant1, ant2, bin, nchan,
+         |  CAST(COALESCE(SUM(nchan) OVER (ORDER BY ant1, ant2, bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS offset,
+         |  (${cw.mkString(" + ")}) / nchan AS decorr_chan_width,
+         |  ((t0 - 5e-1) + (t1 + 5e-1)) / 2e0 AS tc,
+         |  (t1 + 5e-1) - (t0 - 5e-1) AS ivl_out
+         |FROM bn""".stripMargin
+    }) { (s, dir) =>
+      val av = bdaRows(s, dir)
+      val m = mapped(s, dir).select("row_id", "bin")
+      val bb = av.join(m, "row_id")
+        .groupBy("ant1", "ant2", "bin")
+        .agg(min(col("time")).as("t0"), max(col("time")).as("t1"))
+      val a1 = col("ant1"); val a2 = col("ant2")
+      val cuv = sqrt(((a1 * 2 - a2) * (a1 * 2 - a2) * 1e0
+        + (a1 + a2 * 2) * (a1 + a2 * 2) * 1e0))
+      val mad = sqrt(abs(cuv) * 5e-1
+        + abs((a1 - a2) / 2e0) * abs(sqrt(lit(75e-2)) - 1e0))
+      val dnu = lit(299792458e0) / (lit(2e0) * math.Pi) * (lit(98e-2) / mad)
+      val cws = Seq(1e7, 1125e4, 125e5, 1375e4)
+      val fracMin = least(cws.map(c => dnu / c): _*)
+      val nchan0 = ceil(lit(4e0) / greatest(fracMin, lit(1e0)))
+      val bn = bb.withColumn("nchan",
+        when(a1 === a2, 1L)
+          .when(nchan0 <= 1, 1L)
+          .when(nchan0 <= 2, 2L)
+          .otherwise(4L))
+      // two-level distributed prefix scan for the flattened offsets
+      val wIn = Window.partitionBy("ant1", "ant2").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withIn = bn.withColumn("within",
+        coalesce(sum(col("nchan")).over(wIn), lit(0L)))
+      val totals = bn.groupBy(col("ant1").as("ta1"), col("ant2").as("ta2"))
+        .agg(sum(col("nchan")).as("tot"))
+      val wBase = Window.orderBy("ta1", "ta2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = totals.withColumn("base",
+        coalesce(sum(col("tot")).over(wBase), lit(0L))).drop("tot")
+      withIn
+        .join(broadcast(bases), a1 === col("ta1") && a2 === col("ta2"))
+        .select(a1, a2, col("bin"), col("nchan"),
+          (col("base") + col("within")).as("offset"),
+          (cws.map(lit): Seq[org.apache.spark.sql.Column]).reduce(_ + _)
+            .divide(col("nchan")).as("decorr_chan_width"),
+          (((col("t0") - 5e-1) + (col("t1") + 5e-1)) / 2e0).as("tc"),
+          ((col("t1") + 5e-1) - (col("t0") - 5e-1)).as("ivl_out"))
+    },
+
     // -- A9: bda average — exposure-weighted row averages + ragged channel
     //    groups: each bin emits nchan_out output channels (ochan), vis
     //    weighted-averaged within each group
