@@ -15,10 +15,13 @@ import graft.core.CxCol
   *   jhj   = Σ w·|v_model|²,           r = v − v_model.
   *
   * G6 driver loop: iterate jhr/jhj → φ += ½·jhr/jhj → re-predict, until
-  * max|Δφ| < tol or maxIter. Each iteration is one Spark job over a cached
-  * input; lineage growth is bounded by materializing the small phase table
-  * to the driver each step (it is (time × ant) — dimension-table sized —
-  * so this is a broadcast-scale collect, not a data collect).
+  * max|Δφ| < tol or maxIter. The phase grid lives as a DataFrame for the
+  * whole solve: each iteration broadcasts it into the gather joins,
+  * updates it with a LEFT join against the aggregated step, and truncates
+  * lineage with an eager localCheckpoint. The ONLY driver-side value per
+  * iteration is the scalar max|Δφ| — at the reference's real gain shape
+  * (time × ant × chan × dir, phase_only.py:30-241) the grid never fits on
+  * the driver, and nothing here requires it to.
   */
 object Calibrate {
 
@@ -30,25 +33,22 @@ object Calibrate {
     val in = df.select("time_index", "ant1", "ant2",
       "m_re", "m_im", "v_re", "v_im", "w").cache()
 
-    // phase grid: every (time, ant) appearing on either side
-    var phases: Map[(Long, Long), Double] =
+    // phase grid: every (time, ant) appearing on either side — a cached
+    // DataFrame, never collected
+    var phases: DataFrame =
       in.select(col("time_index"), col("ant1").as("ant"))
         .union(in.select(col("time_index"), col("ant2").as("ant")))
-        .distinct().collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> 0.0).toMap
-
-    val s0 = spark
-    import s0.implicits._
+        .distinct()
+        .withColumn("phase", lit(0.0))
+        .localCheckpoint()
 
     var it = 0
     var maxDelta = Double.MaxValue
     while (it < maxIter && maxDelta > tol) {
-      val phDf = phases.toSeq.map { case ((t, a), p) => (t, a, p) }
-        .toDF("pt", "pa", "ph")
-      val pp = broadcast(phDf.select(col("pt").as("tp"), col("pa").as("ap"),
-        col("ph").as("php")))
-      val pq = broadcast(phDf.select(col("pt").as("tq"), col("pa").as("aq"),
-        col("ph").as("phq")))
+      val pp = broadcast(phases.select(col("time_index").as("tp"),
+        col("ant").as("ap"), col("phase").as("php")))
+      val pq = broadcast(phases.select(col("time_index").as("tq"),
+        col("ant").as("aq"), col("phase").as("phq")))
       val withG = in
         .join(pp, col("time_index") === col("tp") && col("ant1") === col("ap"))
         .join(pq, col("time_index") === col("tq") && col("ant2") === col("aq"))
@@ -64,23 +64,28 @@ object Calibrate {
         jhrTerm.as("jhr_c"), jhjTerm.as("jhj_c"))
       val q = withG.select(col("time_index"), col("ant2").as("ant"),
         (-jhrTerm).as("jhr_c"), jhjTerm.as("jhj_c"))
-      val upd = p.unionByName(q)
+      val step = p.unionByName(q)
         .groupBy("time_index", "ant")
-        .agg((sum(col("jhr_c")) / sum(col("jhj_c"))).as("ratio"))
-        .collect()
-      maxDelta = 0.0
-      val next = phases ++ upd.map { row =>
-        val key = (row.getLong(0), row.getLong(1))
-        val d = 0.5 * row.getDouble(2)
-        maxDelta = math.max(maxDelta, math.abs(d))
-        key -> (phases(key) + d)
-      }
-      phases = next
+        .agg((lit(0.5) * sum(col("jhr_c")) / sum(col("jhj_c"))).as("d"))
+      // grid update entirely on the cluster; eager localCheckpoint
+      // truncates lineage so iteration cost stays constant
+      val ckpt = phases.join(step, Seq("time_index", "ant"), "left")
+        .select(col("time_index"), col("ant"),
+          (col("phase") + coalesce(col("d"), lit(0.0))).as("phase"),
+          coalesce(col("d"), lit(0.0)).as("d"))
+        .localCheckpoint()
+      // rewrap the checkpointed RDD in a fresh DataFrame: localCheckpoint
+      // keeps the child plan's STATISTICS, and this loop joins the grid
+      // against two broadcasts of itself — the size estimate would cube
+      // every iteration and Catalyst's BigInt stats arithmetic becomes the
+      // (exponential) bottleneck after ~15 iterations
+      val next = spark.createDataFrame(ckpt.rdd, ckpt.schema)
+      // the ONE driver-side scalar per iteration
+      maxDelta = next.agg(max(abs(col("d")))).head().getDouble(0)
+      phases = next.drop("d")
       it += 1
     }
     in.unpersist()
-    phases.toSeq.map { case ((t, a), ph) => (t, a, ph) }
-      .sortBy(r => (r._1, r._2))
-      .toDF("time_index", "ant", "phase")
+    phases.orderBy("time_index", "ant")
   }
 }

@@ -124,4 +124,86 @@ object Deconv {
     }
     x
   }
+
+  // ---- I2: PSF beam fit + restore (africanus/deconv/hogbom/clean.py) ----
+
+  /** Elliptical clean beam: g(x,y) = exp(-(a·dx² + 2b·dx·dy + c·dy²)),
+    * peak-normalized like the reference (clean.py:67-70). */
+  final case class Beam2D(x0: Double, y0: Double, a: Double, b: Double,
+                          c: Double) {
+    def apply(dx: Double, dy: Double): Double =
+      math.exp(-(a * dx * dx + 2.0 * b * dx * dy + c * dy * dy))
+  }
+
+  /** Fit the elliptical Gaussian to the PSF's primary lobe
+    * (clean.py:40-70). The reference runs scipy's curve_fit over the
+    * 7-parameter model on pixels ≥ half max; here the same model family is
+    * fit in closed form from the half-max lobe's weighted second moments,
+    * corrected for the truncation (a Gaussian observed only inside its
+    * half-max contour has per-axis weighted variance (1 − ln 2)·σ², so the
+    * measured covariance is divided by (1 − ln 2) before inversion). */
+  def fit2dGaussian(psf: Array[Double], nx: Int, ny: Int): Beam2D = {
+    val mx = psf.max
+    val thr = 0.5 * mx
+    var sw = 0.0; var swx = 0.0; var swy = 0.0
+    var i = 0
+    while (i < psf.length) {
+      val w = psf(i)
+      if (w >= thr) { sw += w; swx += w * (i / ny); swy += w * (i % ny) }
+      i += 1
+    }
+    val x0 = swx / sw; val y0 = swy / sw
+    var cxx = 0.0; var cxy = 0.0; var cyy = 0.0
+    i = 0
+    while (i < psf.length) {
+      val w = psf(i)
+      if (w >= thr) {
+        val dx = i / ny - x0; val dy = i % ny - y0
+        cxx += w * dx * dx; cxy += w * dx * dy; cyy += w * dy * dy
+      }
+      i += 1
+    }
+    val corr = 1.0 - math.log(2.0)
+    cxx /= sw * corr; cxy /= sw * corr; cyy /= sw * corr
+    // quadratic form = covariance⁻¹ / 2
+    val det = cxx * cyy - cxy * cxy
+    Beam2D(x0, y0, cyy / (2.0 * det), -cxy / (2.0 * det), cxx / (2.0 * det))
+  }
+
+  /** Restore (clean.py:202-236): convolve the clean model with the fitted
+    * beam and add the residuals. Direct convolution over the clean image's
+    * NONZERO components only (clean models are sparse by construction);
+    * `support` bounds the beam footprint. Returns (restored, convModel). */
+  def restore(clean: Array[Double], nx: Int, ny: Int,
+              psf: Array[Double], psfNx: Int, psfNy: Int,
+              residual: Array[Double],
+              support: Int = 10): (Array[Double], Array[Double]) = {
+    val beam = fit2dGaussian(psf, psfNx, psfNy)
+    val conv = new Array[Double](nx * ny)
+    var i = 0
+    while (i < clean.length) {
+      val flux = clean(i)
+      if (flux != 0.0) {
+        val cx = i / ny; val cy = i % ny
+        var dx = -support
+        while (dx <= support) {
+          var dy = -support
+          while (dy <= support) {
+            val x = cx + dx; val y = cy + dy
+            if (x >= 0 && x < nx && y >= 0 && y < ny)
+              conv(x * ny + y) += flux * beam(dx, dy)
+            dy += 1
+          }
+          dx += 1
+        }
+      }
+      i += 1
+    }
+    val restored = new Array[Double](nx * ny)
+    i = 0
+    while (i < restored.length) {
+      restored(i) = conv(i) + residual(i); i += 1
+    }
+    (restored, conv)
+  }
 }

@@ -197,11 +197,20 @@ object AveragingQ {
          |FROM (SELECT ant1, ant2, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |        MIN(row_id) AS first_row
          |      FROM av GROUP BY ant1, ant2)""".stripMargin) { (s, dir) =>
-      avRows(s, dir)
+      val bl = avRows(s, dir)
         .groupBy("ant1", "ant2")
         .agg(count(lit(1)).as("n_rows"), min(col("row_id")).as("first_row"))
-        .withColumn("bl_idx",
-          (dense_rank().over(Window.orderBy("ant1", "ant2")) - 1).cast("long"))
+      // dense index WITHOUT a partition-less window (the single-partition
+      // sort PlanSpec bans): rank = count of baselines with a smaller key,
+      // via a broadcast self-join over the (tiny, post-aggregation)
+      // baseline relation
+      val keys = broadcast(bl.select(col("ant1").as("ka1"), col("ant2").as("ka2")))
+      bl.join(keys,
+          col("ka1") < col("ant1") ||
+            (col("ka1") === col("ant1") && col("ka2") < col("ant2")),
+          "left")
+        .groupBy("ant1", "ant2", "n_rows", "first_row")
+        .agg(count(col("ka1")).as("bl_idx"))
         .select("ant1", "ant2", "bl_idx", "n_rows", "first_row")
     },
 

@@ -134,13 +134,15 @@ object FusedRime {
          |  ${fsumSql(s"(CASE WHEN log_poly THEN $specLogSql ELSE $specOrdSql END) * cos($phaseSql)")} AS vre,
          |  ${fsumSql(s"(CASE WHEN log_poly THEN $specLogSql ELSE $specOrdSql END) * sin($phaseSql)")} AS vim
          |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin) { (s, dir) =>
-      def d(v: Double) = java.lang.Double.toString(v) + "D" // round-trips
-      val arr = sources(s, dir, 5).collect().map { r =>
-        s"named_struct('l', ${d(r.getAs[Double]("l"))}, 'm', ${d(r.getAs[Double]("m"))}, " +
-          s"'flux', ${d(r.getAs[Double]("flux"))}, 'spi0', ${d(r.getAs[Double]("spi0"))}, " +
-          s"'spi1', ${d(r.getAs[Double]("spi1"))}, 'rf', ${d(r.getAs[Double]("ref_freq"))}, " +
-          s"'lp', ${r.getAs[Boolean]("log_poly")})"
-      }.mkString("array(", ", ", ")")
+      // the sky model rides in as ONE array Literal (typedLit), not a
+      // string-built expression tree — a few thousand components stay a
+      // single constant in the plan, broadcast with the task binary
+      val srcLits = sources(s, dir, 5).collect().map { r =>
+        SrcLit(r.getAs[Double]("l"), r.getAs[Double]("m"),
+          r.getAs[Double]("flux"), r.getAs[Double]("spi0"),
+          r.getAs[Double]("spi1"), r.getAs[Double]("ref_freq"),
+          r.getAs[Boolean]("log_poly"))
+      }.toSeq
       val ph = "(-2 * pi() / 299792458D) * (u*s.l + v*s.m + " +
         "w*(sqrt(greatest(0D, 1D - s.l*s.l - s.m*s.m)) - 1D)) * freq"
       val spec = "(CASE WHEN s.lp THEN s.flux * exp(s.spi0 * ln(freq/s.rf) " +
@@ -148,11 +150,39 @@ object FusedRime {
         "ELSE s.flux + s.spi0 * (freq/s.rf - 1D) " +
         "+ s.spi1 * ((freq/s.rf - 1D)*(freq/s.rf - 1D)) END)"
       def fusedSum(trig: String) = expr(
-        s"""aggregate($arr, 0L, (acc, s) ->
+        s"""aggregate(srcarr, 0L, (acc, s) ->
            |  acc + CAST(ROUND(($spec * $trig($ph)) * 1e6) AS BIGINT)) / 1e6""".stripMargin)
       uvwRows(s, dir, 16)
         .crossJoin(broadcast(channels(s, dir, 8)))
+        .withColumn("srcarr", typedLit(srcLits))
         .select(col("row_id"), col("chan"),
           fusedSum("cos").as("vre"), fusedSum("sin").as("vim"))
+    },
+
+    // -- X4's compensated summation in the PRODUCT path: the source
+    //    contraction routed through the native `kahan_sum` Catalyst
+    //    aggregate (expr/GraftExpressions.scala). On this fixture the
+    //    terms are exact dyadics, so the compensated result coincides with
+    //    the oracle's plain SUM bit for bit — which is precisely what
+    //    makes it hash-verifiable; on non-dyadic data the compensation is
+    //    what keeps the fused sum stable.
+    Q("x05_kahan_source_sum",
+      s"""WITH rws AS (${uvwRowsSql(16)}), src AS (${sourcesSql(5)}),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, chan,
+         |  SUM($cohReSql) AS vre, SUM($cohImSql) AS vim
+         |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      uvwRows(s, dir, 16)
+        .crossJoin(broadcast(sources(s, dir, 5)))
+        .crossJoin(broadcast(channels(s, dir, 8)))
+        .groupBy("row_id", "chan")
+        .agg(
+          expr(s"kahan_sum($cohReSql)").as("vre"),
+          expr(s"kahan_sum($cohImSql)").as("vim"))
     })
+
+  /** Sky-model component for x04's typedLit array literal. */
+  final case class SrcLit(l: Double, m: Double, flux: Double, spi0: Double,
+                          spi1: Double, rf: Double, lp: Boolean)
 }
