@@ -56,4 +56,40 @@ object Sessionize {
       }
       .toDF("row_id", "ant1", "ant2", "bin")
   }
+
+  /** FULL reference semantics of `row_mapper`
+    * (time_and_channel_mapping.py:255-308): the bin closes when the new
+    * row's upper interval edge would stretch the bin past `binSecs` from
+    * the FIRST row's lower edge (`time + ivl/2 − bin_low > binSecs`), not
+    * when accumulated intervals overflow. Assumes unique (baseline, time)
+    * rows — the reference raises on duplicates. Same constant-memory
+    * sorted-partition streaming scan as [[timeBins]]. */
+  def timeBinsFull(df: DataFrame, binSecs: Double,
+                   intervalCol: String = "ivl"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("row_id").cast("long"), col("ant1").cast("long"),
+        col("ant2").cast("long"), col("time").cast("double"),
+        col(intervalCol).cast("double"))
+      .repartition(col("ant1"), col("ant2"))
+      .sortWithinPartitions(col("ant1"), col("ant2"), col("time"), col("row_id"))
+      .as[(Long, Long, Long, Double, Double)]
+      .mapPartitions { it =>
+        var curA1 = -1L; var curA2 = -1L
+        var bin = -1L
+        var binLow = 0.0
+        it.map { r =>
+          if (r._2 != curA1 || r._3 != curA2) {
+            curA1 = r._2; curA2 = r._3; bin = -1L
+          }
+          val half = r._5 * 0.5
+          if (bin < 0L) { bin = 0L; binLow = r._4 - half }
+          else if (r._4 + half - binLow > binSecs) {
+            bin += 1L; binLow = r._4 - half
+          }
+          (r._1, r._2, r._3, bin)
+        }
+      }
+      .toDF("row_id", "ant1", "ant2", "bin")
+  }
 }

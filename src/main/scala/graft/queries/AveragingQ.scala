@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Tables
-import graft.operators.{Averaging, Sessionize}
+import graft.operators.{Averaging, GlobalIndex, Sessionize}
 
 /** Averaging subsystem queries — SURVEY §2.5 A1-A7.
   *
@@ -220,6 +220,63 @@ object AveragingQ {
       s"""WITH $avCte
          |SELECT row_id, ant1, ant2, bin FROM av""".stripMargin) { (s, dir) =>
       Sessionize.timeBins(avRows(s, dir), 4.0, "ivl")
+    },
+
+    // -- A2 FULL semantics (time_and_channel_mapping.py:255-358): the
+    //    reference's interval-window close rule (bin closes when
+    //    time + ivl/2 − bin_low > binSecs), unique (baseline, time) rows,
+    //    per-bin nominal TIME mean / INTERVAL sum, bins flagged only when
+    //    EVERY member row is flagged, and the GLOBAL output-row numbering
+    //    from the argsort of averaged bin times (stable: ties broken by
+    //    the lexicographic baseline order, then bin). The global index is
+    //    a range-partitioned sort + per-partition numbering + collected
+    //    partition counts — never a single-partition window.
+    Q("a14_row_mapper_full",
+      """WITH f0 AS (
+        |  SELECT o_orderkey AS row_id,
+        |    o_orderkey % 4 AS ant1,
+        |    (o_orderkey % 16) // 4 AS ant2,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4, (o_orderkey % 16) // 4
+        |                       ORDER BY o_orderkey) - 1 AS seq
+        |  FROM orders),
+        |f AS (
+        |  SELECT row_id, ant1, ant2, seq,
+        |    1e3 + seq * 1e0 AS time,
+        |    (row_id % 11 = 0) OR (seq % 64 < 4) AS flag_row,
+        |    CAST(seq // 4 AS BIGINT) AS bin
+        |  FROM f0),
+        |bins AS (
+        |  SELECT ant1, ant2, bin,
+        |    AVG(time) AS time_avg, SUM(1e0) AS ivl_sum,
+        |    BOOL_AND(flag_row) AS flag_out
+        |  FROM f GROUP BY ant1, ant2, bin),
+        |obins AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY time_avg, ant1, ant2, bin) - 1 AS BIGINT) AS out_row
+        |  FROM bins)
+        |SELECT r.row_id, o.out_row, o.time_avg, o.ivl_sum, o.flag_out
+        |FROM f r JOIN obins o
+        |  ON r.ant1 = o.ant1 AND r.ant2 = o.ant2 AND r.bin = o.bin""".stripMargin) {
+      (s, dir) =>
+      val rows = avRows(s, dir)
+        .withColumn("time", lit(1e3) + col("seq").cast("double"))
+        .select("row_id", "ant1", "ant2", "time", "ivl", "flag_row")
+      val binned = Sessionize.timeBinsFull(rows, 4.0)
+        .select(col("row_id").as("bid"), col("bin"))
+      val withBin = rows.join(binned, col("row_id") === col("bid")).drop("bid")
+      val bins = withBin.groupBy("ant1", "ant2", "bin")
+        .agg(avg(col("time")).as("time_avg"),
+          sum(col("ivl")).as("ivl_sum"),
+          bool_and(col("flag_row")).as("flag_out"))
+      val obins = GlobalIndex.byOrder(bins,
+        Seq(col("time_avg"), col("ant1"), col("ant2"), col("bin")), "out_row")
+        .select(col("ant1").as("ba1"), col("ant2").as("ba2"),
+          col("bin").as("bb"), col("out_row"), col("time_avg"),
+          col("ivl_sum"), col("flag_out"))
+      withBin.join(obins,
+          col("ant1") === col("ba1") && col("ant2") === col("ba2")
+            && col("bin") === col("bb"))
+        .select("row_id", "out_row", "time_avg", "ivl_sum", "flag_out")
     },
 
     // -- A5: channel bin averages (africanus/averaging/time_and_channel_avg
