@@ -73,5 +73,86 @@ object GriddingQ {
          |GROUP BY pts.row_id""".stripMargin) { (s, dir) =>
       val p = pts(s, dir)
       Gridder.degrid(p, Gridder.scatter(p, Taps), Taps)
+    },
+
+    // -- F9: the Perley-polyhedron policy families end to end on one row
+    //    set — facet baseline transforms ("rotate" + "wlinapprox"), the
+    //    facet phase rotation, and an imaginary-coefficient stokes policy
+    //    round trip (U → RL/LR → U must be the identity on dyadic U). The
+    //    facet offset is small (1e-4 rad) so every trig argument stays in
+    //    the libm-safe regime; trig-bearing outputs are r6-rounded on both
+    //    engines, the stokes round trip is exact.
+    Q("f08_facet_policies", {
+      import SqlCx.CS
+      import graft.core.Det.r6Sql
+      val dra = "((25e-2 + 1e-4) - 25e-2)"
+      val dec = "(-38e-2 - 5e-5)"
+      val dec0 = "-38e-2"
+      val (cDRa, sDRa) = (s"cos($dra)", s"sin($dra)")
+      val (cNd, sNd) = (s"cos($dec)", s"sin($dec)")
+      val (cOd, sOd) = (s"cos($dec0)", s"sin($dec0)")
+      // "rotate" matrix, textually mirroring the Column tree
+      val m11 = cDRa; val m12 = s"$sOd*$sDRa"; val m13 = s"(-$cOd)*$sDRa"
+      val m21 = s"(-$sNd)*$sDRa"
+      val m22 = s"$sNd*$sOd*$cDRa + $cNd*$cOd"
+      val m23 = s"(-$cOd)*$sNd*$cDRa + $cNd*$sOd"
+      val m31 = s"$cNd*$sDRa"
+      val m32 = s"(-$cNd)*$sOd*$cDRa + $sNd*$cOd"
+      val m33 = s"$cNd*$cOd*$cDRa + $sNd*$sOd"
+      // wlinapprox
+      val li0 = s"$cNd*$sDRa"
+      val mi0 = s"$sNd*$cOd - $cNd*$sOd*$cDRa"
+      val ni0 = s"$sNd*$sOd + $cNd*$cOd*$cDRa"
+      // phase rotation
+      val ll = s"$cNd*$sDRa"
+      val mm = s"$sNd*$cOd - $cNd*$sOd*$cDRa"
+      val nn = s"(-(1e0 - sqrt(1e0 - ($ll)*($ll) - ($mm)*($mm))))"
+      val lam = "(299792458e0 / 14e8)"
+      val x = s"1e0 * 2e0 * pi() * (u*($ll) + v*($mm) + w*($nn)) / $lam"
+      val vis = CS("((row_id*13) % 19 - 9)/16e0", "((row_id*17) % 11 - 5)/16e0")
+      val rot = vis * CS(s"cos($x)", s"sin($x)")
+      // stokes policy round trip (exact)
+      val uS = CS("((row_id*3) % 7 - 3)/8e0", "((row_id*5) % 9 - 4)/8e0")
+      val csI = CS("0e0", "1e0")
+      val rl = csI * uS
+      val lr = (csI * uS).neg
+      val uRt = csI.neg * (rl - lr).scale("5e-1")
+      s"""WITH rws AS (${uvwRowsSql(32)})
+         |SELECT row_id,
+         |  ${r6Sql(s"$m11*u + ($m12)*v + ($m13)*w")} AS ru,
+         |  ${r6Sql(s"($m21)*u + ($m22)*v + ($m23)*w")} AS rv,
+         |  ${r6Sql(s"($m31)*u + ($m32)*v + ($m33)*w")} AS rw,
+         |  ${r6Sql(s"u - w*($li0)/($ni0)")} AS wu,
+         |  ${r6Sql(s"v - w*($mi0)/($ni0)")} AS wv,
+         |  ${r6Sql(rot.re)} AS pv_re, ${r6Sql(rot.im)} AS pv_im,
+         |  ${rl.re} AS rl_re, ${rl.im} AS rl_im,
+         |  ${uRt.re} AS u_re, ${uRt.im} AS u_im
+         |FROM rws""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.GridPolicies
+      import graft.functions.GridPolicies.Uvw
+      import graft.core.{Cx, CxCol, Det}
+      val ra0 = lit(25e-2); val dec0 = lit(-38e-2)
+      val ra = lit(25e-2) + 1e-4
+      val dec = lit(-38e-2) - 5e-5
+      val uvw = Uvw(col("u"), col("v"), col("w"))
+      val rotU = GridPolicies.uvwTransform("rotate", uvw, ra0, dec0, ra, dec)
+      val linU = GridPolicies.uvwTransform("wlinapprox", uvw, ra0, dec0, ra, dec)
+      val lam = lit(299792458e0) / 14e8
+      val pf = GridPolicies.phaseFactor("phase_rotate", uvw, lam,
+        ra0, dec0, ra, dec)
+      val vis = CxCol(((col("row_id") * 13) % 19 - 9) / 16e0,
+        ((col("row_id") * 17) % 11 - 5) / 16e0)
+      val rot = vis * pf
+      val uS = CxCol(((col("row_id") * 3) % 7 - 3) / 8e0,
+        ((col("row_id") * 5) % 9 - 4) / 8e0)
+      val Seq(rl, lr) = GridPolicies.stokes2corr("RLLR_FROM_U", uS)
+      val uRt = GridPolicies.corr2stokes("U_FROM_RLLR", Seq(rl, lr))
+      uvwRows(s, dir, 32).select(col("row_id"),
+        Det.r6(rotU.u).as("ru"), Det.r6(rotU.v).as("rv"), Det.r6(rotU.w).as("rw"),
+        Det.r6(linU.u).as("wu"), Det.r6(linU.v).as("wv"),
+        Det.r6(rot.re).as("pv_re"), Det.r6(rot.im).as("pv_im"),
+        rl.re.as("rl_re"), rl.im.as("rl_im"),
+        uRt.re.as("u_re"), uRt.im.as("u_im"))
     })
 }

@@ -16,6 +16,8 @@ object SqlCx {
     def neg: CS = CS(s"(-${re})", s"(-${im})")
     /** mirrors CxCol./(s: Column): componentwise divide by a real scalar */
     def /(s: String): CS = CS(s"(${re} / $s)", s"(${im} / $s)")
+    /** mirrors CxCol.scale(s: Column) */
+    def scale(s: String): CS = CS(s"(${re}*$s)", s"(${im}*$s)")
     /** mirrors CxCol./(CxCol): a·conj(b) / |b|² */
     def /(o: CS): CS = {
       val d = s"(${o.re}*${o.re} + ${o.im}*${o.im})"
