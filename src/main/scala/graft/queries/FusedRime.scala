@@ -159,6 +159,112 @@ object FusedRime {
           fusedSum("cos").as("vre"), fusedSum("sin").as("vim"))
     },
 
+    // -- G and L COMBINED in spec order (the round-1 compiler rejected
+    //    this): V = G_p·R_p·M·R_qᴴ·G_qᴴ with the full 2×2 carried through
+    //    the source sum. The oracle states the same chain via the string
+    //    matrix algebra in the compiler's application order.
+    Q("x06_fused_rime_gl", {
+      val k = CS(s"cos($phaseSql)", s"sin($phaseSql)")
+      def scaleS(b: String) = CS(s"(${k.re} * ($b))", s"(${k.im} * ($b))")
+      val samplers = Seq(
+        "xx" -> scaleS(s"flux + $qSql"),
+        "xy" -> (CS("0e0", "0e0") * k),
+        "yx" -> (CS("0e0", "(-0e0)") * k),
+        "yy" -> scaleS(s"flux - $qSql"))
+      val sumCols = samplers.map { case (n, z) =>
+        s"    ${fsumSql(z.re)} AS ${n}_re,\n    ${fsumSql(z.im)} AS ${n}_im"
+      }.mkString(",\n")
+      val xsM = MS(CS("xs.xx_re", "xs.xx_im"), CS("xs.xy_re", "xs.xy_im"),
+        CS("xs.yx_re", "xs.yx_im"), CS("xs.yy_re", "xs.yy_im"))
+      def gM(p: String) = {
+        val g = CS(s"$p.g_re", s"$p.g_im")
+        MS(g, CS("0e0", "0e0"), CS("0e0", "0e0"), g)
+      }
+      def rot(p: String) = MS(
+        CS(s"cos($p.pa)", "0e0"), CS(s"sin($p.pa)", "0e0"),
+        CS(s"(-sin($p.pa))", "0e0"), CS(s"cos($p.pa)", "0e0"))
+      // compiler order: mul(mul(G_p, mul(L_p, M)), herm(mul(G_q, L_q)))
+      val v = mulS(mulS(gM("gp"), mulS(rot("pp"), xsM)),
+        hermS(mulS(gM("gq"), rot("pq"))))
+      val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) =>
+          s"  ${r6Sql(z.re)} AS ${n}_re,\n  ${r6Sql(z.im)} AS ${n}_im"
+        }.mkString(",\n")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)}), g AS (${gainsSql()}), pat AS (${paTableSql()}),
+         |xs AS (
+         |  SELECT row_id, time_index, ant1, ant2, chan,
+         |$sumCols
+         |  FROM rws, src, ch GROUP BY row_id, time_index, ant1, ant2, chan)
+         |SELECT xs.row_id, xs.chan,
+         |$out
+         |FROM xs
+         |JOIN g gp ON gp.time_index = xs.time_index AND gp.ant = xs.ant1
+         |JOIN g gq ON gq.time_index = xs.time_index AND gq.ant = xs.ant2
+         |JOIN pat pp ON pp.time_index = xs.time_index AND pp.ant = xs.ant1
+         |JOIN pat pq ON pq.time_index = xs.time_index AND pq.ant = xs.ant2""".stripMargin
+    }) { (s, dir) =>
+      val out = RimeCompiler.plan("(Gp,Lp,Kpq,Bpq,Lq,Gq): [I,Q] -> [XX,XY,YX,YY]",
+        srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8),
+        Some(gains(s, dir)), Some(paTable(s, dir)))
+      val rounded = Seq("xx", "xy", "yx", "yy").flatMap { n =>
+        Seq(graft.core.Det.r6(col(s"${n}_re")).as(s"${n}_re"),
+          graft.core.Det.r6(col(s"${n}_im")).as(s"${n}_im"))
+      }
+      out.select((col("row_id") +: col("chan") +: rounded): _*)
+    },
+
+    // -- X1 feed inference: a CIRCULAR correlation basis switches the
+    //    brightness sampler to the RR/RL/LR/LL tables —
+    //    "(Kpq,Bpq): [I,V] -> [RR,LL]".
+    Q("x07_fused_rime_circular", {
+      val vSql = "((src_id % 5) - 2)/8e0"
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, chan,
+         |  ${fsumSql(s"(flux + $vSql) * cos($phaseSql)")} AS rr_re,
+         |  ${fsumSql(s"(flux + $vSql) * sin($phaseSql)")} AS rr_im,
+         |  ${fsumSql(s"(flux - $vSql) * cos($phaseSql)")} AS ll_re,
+         |  ${fsumSql(s"(flux - $vSql) * sin($phaseSql)")} AS ll_im
+         |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin
+    }) { (s, dir) =>
+      val src = sources(s, dir, 5)
+        .withColumn("i", col("flux"))
+        .withColumn("v", (col("src_id") % 5 - 2) / 8e0)
+      RimeCompiler.plan("(Kpq,Bpq): [I,V] -> [RR,LL]",
+        src, uvwRows(s, dir, 16), channels(s, dir, 8))
+    },
+
+    // -- X2 custom-term registry: the pre-registered per-source 'E' beam
+    //    multiplied INSIDE the source sum —
+    //    "(Ep,Kpq,Bpq,Eq): [I,Q] -> [XX,XY,YX,YY]". Output keeps the
+    //    antenna keys (no DIE factors collapse them).
+    Q("x08_fused_rime_dde", {
+      val k = CS(s"cos($phaseSql)", s"sin($phaseSql)")
+      def scaleS(b: String) = CS(s"(${k.re} * ($b))", s"(${k.im} * ($b))")
+      val m0 = MS(
+        scaleS(s"flux + $qSql"),
+        CS("0e0", "0e0") * k,
+        CS("0e0", "(-0e0)") * k,
+        scaleS(s"flux - $qSql"))
+      val ep = PredictFull.e2("src_id", "time_index", "ant1")
+      val eq = PredictFull.e2("src_id", "time_index", "ant2")
+      // compiler order: mul(mul(E_p, M), herm(E_q))
+      val v = mulS(mulS(ep, m0), hermS(eq))
+      val sums = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) =>
+          s"  ${fsumSql(z.re)} AS ${n}_re,\n  ${fsumSql(z.im)} AS ${n}_im"
+        }.mkString(",\n")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, time_index, ant1, ant2, chan,
+         |$sums
+         |FROM rws, src, ch GROUP BY row_id, time_index, ant1, ant2, chan""".stripMargin
+    }) { (s, dir) =>
+      RimeCompiler.plan("(Ep,Kpq,Bpq,Eq): [I,Q] -> [XX,XY,YX,YY]",
+        srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8))
+    },
+
     // -- X4's compensated summation in the PRODUCT path: the source
     //    contraction routed through the native `kahan_sum` Catalyst
     //    aggregate (expr/GraftExpressions.scala). On this fixture the

@@ -43,13 +43,13 @@ object PredictFull {
   // ---- per-SOURCE 2x2 DDE Jones (depends on src, time, antenna) — the
   // E term of predict_vis's dde_1_jones/dde_2_jones arguments
   // (africanus/rime/predict.py:505-563). Dyadic, diag-dominant.
-  private def e2(s: String, t: String, a: String): MS = MS(
+  def e2(s: String, t: String, a: String): MS = MS(
     CS(s"(1e0 + (($s*3 + $t*7 + $a*5) % 9 - 4) / 8e0)", s"((($s*5 + $t*3 + $a*11) % 7 - 3) / 8e0)"),
     CS(s"((($s*7 + $t*5 + $a*3) % 5 - 2) / 16e0)", s"((($s*11 + $t*7 + $a*9) % 5 - 2) / 16e0)"),
     CS(s"((($s*13 + $t*9 + $a*7) % 5 - 2) / 16e0)", s"((($s*9 + $t*13 + $a*5) % 5 - 2) / 16e0)"),
     CS(s"(1e0 + (($s*5 + $t*11 + $a*3) % 9 - 4) / 8e0)", s"((($s*7 + $t*5 + $a*13) % 7 - 3) / 8e0)"))
 
-  private def e2Col(s: Column, t: Column, a: Column): Jones2x2 = Jones2x2(
+  def e2Col(s: Column, t: Column, a: Column): Jones2x2 = Jones2x2(
     CxCol(lit(1e0) + ((s * 3 + t * 7 + a * 5) % 9 - 4) / 8e0, ((s * 5 + t * 3 + a * 11) % 7 - 3) / 8e0),
     CxCol(((s * 7 + t * 5 + a * 3) % 5 - 2) / 16e0, ((s * 11 + t * 7 + a * 9) % 5 - 2) / 16e0),
     CxCol(((s * 13 + t * 9 + a * 7) % 5 - 2) / 16e0, ((s * 9 + t * 13 + a * 5) % 5 - 2) / 16e0),

@@ -3,44 +3,73 @@ package graft.rime
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{Cx, CxCol, Det}
-import graft.functions.Phase
+import graft.functions.{Feeds, Phase}
+import graft.functions.Feeds.Jones2x2
 
 /** The fused-RIME mini-compiler — SURVEY §2.11 X1-X5
   * (africanus/experimental/rime/fused/specification.py:78-470, core.py,
-  * intrinsics.py).
+  * intrinsics.py, terms/core.py:28-197).
   *
   * `RimeSpec.parse` turns an equation string like
-  * `"(Gp,Kpq,Bpq,Gq): [I,Q,U,V] -> [XX,XY,YX,YY]"` into a term list +
-  * stokes/corr schemas (X1). `RimeCompiler.plan` is the planner/codegen
-  * analogue (X4/X5): it assembles ONE declarative DataFrame pipeline —
-  * source×row×chan expansion with broadcast dimension tables, per-corr
-  * sampler expressions fused by whole-stage codegen (the counterpart of
-  * the reference's numba intrinsic chain), a deterministic fixed-point
-  * source sum (its Kahan sums), and direction-independent gains applied
-  * outside the sum. Catalyst provides the dead-argument elimination and
-  * constant folding the reference implements by hand (§4).
+  * `"(Gp,Lp,Kpq,Bpq,Lq,Gq): [I,Q] -> [XX,XY,YX,YY]"` into SIDED term
+  * references + stokes/corr schemas (X1), inferring the feed type from
+  * the correlation basis (linear XX.. / circular RR.., the reference's
+  * specification.py feed inference). `RimeCompiler.plan` assembles ONE
+  * declarative DataFrame pipeline (X4/X5): source×row×chan expansion with
+  * broadcast dimension tables, per-corr fused sampler expressions, a
+  * deterministic fixed-point source sum, per-SOURCE (DDE) 2×2 terms
+  * multiplied inside the sum, and the direction-independent chain applied
+  * outside it in spec order — any combination of G and L on either side.
   *
-  * Term letters: K = phase delay, B = brightness (linear-feed stokes→corr,
-  * with implicit-zero stokes as in model/coherency/conversion.py:163-198),
-  * G = per-(time, ant) complex gain.
+  * Term letters: K = phase delay, B = brightness (stokes→corr in the
+  * inferred feed basis, implicit-zero stokes as in
+  * model/coherency/conversion.py:163-198), G = per-(time, ant) complex
+  * gain, L = feed rotation. Additional per-source terms plug in through
+  * [[RimeCompiler.registerDde]] — the X2 custom-term registry ('E', the
+  * test beam, is pre-registered).
   */
-final case class RimeSpec(terms: Seq[Char], stokes: Seq[String], corrs: Seq[String]) {
-  def hasTerm(c: Char): Boolean = terms.contains(c)
+final case class TermRef(letter: Char, side: String)
+
+final case class RimeSpec(terms: Seq[TermRef], stokes: Seq[String],
+                          corrs: Seq[String]) {
+  def hasTerm(c: Char): Boolean = terms.exists(_.letter == c)
+  /** X1 feed inference: the correlation basis decides linear vs circular. */
+  val feed: String = {
+    val circ = corrs.forall(Set("RR", "RL", "LR", "LL"))
+    val lin = corrs.forall(Set("XX", "XY", "YX", "YY"))
+    require(circ || lin, s"correlations [$corrs] mix feed bases")
+    if (circ) "circular" else "linear"
+  }
+  /** DIE terms on the p side, in listed order. */
+  def leftDie: Seq[Char] = terms.filter(t => t.side == "p" && DieLetters(t.letter)).map(_.letter)
+  def rightDie: Seq[Char] = terms.filter(t => t.side == "q" && DieLetters(t.letter)).map(_.letter)
+  def leftDde: Seq[Char] = terms.filter(t => t.side == "p" && !DieLetters(t.letter)).map(_.letter)
+  def rightDde: Seq[Char] = terms.filter(t => t.side == "q" && !DieLetters(t.letter)).map(_.letter)
+  private val DieLetters = Set('G', 'L')
 }
 
 object RimeSpec {
-  private val KnownTerms = Set('K', 'B', 'G', 'L')
-  private val KnownStokes = Set("I", "Q", "U", "V")
-  private val KnownCorrs = Set("XX", "XY", "YX", "YY")
   private val Shape = """\(([^)]*)\)\s*:\s*\[([^\]]*)\]\s*->\s*\[([^\]]*)\]""".r
+  private val KnownStokes = Set("I", "Q", "U", "V")
+  private val KnownCorrs = Set("XX", "XY", "YX", "YY", "RR", "RL", "LR", "LL")
 
   def parse(s: String): RimeSpec = s.trim match {
     case Shape(ts, st, co) =>
       val terms = ts.split(",").map(_.trim).filter(_.nonEmpty).map { t =>
-        require(KnownTerms(t.head), s"unknown term '$t' (known: K, B, G)")
-        t.head
+        val side = if (t.endsWith("pq")) "pq"
+        else if (t.endsWith("p")) "p"
+        else if (t.endsWith("q")) "q"
+        else throw new IllegalArgumentException(
+          s"term '$t' must carry a p/q/pq side suffix")
+        TermRef(t.head, side)
       }.toSeq
       require(terms.nonEmpty, "empty term list")
+      terms.foreach { t =>
+        if (t.letter == 'K' || t.letter == 'B')
+          require(t.side == "pq", s"${t.letter} is a pair term (pq)")
+        else
+          require(t.side != "pq", s"${t.letter} is a per-antenna term (p or q)")
+      }
       val stokes = st.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(stokes.forall(KnownStokes), s"unknown stokes in [$st]")
       val corrs = co.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -54,13 +83,33 @@ object RimeSpec {
 
 object RimeCompiler {
 
+  /** X2 custom-term registry: a DDE factory yields the per-source 2×2
+    * Jones for (src_id, time_index, ant) — multiplied INSIDE the source
+    * sum, like the reference's per-term sampler protocol
+    * (terms/core.py:28-197). */
+  type DdeFactory = (Column, Column, Column) => Jones2x2
+
+  /** Pre-registered 'E': the same dyadic diag-dominant test beam as the
+    * DDE predict fixture (queries/PredictFull.e2Col). */
+  private val registry = scala.collection.mutable.Map[Char, DdeFactory](
+    'E' -> ((s: Column, t: Column, a: Column) =>
+      graft.queries.PredictFull.e2Col(s, t, a)))
+
+  def registerDde(letter: Char, f: DdeFactory): Unit =
+    registry.synchronized { registry(letter) = f }
+
+  /** Correlation order of the full 2×2 matrix in each feed basis. */
+  private def basis(feed: String): Seq[String] =
+    if (feed == "circular") Seq("RR", "RL", "LR", "LL")
+    else Seq("XX", "XY", "YX", "YY")
+
   /** Build the visibility pipeline for `specStr`.
     *
-    * Inputs: `src` (src_id, l, m, and lowercase stokes columns i/q/u/v as
-    * present), `rows` (row_id, u, v, w, time_index, ant1, ant2), `chans`
+    * Inputs: `src` (src_id, l, m, lowercase stokes columns as present),
+    * `rows` (row_id, u, v, w, time_index, ant1, ant2), `chans`
     * (chan, freq), `gainsDf` (time_index, ant, g_re, g_im; required iff G
-    * is in the spec). Output: (row_id, chan) + <corr>_re/_im per requested
-    * correlation.
+    * is in the spec), `paDf` (time_index, ant, pa; required iff L).
+    * Output: (row_id, chan) + <corr>_re/_im per requested correlation.
     */
   def plan(specStr: String, src: DataFrame, rows: DataFrame,
            chans: DataFrame, gainsDf: Option[DataFrame] = None,
@@ -70,71 +119,89 @@ object RimeCompiler {
       "spec contains G but no gains table was supplied")
     require(!spec.hasTerm('L') || paDf.isDefined,
       "spec contains L but no parallactic-angle table was supplied")
-    require(!(spec.hasTerm('L') && spec.hasTerm('G')),
-      "combining L and G terms is not supported yet")
+    (spec.leftDde ++ spec.rightDde).foreach { c =>
+      require(registry.contains(c), s"no DDE term registered for '$c'")
+    }
 
-    // implicit-zero stokes (conversion.py:163-198)
+    // implicit-zero stokes (conversion.py:163-198) — referenced through
+    // the src plan so stokes u/v never collide with the uvw u/v columns
     def st(n: String): Column =
-      if (spec.stokes.contains(n)) col(n.toLowerCase) else lit(0.0)
+      if (spec.stokes.contains(n)) src(n.toLowerCase) else lit(0.0)
 
-    // X3-style transform: the K sampler needs (l, m) + uvw + freq
+    // X3 transform: the K sampler needs (l, m) + uvw + freq
     val k: CxCol =
       if (spec.hasTerm('K'))
-        Phase.phaseDelay(col("l"), col("m"), col("u"), col("v"), col("w"), col("freq"))
+        Phase.phaseDelay(src("l"), src("m"),
+          rows("u"), rows("v"), rows("w"), chans("freq"))
       else Cx.one
 
-    // per-corr fused sampler: brightness × phase. XX/YY have real
-    // brightness under linear feeds — keep the real-scale form so the
-    // expression matches the hand-written oracle trees bit for bit.
+    // per-corr fused sampler (brightness × phase) in the inferred feed
+    // basis. Diagonal entries have real brightness — keep the real-scale
+    // form so expressions match the hand-written oracle trees bit for bit.
     def sampler(corr: String): CxCol = corr match {
       case "XX" => k.scale(st("I") + st("Q"))
       case "YY" => k.scale(st("I") - st("Q"))
       case "XY" => CxCol(st("U"), st("V")) * k
       case "YX" => CxCol(st("U"), -st("V")) * k
+      case "RR" => k.scale(st("I") + st("V"))
+      case "LL" => k.scale(st("I") - st("V"))
+      case "RL" => CxCol(st("Q"), st("U")) * k
+      case "LR" => CxCol(st("Q"), -st("U")) * k
     }
 
     val expanded = rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
-    val needsAnts = spec.hasTerm('G') || spec.hasTerm('L')
+    val hasDde = spec.leftDde.nonEmpty || spec.rightDde.nonEmpty
+    val needsAnts = spec.hasTerm('G') || spec.hasTerm('L') || hasDde
     val gKeys =
       if (needsAnts) Seq("row_id", "time_index", "ant1", "ant2", "chan")
       else Seq("row_id", "chan")
-    // the feed-rotation term mixes correlations, so its path carries the
-    // full 2x2 matrix through the sum regardless of the requested subset
-    val sumCorrs =
-      if (spec.hasTerm('L')) Seq("XX", "XY", "YX", "YY") else spec.corrs
-    val sumCols = sumCorrs.flatMap { c =>
-      val x = sampler(c)
-      val n = c.toLowerCase
-      Seq(Det.fsum(x.re).as(s"${n}_re"), Det.fsum(x.im).as(s"${n}_im"))
+    // correlation-mixing factors (L or any 2×2 DDE) force the full matrix
+    // through the source sum
+    val mixes = spec.hasTerm('L') || hasDde
+    val sumCorrs = if (mixes) basis(spec.feed) else spec.corrs
+
+    // per-source matrix: DDE chain × (B∘K) × DDE chainᴴ, or the samplers
+    // alone when no DDE terms are present
+    def summedCols: Seq[Column] = {
+      if (!hasDde) {
+        sumCorrs.flatMap { c =>
+          val x = sampler(c)
+          val n = c.toLowerCase
+          Seq(Det.fsum(x.re).as(s"${n}_re"), Det.fsum(x.im).as(s"${n}_im"))
+        }
+      } else {
+        val bs = basis(spec.feed)
+        val m0 = Jones2x2(sampler(bs(0)), sampler(bs(1)),
+          sampler(bs(2)), sampler(bs(3)))
+        val left = spec.leftDde.map(c =>
+          registry(c)(col("src_id"), col("time_index"), col("ant1")))
+        val right = spec.rightDde.map(c =>
+          registry(c)(col("src_id"), col("time_index"), col("ant2")))
+        val withLeft = left.foldRight(m0)((e, m) => Jones2x2.mul(e, m))
+        val v = right.reverse
+          .foldLeft(Option.empty[Jones2x2])((acc, e) =>
+            Some(acc.fold(e)(p => Jones2x2.mul(p, e))))
+          .map(q => Jones2x2.mul(withLeft, Jones2x2.herm(q)))
+          .getOrElse(withLeft)
+        val entry = Map(bs(0) -> v.m00, bs(1) -> v.m01,
+          bs(2) -> v.m10, bs(3) -> v.m11)
+        sumCorrs.flatMap { c =>
+          val n = c.toLowerCase
+          Seq(Det.fsum(entry(c).re).as(s"${n}_re"),
+            Det.fsum(entry(c).im).as(s"${n}_im"))
+        }
+      }
     }
     val summed = expanded.groupBy(gKeys.map(col): _*)
-      .agg(sumCols.head, sumCols.tail: _*)
+      .agg(summedCols.head, summedCols.tail: _*)
 
-    if (spec.hasTerm('L')) {
-      import graft.functions.Feeds
-      val pa = paDf.get
-      val pp = broadcast(pa.select(col("time_index").as("lt"),
-        col("ant").as("la"), col("pa").as("pap")))
-      val pq = broadcast(pa.select(col("time_index").as("mt"),
-        col("ant").as("ma"), col("pa").as("paq")))
-      val j = summed
-        .join(pp, col("time_index") === col("lt") && col("ant1") === col("la"))
-        .join(pq, col("time_index") === col("mt") && col("ant2") === col("ma"))
-      val m = Feeds.Jones2x2(
-        CxCol(col("xx_re"), col("xx_im")), CxCol(col("xy_re"), col("xy_im")),
-        CxCol(col("yx_re"), col("yx_im")), CxCol(col("yy_re"), col("yy_im")))
-      val rp = Feeds.feedRotation(col("pap"), "linear")
-      val rq = Feeds.feedRotation(col("paq"), "linear")
-      val v = Feeds.Jones2x2.mul(Feeds.Jones2x2.mul(rp, m),
-        Feeds.Jones2x2.herm(rq))
-      val entry = Map("XX" -> v.m00, "XY" -> v.m01, "YX" -> v.m10, "YY" -> v.m11)
-      val outCols = spec.corrs.flatMap { c =>
-        val n = c.toLowerCase
-        Seq(entry(c).re.as(s"${n}_re"), entry(c).im.as(s"${n}_im"))
-      }
-      j.select((col("row_id") +: col("chan") +: outCols): _*)
-    } else if (!spec.hasTerm('G')) summed
-    else {
+    // ---- the DIE chain, applied OUTSIDE the sum in spec order ----------
+    val dieLetters = (spec.leftDie ++ spec.rightDie).toSet
+    if (dieLetters.isEmpty) summed
+    else if (dieLetters == Set('G')) {
+      // scalar diagonal gains never mix correlations — apply g_p·x·g_q*
+      // per requested corr (the 2×2 chain would add value-neutral 0·y
+      // terms that perturb signed zeros against the hand-written oracles)
       val withG = graft.queries.Predict.withGains(summed, gainsDf.get)
       val gp = CxCol(col("gp_re"), col("gp_im"))
       val gq = CxCol(col("gq_re"), col("gq_im"))
@@ -144,6 +211,51 @@ object RimeCompiler {
         Seq(v.re.as(s"${n}_re"), v.im.as(s"${n}_im"))
       }
       withG.select((col("row_id") +: col("chan") +: outCols): _*)
+    } else {
+      var j = summed
+      if (spec.hasTerm('G')) {
+        j = graft.queries.Predict.withGains(j, gainsDf.get)
+      }
+      if (spec.hasTerm('L')) {
+        val pa = paDf.get
+        val pp = broadcast(pa.select(col("time_index").as("lt"),
+          col("ant").as("la"), col("pa").as("pap")))
+        val pq = broadcast(pa.select(col("time_index").as("mt"),
+          col("ant").as("ma"), col("pa").as("paq")))
+        j = j.join(pp, col("time_index") === col("lt") && col("ant1") === col("la"))
+          .join(pq, col("time_index") === col("mt") && col("ant2") === col("ma"))
+      }
+      def dieFactor(letter: Char, side: String): Jones2x2 = letter match {
+        case 'G' =>
+          val g = if (side == "p") CxCol(col("gp_re"), col("gp_im"))
+          else CxCol(col("gq_re"), col("gq_im"))
+          Jones2x2(g, Cx.zero, Cx.zero, g)
+        case 'L' =>
+          Feeds.feedRotation(col(if (side == "p") "pap" else "paq"), spec.feed)
+      }
+      val bs = basis(spec.feed)
+      val m = Jones2x2(
+        CxCol(col(s"${bs(0).toLowerCase}_re"), col(s"${bs(0).toLowerCase}_im")),
+        CxCol(col(s"${bs(1).toLowerCase}_re"), col(s"${bs(1).toLowerCase}_im")),
+        CxCol(col(s"${bs(2).toLowerCase}_re"), col(s"${bs(2).toLowerCase}_im")),
+        CxCol(col(s"${bs(3).toLowerCase}_re"), col(s"${bs(3).toLowerCase}_im")))
+      // V = (P₁·P₂·…)·M·(…·Q₂ᴴ·Q₁ᴴ) — fold left side in order onto M,
+      // right side as herm of its reversed product (Gp,Lp,..,Lq,Gq ⇒
+      // G·L·M·Lᴴ·Gᴴ)
+      val withLeft = spec.leftDie.map(dieFactor(_, "p"))
+        .foldRight(m)((t, acc) => Jones2x2.mul(t, acc))
+      val v = spec.rightDie.map(dieFactor(_, "q")).reverse
+        .foldLeft(Option.empty[Jones2x2])((acc, t) =>
+          Some(acc.fold(t)(p => Jones2x2.mul(p, t))))
+        .map(q => Jones2x2.mul(withLeft, Jones2x2.herm(q)))
+        .getOrElse(withLeft)
+      val entry = Map(bs(0) -> v.m00, bs(1) -> v.m01,
+        bs(2) -> v.m10, bs(3) -> v.m11)
+      val outCols = spec.corrs.flatMap { c =>
+        val n = c.toLowerCase
+        Seq(entry(c).re.as(s"${n}_re"), entry(c).im.as(s"${n}_im"))
+      }
+      j.select((col("row_id") +: col("chan") +: outCols): _*)
     }
   }
 }
