@@ -68,6 +68,109 @@ object ModelFit {
         ((col("swy") - alpha * col("swx")) / col("sw")).as("log_i0"))
     },
 
+    // -- M5 FULL semantics: the reference's weighted GAUSS-NEWTON on the
+    //    power law I(ν) = i0·(ν/ν0)^α (component_spi.py:12-52), not the
+    //    log-linearized closed form of m05. Three unrolled iterations from
+    //    the reference's initialisation (α = −0.7, i0 = data at the
+    //    channel nearest ν0), each building J, residuals and the 2×2
+    //    normal equations as fixed-point (1e-9) channel sums — the oracle
+    //    replays the identical rounds as chained CTEs. det is clamped at
+    //    the reference's float64 mindet; variance outputs follow
+    //    out[1]/out[3] = hess/det·lik/dof.
+    Q("m07_fit_spi_gn", {
+      val obs =
+        s"""obs AS (
+           |  SELECT comp_id, chan, freq/14e8 AS w,
+           |    (comp_id % 4 + 1 + chan % 3) / 4e0 AS y,
+           |    (chan % 5 + 1) / 8e0 AS wgt
+           |  FROM comp, ch)""".stripMargin
+      def round(n: Int, prev: String): String = {
+        val j1 = "pow(w, alpha)"
+        val model = s"(i0 * $j1)"
+        val j0 = s"($model * ln(w))"
+        val r = s"(y - $model)"
+        s"""s$n AS (
+           |  SELECT obs.comp_id,
+           |    ${fsumSql(s"$j0*wgt*($r)", "1e9")} AS jr0,
+           |    ${fsumSql(s"$j1*wgt*($r)", "1e9")} AS jr1,
+           |    ${fsumSql(s"$j0*wgt*$j0", "1e9")} AS h00,
+           |    ${fsumSql(s"$j0*wgt*$j1", "1e9")} AS h01,
+           |    ${fsumSql(s"$j1*wgt*$j1", "1e9")} AS h11,
+           |    ${fsumSql(s"($r)*wgt*($r)", "1e9")} AS lik
+           |  FROM obs JOIN $prev p ON obs.comp_id = p.comp_id
+           |  GROUP BY obs.comp_id),
+           |p$n AS (
+           |  SELECT s$n.comp_id,
+           |    p.alpha + (h11*jr0 - h01*jr1)
+           |      / GREATEST(h00*h11 - h01*h01, 1e-12) AS alpha,
+           |    p.i0 + ((-h01)*jr0 + h00*jr1)
+           |      / GREATEST(h00*h11 - h01*h01, 1e-12) AS i0
+           |  FROM s$n JOIN $prev p ON s$n.comp_id = p.comp_id)""".stripMargin
+      }
+      s"""WITH comp AS (SELECT CAST(n_nationkey AS BIGINT) AS comp_id
+         |              FROM nation WHERE n_nationkey < 25),
+         |ch AS (${channelsSql(8)}),
+         |$obs,
+         |p0 AS (
+         |  SELECT comp_id, -7e-1 AS alpha,
+         |    (comp_id % 4 + 1 + 5 % 3) / 4e0 AS i0
+         |  FROM comp),
+         |${round(1, "p0")},
+         |${round(2, "p1")},
+         |${round(3, "p2")}
+         |SELECT p3.comp_id,
+         |  ${Det.r6Sql("p3.alpha")} AS alpha, ${Det.r6Sql("p3.i0")} AS i0,
+         |  ${Det.r6Sql("h11 / GREATEST(h00*h11 - h01*h01, 1e-12) * lik / 6")} AS alpha_var,
+         |  ${Det.r6Sql("h00 / GREATEST(h00*h11 - h01*h01, 1e-12) * lik / 6")} AS i0_var
+         |FROM p3 JOIN s3 ON p3.comp_id = s3.comp_id""".stripMargin
+    }) { (s, dir) =>
+      val comp = Tables.nation(s, dir).filter(col("n_nationkey") < 25)
+        .select(col("n_nationkey").cast("long").as("comp_id"))
+      val obs = comp.crossJoin(broadcast(channels(s, dir, 8)))
+        .select(col("comp_id"), col("chan"), (col("freq") / 14e8).as("w"),
+          ((col("comp_id") % 4 + 1 + col("chan") % 3) / 4e0).as("y"),
+          ((col("chan") % 5 + 1) / 8e0).as("wgt"))
+        .cache()
+      var params = comp.select(col("comp_id"), lit(-7e-1).as("alpha"),
+        ((col("comp_id") % 4 + 1 + lit(5) % 3) / 4e0).as("i0"))
+      var lastSums: DataFrame = null
+      for (_ <- 1 to 3) {
+        val p = params.select(col("comp_id").as("pc"),
+          col("alpha"), col("i0"))
+        val j = obs.join(p, col("comp_id") === col("pc"))
+        val j1 = pow(col("w"), col("alpha"))
+        val model = col("i0") * j1
+        val j0 = model * log(col("w"))
+        val r = col("y") - model
+        val sums = j.groupBy("comp_id").agg(
+          Det.fsum(j0 * col("wgt") * r, 1e9).as("jr0"),
+          Det.fsum(j1 * col("wgt") * r, 1e9).as("jr1"),
+          Det.fsum(j0 * col("wgt") * j0, 1e9).as("h00"),
+          Det.fsum(j0 * col("wgt") * j1, 1e9).as("h01"),
+          Det.fsum(j1 * col("wgt") * j1, 1e9).as("h11"),
+          Det.fsum(r * col("wgt") * r, 1e9).as("lik"))
+        lastSums = sums
+        val det = greatest(col("h00") * col("h11") - col("h01") * col("h01"),
+          lit(1e-12))
+        params = sums.join(p, col("comp_id") === col("pc")).select(
+          col("comp_id"),
+          (col("alpha") + (col("h11") * col("jr0") - col("h01") * col("jr1")) / det)
+            .as("alpha"),
+          (col("i0") + ((-col("h01")) * col("jr0") + col("h00") * col("jr1")) / det)
+            .as("i0"))
+      }
+      val det = greatest(col("h00") * col("h11") - col("h01") * col("h01"),
+        lit(1e-12))
+      params.join(
+          lastSums.select(col("comp_id").as("sc"), col("h00"), col("h01"),
+            col("h11"), col("lik")),
+          col("comp_id") === col("sc"))
+        .select(col("comp_id"),
+          Det.r6(col("alpha")).as("alpha"), Det.r6(col("i0")).as("i0"),
+          Det.r6(col("h11") / det * col("lik") / 6).as("alpha_var"),
+          Det.r6(col("h00") / det * col("lik") / 6).as("i0_var"))
+    },
+
     // -- R7: beam_cube_dde, full semantics
     //    (africanus/rime/fast_beam_cubes.py:10-54 freq_grid_interp,
     //    110-238 trilinear gather + amplitude renorm):
