@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.core.Det
 import graft.operators.Gridder
 import SyntheticMs._
 
@@ -73,6 +74,53 @@ object GriddingQ {
          |GROUP BY pts.row_id""".stripMargin) { (s, dir) =>
       val p = pts(s, dir)
       Gridder.degrid(p, Gridder.scatter(p, Taps), Taps)
+    },
+
+    // -- F1-F5 (w-stacking layout): rows snap to their nearest w-plane,
+    //    visibilities rotate by the residual-w phase, and each plane grids
+    //    independently — ONE aggregation keyed by (plane, cell); the
+    //    per-plane FFT stays a plane-parallel local step downstream (the
+    //    part the reference delegates to ducc0's C++). 4 planes over
+    //    w ∈ [-5, 5], η = 1e-2 keeps the residual phase in the libm-safe
+    //    regime; grid sums are fixed-point (trig-bearing terms).
+    Q("f09_wstack_grid", {
+      val spacing = "(2e0 * 5e0 / 3e0)"
+      val theta = "2e0 * pi() * 1e-2 * dw"
+      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)}),
+         |$tapsSql,
+         |pts AS (
+         |  SELECT rws.row_id, rws.w,
+         |    CAST(ROUND(rws.u * 25e-2) AS BIGINT) AS pu,
+         |    CAST(ROUND(rws.v * 25e-2) AS BIGINT) AS pv,
+         |    cv.xx_re AS re, cv.xx_im AS im
+         |  FROM rws JOIN cv ON rws.row_id = cv.row_id),
+         |wp AS (
+         |  SELECT *, LEAST(GREATEST(
+         |      CAST(ROUND((w + 5e0) / $spacing) AS BIGINT), 0), 3) AS wplane
+         |  FROM pts),
+         |rt AS (
+         |  SELECT *, w - (-5e0 + CAST(wplane AS DOUBLE) * $spacing) AS dw
+         |  FROM wp),
+         |c AS (
+         |  SELECT *,
+         |    re*cos($theta) - im*sin($theta) AS cre,
+         |    re*sin($theta) + im*cos($theta) AS cim
+         |  FROM rt)
+         |SELECT wplane, pu + ti.off AS gu, pv + tj.off AS gv,
+         |  ${Det.fsumSql("cre * ti.tap * tj.tap")} AS g_re,
+         |  ${Det.fsumSql("cim * ti.tap * tj.tap")} AS g_im,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM c, taps ti, taps tj
+         |GROUP BY wplane, pu + ti.off, pv + tj.off""".stripMargin
+    }) { (s, dir) =>
+      val p = uvwRows(s, dir, 16)
+        .join(corrVis(s, dir, 16), "row_id")
+        .select(col("row_id"), col("w"),
+          round(col("u") * 25e-2).cast("long").as("pu"),
+          round(col("v") * 25e-2).cast("long").as("pv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      graft.operators.WStack.planeGrids(p, Taps, nPlanes = 4, wMax = 5.0,
+        eta = 1e-2, fsum = c => Det.fsum(c))
     },
 
     // -- F9: the Perley-polyhedron policy families end to end on one row
