@@ -49,6 +49,46 @@ object Zernike {
     sum
   }
 
+  /** Exact INTEGER radial coefficients of R_n^{|m|}: (coef, power) pairs —
+    * Zernike radial coefficients are integers, so the generated SQL is
+    * exact on both engines. */
+  def radialCoeffs(m: Int, n: Int): Seq[(Long, Int)] = {
+    val am = math.abs(m)
+    require((n - am) % 2 == 0, s"R_$n^$am vanishes")
+    def fact(k: Int): BigInt = (1 to k).foldLeft(BigInt(1))(_ * _)
+    (0 to (n - am) / 2).map { k =>
+      val c = (if (k % 2 == 0) 1 else -1) * fact(n - k) /
+        (fact(k) * fact((n + am) / 2 - k) * fact((n - am) / 2 - k))
+      (c.toLong, n - 2 * k)
+    }
+  }
+
+  /** SQL/Catalyst expression text for Noll mode Z_j at placeholder columns
+    * (x, y) — the SAME string feeds Spark's `expr` and the DuckDB oracle,
+    * so the expression trees are identical by construction. ρ powers are
+    * expanded as multiplication chains (no env-sensitive `pow`); the only
+    * transcendentals are atan2/cos/sin of small arguments and IEEE sqrt. */
+  def zernikeExprSql(j: Int, x: String, y: String): String = {
+    val (n, m) = nollToNM(j)
+    val am = math.abs(m)
+    val rho2 = s"(($x)*($x) + ($y)*($y))"
+    def rhoPow(p: Int): String = {
+      val parts = Seq.fill(p / 2)(rho2) ++
+        (if (p % 2 == 1) Seq(s"sqrt($rho2)") else Nil)
+      if (parts.isEmpty) "1e0" else parts.mkString("*")
+    }
+    val rad = radialCoeffs(m, n)
+      .map { case (c, p) => s"(${c}e0 * ${rhoPow(p)})" }
+      .mkString(" + ")
+    val norm =
+      if (m == 0) s"sqrt(${n + 1}e0)" else s"sqrt(${2 * (n + 1)}e0)"
+    val ang =
+      if (m == 0) "1e0"
+      else if (m > 0) s"cos($m * atan2($y, $x))"
+      else s"sin(${-m} * atan2($y, $x))"
+    s"$norm * ($rad) * $ang"
+  }
+
   /** Noll-normalized Zernike Z_j at cartesian (x, y). */
   def zernike(j: Int, x: Double, y: Double): Double = {
     val (n, m) = nollToNM(j)

@@ -28,6 +28,16 @@ import SyntheticMs._
   */
 object ModelFit {
 
+  /** Σ_j coeff_j(ant) · Z_j(x, y) over Noll modes 1..10 — shared between
+    * the Spark expr and the oracle SQL of r12. */
+  val zernikeGeneralSql: String = {
+    val x = "(-2e-1 + src_id * 25e-3)"
+    val y = "(1e-1 - src_id * 125e-4)"
+    (1 to 10).map { j =>
+      s"((ant % ${j + 2} + 1) / 8e0) * (${graft.functions.Zernike.zernikeExprSql(j, x, y)})"
+    }.mkString(" + ")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // -- M5: weighted log-linear spectral-index fit per component.
@@ -283,6 +293,29 @@ object ModelFit {
       j.select(col("src_id"), col("chan"),
         when(den === 0e0, wre).otherwise(wre * (wabs / den)).as("e_re"),
         when(den === 0e0, wim).otherwise(wim * (wabs / den)).as("e_im"))
+    },
+
+    // -- R8 FULL: the general Noll-indexed Zernike evaluator
+    //    (zernike.py:8-144) in the distributed query — modes 1..10
+    //    generated from the exact integer radial coefficients with
+    //    multiplication-chain ρ powers (no env-sensitive pow). ONE string
+    //    feeds both Spark's expr() and the oracle, so the trees are
+    //    identical by construction.
+    Q("r12_zernike_general", {
+      val zSql = ModelFit.zernikeGeneralSql
+      s"""WITH src AS (${sourcesSql(20)}),
+         |ants AS (SELECT CAST(n_nationkey AS BIGINT) AS ant
+         |         FROM nation WHERE n_nationkey < 7)
+         |SELECT src_id, ant,
+         |  ${Det.r6Sql(zSql)} AS zval
+         |FROM src, ants""".stripMargin
+    }) { (s, dir) =>
+      val ants = Tables.nation(s, dir).filter(col("n_nationkey") < 7)
+        .select(col("n_nationkey").cast("long").as("ant"))
+      sources(s, dir, 20).select("src_id")
+        .crossJoin(broadcast(ants))
+        .select(col("src_id"), col("ant"),
+          Det.r6(expr(ModelFit.zernikeGeneralSql)).as("zval"))
     },
 
     // -- R8: Zernike polynomial beam, Noll modes 1-6, per-antenna coeffs.

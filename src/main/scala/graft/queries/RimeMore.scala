@@ -12,6 +12,41 @@ import SyntheticMs._
   */
 object RimeMore {
 
+  /** Shared Spark-expr/oracle text for r04b: pa from the IAU 1982 GMST
+    * polynomial. Epoch: mjd = 58849 + time_index/80 days; lon/lat per
+    * antenna; target at (ra, dec) = (0.25, −0.38) rad. */
+  val paGmstSql: String = {
+    val mjd = "(58849e0 + time_index / 8e1)"
+    val d = s"($mjd - 515445e-1)" // days since J2000.0
+    val t = s"($d / 36525e0)"
+    val gmstDeg = s"(28046061837e-8 + 36098564736629e-11 * $d" +
+      s" + 387933e-9 * ($t*$t) - ($t*$t*$t) / 3871e4)"
+    val gRed = s"($gmstDeg - 36e1 * floor($gmstDeg / 36e1))"
+    val lon = "(-8e-2 + ant * 1e-2)"
+    val lat = "(35e-2 + ant * 25e-3)"
+    val ha = s"($gRed * pi() / 18e1 + $lon - 25e-2)"
+    s"atan2(cos($lat)*sin($ha), " +
+      s"sin($lat)*cos(-38e-2) - cos($lat)*sin(-38e-2)*cos($ha))"
+  }
+
+  /** Shared Spark-expr/oracle text for r13: 2-D Hermite-Gaussian shapelet
+    * sum over orders (0,0),(1,0),(0,1),(1,1),(2,0),(0,2). */
+  val shapelet2dSql: String = {
+    val tu = "(u / (5e1 * (src_id + 1)))"
+    val tv = "(v / (4e1 * (src_id + 2)))"
+    val envU = s"exp(-($tu*$tu) / 2e0)"
+    val envV = s"exp(-($tv*$tv) / 2e0)"
+    def h(n: Int, x: String): String = n match {
+      case 0 => "1e0"
+      case 1 => s"(2e0 * $x)"
+      case 2 => s"(4e0 * $x * $x - 2e0)"
+    }
+    val orders = Seq((0, 0, 3), (1, 0, 4), (0, 1, 5), (1, 1, 6), (2, 0, 7), (0, 2, 8))
+    orders.map { case (n1, n2, m) =>
+      s"((src_id % $m + 1) / 4e0) * ${h(n1, tu)} * ${h(n2, tv)}"
+    }.mkString("(", " + ", s") * $envU * $envV")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // -- C2: lmn -> radec, inverse of C1
@@ -53,6 +88,41 @@ object RimeMore {
         col("time_index"), col("ant"),
         Det.r6(atan2(cos(lat) * sin(ha),
           sin(lat) * cos(dec) - cos(lat) * sin(dec) * cos(ha))).as("pa"))
+    },
+
+    // -- R4b: parallactic angles from a REAL time scale — Greenwich mean
+    //    sidereal time via the IAU 1982 polynomial (public formula; the
+    //    reference's casa/astropy backends resolve the same LST through
+    //    their ephemeris stacks, rime/parangles_astropy.py). MJD epochs
+    //    per time step, per-antenna longitude/latitude; hour angle =
+    //    GMST + lon − ra; same pa formula as R4. The 360°-reduction is a
+    //    floor expression (deterministic) and all trig arguments stay
+    //    below ~2π.
+    Q("r04b_parallactic_gmst", {
+      val sql = RimeMore.paGmstSql
+      s"""WITH pat AS (${paTableSql()})
+         |SELECT time_index, ant, ${r6Sql(sql)} AS pa
+         |FROM pat""".stripMargin
+    }) { (s, dir) =>
+      paTable(s, dir).select(col("time_index"), col("ant"),
+        Det.r6(expr(RimeMore.paGmstSql)).as("pa"))
+    },
+
+    // -- R11b: 2-D Cartesian shapelet basis
+    //    (africanus/model/shape/shapelets.py:57-153 shapelet_2d): the
+    //    separable Hermite-windowed Gaussian φ_{n1}(u/βu)·φ_{n2}(v/βv),
+    //    orders (0,0),(1,0),(0,1),(1,1),(2,0),(0,2), per-source scales and
+    //    dyadic coefficients.
+    Q("r13_shapelet_2d", {
+      val sql = RimeMore.shapelet2dSql
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)})
+         |SELECT src_id, row_id, ${r6Sql(sql)} AS sval
+         |FROM src, rws""".stripMargin
+    }) { (s, dir) =>
+      sources(s, dir, 5).select("src_id")
+        .crossJoin(uvwRows(s, dir, 64).select("row_id", "u", "v"))
+        .select(col("src_id"), col("row_id"),
+          Det.r6(expr(RimeMore.shapelet2dSql)).as("sval"))
     },
 
     // -- R6: transform_sources (africanus/rime/transform.py:12-99):
