@@ -46,6 +46,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("r03: DDE predict — broadcast expansion, single partial+final agg, no SMJ") {
+    val p = planOf("r03_predict_dde")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "only the source-sum exchange may shuffle")
+  }
+
+  test("f09: w-stack grids in ONE (plane, cell)-keyed aggregation") {
+    val p = planOf("f09_wstack_grid")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("a14: global output-row index uses no partition-less data-sized window") {
+    // the only unpartitioned window may be over the per-partition count
+    // relation (GlobalIndex offsets), which is partition-count sized; the
+    // data path itself must be partitioned
+    val df = SparkEntry.queries("a14_row_mapper_full")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions") || plan.contains("HashAggregate"))
+    // bins relation window is partitioned by _pid
+    assert(plan.contains("Window [") || plan.contains("RunningWindowFunction")
+      || plan.contains("row_number"))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()

@@ -56,6 +56,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: watermarked dropDuplicates keeps one copy per content hash") {
+    // the streaming face of t01_exact_dedup: documents arrive as a stream,
+    // duplicates (same content hash) are dropped across micro-batches
+    // within the watermark horizon
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val deduped = ms.toDF().toDF("doc_id", "ts_us", "text")
+      .withColumn("tts", timestamp_micros(col("ts_us")))
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("tts", "1 hour")
+      .dropDuplicates("text_hash")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L, 1000L, "alpha"), (1L, 2000L, "beta"),
+        (2L, 3000L, "alpha")) // in-batch duplicate
+      q.processAllAvailable()
+      ms.addData((3L, 4000L, "beta"), (4L, 5000L, "gamma")) // cross-batch dup
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("text").collect()
+        .map(_.getString(0)).sorted
+      assert(kept === Array("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("stateful sessions survive across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
