@@ -318,6 +318,90 @@ object ModelFit {
           Det.r6(expr(ModelFit.zernikeGeneralSql)).as("zval"))
     },
 
+    // -- R7∘R6: the beam sampled at TRANSFORMED source coordinates — the
+    //    reference's actual call chain (transform_sources feeds
+    //    beam_cube_dde): lm rotated by the parallactic angle, pointing
+    //    errors added, antenna scaling applied, then mapped onto the beam
+    //    grid and bilinearly gathered per (src, time, ant, chan).
+    Q("r14_beam_transformed", {
+      val lt = "((1e0 + ant * 125e-3) * (l*cos(pa) - m*sin(pa) + (time_index - 1) * 25e-4))"
+      val mt = "((1e0 - ant * 625e-4) * (l*sin(pa) + m*cos(pa) + (ant - 1) * 125e-4))"
+      s"""WITH src AS (${sourcesSql(8)}), pat AS (${paTableSql(4, 3)}),
+         |ch AS (SELECT CAST(n_nationkey AS BIGINT) AS chan
+         |       FROM nation WHERE n_nationkey < 4),
+         |cube AS (
+         |  SELECT CAST(li.n_nationkey AS BIGINT) AS li,
+         |    CAST(mi.n_nationkey AS BIGINT) AS mi,
+         |    CAST(fi.n_nationkey AS BIGINT) AS fi,
+         |    ((li.n_nationkey*3 + mi.n_nationkey*5 + fi.n_nationkey*7) % 11 - 5) / 8e0 AS b_re,
+         |    ((li.n_nationkey*7 + mi.n_nationkey*3 + fi.n_nationkey*5) % 9 - 4) / 8e0 AS b_im
+         |  FROM nation li, nation mi, nation fi
+         |  WHERE li.n_nationkey < 8 AND mi.n_nationkey < 8 AND fi.n_nationkey < 4),
+         |pt AS (
+         |  SELECT src_id, time_index, ant, chan,
+         |    35e-1 + $lt * 512e0 AS lc,
+         |    35e-1 + $mt * 256e0 AS mc
+         |  FROM src, pat, ch),
+         |pp AS (
+         |  SELECT src_id, time_index, ant, chan, lc, mc,
+         |    CAST(FLOOR(lc) AS BIGINT) AS l0, CAST(FLOOR(mc) AS BIGINT) AS m0,
+         |    lc - FLOOR(lc) AS dl, mc - FLOOR(mc) AS dm
+         |  FROM pt)
+         |SELECT pp.src_id, pp.time_index, pp.ant, pp.chan,
+         |  ${Det.r6Sql(
+             "(1e0-dl)*(1e0-dm)*c00.b_re + (1e0-dl)*dm*c01.b_re" +
+             " + dl*(1e0-dm)*c10.b_re + dl*dm*c11.b_re")} AS e_re,
+         |  ${Det.r6Sql(
+             "(1e0-dl)*(1e0-dm)*c00.b_im + (1e0-dl)*dm*c01.b_im" +
+             " + dl*(1e0-dm)*c10.b_im + dl*dm*c11.b_im")} AS e_im
+         |FROM pp
+         |JOIN cube c00 ON c00.li = pp.l0   AND c00.mi = pp.m0   AND c00.fi = pp.chan
+         |JOIN cube c01 ON c01.li = pp.l0   AND c01.mi = pp.m0+1 AND c01.fi = pp.chan
+         |JOIN cube c10 ON c10.li = pp.l0+1 AND c10.mi = pp.m0   AND c10.fi = pp.chan
+         |JOIN cube c11 ON c11.li = pp.l0+1 AND c11.mi = pp.m0+1 AND c11.fi = pp.chan""".stripMargin
+    }) { (s, dir) =>
+      val n = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("k"))
+      val cube = n.filter(col("k") < 8).select(col("k").as("li"))
+        .crossJoin(n.filter(col("k") < 8).select(col("k").as("mi")))
+        .crossJoin(n.filter(col("k") < 4).select(col("k").as("fi")))
+        .select(col("li"), col("mi"), col("fi"),
+          (((col("li") * 3 + col("mi") * 5 + col("fi") * 7) % 11 - 5) / 8e0).as("b_re"),
+          (((col("li") * 7 + col("mi") * 3 + col("fi") * 5) % 9 - 4) / 8e0).as("b_im"))
+      val ch = Tables.nation(s, dir).filter(col("n_nationkey") < 4)
+        .select(col("n_nationkey").cast("long").as("chan"))
+      val scaleL = lit(1e0) + col("ant") * 125e-3
+      val scaleM = lit(1e0) - col("ant") * 625e-4
+      val lt = scaleL * (col("l") * cos(col("pa")) - col("m") * sin(col("pa"))
+        + (col("time_index") - 1) * 25e-4)
+      val mt = scaleM * (col("l") * sin(col("pa")) + col("m") * cos(col("pa"))
+        + (col("ant") - 1) * 125e-4)
+      val pt = sources(s, dir, 8)
+        .crossJoin(broadcast(paTable(s, dir, 4, 3)))
+        .crossJoin(broadcast(ch))
+        .withColumn("lc", lit(35e-1) + lt * 512e0)
+        .withColumn("mc", lit(35e-1) + mt * 256e0)
+        .withColumn("l0", floor(col("lc")).cast("long"))
+        .withColumn("m0", floor(col("mc")).cast("long"))
+        .withColumn("dl", col("lc") - floor(col("lc")))
+        .withColumn("dm", col("mc") - floor(col("mc")))
+      var j = pt
+      for ((nm, dli, dmi) <- Seq(("c00", 0, 0), ("c01", 0, 1), ("c10", 1, 0), ("c11", 1, 1)))
+        j = j.join(
+          broadcast(cube.select(col("li").as(s"${nm}_li"), col("mi").as(s"${nm}_mi"),
+            col("fi").as(s"${nm}_fi"), col("b_re").as(s"${nm}_re"),
+            col("b_im").as(s"${nm}_im"))),
+          col(s"${nm}_li") === col("l0") + dli && col(s"${nm}_mi") === col("m0") + dmi
+            && col(s"${nm}_fi") === col("chan"))
+      val dl = col("dl"); val dm = col("dm")
+      def blend(sfx: String) =
+        (lit(1e0) - dl) * (lit(1e0) - dm) * col(s"c00_$sfx") +
+          (lit(1e0) - dl) * dm * col(s"c01_$sfx") +
+          dl * (lit(1e0) - dm) * col(s"c10_$sfx") +
+          dl * dm * col(s"c11_$sfx")
+      j.select(col("src_id"), col("time_index"), col("ant"), col("chan"),
+        Det.r6(blend("re")).as("e_re"), Det.r6(blend("im")).as("e_im"))
+    },
+
     // -- R8: Zernike polynomial beam, Noll modes 1-6, per-antenna coeffs.
     Q("r08_zernike", {
       val x = "(-2e-1 + src_id * 25e-3)"
