@@ -57,4 +57,32 @@ object WStack {
         fsum(col("cim") * col("wi") * col("wj")).as("g_im"),
         count(lit(1)).as("n_hits"))
   }
+
+  /** Adjoint: sample each row's OWN w-plane grid with the stencil, then
+    * back-rotate by the residual-w phase conjugate — the degrid half of
+    * the w-stacked round trip. The gather uses the same fixed-point sum
+    * discipline as the grid (grid values are inexact doubles; a raw sum
+    * would be order-dependent). Output: (row_id, dg_re, dg_im). */
+  def planeDegrid(pts: DataFrame, grids: DataFrame,
+                  taps: Seq[(Int, Double)],
+                  nPlanes: Int, wMax: Double, eta: Double,
+                  fsum: Column => Column): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val (p, _, dw) = planeCols(col("w"), nPlanes, wMax)
+    val t = taps.toDF("off", "tap")
+    val ti = broadcast(t.select(col("off").as("oi"), col("tap").as("wi")))
+    val tj = broadcast(t.select(col("off").as("oj"), col("tap").as("wj")))
+    val gathered = pts.withColumn("wplane", p).withColumn("dw", dw)
+      .crossJoin(ti).crossJoin(tj)
+      .withColumn("gu", col("pu") + col("oi"))
+      .withColumn("gv", col("pv") + col("oj"))
+      .join(grids, Seq("wplane", "gu", "gv"))
+      .groupBy("row_id", "dw")
+      .agg(fsum(col("g_re") * col("wi") * col("wj")).as("s_re"),
+        fsum(col("g_im") * col("wi") * col("wj")).as("s_im"))
+    val f = residualFactor(col("dw"), eta).conj
+    val v = CxCol(col("s_re"), col("s_im")) * f
+    gathered.select(col("row_id"), v.re.as("dg_re"), v.im.as("dg_im"))
+  }
 }

@@ -123,6 +123,66 @@ object GriddingQ {
         eta = 1e-2, fsum = c => Det.fsum(c))
     },
 
+    // -- the adjoint of f09: degrid each row from its OWN w-plane's grid
+    //    with the same stencil, then back-rotate by the residual-w phase
+    //    conjugate — the full w-stacked vis → grid → vis round trip. The
+    //    gather re-uses the fixed-point sum discipline (grid values are
+    //    inexact doubles); the rotation is a single deterministic complex
+    //    product, so no output rounding is needed.
+    Q("f10_wstack_degrid", {
+      val spacing = "(2e0 * 5e0 / 3e0)"
+      val theta = "2e0 * pi() * 1e-2 * dw"
+      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)}),
+         |$tapsSql,
+         |pts AS (
+         |  SELECT rws.row_id, rws.w,
+         |    CAST(ROUND(rws.u * 25e-2) AS BIGINT) AS pu,
+         |    CAST(ROUND(rws.v * 25e-2) AS BIGINT) AS pv,
+         |    cv.xx_re AS re, cv.xx_im AS im
+         |  FROM rws JOIN cv ON rws.row_id = cv.row_id),
+         |wp AS (
+         |  SELECT *, LEAST(GREATEST(
+         |      CAST(ROUND((w + 5e0) / $spacing) AS BIGINT), 0), 3) AS wplane
+         |  FROM pts),
+         |rt AS (
+         |  SELECT *, w - (-5e0 + CAST(wplane AS DOUBLE) * $spacing) AS dw
+         |  FROM wp),
+         |c AS (
+         |  SELECT *,
+         |    re*cos($theta) - im*sin($theta) AS cre,
+         |    re*sin($theta) + im*cos($theta) AS cim
+         |  FROM rt),
+         |grid AS (
+         |  SELECT wplane, pu + ti.off AS gu, pv + tj.off AS gv,
+         |    ${Det.fsumSql("cre * ti.tap * tj.tap")} AS g_re,
+         |    ${Det.fsumSql("cim * ti.tap * tj.tap")} AS g_im
+         |  FROM c, taps ti, taps tj
+         |  GROUP BY wplane, pu + ti.off, pv + tj.off),
+         |gath AS (
+         |  SELECT rt.row_id, rt.dw,
+         |    ${Det.fsumSql("grid.g_re * ti.tap * tj.tap")} AS s_re,
+         |    ${Det.fsumSql("grid.g_im * ti.tap * tj.tap")} AS s_im
+         |  FROM rt, taps ti, taps tj, grid
+         |  WHERE grid.wplane = rt.wplane
+         |    AND grid.gu = rt.pu + ti.off AND grid.gv = rt.pv + tj.off
+         |  GROUP BY rt.row_id, rt.dw)
+         |SELECT row_id,
+         |  s_re*cos($theta) - s_im*(-sin($theta)) AS dg_re,
+         |  s_re*(-sin($theta)) + s_im*cos($theta) AS dg_im
+         |FROM gath""".stripMargin
+    }) { (s, dir) =>
+      val p = uvwRows(s, dir, 16)
+        .join(corrVis(s, dir, 16), "row_id")
+        .select(col("row_id"), col("w"),
+          round(col("u") * 25e-2).cast("long").as("pu"),
+          round(col("v") * 25e-2).cast("long").as("pv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      val grids = graft.operators.WStack.planeGrids(p, Taps, nPlanes = 4,
+        wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c)).drop("n_hits")
+      graft.operators.WStack.planeDegrid(p, grids, Taps, nPlanes = 4,
+        wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c))
+    },
+
     // -- F9: the Perley-polyhedron policy families end to end on one row
     //    set — facet baseline transforms ("rotate" + "wlinapprox"), the
     //    facet phase rotation, and an imaginary-coefficient stokes policy
