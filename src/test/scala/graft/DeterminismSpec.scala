@@ -7,10 +7,17 @@ import graft.queries.SyntheticMs
 /** Guards the cross-engine float-determinism contract for the hash-compared
   * transcendental queries (CLAUDE.md float rules).
   *
+  * r01 itself no longer hashes trig — it hashes the phase, which is pure
+  * IEEE-correctly-rounded arithmetic (*, /, +, -, sqrt) and therefore
+  * bit-identical cross-engine unconditionally. These guards now protect
+  * the queries that DO evaluate cos/sin of this same phase grid and pass
+  * through a rounding layer (r09 and the x01-x08 fsum aggregates):
+  *
   * 1. Trig arguments must stay SMALL: for |phase| ≲ a few radians the JVM
   *    and DuckDB libms agree to ≤1 ulp (~2.2e-16); large arguments go
-  *    through env-sensitive range reduction with errors up to ~1e-11 that
-  *    flipped r01's round(x·1e6) boundary on the driver's DuckDB.
+  *    through env-sensitive range reduction with errors up to ~1e-11 —
+  *    which is what flipped r01's round(x·1e6) hash in rounds 1-2 before
+  *    the phase-only rewrite.
   * 2. No rounded value may sit NEAR a .5 boundary of its scale: a 1-ulp
   *    disagreement then cannot flip the rounded digit. With small args the
   *    flip window is |frac(x·1e6) − .5| < 2.2e-10; we assert a 100× margin.

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Measures (and PRINTS) the data margins that make s02's hash robust to
+  * the driver DuckDB's ns-parquet read semantics (truncate / round /
+  * keep-ns — see EventsQ header):
+  *
+  *  1. second-boundary margin: a ±1 µs read perturbation flips a
+  *     seconds-truncated timestamp only if an event sits < 1 µs below a
+  *     second boundary. Asserted > 1 µs at every available SF.
+  *  2. 30-min gap margin: a ±1 µs perturbation flips a session split only
+  *     if some per-user µs gap sits within 1 µs of exactly 30 min.
+  *     Asserted > 1 ms at every available SF.
+  */
+class TsProbeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1").filter(d => new java.io.File(d + "/events.parquet").exists)
+
+  test("events sit well clear of second boundaries (s02 t_start/t_end safety)") {
+    for (dir <- sfs) {
+      val ns = core.Tables.events(spark, dir).select(col("ts"))
+      val row = ns.agg(
+        max(expr("ts % 1000000000")).as("max_subsec"),
+        count(lit(1)).as("n")).head()
+      val maxSub = row.getLong(0)
+      val marginNs = 1000000000L - maxSub
+      info(s"$dir: n=${row.getLong(1)} max sub-second offset = $maxSub ns " +
+        s"(margin to boundary = $marginNs ns; danger < 1000 ns)")
+      assert(marginNs > 1000L,
+        s"$dir: an event sits $marginNs ns below a second boundary — " +
+          "seconds-truncated t_start/t_end would be read-semantics sensitive")
+    }
+  }
+
+  test("no per-user gap sits near the 30-min session boundary") {
+    val gapUs = 1800000000L
+    for (dir <- sfs) {
+      val ev = core.Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tus", "event_id")
+      val minDist = ev
+        .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .agg(min(abs(col("gap") - gapUs)).as("d")).head().getLong(0)
+      info(s"$dir: min |gap - 30min| = $minDist µs (danger < 2 µs)")
+      assert(minDist > 2000L,
+        s"$dir: a session gap sits $minDist µs from the 30-min boundary")
+    }
+  }
+}
