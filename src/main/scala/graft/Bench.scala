@@ -52,15 +52,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // total FIRST so a tail-truncated capture still carries the headline;
-    // per-query map (3 dp) kept short, and the full line also goes to a file.
-    val line =
+    val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qs}"""
-    println(line)
+    // The driver captures the TAIL of stdout, so the long per-query line
+    // goes first (and to bench_results.json), and a SHORT headline object
+    // is the very LAST stdout line — it survives truncation and parses.
+    println(full)
     try {
       val w = new java.io.PrintWriter("bench_results.json")
-      w.println(line); w.close()
+      w.println(full); w.close()
     } catch { case _: Throwable => }
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
   }
 }
