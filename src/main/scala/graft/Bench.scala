@@ -40,7 +40,14 @@ object Bench {
         None
       }
     }
-    val results = SparkEntry.registry.map { q =>
+    // optional comma-separated name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
+      case None => SparkEntry.registry
+    }
+    val results = selected.map { q =>
       val v = (once(q), once(q)) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case _ => -1.0

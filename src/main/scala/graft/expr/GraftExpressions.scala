@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst extensions — the "custom Expression beats UDF" tier of
   * SURVEY §7.3 — registered through `SparkSessionExtensions` (class
@@ -76,6 +77,67 @@ case class KahanSum(child: Expression)
     copy(child = newChild)
 }
 
+/** 16-bit hyperplane LSH code over a quantized (long) embedding array:
+  * bit j is set iff Σ_i qv[i] · h(i, j) > 0 with the deterministic
+  * integer hyperplane h(i, j) = ((i+1)(2654435761 + 40503 j)) mod 2048
+  * − 1024. ONE codegen pass over the array computes all 16 projections —
+  * the declarative formulation (aggregate over sequence(0,15) of an inner
+  * transform+aggregate) walks the array 16 times through interpreted
+  * lambdas and dominated e02's bench time. Exact integer arithmetic, so
+  * the DuckDB oracle (same formula via generate_series) is unchanged. */
+case class LshCode16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_code16"
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val acc = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = 0
+      while (j < 16) {
+        acc(j) += x * (((i + 1L) * (2654435761L + j * 40503L)) % 2048L - 1024L)
+        j += 1
+      }
+      i += 1
+    }
+    var code = 0L
+    var j = 0
+    while (j < 16) { if (acc(j) > 0L) code |= (1L << j); j += 1 }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val code = ctx.freshName("code")
+      s"""
+         |long[] $acc = new long[16];
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    $acc[$j] += $x * ((($i + 1L) * (2654435761L + $j * 40503L)) % 2048L - 1024L);
+         |  }
+         |}
+         |long $code = 0L;
+         |for (int $j = 0; $j < 16; $j++) {
+         |  if ($acc[$j] > 0L) $code |= (1L << $j);
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshCode16 =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("sinc"),
@@ -83,7 +145,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Sinc(Cast(args.head, DoubleType))),
     (FunctionIdentifier("kahan_sum"),
       new ExpressionInfo(classOf[KahanSum].getName, "kahan_sum"),
-      (args: Seq[Expression]) => KahanSum(Cast(args.head, DoubleType)).toAggregateExpression()))
+      (args: Seq[Expression]) => KahanSum(Cast(args.head, DoubleType)).toAggregateExpression()),
+    (FunctionIdentifier("lsh_code16"),
+      new ExpressionInfo(classOf[LshCode16].getName, "lsh_code16"),
+      (args: Seq[Expression]) => LshCode16(args.head)))
 
   def injectInto(ext: SparkSessionExtensions): Unit =
     fns.foreach(ext.injectFunction)

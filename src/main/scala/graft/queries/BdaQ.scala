@@ -125,9 +125,11 @@ object BdaQ {
          |  (t1 + 5e-1) - (t0 - 5e-1) AS ivl_out
          |FROM bn""".stripMargin
     }) { (s, dir) =>
-      val av = bdaRows(s, dir)
-      val m = mapped(s, dir).select("row_id", "bin")
-      val bb = av.join(m, "row_id")
+      // the mapper carries `time` through its one baseline shuffle, so the
+      // bin extents aggregate directly off its output — no second window
+      // over orders and no row_id join-back
+      val bb = Bda.mapperWithPayload(bdaRows(s, dir),
+          MaxUvw, Tol, 4.0, 4, FracBw, Nil)
         .groupBy("ant1", "ant2", "bin")
         .agg(min(col("time")).as("t0"), max(col("time")).as("t1"))
       val a1 = col("ant1"); val a2 = col("ant2")
@@ -186,12 +188,13 @@ object BdaQ {
          |  SUM(exposure * time) / SUM(exposure) AS time_centroid,
          |  CAST(COUNT(*) AS BIGINT) AS n_samples
          |FROM cx GROUP BY ant1, ant2, bin, ochan""".stripMargin) { (s, dir) =>
-      val av = bdaRows(s, dir)
-      val m = mapped(s, dir).select("row_id", "bin", "nchan_out")
+      // exposure rides the mapper's baseline shuffle (carry column) — the
+      // former orders-sized row_id join-back is gone
+      val m = Bda.mapperWithPayload(bdaRows(s, dir),
+        MaxUvw, Tol, 4.0, 4, FracBw, Seq("exposure"))
       val ch = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 4)
         .select(col("n_nationkey").cast("long").as("chan")))
-      av.join(m, "row_id")
-        .crossJoin(ch)
+      m.crossJoin(ch)
         .withColumn("ochan",
           (col("chan") / (lit(4L) / col("nchan_out")).cast("long")).cast("long"))
         .withColumn("vre", ((col("row_id") * 5 + col("chan") * 3) % 17 - 8) / 16e0)

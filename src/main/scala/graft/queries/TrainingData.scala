@@ -418,22 +418,21 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
-      // signatures + dots as higher-order expressions over the raw array
-      // columns — no explode, no position join (i + 1 matches the
-      // oracle's 1-based generate_series positions; integer sums are
-      // order-free so the oracle is unchanged)
+      // signatures via the one-pass codegen `lsh_code16` expression (all
+      // 16 hyperplane projections in a single array walk inside
+      // whole-stage codegen — the former declarative 16-pass nested
+      // aggregate was interpreted per row and dominated the bench); dots
+      // as higher-order expressions over the raw array columns — no
+      // explode, no position join (the codegen i + 1 matches the oracle's
+      // 1-based generate_series positions; integer sums are order-free so
+      // the oracle is unchanged)
+      graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
-      val code = expr(
-        """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
-          |  CASE WHEN aggregate(transform(qv, (x, i) ->
-          |         x * ((CAST(i + 1 AS BIGINT) * (2654435761 + CAST(j AS BIGINT) * 40503)) % 2048 - 1024)),
-          |       0L, (a, x) -> a + x) > 0
-          |  THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-        .withColumn("code", code)
+        .withColumn("code", expr("lsh_code16(qv)"))
       // Hamming<=2 probe masks: the identity, every single bit, and every
       // bit pair — a STATIC 137-element list, exploded on the (tiny) query
       // side only
