@@ -19,8 +19,15 @@ object GlobalIndex {
   def byOrder(df: DataFrame, cols: Seq[Column], out: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    // materialize ONE range partitioning before deriving both jobs:
+    // repartitionByRange samples boundaries per execution, so without
+    // this the counts job and the numbering job could partition
+    // differently once the reservoir sample stops covering the data —
+    // the offsets would then attach to the wrong _pid and the index
+    // would be silently non-dense exactly at scale
     val sorted = df.repartitionByRange(cols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // per-partition cardinalities: numPartitions values on the driver
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

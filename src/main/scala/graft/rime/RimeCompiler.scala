@@ -201,13 +201,19 @@ object RimeCompiler {
     else if (dieLetters == Set('G')) {
       // scalar diagonal gains never mix correlations — apply g_p·x·g_q*
       // per requested corr (the 2×2 chain would add value-neutral 0·y
-      // terms that perturb signed zeros against the hand-written oracles)
+      // terms that perturb signed zeros against the hand-written oracles).
+      // Sides are honored: a one-sided spec like "(Gp,Kpq,Bpq)" applies
+      // the p-side factor only.
       val withG = graft.queries.Predict.withGains(summed, gainsDf.get)
       val gp = CxCol(col("gp_re"), col("gp_im"))
       val gq = CxCol(col("gq_re"), col("gq_im"))
+      val applyP = spec.leftDie.contains('G')
+      val applyQ = spec.rightDie.contains('G')
       val outCols = spec.corrs.flatMap { c =>
         val n = c.toLowerCase
-        val v = gp * CxCol(col(s"${n}_re"), col(s"${n}_im")) * gq.conj
+        var v = CxCol(col(s"${n}_re"), col(s"${n}_im"))
+        if (applyP) v = gp * v
+        if (applyQ) v = v * gq.conj
         Seq(v.re.as(s"${n}_re"), v.im.as(s"${n}_im"))
       }
       withG.select((col("row_id") +: col("chan") +: outCols): _*)

@@ -66,10 +66,16 @@ class PlanSpec extends AnyFunSuite {
     // data path itself must be partitioned
     val df = SparkEntry.queries("a14_row_mapper_full")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("MapPartitions") || plan.contains("HashAggregate"))
-    // bins relation window is partitioned by _pid
-    assert(plan.contains("Window [") || plan.contains("RunningWindowFunction")
-      || plan.contains("row_number"))
+    // the actual invariant: nothing funnels the data through one task.
+    // GlobalIndex collects its per-partition counts eagerly (they never
+    // appear in this plan), so ANY Exchange SinglePartition here means a
+    // data-sized global window/sort regressed into the a14 path.
+    assert(!plan.contains("Exchange SinglePartition"),
+      "a14 plan funnels data through a single partition:\n" + plan)
+    // and the numbering window must be keyed (partitioned by _pid)
+    assert("Window .*_pid".r.findFirstIn(plan).isDefined
+      || !plan.contains("Window ["),
+      "unpartitioned window in a14 plan")
   }
 
   test("lineitem scans prune to referenced columns") {

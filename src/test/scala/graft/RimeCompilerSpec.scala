@@ -45,6 +45,49 @@ class RimeCompilerSpec extends AnyFunSuite {
       RimeSpec.parse("(Kpq): [I] -> [AA]"))
   }
 
+  test("one-sided gain spec applies only that side's factor") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    val src = graft.queries.SyntheticMs.sources(spark, sf, 3)
+      .withColumn("i", col("flux"))
+    val rows = graft.queries.SyntheticMs.uvwRows(spark, sf, 64)
+    val chans = graft.queries.SyntheticMs.channels(spark, sf, 2)
+    val gains = graft.queries.SyntheticMs.gains(spark, sf)
+    def run(s: String) = graft.rime.RimeCompiler
+      .plan(s, src, rows, chans, gainsDf = Some(gains))
+      .select("row_id", "chan", "xx_re", "xx_im")
+    val both = run("(Gp,Kpq,Bpq,Gq): [I] -> [XX]")
+      .withColumnsRenamed(Map("xx_re" -> "b_re", "xx_im" -> "b_im"))
+    val pOnly = run("(Gp,Kpq,Bpq): [I] -> [XX]")
+    // a p-side-only spec must differ from the two-sided product wherever
+    // the q gain is not identity — if the q factor leaked in (the old
+    // scalar-branch bug), these would be equal everywhere
+    val differing = pOnly.join(both, Seq("row_id", "chan"))
+      .filter(abs(col("xx_re") - col("b_re")) +
+        abs(col("xx_im") - col("b_im")) > 1e-12).count()
+    assert(differing > 0, "p-only spec matched the two-sided product — " +
+      "q-side gain was applied despite Gq being absent")
+    // and against the direct construction: undoing the q gain from the
+    // two-sided result must reproduce the p-only result exactly
+    val gq = gains.select(col("time_index").as("qt"), col("ant").as("qa"),
+      col("g_re").as("qre"), col("g_im").as("qim"))
+    val rowAnts = rows.select(col("row_id").as("rid"), col("time_index").as("rt"),
+      col("ant2").as("ra2"))
+    val undone = both.join(rowAnts, col("row_id") === col("rid"))
+      .join(gq, col("rt") === col("qt") && col("ra2") === col("qa"))
+      // b / conj(gq) = b * gq / |gq|^2
+      .select(col("row_id"), col("chan"),
+        ((col("b_re") * col("qre") - col("b_im") * col("qim"))
+          / (col("qre") * col("qre") + col("qim") * col("qim"))).as("u_re"),
+        ((col("b_im") * col("qre") + col("b_re") * col("qim"))
+          / (col("qre") * col("qre") + col("qim") * col("qim"))).as("u_im"))
+    val mism = pOnly.join(undone, Seq("row_id", "chan"))
+      .filter(abs(col("xx_re") - col("u_re")) +
+        abs(col("xx_im") - col("u_im")) > 1e-9).count()
+    assert(mism === 0)
+  }
+
   test("implicit-zero stokes: [I] alone gives XX == YY") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
