@@ -58,6 +58,46 @@ object WStack {
         count(lit(1)).as("n_hits"))
   }
 
+  /** The imaging back half on the ORACLE-CHECKABLE path: a sparse DFT of
+    * each plane's occupied cells at a small pixel set, per-plane
+    * image-domain w-correction e^{2πi·w_p·η(l,m)} (η = −(l²+m²)/2, the
+    * small-angle (n−1) map of vis2im.py's per-plane correction), plane
+    * sum, and detaper (division by the gridding kernel's transform,
+    * perleypolyhedron/kernels.py:99-186's compute_detaper analogue).
+    *
+    * For a production-size image the dense plane-parallel FFT
+    * ([[Fft.planeImages]]) replaces the sparse DFT — same surrounding
+    * algebra, validated equivalent in FftSpec. Here every sum is
+    * fixed-point (fsum) and every trig argument stays ≲ 2π, so the whole
+    * vis→image pipeline hash-matches DuckDB.
+    *
+    * `px` columns: x, y (longs), lx, my (pixel coords, dyadic). Output:
+    * (x, y, dirty, dirty_dt). */
+  def dirtyImageDft(grids: DataFrame, px: DataFrame,
+                    taps: Seq[(Int, Double)],
+                    nPlanes: Int, wMax: Double,
+                    fsum: Column => Column,
+                    r6: Column => Column): DataFrame = {
+    val spacing = 2.0 * wMax / (nPlanes - 1)
+    val theta = lit(2.0 * math.Pi) * (col("gu") * col("lx") + col("gv") * col("my"))
+    val pimg = grids.crossJoin(broadcast(px))
+      .groupBy("wplane", "x", "y", "lx", "my")
+      .agg(
+        fsum(col("g_re") * cos(theta) - col("g_im") * sin(theta)).as("img_re"),
+        fsum(col("g_re") * sin(theta) + col("g_im") * cos(theta)).as("img_im"))
+    val wp = lit(-wMax) + col("wplane").cast("double") * spacing
+    val etam = -(col("lx") * col("lx") + col("my") * col("my")) / 2.0
+    val ph = lit(2.0 * math.Pi) * wp * etam
+    val dirty = pimg
+      .groupBy("x", "y", "lx", "my")
+      .agg(fsum(col("img_re") * cos(ph) - col("img_im") * sin(ph)).as("dirty"))
+    def taper(c: Column): Column = taps.map { case (off, tap) =>
+      lit(tap) * cos(lit(2.0 * math.Pi) * lit(off.toDouble) * c)
+    }.reduce(_ + _)
+    dirty.select(col("x"), col("y"), col("dirty"),
+      r6(col("dirty") / (taper(col("lx")) * taper(col("my")))).as("dirty_dt"))
+  }
+
   /** Adjoint: sample each row's OWN w-plane grid with the stencil, then
     * back-rotate by the residual-w phase conjugate — the degrid half of
     * the w-stacked round trip. The gather uses the same fixed-point sum

@@ -183,6 +183,85 @@ object GriddingQ {
         wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c))
     },
 
+    // -- F1-F5 completed: the imaging back half. Per-plane sparse DFT of
+    //    the w-stack grids at an 8x8 pixel set, image-domain per-plane
+    //    w-correction e^{2πi·wp·η(l,m)} (η = −(l²+m²)/2), plane sum, and
+    //    detaper by the kernel transform — vis → grid → dirty image end to
+    //    end, every sum fixed-point, every trig argument ≲ 2π. The dense
+    //    production path is the plane-parallel JVM FFT (graft.operators
+    //    .Fft), proven equal to this DFT algebra in FftSpec.
+    Q("f11_wstack_dirty", {
+      val spacing = "(2e0 * 5e0 / 3e0)"
+      val theta = "2e0 * pi() * 1e-2 * dw"
+      val dftArg = "2e0 * pi() * (gu*lx + gv*my)"
+      val ph = s"2e0 * pi() * (-5e0 + CAST(wplane AS DOUBLE) * $spacing) * (-(lx*lx + my*my)/2e0)"
+      def taperSql(c: String) = Taps.map { case (off, tap) =>
+        val t = if (tap == 1.0) "1e0" else if (tap == 0.5) "5e-1" else "25e-2"
+        s"$t * cos(2e0*pi() * ${off.toDouble.toInt}e0 * $c)"
+      }.mkString(" + ")
+      s"""WITH rws AS (${uvwRowsSql(32)}), cv AS (${corrVisSql(32)}),
+         |$tapsSql,
+         |pts AS (
+         |  SELECT rws.row_id, rws.w,
+         |    CAST(ROUND(rws.u * 25e-2) AS BIGINT) AS pu,
+         |    CAST(ROUND(rws.v * 25e-2) AS BIGINT) AS pv,
+         |    cv.xx_re AS re, cv.xx_im AS im
+         |  FROM rws JOIN cv ON rws.row_id = cv.row_id),
+         |wp AS (
+         |  SELECT *, LEAST(GREATEST(
+         |      CAST(ROUND((w + 5e0) / $spacing) AS BIGINT), 0), 3) AS wplane
+         |  FROM pts),
+         |rt AS (
+         |  SELECT *, w - (-5e0 + CAST(wplane AS DOUBLE) * $spacing) AS dw
+         |  FROM wp),
+         |c AS (
+         |  SELECT *,
+         |    re*cos($theta) - im*sin($theta) AS cre,
+         |    re*sin($theta) + im*cos($theta) AS cim
+         |  FROM rt),
+         |grid AS (
+         |  SELECT wplane, pu + ti.off AS gu, pv + tj.off AS gv,
+         |    ${Det.fsumSql("cre * ti.tap * tj.tap")} AS g_re,
+         |    ${Det.fsumSql("cim * ti.tap * tj.tap")} AS g_im
+         |  FROM c, taps ti, taps tj
+         |  GROUP BY wplane, pu + ti.off, pv + tj.off),
+         |px AS (
+         |  SELECT CAST(t.n_nationkey AS BIGINT) AS x,
+         |    CAST(a.n_nationkey AS BIGINT) AS y,
+         |    (CAST(t.n_nationkey AS DOUBLE) - 4e0)/1024e0 AS lx,
+         |    (CAST(a.n_nationkey AS DOUBLE) - 4e0)/1024e0 AS my
+         |  FROM nation t, nation a
+         |  WHERE t.n_nationkey < 8 AND a.n_nationkey < 8),
+         |pimg AS (
+         |  SELECT wplane, x, y, lx, my,
+         |    ${Det.fsumSql(s"g_re*cos($dftArg) - g_im*sin($dftArg)")} AS img_re,
+         |    ${Det.fsumSql(s"g_re*sin($dftArg) + g_im*cos($dftArg)")} AS img_im
+         |  FROM grid, px GROUP BY wplane, x, y, lx, my),
+         |dirty AS (
+         |  SELECT x, y, lx, my,
+         |    ${Det.fsumSql(s"img_re*cos($ph) - img_im*sin($ph)")} AS dirty
+         |  FROM pimg GROUP BY x, y, lx, my)
+         |SELECT x, y, dirty,
+         |  ${Det.r6Sql(s"dirty / ((${taperSql("lx")}) * (${taperSql("my")}))")} AS dirty_dt
+         |FROM dirty""".stripMargin
+    }) { (s, dir) =>
+      val p = uvwRows(s, dir, 32)
+        .join(corrVis(s, dir, 32), "row_id")
+        .select(col("row_id"), col("w"),
+          round(col("u") * 25e-2).cast("long").as("pu"),
+          round(col("v") * 25e-2).cast("long").as("pv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      val grids = graft.operators.WStack.planeGrids(p, Taps, nPlanes = 4,
+        wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c)).drop("n_hits")
+      val nat = graft.core.Tables.nation(s, dir).filter(col("n_nationkey") < 8)
+      val px = nat.select(col("n_nationkey").cast("long").as("x"))
+        .crossJoin(nat.select(col("n_nationkey").cast("long").as("y")))
+        .withColumn("lx", (col("x").cast("double") - lit(4e0)) / 1024e0)
+        .withColumn("my", (col("y").cast("double") - lit(4e0)) / 1024e0)
+      graft.operators.WStack.dirtyImageDft(grids, px, Taps,
+        nPlanes = 4, wMax = 5.0, fsum = c => Det.fsum(c), r6 = Det.r6)
+    },
+
     // -- F9: the Perley-polyhedron policy families end to end on one row
     //    set — facet baseline transforms ("rotate" + "wlinapprox"), the
     //    facet phase rotation, and an imaginary-coefficient stokes policy
