@@ -39,4 +39,28 @@ object Averaging {
     * `average_visibilities` intrinsic, time_and_channel_avg.py:277-412). */
   def wmean(w: Column, v: Column): Column =
     sum(cwhen(w * v)) / sum(cwhen(w))
+
+  /** merge_flags (africanus/averaging/shared.py:19-80): a row-level flag
+    * derived from the per-(chan, corr) flag array — set iff EVERY element
+    * is flagged. When an explicit flag_row accompanies the array the
+    * reference validates agreement; deriving from the array is the
+    * authoritative direction. */
+  def mergeFlagRow(flagArray: Column): Column = forall(flagArray, x => x)
+
+  /** Two-tier bin statistic (the row_mapper docstring semantics,
+    * time_and_channel_mapping.py:255-308 + docstring 66-120): average of
+    * the UNFLAGGED samples when the bin has any, otherwise the average of
+    * the flagged ones. `value` and the guard are evaluated per row inside
+    * one aggregation — no window needed. */
+  def twoTierAvg(value: Column, flagRow: Column): Column = {
+    val nOk = sum(when(!flagRow, 1L))
+    when(nOk > 0, sum(when(!flagRow, value)) / nOk)
+      .otherwise(sum(value) / count(lit(1)))
+  }
+
+  /** Two-tier sum (interval/exposure accumulate over the same tier the
+    * average uses). */
+  def twoTierSum(value: Column, flagRow: Column): Column =
+    when(sum(when(!flagRow, 1L)) > 0, sum(when(!flagRow, value)))
+      .otherwise(sum(value))
 }

@@ -279,6 +279,67 @@ object AveragingQ {
         .select("row_id", "out_row", "time_avg", "ivl_sum", "flag_out")
     },
 
+    // -- A2 FULL flag semantics: flag_row derived from the per-channel
+    //    flag array by merge_flags (all-set ⇒ row flagged, shared.py:19-80)
+    //    and the TWO-TIER bin statistics of row_mapper
+    //    (time_and_channel_mapping.py:66-120, 255-308): bin time/interval
+    //    average over the UNFLAGGED rows when any exist, over the flagged
+    //    rows otherwise; the bin flag is the all-flagged consensus. The
+    //    fixture makes the first bin of every 64-seq block ALL flagged
+    //    (seq%64<4 rows) so the fallback tier executes, scatters
+    //    partially-flagged rows (row_id%11) through mixed bins so the two
+    //    tiers genuinely differ from the nominal average, and adds
+    //    channel-local flags that must NOT reach flag_row (the merge only
+    //    fires when every channel agrees).
+    Q("a15_row_mapper_flags",
+      """WITH f0 AS (
+        |  SELECT o_orderkey AS row_id,
+        |    o_orderkey % 4 AS ant1,
+        |    (o_orderkey % 16) // 4 AS ant2,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4, (o_orderkey % 16) // 4
+        |                       ORDER BY o_orderkey) - 1 AS seq
+        |  FROM orders),
+        |f AS (
+        |  SELECT row_id, ant1, ant2, seq,
+        |    1e3 + seq * 1e0 AS time, 1e0 AS ivl,
+        |    (seq % 64 < 4) OR (row_id % 11 = 0) AS flag_row,
+        |    CAST(seq // 4 AS BIGINT) AS bin
+        |  FROM f0)
+        |SELECT ant1, ant2, bin,
+        |  CASE WHEN SUM(CASE WHEN NOT flag_row THEN 1 END) > 0
+        |       THEN SUM(CASE WHEN NOT flag_row THEN time END)
+        |            / SUM(CASE WHEN NOT flag_row THEN 1 END)
+        |       ELSE SUM(time) / COUNT(*) END AS time_out,
+        |  CASE WHEN SUM(CASE WHEN NOT flag_row THEN 1 END) > 0
+        |       THEN SUM(CASE WHEN NOT flag_row THEN ivl END)
+        |       ELSE SUM(ivl) END AS ivl_out,
+        |  BOOL_AND(flag_row) AS flag_out,
+        |  CAST(SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM f GROUP BY ant1, ant2, bin""".stripMargin) { (s, dir) =>
+      val rows = avRows(s, dir)
+        .withColumn("time", lit(1e3) + col("seq").cast("double"))
+        // per-channel flag array; the closed form (seq%64<4 OR row_id%11=0)
+        // the oracle states emerges ONLY through the all-channels merge —
+        // the (row_id+c)%3 term flags scattered channels but can never
+        // cover all four, so it must not survive into flag_row
+        .withColumn("flags", expr(
+          """transform(sequence(0, 3), c ->
+            |  (seq % 64 < 4) OR (row_id % 11 = 0) OR ((row_id + c) % 3 = 0))""".stripMargin))
+        .withColumn("flag_row", Averaging.mergeFlagRow(col("flags")))
+        .select("row_id", "ant1", "ant2", "time", "ivl", "flag_row")
+      val binned = Sessionize.timeBinsFull(rows, 4.0)
+        .select(col("row_id").as("bid"), col("bin"))
+      rows.join(binned, col("row_id") === col("bid"))
+        .groupBy("ant1", "ant2", "bin")
+        .agg(
+          Averaging.twoTierAvg(col("time"), col("flag_row")).as("time_out"),
+          Averaging.twoTierSum(col("ivl"), col("flag_row")).as("ivl_out"),
+          bool_and(col("flag_row")).as("flag_out"),
+          sum(when(col("flag_row"), 1L).otherwise(0L)).as("n_flagged"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // -- A5: channel bin averages (africanus/averaging/time_and_channel_avg
     //    .py:680-753): mean freq, summed width per 2-channel bin.
     Q("a05_chan_average",

