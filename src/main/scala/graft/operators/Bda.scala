@@ -7,19 +7,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 /** Baseline-dependent averaging (BDA) binner — SURVEY §2.5 A8
   * (`bda_mapper`, africanus/averaging/bda_mapping.py:62-277).
   *
-  * Semantics kept from the reference: per baseline, rows sorted by time
-  * are greedily admitted to a bin while (a) the accumulated interval stays
-  * within `maxBinSecs` and (b) the decorrelation estimate
-  * sinc(π·|Δuvw|/maxUvwDist) stays above `decorrTol` (Δuvw measured from
-  * the bin's opening row — long/fast baselines close bins earlier).
+  * Bin-close rule is the reference Binner.add_row's (bda_mapping.py:
+  * 111-186): per baseline, rows sorted by time greedily extend a bin; a
+  * row is REFUSED (closing the bin) when either
+  *   - the fringe-decorrelation estimate sin(Ψ)/Ψ drops below sinc(D),
+  *     Ψ = |Δuvw|·ν_max·sin(|lm_max|)·π/c + 1e-8 with Δuvw measured from
+  *     the bin's STARTING row (long/fast baselines close earlier), or
+  *   - the edge-to-edge span (time+ivl/2 − (time_start−ivl_start/2))
+  *     exceeds `timeBinSecs`.
+  * Auto-correlated baselines take the Δuvw = 0 fast path and never close
+  * on decorrelation.
+  *
   * Per-row output channel count `nchan_out` is the decorrelation-snapped
   * factorization of `nchan` (bda_mapping.py:192-260): the smallest factor
-  * whose channel-group decorrelation sinc(ψ·g/2) still meets the
-  * tolerance, ψ = π·|uvw|/maxUvwDist·fracBw.
-  *
-  * The uvw speed model is simplified (uvw deltas in units of maxUvwDist
-  * instead of the full Atemkeng sinc² fit); the greedy structure, the
-  * dual close conditions, and the factor snapping are the reference's.
+  * whose channel-group decorrelation sinc(ψ·g/2) still meets `chanTol`,
+  * ψ = π·|uvw|/maxUvwDist·fracBw.
   *
   * Spark shape: identical to Sessionize — one repartition on the baseline
   * key, sortWithinPartitions, then a constant-memory streaming
@@ -28,23 +30,38 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Bda {
 
+  /** Speed of light (africanus/constants.py lightspeed). */
+  val C = 299792458.0
+
+  /** Reference parameterization of the binner (see object doc).
+    * `decorrelation` is the D of the sinc(D) close threshold; `maxLm` and
+    * `maxChanFreq` set the fringe-rate scale; `maxUvwDist`/`chanTol`/
+    * `fracBw` parameterize the channel-factor snap. */
+  final case class Config(
+      decorrelation: Double,
+      maxLm: Double,
+      maxChanFreq: Double,
+      timeBinSecs: Double,
+      maxUvwDist: Double,
+      chanTol: Double,
+      nchan: Int,
+      fracBw: Double)
+
   private def sinc(x: Double): Double = if (x == 0.0) 1.0 else math.sin(x) / x
 
   /** Input columns: row_id, ant1, ant2, time, ivl, u, v, w.
     * Output: (row_id, ant1, ant2, bin, nchan_out). */
-  def mapper(df: DataFrame, maxUvwDist: Double, decorrTol: Double,
-             maxBinSecs: Double, nchan: Int, fracBw: Double): DataFrame =
-    mapperWithPayload(df, maxUvwDist, decorrTol, maxBinSecs, nchan, fracBw, Nil)
+  def mapper(df: DataFrame, cfg: Config): DataFrame =
+    mapperWithPayload(df, cfg, Nil)
       .select("row_id", "ant1", "ant2", "bin", "nchan_out")
 
-  /** The same greedy binner, carrying `carry` payload columns through the
-    * one baseline shuffle — downstream averages (a09/a10) then need NO
+  /** The greedy binner, carrying `carry` payload columns through the one
+    * baseline shuffle — downstream averages (a09/a10) then need NO
     * join-back of an orders-sized relation on row_id (which cost a second
     * full window + a sort-merge join at bench time; at cluster scale it
     * doubled the shuffled bytes). Output: row_id, ant1, ant2, time, ivl,
     * u, v, w, carry..., bin, nchan_out. */
-  def mapperWithPayload(df: DataFrame, maxUvwDist: Double, decorrTol: Double,
-                        maxBinSecs: Double, nchan: Int, fracBw: Double,
+  def mapperWithPayload(df: DataFrame, cfg: Config,
                         carry: Seq[String]): DataFrame = {
     val base = Seq(
       col("row_id").cast("long").as("row_id"),
@@ -60,40 +77,42 @@ object Bda {
       Seq(StructField("bin", LongType, nullable = false),
         StructField("nchan_out", LongType, nullable = false)))
     val width = sel.schema.size
-    // precomputed per-(nchan_out candidate) thresholds don't help here:
-    // the factor snap is a ≤nchan probe over scalars, negligible per row
+    // sinc(D) threshold: numpy.sinc is the normalized sin(πx)/(πx)
+    val closeThresh = sinc(math.Pi * cfg.decorrelation)
+    val fringeScale = cfg.maxChanFreq * math.sin(math.abs(cfg.maxLm)) * math.Pi / C
     sel.repartition(col("ant1"), col("ant2"))
       .sortWithinPartitions(col("ant1"), col("ant2"), col("time"), col("row_id"))
       .mapPartitions { it =>
         var curA1 = -1L; var curA2 = -1L
         var bin = -1L
-        var acc = 0.0
-        var lastTime = Double.NaN
+        // bin-start row state (time/interval lower edge + uvw reference)
+        var tsLow = 0.0
         var u0 = 0.0; var v0 = 0.0; var w0 = 0.0
         it.map { r =>
           val a1 = r.getLong(1); val a2 = r.getLong(2)
           val time = r.getDouble(3); val ivl = r.getDouble(4)
           val u = r.getDouble(5); val v = r.getDouble(6); val w = r.getDouble(7)
           if (a1 != curA1 || a2 != curA2) {
-            curA1 = a1; curA2 = a2
-            bin = -1L; acc = 0.0; lastTime = Double.NaN
-            u0 = 0.0; v0 = 0.0; w0 = 0.0
+            curA1 = a1; curA2 = a2; bin = -1L
           }
-          if (lastTime != time) {
+          if (bin < 0L) {
+            bin = 0L; tsLow = time - ivl / 2.0; u0 = u; v0 = v; w0 = w
+          } else if (a1 != a2) { // auto-corr fast path: never closes
             val du = u - u0; val dv = v - v0; val dw = w - w0
-            val decorr = sinc(
-              math.Pi * math.sqrt(du * du + dv * dv + dw * dw) / maxUvwDist)
-            if (bin < 0L || acc + ivl > maxBinSecs || decorr < decorrTol) {
-              bin += 1L; acc = 0.0; u0 = u; v0 = v; w0 = w
+            val halfPsi =
+              math.sqrt(du * du + dv * dv + dw * dw) * fringeScale + 1.0e-8
+            val blDecorr = math.sin(halfPsi) / halfPsi
+            val dt = time + ivl / 2.0 - tsLow
+            if (blDecorr < closeThresh || dt > cfg.timeBinSecs) {
+              bin += 1L; tsLow = time - ivl / 2.0; u0 = u; v0 = v; w0 = w
             }
-            acc += ivl
-            lastTime = time
           }
           val blLen = math.sqrt(u * u + v * v + w * w)
-          val psi = math.Pi * blLen / maxUvwDist * fracBw
-          val f = (1 to nchan)
-            .find(k => nchan % k == 0 && sinc(psi * (nchan / k) / 2.0) >= decorrTol)
-            .getOrElse(nchan)
+          val psi = math.Pi * blLen / cfg.maxUvwDist * cfg.fracBw
+          val f = (1 to cfg.nchan)
+            .find(k => cfg.nchan % k == 0 &&
+              sinc(psi * (cfg.nchan / k) / 2.0) >= cfg.chanTol)
+            .getOrElse(cfg.nchan)
           val out = new Array[Any](width + 2)
           var i = 0
           while (i < width) { out(i) = r.get(i); i += 1 }

@@ -22,6 +22,17 @@ object BdaQ {
   private val Tol = 0.95
   private val FracBw = 0.2
 
+  /** Reference-parameterized binner config (Bda.Config): the fixture's
+    * per-baseline-constant uvw means the sinc close never fires (Δuvw = 0
+    * ⇒ blDecorr ≈ 1 ≥ sinc(πD) for any D > 0), cross-correlations close
+    * on the 4 s edge-to-edge span (dense unit intervals ⇒ bins of 4
+    * timesteps), and AUTO-correlations never close (the reference's
+    * add_row fast path) — the oracle states exactly that closed form. */
+  private val Cfg = Bda.Config(
+    decorrelation = 0.98, maxLm = 3.0, maxChanFreq = 14e8,
+    timeBinSecs = 4.0, maxUvwDist = MaxUvw, chanTol = Tol,
+    nchan = 4, fracBw = FracBw)
+
   /** MS rows with dense per-baseline times and baseline-constant uvw. */
   def bdaRows(s: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
@@ -53,7 +64,8 @@ object BdaQ {
       |  SELECT row_id, ant1, ant2, seq,
       |    1e3 + (seq % 64) * 1e0 AS time,
       |    (row_id % 3 + 1) / 4e0 AS exposure,
-      |    CAST((seq % 64) // 4 AS BIGINT) AS bin,
+      |    CASE WHEN ant1 = ant2 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST((seq % 64) // 4 AS BIGINT) END AS bin,
       |    pi() * sqrt((ant1*2 - ant2)*(ant1*2 - ant2)
       |      + (ant1 + ant2*2)*(ant1 + ant2*2)
       |      + ((ant1 - ant2)/2e0)*((ant1 - ant2)/2e0)) / 11e0 * 2e-1 AS psi
@@ -68,7 +80,7 @@ object BdaQ {
       |  FROM bdap)""".stripMargin
 
   private def mapped(s: SparkSession, dir: String): DataFrame =
-    Bda.mapper(bdaRows(s, dir), MaxUvw, Tol, 4.0, 4, FracBw)
+    Bda.mapper(bdaRows(s, dir), Cfg)
 
   val qs: Seq[Q] = Seq(
 
@@ -128,8 +140,7 @@ object BdaQ {
       // the mapper carries `time` through its one baseline shuffle, so the
       // bin extents aggregate directly off its output — no second window
       // over orders and no row_id join-back
-      val bb = Bda.mapperWithPayload(bdaRows(s, dir),
-          MaxUvw, Tol, 4.0, 4, FracBw, Nil)
+      val bb = Bda.mapperWithPayload(bdaRows(s, dir), Cfg, Nil)
         .groupBy("ant1", "ant2", "bin")
         .agg(min(col("time")).as("t0"), max(col("time")).as("t1"))
       val a1 = col("ant1"); val a2 = col("ant2")
@@ -190,8 +201,7 @@ object BdaQ {
          |FROM cx GROUP BY ant1, ant2, bin, ochan""".stripMargin) { (s, dir) =>
       // exposure rides the mapper's baseline shuffle (carry column) — the
       // former orders-sized row_id join-back is gone
-      val m = Bda.mapperWithPayload(bdaRows(s, dir),
-        MaxUvw, Tol, 4.0, 4, FracBw, Seq("exposure"))
+      val m = Bda.mapperWithPayload(bdaRows(s, dir), Cfg, Seq("exposure"))
       val ch = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 4)
         .select(col("n_nationkey").cast("long").as("chan")))
       m.crossJoin(ch)
