@@ -1,0 +1,74 @@
+package graft.io
+
+import java.io.File
+
+/** Deterministic MeqTrees-layout beam-cube FITS fixture — the Scala
+  * analogue of the reference's beam_factory
+  * (africanus/testing/beam_factory.py:37-165): odd npix, DEG-unit X/Y
+  * axes centred on CRPIX, a GFREQ1..N irregular frequency grid (jitter
+  * made deterministic so the DuckDB oracle can restate it), and the
+  * Westerbork cos³ beam model cos(min(65·ν_GHz·r, 1.0881))³.
+  */
+object BeamFixture {
+
+  val NPix = 9
+  val NFreq = 5
+  val CDeltDeg = 0.375 // 3-degree extent / (npix - 1)
+
+  def jitter(f: Int): Double =
+    if (f == 0 || f == NFreq - 1) 0.0 else ((f * 3) % 5 - 2) * 1e5
+
+  def freq(f: Int): Double = 856e6 + f * 214e6 + jitter(f)
+
+  def lDeg(x: Int): Double = (x - (NPix / 2)) * CDeltDeg
+
+  def rad(deg: Double): Double = deg * (math.Pi / 180.0)
+
+  def beamValue(x: Int, y: Int, f: Int): Double = {
+    val l = rad(lDeg(x)); val m = rad(lDeg(y))
+    val r = math.sqrt(l * l + m * m)
+    val c = math.cos(math.min(65e0 * (freq(f) * 1e-9) * r, 1.0881))
+    c * c * c
+  }
+
+  /** Write the fixture (idempotent — contents are deterministic). */
+  def ensure(path: String): String = {
+    val file = new File(path)
+    if (!file.exists()) {
+      val data = new Array[Double](NFreq * NPix * NPix)
+      var i = 0
+      for (f <- 0 until NFreq; y <- 0 until NPix; x <- 0 until NPix) {
+        data(i) = beamValue(x, y, f); i += 1
+      }
+      val cards = Seq(
+        "SIMPLE" -> "T",
+        "BITPIX" -> "-64",
+        "NAXIS" -> "3",
+        "NAXIS1" -> NPix.toString,
+        "NAXIS2" -> NPix.toString,
+        "NAXIS3" -> NFreq.toString,
+        "CTYPE1" -> "'X'",
+        "CUNIT1" -> "'DEG'",
+        "CRPIX1" -> (1 + NPix / 2).toString,
+        "CRVAL1" -> "0.0",
+        "CDELT1" -> CDeltDeg.toString,
+        "CTYPE2" -> "'Y'",
+        "CUNIT2" -> "'DEG'",
+        "CRPIX2" -> (1 + NPix / 2).toString,
+        "CRVAL2" -> "0.0",
+        "CDELT2" -> CDeltDeg.toString,
+        "CTYPE3" -> "'FREQ'",
+        "CRPIX3" -> "1",
+        "CRVAL3" -> "8.56E8",
+        "CDELT3" -> "2.14E8") ++
+        (1 to NFreq).map(k => s"GFREQ$k" -> freq(k - 1).toString)
+      Fits.write(path, cards, data)
+    }
+    path
+  }
+
+  /** Default fixture location (world-writable tmp, survives reruns). */
+  def defaultPath: String =
+    new File(System.getProperty("java.io.tmpdir"), "graft_beam_fixture.fits")
+      .getAbsolutePath
+}

@@ -53,4 +53,37 @@ object PredictPipeline {
           chans: DataFrame, ra0: Double, dec0: Double, outPath: String): Unit =
     modelData(spark, skyModelPath, uvw, chans, ra0, dec0)
       .write.mode("overwrite").partitionBy("chan").parquet(outPath)
+
+  /** The same pipeline fed from a Tigger ASCII sky model
+    * (rime/examples/predict.py:248-347): point AND gaussian morphologies,
+    * the standard power-law spectrum I·(ν/ν₀)^spi, and the gaussian uv
+    * taper (model/shape/gaussian_shape.py:11-66) applied to 'gau'
+    * components inside the same broadcast expansion + source sum. */
+  def modelDataFromTigger(spark: SparkSession, lsmPath: String,
+                          uvw: DataFrame, chans: DataFrame,
+                          ra0: Double, dec0: Double): DataFrame = {
+    // stokes U/V would collide with the uvw baseline columns downstream
+    val src = graft.io.TiggerReader.read(spark, lsmPath)
+      .withColumnsRenamed(Map("u" -> "stokes_u", "v" -> "stokes_v"))
+    val lmn = Coordinates.radecToLmn(col("ra"), col("dec"), lit(ra0), lit(dec0))
+    val srcLm = src.withColumn("l", lmn.l).withColumn("m", lmn.m)
+      .drop("ra", "dec")
+    val spec = col("i") * pow(col("freq") / col("freq0"), col("spi"))
+    // gaussian taper: rotate uv by pa, squash by the axis ratio,
+    // exp-decay with the frequency-scaled major extent
+    val u1 = (col("u") * cos(col("pa")) + col("v") * sin(col("pa"))) *
+      (col("emin") / col("emaj"))
+    val v1 = -col("u") * sin(col("pa")) + col("v") * cos(col("pa"))
+    val fsq = (col("freq") / Phase.C) * (col("freq") / Phase.C)
+    val k = lit(-(math.Pi * math.Pi)) / (lit(4e0) * log(lit(2e0)))
+    val taper = when(col("typecode") === "gau",
+      exp(k * fsq * (u1 * u1 + v1 * v1) * (col("emaj") * col("emaj"))))
+      .otherwise(lit(1e0))
+    val ph = Phase.phaseDelay(col("l"), col("m"),
+      col("u"), col("v"), col("w"), col("freq"))
+    uvw.crossJoin(broadcast(srcLm)).crossJoin(broadcast(chans))
+      .groupBy("row_id", "chan")
+      .agg(Det.fsum(spec * taper * ph.re).as("vre"),
+        Det.fsum(spec * taper * ph.im).as("vim"))
+  }
 }

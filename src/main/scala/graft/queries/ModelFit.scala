@@ -436,5 +436,50 @@ object ModelFit {
       sources(s, dir, 20).select("src_id")
         .crossJoin(broadcast(ants))
         .select(col("src_id"), col("ant"), zval.as("zval"))
+    },
+
+    // -- R7 ingestion: the beam cube arrives as a REAL FITS file
+    //    (MeqTrees layout, beam_factory.py:37-165) written and read by the
+    //    pure-JVM graft.io.Fits — header-derived DEG→RAD axis grids,
+    //    CRPIX/CRVAL/CDELT geometry, the GFREQ1..N irregular frequency
+    //    grid, and big-endian double data. The oracle restates the
+    //    generating model (deterministic Westerbork cos³ + closed-form
+    //    jitter), so a hash match proves the whole read path: any header
+    //    misparse, axis flip, or byte-order bug shifts values.
+    Q("r16_beam_fits", {
+      import graft.core.Det.r6Sql
+      s"""WITH px AS (SELECT CAST(n_nationkey AS BIGINT) AS x
+         |            FROM nation WHERE n_nationkey < 9),
+         |py AS (SELECT CAST(n_nationkey AS BIGINT) AS y
+         |       FROM nation WHERE n_nationkey < 9),
+         |pf AS (SELECT CAST(n_nationkey AS BIGINT) AS f
+         |       FROM nation WHERE n_nationkey < 5),
+         |g AS (
+         |  SELECT x, y, f,
+         |    ((CAST(x AS DOUBLE) - 4e0) * 375e-3) * (pi() / 180e0) AS l,
+         |    ((CAST(y AS DOUBLE) - 4e0) * 375e-3) * (pi() / 180e0) AS m,
+         |    856e6 + f * 214e6 + (CASE WHEN f = 0 OR f = 4 THEN 0e0
+         |      ELSE ((f*3) % 5 - 2) * 1e5 END) AS freq
+         |  FROM px, py, pf),
+         |b AS (
+         |  SELECT *, cos(LEAST(65e0 * (freq * 1e-9) * sqrt(l*l + m*m),
+         |                      10881e-4)) AS bc
+         |  FROM g)
+         |SELECT x, y, f, l, m, freq, ${r6Sql("bc * bc * bc")} AS beam
+         |FROM b""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.BeamFixture
+      val cube = graft.io.Fits.beamCube(
+        BeamFixture.ensure(BeamFixture.defaultPath))
+      val rows = for {
+        f <- 0 until cube.nFreq
+        y <- 0 until cube.npixY
+        x <- 0 until cube.npixX
+      } yield (x.toLong, y.toLong, f.toLong,
+        cube.lGrid(x), cube.mGrid(y), cube.freqs(f), cube.value(x, y, f))
+      import s.implicits._
+      rows.toDF("x", "y", "f", "l", "m", "freq", "beam_raw")
+        .select(col("x"), col("y"), col("f"), col("l"), col("m"), col("freq"),
+          Det.r6(col("beam_raw")).as("beam"))
     })
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{BeamFixture, Fits}
+import java.io.File
+import java.nio.file.Files
+
+/** Pure-JVM FITS beam-cube I/O (util/beams.py:47-139 layout). */
+class FitsIoSpec extends AnyFunSuite {
+
+  private def tmpFits(name: String): String = {
+    val f = File.createTempFile(s"fits_$name", ".fits")
+    f.delete(); f.getAbsolutePath
+  }
+
+  test("write → read round-trips header and data bit-exactly") {
+    val path = tmpFits("rt")
+    val data = Array.tabulate(2 * 3 * 4)(i => ((i * 7) % 13 - 6) / 16.0)
+    Fits.write(path, Seq(
+      "SIMPLE" -> "T", "BITPIX" -> "-64", "NAXIS" -> "3",
+      "NAXIS1" -> "4", "NAXIS2" -> "3", "NAXIS3" -> "2",
+      "CTYPE1" -> "'X'", "CTYPE2" -> "'Y'", "CTYPE3" -> "'FREQ'",
+      "CRVAL3" -> "1.5E9 / reference frequency"), data)
+    val hdu = Fits.read(path)
+    assert(hdu.naxis === Seq(4, 3, 2))
+    assert(hdu.data.toSeq === data.toSeq)
+    // inline comment stripped from the value
+    assert(hdu.num("CRVAL3").contains(1.5e9))
+    assert(new File(path).length() % 2880 === 0, "FITS blocks must be 2880-aligned")
+    new File(path).delete()
+  }
+
+  test("beam fixture: DEG axes become radians, GFREQ overrides the regular grid") {
+    val path = tmpFits("beam")
+    BeamFixture.ensure(path)
+    val cube = Fits.beamCube(path)
+    assert(cube.npixX === BeamFixture.NPix && cube.nFreq === BeamFixture.NFreq)
+    // centre pixel sits at l = 0; neighbours at ±0.375° in radians
+    assert(cube.lGrid(4) === 0.0)
+    assert(math.abs(cube.lGrid(5) - 0.375 * math.Pi / 180.0) < 1e-15)
+    assert(cube.lGrid(3) === -cube.lGrid(5))
+    // irregular grid: the jittered interior frequencies, exact endpoints
+    assert(cube.freqs(0) === 856e6 && cube.freqs(4) === 856e6 + 4 * 214e6)
+    assert(cube.freqs(1) === 856e6 + 214e6 + 1e5, "GFREQ jitter not applied")
+    // data layout: value(x, y, f) must reproduce the generator
+    for (f <- 0 until cube.nFreq; y <- 0 until cube.npixY; x <- 0 until cube.npixX)
+      assert(cube.value(x, y, f) === BeamFixture.beamValue(x, y, f),
+        s"value mismatch at ($x, $y, $f)")
+    // beam is radially symmetric and peaks at centre — an axis flip or
+    // transposed layout would break either property
+    assert(math.abs(cube.value(4, 4, 0) - 1.0) < 1e-12)
+    assert(cube.value(0, 4, 2) === cube.value(4, 0, 2))
+    assert(cube.value(0, 4, 2) < cube.value(3, 4, 2))
+    new File(path).delete()
+  }
+
+  test("float32 data reads via widening; unsupported BITPIX rejected") {
+    val path = tmpFits("f32")
+    // hand-write a BITPIX=-32 file: header via Fits.write would force -64
+    // data, so write the header cards + float payload manually
+    val header = new StringBuilder
+    def card(k: String, v: String): Unit =
+      header.append((k.padTo(8, ' ') + "= " + v).padTo(80, ' '))
+    card("SIMPLE", "T"); card("BITPIX", "-32"); card("NAXIS", "1")
+    card("NAXIS1", "3")
+    header.append("END".padTo(80, ' '))
+    while (header.length % 2880 != 0) header.append(" " * 80)
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(path))
+    out.writeBytes(header.result())
+    Seq(0.5f, -0.25f, 2.0f).foreach(out.writeFloat)
+    out.write(new Array[Byte](2880 - 12))
+    out.close()
+    val hdu = Fits.read(path)
+    assert(hdu.data.toSeq === Seq(0.5, -0.25, 2.0))
+    new File(path).delete()
+
+    val bad = tmpFits("i16")
+    Files.write(new File(bad).toPath, {
+      val h = new StringBuilder
+      h.append(("SIMPLE".padTo(8, ' ') + "= T").padTo(80, ' '))
+      h.append(("BITPIX".padTo(8, ' ') + "= 16").padTo(80, ' '))
+      h.append(("NAXIS".padTo(8, ' ') + "= 1").padTo(80, ' '))
+      h.append(("NAXIS1".padTo(8, ' ') + "= 1").padTo(80, ' '))
+      h.append("END".padTo(80, ' '))
+      while (h.length % 2880 != 0) h.append(" " * 80)
+      h.result().getBytes("US-ASCII")
+    })
+    assertThrows[IllegalArgumentException](Fits.read(bad))
+    new File(bad).delete()
+  }
+}
