@@ -125,6 +125,112 @@ object Deconv {
     x
   }
 
+  /** Rectangular Kronecker tensor-vector product (⊗_d A_d)·b where each
+    * A_d is (m_d × g_d) row-major (kron_tensorvec,
+    * africanus/linalg/kronecker_tools.py:62-99): per-factor reshape →
+    * multiply → transpose-roll, with the dimension table updated as each
+    * rectangular factor changes the length. */
+  def kronTensorvec(factors: Seq[(Array[Double], Int, Int)],
+                    b: Array[Double]): Array[Double] = {
+    var x = b.clone()
+    val gs = factors.map(_._3).toArray
+    for (d <- factors.indices) {
+      val (a, m, g) = factors(d)
+      val rem = gs.indices.filterNot(_ == d).map(gs(_).toLong).product.toInt max 1
+      val out = new Array[Double](m * rem)
+      var r = 0
+      while (r < m) {
+        var k = 0
+        while (k < g) {
+          val av = a(r * g + k)
+          if (av != 0.0) {
+            var c = 0
+            while (c < rem) { out(c * m + r) += av * x(k * rem + c); c += 1 }
+          }
+          k += 1
+        }
+        r += 1
+      }
+      gs(d) = m
+      x = out
+    }
+    x
+  }
+
+  /** Kronecker matrix × dense matrix: each RHS column through
+    * [[kronMatvec]] (kron_matmat, kronecker_tools.py:102-126). B is
+    * row-major (n × m). */
+  def kronMatmat(factors: Seq[(Array[Double], Int)], b: Array[Double],
+                 m: Int): Array[Double] = {
+    val n = b.length / m
+    val out = new Array[Double](n * m)
+    val colBuf = new Array[Double](n)
+    for (j <- 0 until m) {
+      var i = 0
+      while (i < n) { colBuf(i) = b(i * m + j); i += 1 }
+      val r = kronMatvec(factors, colBuf)
+      i = 0
+      while (i < n) { out(i * m + j) = r(i); i += 1 }
+    }
+    out
+  }
+
+  /** Rectangular variant of [[kronMatmat]] (kron_tensormat,
+    * kronecker_tools.py:129-155). */
+  def kronTensormat(factors: Seq[(Array[Double], Int, Int)],
+                    b: Array[Double], m: Int): Array[Double] = {
+    val g = b.length / m
+    val n = factors.map(_._2.toLong).product.toInt
+    val out = new Array[Double](n * m)
+    val colBuf = new Array[Double](g)
+    for (j <- 0 until m) {
+      var i = 0
+      while (i < g) { colBuf(i) = b(i * m + j); i += 1 }
+      val r = kronTensorvec(factors, colBuf)
+      i = 0
+      while (i < n) { out(i * m + j) = r(i); i += 1 }
+    }
+    out
+  }
+
+  /** Dense lower-triangular Cholesky factor of a row-major SPD matrix;
+    * throws on a non-positive pivot. */
+  def cholesky(a: Array[Double], n: Int): Array[Double] = {
+    val l = new Array[Double](n * n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var s = 0.0
+        var k = 0
+        while (k < j) { s += l(i * n + k) * l(j * n + k); k += 1 }
+        if (i == j) {
+          val d = a(i * n + i) - s
+          require(d > 0.0, s"non-positive pivot $d at $i")
+          l(i * n + i) = math.sqrt(d)
+        } else l(i * n + j) = (a(i * n + j) - s) / l(j * n + j)
+        j += 1
+      }
+      i += 1
+    }
+    l
+  }
+
+  /** Cholesky of a Kronecker matrix = Kronecker of per-factor Choleskys,
+    * with the reference's 1e-13 diagonal jitter retry (kron_cholesky,
+    * kronecker_tools.py:158-185). */
+  def kronCholesky(factors: Seq[(Array[Double], Int)]): Seq[(Array[Double], Int)] =
+    factors.map { case (a, n) =>
+      val l = try cholesky(a, n) catch {
+        case _: IllegalArgumentException =>
+          val jit = a.clone()
+          var i = 0
+          while (i < n) { jit(i * n + i) += 1e-13; i += 1 }
+          cholesky(jit, n)
+      }
+      (l, n)
+    }
+
   // ---- I2: PSF beam fit + restore (africanus/deconv/hogbom/clean.py) ----
 
   /** Elliptical clean beam: g(x,y) = exp(-(a·dx² + 2b·dx·dy + c·dy²)),

@@ -125,6 +125,34 @@ object RimeMore {
           Det.r6(expr(RimeMore.shapelet2dSql)).as("sval"))
     },
 
+    // -- R11c: shapelet_with_w_term
+    //    (africanus/model/shape/shapelets.py:104-150): the 2-D shapelet
+    //    basis of r13 multiplied by phase_steer_and_w_correct's
+    //    e^{i·(−2π/c)·ν·(u·l0 + v·m0 + w·(n0−1))} — the phase-steered,
+    //    w-corrected complex visibility of an off-centre shapelet source.
+    //    The synthetic l,m keep |phase| in the libm-safe regime (as r01's
+    //    inputs do), so r6-rounded cos/sin agree cross-engine.
+    Q("r15_shapelet_w", {
+      val sql = RimeMore.shapelet2dSql
+      val ph = SyntheticMs.phaseSql
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)}),
+         |ch AS (${channelsSql(4)})
+         |SELECT src_id, row_id, chan,
+         |  ${r6Sql(s"($sql) * cos($ph)")} AS sval_re,
+         |  ${r6Sql(s"($sql) * sin($ph)")} AS sval_im
+         |FROM src, rws, ch""".stripMargin
+    }) { (s, dir) =>
+      val basis = expr(RimeMore.shapelet2dSql)
+      val ph = graft.functions.Phase.realPhase(col("l"), col("m"),
+        col("u"), col("v"), col("w")) * col("freq")
+      sources(s, dir, 5)
+        .crossJoin(uvwRows(s, dir, 64).select("row_id", "u", "v", "w"))
+        .crossJoin(broadcast(channels(s, dir, 4)))
+        .select(col("src_id"), col("row_id"), col("chan"),
+          Det.r6(basis * cos(ph)).as("sval_re"),
+          Det.r6(basis * sin(ph)).as("sval_im"))
+    },
+
     // -- R6: transform_sources (africanus/rime/transform.py:12-99):
     //    rotate lm by the parallactic angle, add pointing errors, scale
     //    per antenna, append scaled frequency — over src x (time, ant) x chan.
