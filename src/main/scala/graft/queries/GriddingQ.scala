@@ -262,6 +262,87 @@ object GriddingQ {
         nPlanes = 4, wMax = 5.0, fsum = c => Det.fsum(c), r6 = Det.r6)
     },
 
+    // -- F3 analogue: grid-free residual image
+    //    (gridding/wgridder/im2residim.py:16-220 semantics): forward-DFT
+    //    the model image to vis (d01's casa-sign R), subtract from the
+    //    observed vis, adjoint back to the image pixels with R† =
+    //    Re[e^{-iψ}·], all in two fixed-point aggregations. The model
+    //    vis entering the subtraction are fsum rationals, so the second
+    //    aggregation stays deterministic.
+    Q("f12_dft_residual", {
+      import SyntheticMs.{phaseCasaSql, baseReSql, baseImSql}
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)}),
+         |mv AS (
+         |  SELECT row_id, chan,
+         |    ${Det.fsumSql(s"flux * cos($phaseCasaSql)")} AS mre,
+         |    ${Det.fsumSql(s"flux * sin($phaseCasaSql)")} AS mim
+         |  FROM rws, src, ch GROUP BY row_id, chan),
+         |res AS (
+         |  SELECT row_id, chan,
+         |    ($baseReSql) - mre AS rre, ($baseImSql) - mim AS rim
+         |  FROM mv)
+         |SELECT src_id, ch.chan,
+         |  ${Det.fsumSql(s"cos($phaseCasaSql) * rre + sin($phaseCasaSql) * rim")} AS residual
+         |FROM rws, src, ch, res
+         |WHERE res.row_id = rws.row_id AND res.chan = ch.chan
+         |GROUP BY src_id, ch.chan""".stripMargin
+    }) { (s, dir) =>
+      val src = broadcast(sources(s, dir, 5))
+      val rws = uvwRows(s, dir, 16)
+      val ch = broadcast(channels(s, dir, 8))
+      val ph = graft.functions.Phase.phaseDelay(col("l"), col("m"),
+        col("u"), col("v"), col("w"), col("freq"), "casa")
+      val mv = rws.crossJoin(src).crossJoin(ch)
+        .groupBy("row_id", "chan")
+        .agg(Det.fsum(col("flux") * ph.re).as("mre"),
+          Det.fsum(col("flux") * ph.im).as("mim"))
+      val res = mv.select(col("row_id").as("rid"), col("chan").as("rchan"),
+        (baseRe(col("row_id"), col("chan")) - col("mre")).as("rre"),
+        (baseIm(col("row_id"), col("chan")) - col("mim")).as("rim"))
+      rws.crossJoin(src).crossJoin(ch)
+        .join(res, col("rid") === col("row_id") && col("rchan") === col("chan"))
+        .groupBy("src_id", "chan")
+        .agg(Det.fsum(ph.re * col("rre") + ph.im * col("rim")).as("residual"))
+    },
+
+    // -- F4 analogue: the hessian application R†R x without touching a
+    //    grid (gridding/wgridder/hessian.py:16-199 semantics): forward
+    //    DFT of the image, adjoint straight back. HessianSpec checks the
+    //    PSD identity <x, Hx> = Σ_rows |Rx|² per channel on this exact
+    //    query output.
+    Q("f13_dft_hessian", {
+      import SyntheticMs.phaseCasaSql
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)}),
+         |mv AS (
+         |  SELECT row_id, chan,
+         |    ${Det.fsumSql(s"flux * cos($phaseCasaSql)")} AS mre,
+         |    ${Det.fsumSql(s"flux * sin($phaseCasaSql)")} AS mim
+         |  FROM rws, src, ch GROUP BY row_id, chan)
+         |SELECT src_id, ch.chan,
+         |  ${Det.fsumSql(s"cos($phaseCasaSql) * mre + sin($phaseCasaSql) * mim")} AS hx
+         |FROM rws, src, ch, mv
+         |WHERE mv.row_id = rws.row_id AND mv.chan = ch.chan
+         |GROUP BY src_id, ch.chan""".stripMargin
+    }) { (s, dir) =>
+      val src = broadcast(sources(s, dir, 5))
+      val rws = uvwRows(s, dir, 16)
+      val ch = broadcast(channels(s, dir, 8))
+      val ph = graft.functions.Phase.phaseDelay(col("l"), col("m"),
+        col("u"), col("v"), col("w"), col("freq"), "casa")
+      val mv = rws.crossJoin(src).crossJoin(ch)
+        .groupBy("row_id", "chan")
+        .agg(Det.fsum(col("flux") * ph.re).as("mre"),
+          Det.fsum(col("flux") * ph.im).as("mim"))
+        .select(col("row_id").as("rid"), col("chan").as("rchan"),
+          col("mre"), col("mim"))
+      rws.crossJoin(src).crossJoin(ch)
+        .join(mv, col("rid") === col("row_id") && col("rchan") === col("chan"))
+        .groupBy("src_id", "chan")
+        .agg(Det.fsum(ph.re * col("mre") + ph.im * col("mim")).as("hx"))
+    },
+
     // -- F9: the Perley-polyhedron policy families end to end on one row
     //    set — facet baseline transforms ("rotate" + "wlinapprox"), the
     //    facet phase rotation, and an imaginary-coefficient stokes policy

@@ -461,6 +461,67 @@ object TrainingData {
         .select("qid", "cid", "cosine", "rank")
     },
 
+    // -- embedding-cosine near-duplicate detection over the FULL corpus
+    //    (the dedup face of e02's ANN): every vector LSH-codes once, each
+    //    emits 17 Hamming≤1 probes, and the probe→code equi-join yields
+    //    every candidate pair exactly once (the a<b ordering kills the
+    //    mirror match); candidates then get the EXACT integer cosine and
+    //    a duplicate verdict at τ = 0.5. At 100 TB the probe explosion is
+    //    a bounded ×17 and the join hits 65 536 buckets — candidate
+    //    volume stays linear in the corpus (ScaleProbe's e02 evidence
+    //    covers the same bucket geometry).
+    Q("t10_embed_neardup",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |proj AS (
+         |  SELECT cid, j,
+         |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
+         |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+         |  GROUP BY cid, j),
+         |bk AS (
+         |  SELECT cid, CAST(SUM(CASE WHEN s > 0
+         |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM proj GROUP BY cid),
+         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |cand AS (
+         |  SELECT a.cid AS cid_a, b.cid AS cid_b
+         |  FROM bk a JOIN bk b
+         |    ON a.cid < b.cid AND bit_count(xor(a.code, b.code)) <= 1),
+         |dot AS (
+         |  SELECT cand.cid_a, cand.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM cand
+         |    JOIN ce ea ON ea.cid = cand.cid_a
+         |    JOIN ce eb ON eb.cid = cand.cid_b AND ea.pos = eb.pos
+         |  GROUP BY cand.cid_a, cand.cid_b)
+         |SELECT dot.cid_a, dot.cid_b,
+         |  CAST(dot.d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine,
+         |  CAST(dot.d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 5e-1 AS is_dup
+         |FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |         JOIN n2t nb ON dot.cid_b = nb.cid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("code", expr("lsh_code16(qv)"))
+      val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i)
+      val maskDf = { import s.implicits._; masks.toDF("mask") }
+      val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"),
+          col("n2").as("n2_a"), col("qv").as("qv_a"))
+        .crossJoin(broadcast(maskDf))
+        .withColumn("probe", expr("code_a ^ mask")).drop("mask", "code_a")
+      val cand = probes.join(bk, col("code") === col("probe")
+          && col("cid_a") < col("cid"))
+      val dot = expr(
+        "aggregate(zip_with(qv_a, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      val cosine = dot.cast("double") /
+        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2").cast("double")))
+      cand.select(col("cid_a"), col("cid").as("cid_b"),
+        cosine.as("cosine"), (cosine >= 5e-1).as("is_dup"))
+    },
+
     // -- IVF-style ANN: quantized per-label centroids act as the coarse
     //    quantizer; every vector is assigned to its nearest cell by exact
     //    integer L2, and the search probes only the query's cell. The
