@@ -78,6 +78,20 @@ class PlanSpec extends AnyFunSuite {
       "unpartitioned window in a14 plan")
   }
 
+  test("f11: dirty image — keyed aggregations only, pixels broadcast") {
+    val p = planOf("f11_wstack_dirty")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+  }
+
+  test("t10: full-corpus near-dup runs with zero shuffles") {
+    val p = planOf("t10_embed_neardup")
+    assert(!p.contains("Exchange hashpartitioning")
+      && !p.contains("Exchange SinglePartition"),
+      "near-dup candidate generation must stay shuffle-free:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
