@@ -178,6 +178,40 @@ object BdaQ {
           ((col("t1") + 5e-1) - (col("t0") - 5e-1)).as("ivl_out"))
     },
 
+    // -- A8 flag accounting (Binner.start_bin/add_row count flagged rows;
+    //    finalise_bin emits bin_count == bin_flag_count as the bin flag,
+    //    bda_mapping.py:100-186, 192-277): flag_row rides the binner's
+    //    baseline shuffle as a carry column; per bin the nominal
+    //    edge-midpoint time/interval (finalise_bin uses ALL rows) plus
+    //    the all-flagged consensus and both counts. The fixture flags bin
+    //    0 of every 64-seq block entirely (fallback regime) and scatters
+    //    row_id%11 partials through mixed bins; auto baselines (single
+    //    all-history bin) stay unflagged-dominated.
+    Q("a16_bda_flags",
+      s"""WITH $bdaCte,
+         |bf AS (
+         |  SELECT ant1, ant2, bin,
+         |    (seq % 64 < 4) OR (row_id % 11 = 0) AS flag_row, time
+         |  FROM bda)
+         |SELECT ant1, ant2, bin,
+         |  ((MIN(time) - 5e-1) + (MAX(time) + 5e-1)) / 2e0 AS tc,
+         |  (MAX(time) + 5e-1) - (MIN(time) - 5e-1) AS ivl_out,
+         |  BOOL_AND(flag_row) AS flag_out,
+         |  CAST(SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM bf GROUP BY ant1, ant2, bin""".stripMargin) { (s, dir) =>
+      val rows = bdaRows(s, dir).withColumn("flag_row",
+        (col("seq") % 64 < 4) || (col("row_id") % 11 === 0))
+      Bda.mapperWithPayload(rows, Cfg, Seq("flag_row"))
+        .groupBy("ant1", "ant2", "bin")
+        .agg(
+          (((min(col("time")) - 5e-1) + (max(col("time")) + 5e-1)) / 2e0).as("tc"),
+          ((max(col("time")) + 5e-1) - (min(col("time")) - 5e-1)).as("ivl_out"),
+          bool_and(col("flag_row")).as("flag_out"),
+          sum(when(col("flag_row"), 1L).otherwise(0L)).as("n_flagged"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // -- A9: bda average — exposure-weighted row averages + ragged channel
     //    groups: each bin emits nchan_out output channels (ochan), vis
     //    weighted-averaged within each group

@@ -214,6 +214,67 @@ object FusedRime {
       out.select((col("row_id") +: col("chan") +: rounded): _*)
     },
 
+    // -- X3 parallactic-angle TRANSFORMER: the same G+L chain as x06 but
+    //    with NO PA table supplied — the compiler derives it from the
+    //    rows' (time, antenna) domain through the GMST backend (the
+    //    reference transformer's job). The oracle restates the IAU-1982
+    //    formula over the identical 16×7 grid.
+    Q("x09_fused_rime_derived_pa", {
+      val k = CS(s"cos($phaseSql)", s"sin($phaseSql)")
+      def scaleS(b: String) = CS(s"(${k.re} * ($b))", s"(${k.im} * ($b))")
+      val samplers = Seq(
+        "xx" -> scaleS(s"flux + $qSql"),
+        "xy" -> (CS("0e0", "0e0") * k),
+        "yx" -> (CS("0e0", "(-0e0)") * k),
+        "yy" -> scaleS(s"flux - $qSql"))
+      val sumCols = samplers.map { case (n, z) =>
+        s"    ${fsumSql(z.re)} AS ${n}_re,\n    ${fsumSql(z.im)} AS ${n}_im"
+      }.mkString(",\n")
+      val xsM = MS(CS("xs.xx_re", "xs.xx_im"), CS("xs.xy_re", "xs.xy_im"),
+        CS("xs.yx_re", "xs.yx_im"), CS("xs.yy_re", "xs.yy_im"))
+      def gM(p: String) = {
+        val g = CS(s"$p.g_re", s"$p.g_im")
+        MS(g, CS("0e0", "0e0"), CS("0e0", "0e0"), g)
+      }
+      def rot(p: String) = MS(
+        CS(s"cos($p.pa)", "0e0"), CS(s"sin($p.pa)", "0e0"),
+        CS(s"(-sin($p.pa))", "0e0"), CS(s"cos($p.pa)", "0e0"))
+      val v = mulS(mulS(gM("gp"), mulS(rot("pp"), xsM)),
+        hermS(mulS(gM("gq"), rot("pq"))))
+      val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) =>
+          s"  ${r6Sql(z.re)} AS ${n}_re,\n  ${r6Sql(z.im)} AS ${n}_im"
+        }.mkString(",\n")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)}), g AS (${gainsSql()}),
+         |pat AS (
+         |  SELECT CAST(t.n_nationkey AS BIGINT) AS time_index,
+         |    CAST(a.n_nationkey AS BIGINT) AS ant,
+         |    ${graft.queries.RimeMore.paGmstSql} AS pa
+         |  FROM nation t, nation a
+         |  WHERE t.n_nationkey < 16 AND a.n_nationkey < 7),
+         |xs AS (
+         |  SELECT row_id, time_index, ant1, ant2, chan,
+         |$sumCols
+         |  FROM rws, src, ch GROUP BY row_id, time_index, ant1, ant2, chan)
+         |SELECT xs.row_id, xs.chan,
+         |$out
+         |FROM xs
+         |JOIN g gp ON gp.time_index = xs.time_index AND gp.ant = xs.ant1
+         |JOIN g gq ON gq.time_index = xs.time_index AND gq.ant = xs.ant2
+         |JOIN pat pp ON pp.time_index = xs.time_index AND pp.ant = xs.ant1
+         |JOIN pat pq ON pq.time_index = xs.time_index AND pq.ant = xs.ant2""".stripMargin
+    }) { (s, dir) =>
+      val out = RimeCompiler.plan("(Gp,Lp,Kpq,Bpq,Lq,Gq): [I,Q] -> [XX,XY,YX,YY]",
+        srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8),
+        Some(gains(s, dir)), None) // no PA table: the transformer derives it
+      val rounded = Seq("xx", "xy", "yx", "yy").flatMap { n =>
+        Seq(graft.core.Det.r6(col(s"${n}_re")).as(s"${n}_re"),
+          graft.core.Det.r6(col(s"${n}_im")).as(s"${n}_im"))
+      }
+      out.select((col("row_id") +: col("chan") +: rounded): _*)
+    },
+
     // -- X1 feed inference: a CIRCULAR correlation basis switches the
     //    brightness sampler to the RR/RL/LR/LL tables —
     //    "(Kpq,Bpq): [I,V] -> [RR,LL]".

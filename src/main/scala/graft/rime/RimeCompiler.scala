@@ -98,6 +98,17 @@ object RimeCompiler {
   def registerDde(letter: Char, f: DdeFactory): Unit =
     registry.synchronized { registry(letter) = f }
 
+  /** Derived PA table for the X3 transformer: GMST-backend parallactic
+    * angle (RimeMore.paGmstSql — IAU 1982 polynomial, per-antenna
+    * lon/lat) over the rows' (time_index × ant) grid. */
+  private def derivePa(rows: DataFrame): DataFrame = {
+    val times = rows.select(col("time_index")).distinct()
+    val ants = rows.select(col("ant1").as("ant"))
+      .union(rows.select(col("ant2").as("ant"))).distinct()
+    times.crossJoin(ants)
+      .withColumn("pa", expr(graft.queries.RimeMore.paGmstSql))
+  }
+
   /** Correlation order of the full 2×2 matrix in each feed basis. */
   private def basis(feed: String): Seq[String] =
     if (feed == "circular") Seq("RR", "RL", "LR", "LL")
@@ -117,8 +128,15 @@ object RimeCompiler {
     val spec = RimeSpec.parse(specStr)
     require(!spec.hasTerm('G') || gainsDf.isDefined,
       "spec contains G but no gains table was supplied")
-    require(!spec.hasTerm('L') || paDf.isDefined,
-      "spec contains L but no parallactic-angle table was supplied")
+    // X3 parallactic-angle transformer: when the spec needs L and no PA
+    // table is supplied, derive one from the rows' (time, antenna) domain
+    // via the GMST backend — the reference's transformer computes exactly
+    // this input on demand (experimental/rime/fused/transformers/
+    // parangle.py). The derivation aggregates to dimension cardinality
+    // (distinct times × distinct antennas) before any trig, so it stays a
+    // broadcast-sized dim table at any data scale.
+    val paResolved: Option[DataFrame] =
+      if (spec.hasTerm('L') && paDf.isEmpty) Some(derivePa(rows)) else paDf
     (spec.leftDde ++ spec.rightDde).foreach { c =>
       require(registry.contains(c), s"no DDE term registered for '$c'")
     }
@@ -223,7 +241,7 @@ object RimeCompiler {
         j = graft.queries.Predict.withGains(j, gainsDf.get)
       }
       if (spec.hasTerm('L')) {
-        val pa = paDf.get
+        val pa = paResolved.get
         val pp = broadcast(pa.select(col("time_index").as("lt"),
           col("ant").as("la"), col("pa").as("pap")))
         val pq = broadcast(pa.select(col("time_index").as("mt"),
