@@ -138,6 +138,43 @@ case class LshCode16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Rolling positional document fingerprint Σ cp(i)·((i·2654435761) mod
+  * 2²⁰ + 1) mod 2³⁰ over 1-based CHARACTER positions (code points, the
+  * same character semantics as substr/ascii on both engines) — one
+  * codegen pass over the string; the declarative `aggregate(sequence(1,
+  * length(text)), …)` form walked an interpreted lambda per character
+  * and was a bench hot spot. Exact integer arithmetic, oracle unchanged. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingFingerprint.compute(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.RollingFingerprint.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  def compute(s: String): Long = {
+    var acc = 0L
+    var i = 0L // 1-based character (code point) index
+    var off = 0
+    val n = s.length
+    while (off < n) {
+      val cp = s.codePointAt(off)
+      i += 1L
+      acc += cp.toLong * ((i * 2654435761L) % 1048576L + 1L)
+      off += Character.charCount(cp)
+    }
+    acc % 1073741824L
+  }
+}
+
 object GraftFunctions {
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("sinc"),
@@ -148,7 +185,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => KahanSum(Cast(args.head, DoubleType)).toAggregateExpression()),
     (FunctionIdentifier("lsh_code16"),
       new ExpressionInfo(classOf[LshCode16].getName, "lsh_code16"),
-      (args: Seq[Expression]) => LshCode16(args.head)))
+      (args: Seq[Expression]) => LshCode16(args.head)),
+    (FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head)))
 
   def injectInto(ext: SparkSessionExtensions): Unit =
     fns.foreach(ext.injectFunction)

@@ -163,17 +163,13 @@ object TrainingData {
         |  CAST(SUM(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
         |        * ((i * 2654435761) % 1048576 + 1)) % 1073741824 AS BIGINT) AS fp
         |FROM cp GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      // Spark side: a higher-order aggregate over the char positions — one
-      // codegen'd expression per document, NO row explosion and NO
-      // shuffle (the oracle states the equivalent explode+sum; integer
-      // sums are order-free so the two agree exactly)
+      // Spark side: the one-pass codegen `rolling_fp` expression — no row
+      // explosion, no shuffle, no interpreted per-character lambda (the
+      // oracle states the equivalent explode+sum; integer sums are
+      // order-free so the two agree exactly)
+      graft.expr.GraftFunctions.register(s)
       Tables.documents(s, dir).select(col("doc_id"),
-        expr("""aggregate(
-                  sequence(1, length(text)),
-                  0L,
-                  (acc, i) -> acc + CAST(ascii(substring(text, i, 1)) AS BIGINT)
-                    * ((CAST(i AS BIGINT) * 2654435761) % 1048576 + 1)
-                ) % 1073741824""").as("fp"))
+        expr("rolling_fp(text)").as("fp"))
     },
 
     // -- token-set Jaccard near-duplicates over the PRUNED vocabulary:
