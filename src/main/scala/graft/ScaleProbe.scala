@@ -83,12 +83,8 @@ object ScaleProbe {
     val maxDoc = doc0.agg(max("doc_id")).collect()(0).getLong(0) + 1
     val qCol = expr(
       "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
-    val code = expr(
-      """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
-        |  CASE WHEN aggregate(transform(qv, (x, i) ->
-        |         x * ((CAST(i + 1 AS BIGINT) * (2654435761 + CAST(j AS BIGINT) * 40503)) % 2048 - 1024)),
-        |       0L, (a, x) -> a + x) > 0
-        |  THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
+    graft.expr.GraftFunctions.register(spark)
+    val code = expr("lsh_code16(qv)")
     val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i) ++:
       (for (i <- 0 until 16; j <- i + 1 until 16) yield (1L << i) | (1L << j))
     import spark.implicits._
@@ -111,6 +107,30 @@ object ScaleProbe {
           .filter(col("qid") =!= col("cid")).count()
       }
       println(f"lsh_multiprobe,$k,${k * maxVec},$cands,$t%.2f")
+    }
+    // full-corpus near-dup (t10): EVERY vector probes, so candidate
+    // volume must still stay ~linear in the corpus — the Hamming≤1 join
+    // hits 65 536 buckets and replication multiplies per-bucket load by
+    // k, giving ~k² pair growth within a FIXED bucket population; organic
+    // growth (new vectors spread over buckets) stays linear. Report both
+    // so the distinction is on record.
+    println("probe,k,corpus,candidates,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map(i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionAll _)
+      var cands = 0L
+      val t = time {
+        val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+          .withColumn("code", expr("lsh_code16(qv)")).drop("qv")
+        val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"))
+          .crossJoin(broadcast((0L +: (0 until 16).map(i => 1L << i).toSeq)
+            .toDF("mask")))
+          .withColumn("probe", expr("code_a ^ mask")).drop("mask", "code_a")
+        cands = probes.join(bk, col("code") === col("probe")
+          && col("cid_a") < col("cid")).count()
+      }
+      println(f"neardup_full_corpus,$k,${k * maxVec},$cands,$t%.2f")
     }
     // organic corpus growth (doc slice, not replication): the UNBLOCKED
     // postings join grows quadratically through the hot tokens while the
