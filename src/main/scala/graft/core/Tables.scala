@@ -51,10 +51,16 @@ object Det {
     * disagrees between Spark (exact BigDecimal of the double) and DuckDB
     * (scaled-double) when x*scale lands exactly on .5 — write the scaled
     * form in the oracle SQL too: round((expr) * 1e6) / 1e6. */
+  def r4(c: Column): Column = round(c * 1e4) / 1e4
   def r6(c: Column): Column = round(c * 1e6) / 1e6
   def r9(c: Column): Column = round(c * 1e9) / 1e9
 
-  /** SQL-side mirror of r6/r9. */
+  /** SQL-side mirror of r4/r6/r9. r4 is for hashed surfaces whose values
+    * pass through COMPOUND transcendental evaluation (trig of trig, cubes
+    * of cos, large per-query value counts): the 100× wider rounding bucket
+    * makes a 1-ulp cross-engine libm disagreement harmlessly far from any
+    * flip boundary. */
+  def r4Sql(e: String): String = s"round(($e) * 1e4) / 1e4"
   def r6Sql(e: String): String = s"round(($e) * 1e6) / 1e6"
   def r9Sql(e: String): String = s"round(($e) * 1e9) / 1e9"
 

@@ -31,10 +31,15 @@ object BeamFixture {
     c * c * c
   }
 
-  /** Write the fixture (idempotent — contents are deterministic). */
+  /** Write the fixture. ALWAYS regenerated and atomically moved into
+    * place: trusting a pre-existing /tmp file would let a stale cube from
+    * an older code revision (or a torn concurrent write) silently feed
+    * r16 values that no longer match the oracle's closed form. Contents
+    * are deterministic, so concurrent writers converge on identical
+    * bytes and the rename is safe either way. */
   def ensure(path: String): String = {
     val file = new File(path)
-    if (!file.exists()) {
+    locally {
       val data = new Array[Double](NFreq * NPix * NPix)
       var i = 0
       for (f <- 0 until NFreq; y <- 0 until NPix; x <- 0 until NPix) {
@@ -62,13 +67,19 @@ object BeamFixture {
         "CRVAL3" -> "8.56E8",
         "CDELT3" -> "2.14E8") ++
         (1 to NFreq).map(k => s"GFREQ$k" -> freq(k - 1).toString)
-      Fits.write(path, cards, data)
+      val tmp = File.createTempFile("graft_beam_build", ".fits",
+        file.getAbsoluteFile.getParentFile)
+      Fits.write(tmp.getAbsolutePath, cards, data)
+      java.nio.file.Files.move(tmp.toPath, file.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     path
   }
 
-  /** Default fixture location (world-writable tmp, survives reruns). */
+  /** Default fixture location (world-writable tmp; the name carries the
+    * layout so a geometry change can never collide with an old file). */
   def defaultPath: String =
-    new File(System.getProperty("java.io.tmpdir"), "graft_beam_fixture.fits")
-      .getAbsolutePath
+    new File(System.getProperty("java.io.tmpdir"),
+      s"graft_beam_fixture_${NPix}x${NPix}x$NFreq.fits").getAbsolutePath
 }

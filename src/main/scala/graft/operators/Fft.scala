@@ -119,8 +119,13 @@ object Fft {
           im(iu * n + iv) += gim
         }
         fft2d(re, im, n, sign)
-        for (x <- 0 until n; y <- 0 until n)
-          yield (p, x.toLong, y.toLong, re(x * n + y), im(x * n + y))
+        // emit lazily: a strict n²-element collection of boxed tuples on
+        // top of the two double arrays would dominate task memory at
+        // production plane sizes (4k² ⇒ >16M tuples); the iterator
+        // streams rows out while only the primitive arrays stay live
+        Iterator.range(0, n * n).map { idx =>
+          (p, (idx / n).toLong, (idx % n).toLong, re(idx), im(idx))
+        }
       }
       .toDF("wplane", "x", "y", "ire", "iim")
   }

@@ -76,7 +76,12 @@ object PredictPipeline {
     val v1 = -col("u") * sin(col("pa")) + col("v") * cos(col("pa"))
     val fsq = (col("freq") / Phase.C) * (col("freq") / Phase.C)
     val k = lit(-(math.Pi * math.Pi)) / (lit(4e0) * log(lit(2e0)))
-    val taper = when(col("typecode") === "gau",
+    // degenerate extents fall back to the point response (the reference's
+    // shapelet/gauss kernels do the same for zero beta) — without the
+    // guard an explicitly-typed 'gau' row with emaj = 0 would inject
+    // 0/0 = NaN into every (row, chan) sum it touches
+    val taper = when(col("typecode") === "gau"
+        && col("emaj") =!= 0e0 && col("emin") =!= 0e0,
       exp(k * fsq * (u1 * u1 + v1 * v1) * (col("emaj") * col("emaj"))))
       .otherwise(lit(1e0))
     val ph = Phase.phaseDelay(col("l"), col("m"),

@@ -241,9 +241,13 @@ object FusedRime {
         CS(s"(-sin($p.pa))", "0e0"), CS(s"cos($p.pa)", "0e0"))
       val v = mulS(mulS(gM("gp"), mulS(rot("pp"), xsM)),
         hermS(mulS(gM("gq"), rot("pq"))))
+      // r4, not r6: the derived PA itself comes out of atan2 (each engine's
+      // own libm), so cos(pa)/sin(pa) carry COMPOUND 1-ulp disagreement
+      // into the hashed products — unlike x06, whose PA inputs are exact
+      // dyadic values. The wider bucket absorbs it.
       val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
         .map { case (n, z) =>
-          s"  ${r6Sql(z.re)} AS ${n}_re,\n  ${r6Sql(z.im)} AS ${n}_im"
+          s"  ${graft.core.Det.r4Sql(z.re)} AS ${n}_re,\n  ${graft.core.Det.r4Sql(z.im)} AS ${n}_im"
         }.mkString(",\n")
       s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
          |ch AS (${channelsSql(8)}), g AS (${gainsSql()}),
@@ -269,8 +273,8 @@ object FusedRime {
         srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8),
         Some(gains(s, dir)), None) // no PA table: the transformer derives it
       val rounded = Seq("xx", "xy", "yx", "yy").flatMap { n =>
-        Seq(graft.core.Det.r6(col(s"${n}_re")).as(s"${n}_re"),
-          graft.core.Det.r6(col(s"${n}_im")).as(s"${n}_im"))
+        Seq(graft.core.Det.r4(col(s"${n}_re")).as(s"${n}_re"),
+          graft.core.Det.r4(col(s"${n}_im")).as(s"${n}_im"))
       }
       out.select((col("row_id") +: col("chan") +: rounded): _*)
     },

@@ -446,8 +446,11 @@ object ModelFit {
     //    generating model (deterministic Westerbork cos³ + closed-form
     //    jitter), so a hash match proves the whole read path: any header
     //    misparse, axis flip, or byte-order bug shifts values.
+    // beam values are r4-rounded: the Spark side carries JVM cos³ baked
+    // into the file while the oracle recomputes with DuckDB's libm — the
+    // cube triples a 1-ulp disagreement, so the wide bucket applies.
     Q("r16_beam_fits", {
-      import graft.core.Det.r6Sql
+      import graft.core.Det.r4Sql
       s"""WITH px AS (SELECT CAST(n_nationkey AS BIGINT) AS x
          |            FROM nation WHERE n_nationkey < 9),
          |py AS (SELECT CAST(n_nationkey AS BIGINT) AS y
@@ -465,7 +468,7 @@ object ModelFit {
          |  SELECT *, cos(LEAST(65e0 * (freq * 1e-9) * sqrt(l*l + m*m),
          |                      10881e-4)) AS bc
          |  FROM g)
-         |SELECT x, y, f, l, m, freq, ${r6Sql("bc * bc * bc")} AS beam
+         |SELECT x, y, f, l, m, freq, ${r4Sql("bc * bc * bc")} AS beam
          |FROM b""".stripMargin
     }) { (s, dir) =>
       import graft.io.BeamFixture
@@ -480,6 +483,6 @@ object ModelFit {
       import s.implicits._
       rows.toDF("x", "y", "f", "l", "m", "freq", "beam_raw")
         .select(col("x"), col("y"), col("f"), col("l"), col("m"), col("freq"),
-          Det.r6(col("beam_raw")).as("beam"))
+          Det.r4(col("beam_raw")).as("beam"))
     })
 }

@@ -131,15 +131,17 @@ object RimeMore {
     //    e^{i·(−2π/c)·ν·(u·l0 + v·m0 + w·(n0−1))} — the phase-steered,
     //    w-corrected complex visibility of an off-centre shapelet source.
     //    The synthetic l,m keep |phase| in the libm-safe regime (as r01's
-    //    inputs do), so r6-rounded cos/sin agree cross-engine.
+    //    inputs do); the hashed product is rounded at r4 — per-row trig
+    //    on the hashed surface is what made r01 driver-red, so the new
+    //    per-row trig query gets the 100×-margin bucket rather than r6.
     Q("r15_shapelet_w", {
       val sql = RimeMore.shapelet2dSql
       val ph = SyntheticMs.phaseSql
       s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)}),
          |ch AS (${channelsSql(4)})
          |SELECT src_id, row_id, chan,
-         |  ${r6Sql(s"($sql) * cos($ph)")} AS sval_re,
-         |  ${r6Sql(s"($sql) * sin($ph)")} AS sval_im
+         |  ${Det.r4Sql(s"($sql) * cos($ph)")} AS sval_re,
+         |  ${Det.r4Sql(s"($sql) * sin($ph)")} AS sval_im
          |FROM src, rws, ch""".stripMargin
     }) { (s, dir) =>
       val basis = expr(RimeMore.shapelet2dSql)
@@ -149,8 +151,8 @@ object RimeMore {
         .crossJoin(uvwRows(s, dir, 64).select("row_id", "u", "v", "w"))
         .crossJoin(broadcast(channels(s, dir, 4)))
         .select(col("src_id"), col("row_id"), col("chan"),
-          Det.r6(basis * cos(ph)).as("sval_re"),
-          Det.r6(basis * sin(ph)).as("sval_im"))
+          Det.r4(basis * cos(ph)).as("sval_re"),
+          Det.r4(basis * sin(ph)).as("sval_im"))
     },
 
     // -- R6: transform_sources (africanus/rime/transform.py:12-99):

@@ -47,6 +47,26 @@ class TiggerSpec extends AnyFunSuite {
       TiggerReader.parse(Iterator("no header", "1 2 3")))
   }
 
+  test("explicit 'gau' with zero extents degrades to the point response, not NaN") {
+    import spark.implicits._
+    val f = java.io.File.createTempFile("tigger0", ".lsm.txt")
+    java.nio.file.Files.writeString(f.toPath,
+      """#format: name ra_d dec_d i spi freq0 emaj_s emin_s pa_d type
+        |degenerate 14.3 -21.8 1.0 0.0 1.4e9 0 0 0 gau
+        |""".stripMargin)
+    val uvw = Seq((0L, 10.0, -5.0, 0.5)).toDF("row_id", "u", "v", "w")
+    val chans = Seq((0L, 1.4e9)).toDF("chan", "freq")
+    val got = PredictPipeline.modelDataFromTigger(spark, f.getAbsolutePath,
+        uvw, chans, 14.3 * math.Pi / 180.0, -21.8 * math.Pi / 180.0)
+      .collect()
+    assert(got.length === 1)
+    assert(!got(0).getDouble(2).isNaN && !got(0).getDouble(3).isNaN,
+      "degenerate gaussian extents leaked NaN into the visibility sum")
+    // at the phase centre with unit flux the visibility is exactly (1, 0)
+    assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-5)
+    f.delete()
+  }
+
   test("predict pipeline runs from an LSM fixture: point + tapered gaussian") {
     import spark.implicits._
     val f = java.io.File.createTempFile("tigger", ".lsm.txt")

@@ -37,6 +37,29 @@ class TsProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("s05 RANGE frame is read-semantics safe: no near-ties, no pair near 1h") {
+    // a ±1 µs read perturbation changes a trailing-hour RANGE frame only
+    // if (a) two same-user events sit within 1 µs of each other (peer
+    // membership flips) or (b) some same-user PAIR's gap sits within 2 µs
+    // of exactly 3 600 000 000 µs (frame-edge membership flips)
+    val hourUs = 3600000000L
+    for (dir <- sfs) {
+      val ev = core.Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val pairs = ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.tus") < col("b.tus"))
+        .select((col("b.tus") - col("a.tus")).as("gap"))
+      val row = pairs.agg(
+        min(col("gap")).as("min_gap"),
+        min(abs(col("gap") - hourUs)).as("min_hour_dist")).head()
+      info(s"$dir: min same-user gap = ${row.getLong(0)} µs (danger < 1); " +
+        s"min |pair gap − 1 h| = ${row.getLong(1)} µs (danger < 2)")
+      assert(row.getLong(0) > 1L, s"$dir: near-tie events break s05 peers")
+      assert(row.getLong(1) > 2L, s"$dir: a pair gap hugs the 1-hour frame edge")
+    }
+  }
+
   test("no per-user gap sits near the 30-min session boundary") {
     val gapUs = 1800000000L
     for (dir <- sfs) {
