@@ -46,6 +46,43 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("r4-rounded trig surfaces (r15/x09/r16) stay far from flip boundaries") {
+    // the three queries that keep compound transcendental values on the
+    // hashed surface round at 1e4; a cross-engine flip needs a value
+    // within ~1e-12 of a .5 boundary of x*1e4. PRINT the measured minimum
+    // so the margin is a fact, not a hope.
+    import org.apache.spark.sql.DataFrame
+    def minBoundaryDist(df: DataFrame, cols: Seq[String]): Double =
+      df.select(least(cols.map { c =>
+          abs(abs(col(c) * 1e4 - floor(col(c) * 1e4)) - 0.5)
+        }: _*).as("d"))
+        .agg(min(col("d"))).head.getDouble(0)
+    for (d <- dirs) {
+      // recompute the UNROUNDED values by stripping r4 is impractical —
+      // instead rebuild each query's hashed expression pre-rounding
+      val r15 = {
+        val basis = expr(graft.queries.RimeMore.shapelet2dSql)
+        val ph = graft.functions.Phase.realPhase(col("l"), col("m"),
+          col("u"), col("v"), col("w")).multiply(col("freq"))
+        SyntheticMs.sources(spark, d, 5)
+          .crossJoin(SyntheticMs.uvwRows(spark, d, 64).select("row_id", "u", "v", "w"))
+          .crossJoin(broadcast(SyntheticMs.channels(spark, d, 4)))
+          .select((basis * cos(ph)).as("a"), (basis * sin(ph)).as("b"))
+      }
+      val m15 = minBoundaryDist(r15, Seq("a", "b"))
+      val r16 = {
+        import graft.io.BeamFixture
+        (for (f <- 0 until BeamFixture.NFreq; y <- 0 until BeamFixture.NPix;
+              x <- 0 until BeamFixture.NPix)
+          yield BeamFixture.beamValue(x, y, f))
+          .map(v => math.abs(math.abs(v * 1e4 - math.floor(v * 1e4)) - 0.5)).min
+      }
+      info(s"$d: r15 min |frac(x·1e4)−.5| = $m15, r16 = $r16 (flip window ~1e-12)")
+      assert(m15 > 1e-7, s"r15 value within 1e-7 of an r4 boundary at $d")
+      assert(r16 > 1e-7, "r16 beam value within 1e-7 of an r4 boundary")
+    }
+  }
+
   test("r01 rounded cos/sin stay far from .5 rounding boundaries") {
     for (d <- dirs) {
       // distance of x*1e6 from the nearest .5 flip boundary, minimized
