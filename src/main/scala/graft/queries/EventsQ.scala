@@ -29,10 +29,11 @@ object EventsQ {
   //    perturbation flips a second bucket only within 1 µs of a second
   //    boundary; the closest event is 2.37 ms below one (sf0.1).
   //  * counts/cents are timestamp-free.
-  // s07/s08 are deliberate DIAGNOSTIC probes: their green/red pattern in
-  // the driver's CORRECTNESS file identifies its read semantics
-  // (s07 green ⇔ keep-ns; s07 red + s08 green ⇔ truncate-to-µs;
-  //  s07 red + s08 red ⇔ round-to-µs).
+  // s07 is a deliberate DIAGNOSTIC probe: green in the driver's
+  // CORRECTNESS file ⇔ its DuckDB keeps TIMESTAMP_NS; red ⇔ it converts
+  // to µs on read. Combined with the round-2 record (the `epoch_ns //
+  // 1000` oracle mismatched, which truncate-read and keep-ns semantics
+  // both reproduce exactly), a red s07 pins the driver to ROUND-to-µs.
   private val TusSql = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
   private val GapMicros = 1800000000L // 30 min
   private val HourMicros = 3600000000L
@@ -83,7 +84,7 @@ object EventsQ {
           sum(Det.cents(col("value"))).as("value_cents"))
     },
 
-    // -- ts-read probe A (DIAGNOSTIC — see header): sub-µs content of the
+    // -- ts-read probe (DIAGNOSTIC — see header): sub-µs content of the
     //    raw ns column. Green iff the driver's DuckDB keeps TIMESTAMP_NS.
     Q("s07_ts_probe",
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -98,17 +99,6 @@ object EventsQ {
         sum(when(expr("ts % 1000 = 0"), 1L).otherwise(0L)).as("n_us_exact"))
     },
 
-    // -- ts-read probe B (DIAGNOSTIC): µs parity sum. Matches Spark's
-    //    truncated µs under keep-ns AND truncate-to-µs; differs under
-    //    round-to-µs (~half the 9992 sub-µs rows flip parity).
-    Q("s08_ts_probe_us",
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM((epoch_ns(ts) // 1000) % 2) AS BIGINT) AS us_parity_sum
-        |FROM events""".stripMargin) { (s, dir) =>
-      Tables.events(s, dir).agg(
-        count(lit(1)).as("n"),
-        sum(expr("(ts div 1000) % 2")).as("us_parity_sum"))
-    },
 
     // -- sliding range-frame window: per user, event count + value sum
     //    over the trailing hour (numeric RANGE frame on µs — identical
