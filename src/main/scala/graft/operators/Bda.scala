@@ -45,7 +45,11 @@ object Bda {
       maxUvwDist: Double,
       chanTol: Double,
       nchan: Int,
-      fracBw: Double)
+      fracBw: Double,
+      /** Lower bound on the per-row output channel count, snapped UP to
+        * the next factor of `nchan` (bda_mapper's min_nchan,
+        * bda_mapping.py:294-310); 1 = no floor. */
+      minNchan: Int = 1)
 
   private def sinc(x: Double): Double = if (x == 0.0) 1.0 else math.sin(x) / x
 
@@ -110,7 +114,7 @@ object Bda {
           val blLen = math.sqrt(u * u + v * v + w * w)
           val psi = math.Pi * blLen / cfg.maxUvwDist * cfg.fracBw
           val f = (1 to cfg.nchan)
-            .find(k => cfg.nchan % k == 0 &&
+            .find(k => k >= cfg.minNchan && cfg.nchan % k == 0 &&
               sinc(psi * (cfg.nchan / k) / 2.0) >= cfg.chanTol)
             .getOrElse(cfg.nchan)
           val out = new Array[Any](width + 2)

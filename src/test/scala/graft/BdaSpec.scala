@@ -67,4 +67,14 @@ class BdaSpec extends AnyFunSuite {
     // sinc(psi)=0.947 < 0.95 -> falls to 4. blLen=0 -> 1.
     assert(got === Map(0L -> 1L, 1L -> 4L))
   }
+
+  test("min_nchan floors the channel factor at the next nchan divisor") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, 0L, 0L, 0.0, 1.0, 0.0, 0.0, 0.0)) // |uvw|=0 would give 1
+      .toDF("row_id", "ant1", "ant2", "time", "ivl", "u", "v", "w")
+    val got = Bda.mapper(rows, cfg(100.0).copy(minNchan = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(0L -> 2L))
+  }
 }
