@@ -63,4 +63,56 @@ object EventOps {
           out.result().iterator
       }
   }
+
+  final case class BdaRow(rowId: Long, ant1: Long, ant2: Long, time: Double,
+                          ivl: Double, u: Double, v: Double, w: Double)
+  final case class BdaState(bin: Long, tsLow: Double,
+                            u0: Double, v0: Double, w0: Double)
+  final case class BdaAssign(rowId: Long, ant1: Long, ant2: Long, bin: Long)
+
+  /** Streaming face of the BDA binner (Bda.mapperWithPayload's close
+    * rule): per-baseline keyed state carries only the open bin's scalars
+    * (bin index, lower time edge, reference uvw), so an observation of
+    * any length streams through with constant state. Rows inside one
+    * micro-batch are time-sorted before the greedy scan; ACROSS batches
+    * the binner relies on per-baseline arrival order, which a watermarked
+    * upstream sort guarantees. Auto-correlations take the reference's
+    * never-close fast path. */
+  def streamingBdaBins(ds: Dataset[BdaRow], cfg: Bda.Config): Dataset[BdaAssign] = {
+    import ds.sparkSession.implicits._
+    val closeThresh = {
+      val x = math.Pi * cfg.decorrelation
+      if (x == 0.0) 1.0 else math.sin(x) / x
+    }
+    val fringeScale =
+      cfg.maxChanFreq * math.sin(math.abs(cfg.maxLm)) * math.Pi / Bda.C
+    ds.groupByKey(r => (r.ant1, r.ant2))
+      .flatMapGroupsWithState[BdaState, BdaAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[BdaRow], state: GroupState[BdaState]) =>
+          val (a1, a2) = key
+          val sorted = rows.toSeq.sortBy(r => (r.time, r.rowId))
+          var cur = state.getOption
+          val out = Seq.newBuilder[BdaAssign]
+          for (r <- sorted) {
+            cur = cur match {
+              case None =>
+                Some(BdaState(0L, r.time - r.ivl / 2.0, r.u, r.v, r.w))
+              case Some(s) if a1 != a2 =>
+                val du = r.u - s.u0; val dv = r.v - s.v0; val dw = r.w - s.w0
+                val halfPsi =
+                  math.sqrt(du * du + dv * dv + dw * dw) * fringeScale + 1.0e-8
+                val blDecorr = math.sin(halfPsi) / halfPsi
+                val dt = r.time + r.ivl / 2.0 - s.tsLow
+                if (blDecorr < closeThresh || dt > cfg.timeBinSecs)
+                  Some(BdaState(s.bin + 1L, r.time - r.ivl / 2.0, r.u, r.v, r.w))
+                else Some(s)
+              case some => some // auto-corr: never closes
+            }
+            out += BdaAssign(r.rowId, a1, a2, cur.get.bin)
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -82,6 +82,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BDA binner matches the batch mapper across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Bda, EventOps}
+    import graft.operators.EventOps.BdaRow
+    val cfg = Bda.Config(
+      decorrelation = 0.175, maxLm = math.Pi / 2,
+      maxChanFreq = Bda.C / 10.0, timeBinSecs = 2.5,
+      maxUvwDist = 10.0, chanTol = 0.95, nchan = 4, fracBw = 0.2)
+    // two cross baselines with drifting uvw + one auto baseline, split
+    // across micro-batches mid-bin so keyed state must carry the open bin
+    val rows = Seq(
+      BdaRow(0L, 0L, 1L, 0.0, 1.0, 0.0, 0.0, 0.0),
+      BdaRow(1L, 0L, 1L, 1.0, 1.0, 1.0, 0.0, 0.0),
+      BdaRow(2L, 0L, 1L, 2.0, 1.0, 2.0, 0.0, 0.0), // decorr close
+      BdaRow(3L, 0L, 1L, 3.0, 1.0, 2.5, 0.0, 0.0),
+      BdaRow(4L, 2L, 2L, 0.0, 1.0, 0.0, 0.0, 0.0), // auto: never closes
+      BdaRow(5L, 2L, 2L, 500.0, 1.0, 0.0, 0.0, 0.0),
+      BdaRow(6L, 1L, 3L, 0.0, 1.0, 0.0, 0.0, 0.0),
+      BdaRow(7L, 1L, 3L, 1.0, 0.2, 0.0, 0.0, 0.0), // dt=1.6 <= 2.5 stays
+      BdaRow(8L, 1L, 3L, 3.0, 1.0, 0.0, 0.0, 0.0)) // dt=4.0 > 2.5 closes
+    val batch = Bda.mapper(rows.toDF().withColumnRenamed("rowId", "row_id"), cfg)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ms = MemoryStream[BdaRow]
+    val q = EventOps.streamingBdaBins(ms.toDS(), cfg)
+      .writeStream.format("memory").queryName("bda_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(5): _*) // split mid-bin on (0,1) and (2,2)
+      q.processAllAvailable()
+      ms.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      val got = spark.table("bda_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === batch,
+        s"streaming bins diverge from the batch mapper: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessions survive across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
