@@ -215,5 +215,89 @@ object Relational {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // -- top-2 parts by revenue per brand: partitioned window ranking
+    //    over a broadcast-dimension join (the per-group top-k idiom that
+    //    needs NO global sort — each brand ranks inside its partition).
+    Q("q12_top_part_per_brand",
+      """WITH rev AS (
+        |  SELECT p_brand, l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_partkey)
+        |SELECT p_brand, l_partkey, cents, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |    ORDER BY cents DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM rev) WHERE rnk <= 2""".stripMargin) { (s, dir) =>
+      val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_brand"))
+      val cents = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - Det.pct(col("l_discount")))
+      val rev = Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(sum(cents).as("cents"))
+      rev.withColumn("rnk", row_number().over(
+          Window.partitionBy("p_brand")
+            .orderBy(col("cents").desc, col("l_partkey"))).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select("p_brand", "l_partkey", "cents", "rnk")
+    },
+
+    // -- semi + anti join composition: customers holding at least one
+    //    high-value order but NO returned lineitem across any of their
+    //    orders (EXISTS ∧ NOT EXISTS — leftsemi then leftanti, both
+    //    shuffle-keyed by customer; the returns side aggregates to
+    //    customer cardinality before the anti join).
+    Q("q13_good_big_customers",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE o_custkey = c_custkey AND l_returnflag = 'R')""".stripMargin) {
+      (s, dir) =>
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("bk"))
+      val returned = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select("l_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("rk"))
+      c.join(big, col("c_custkey") === col("bk"), "left_semi")
+        .join(returned, col("c_custkey") === col("rk"), "left_anti")
+    },
+
+    // -- conditional-aggregate ratio: promo revenue share per ship month
+    //    (TPC-H Q14 shape). Both numerator and denominator are exact cent
+    //    sums; the single closing division is the only inexact op.
+    Q("q14_promo_share",
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS mo,
+        |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT)
+        |  / CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY month(l_shipdate)""".stripMargin) { (s, dir) =>
+      val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_type"))
+      val cents = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - Det.pct(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("mo"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), cents).otherwise(0L))
+            .as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("mo"), col("promo_cents"), col("total_cents"),
+          (col("promo_cents").cast("double") / col("total_cents").cast("double"))
+            .as("promo_share"))
     })
 }
