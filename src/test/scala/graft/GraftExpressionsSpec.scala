@@ -36,4 +36,57 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT kahan_sum(v) FROM kahan_empty")
       .collect()(0).getDouble(0) === 0.0)
   }
+
+  test("lsh_code16 matches the declarative 16-pass formulation and eval path") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, (1 to 64).map(i => ((i * 7) % 23 - 11).toLong)),
+      (1L, (1 to 64).map(i => ((i * 13) % 17 - 8).toLong)),
+      (2L, Seq.empty[Long]), // empty array → all projections 0 → code 0
+      (3L, Seq(5L)))
+    val df = vecs.toDF("id", "qv")
+    df.createOrReplaceTempView("lsh_in")
+    val declarative =
+      """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+        |  CASE WHEN aggregate(transform(qv, (x, i) ->
+        |         x * ((CAST(i + 1 AS BIGINT) * (2654435761 + CAST(j AS BIGINT) * 40503)) % 2048 - 1024)),
+        |       0L, (a, x) -> a + x) > 0
+        |  THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin
+    val rows = spark.sql(
+      s"SELECT id, lsh_code16(qv) AS fast, $declarative AS slow FROM lsh_in")
+      .collect()
+    for (r <- rows)
+      assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}")
+    assert(rows.find(_.getLong(0) == 2L).get.getLong(1) === 0L)
+    // interpreted (non-codegen) eval path agrees with the codegen result
+    val direct = graft.expr.LshCode16(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head._2.toArray,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      .eval(null).asInstanceOf[Long]
+    assert(direct === rows.find(_.getLong(0) == 0L).get.getLong(1))
+  }
+
+  test("rolling_fp matches the declarative per-character aggregate") {
+    import spark.implicits._
+    Seq((0L, "hello world"), (1L, ""), (2L, "a"),
+        (3L, "The quick brown fox! 42"))
+      .toDF("id", "text").createOrReplaceTempView("fp_in")
+    val declarative =
+      """aggregate(
+        |  sequence(1, length(text)),
+        |  0L,
+        |  (acc, i) -> acc + CAST(ascii(substring(text, i, 1)) AS BIGINT)
+        |    * ((CAST(i AS BIGINT) * 2654435761) % 1048576 + 1)
+        |) % 1073741824""".stripMargin
+    val rows = spark.sql(
+      s"SELECT id, rolling_fp(text) AS fast, $declarative AS slow FROM fp_in")
+      .collect()
+    for (r <- rows)
+      assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}")
+    // direct object API agrees too
+    assert(graft.expr.RollingFingerprint.compute("hello world")
+      === rows.find(_.getLong(0) == 0L).get.getLong(1))
+    assert(graft.expr.RollingFingerprint.compute("") === 0L)
+  }
 }
