@@ -58,4 +58,22 @@ object Kernels {
     val n = w * oversample
     (-w to w).map(o => o -> kernel(n + o * oversample))
   }
+
+  /** Separable detaper: the 1-D DFT of the cell-spaced taps evaluated at
+    * image coordinate `x` (cycles) — symmetric real kernels give
+    * Σ tap(o)·cos(2π·o·x); the 2-D detaper is tx·ty
+    * (compute_detaper_dft_seperable, kernels.py:141-186). This is the
+    * function WStack.dirtyImageDft divides by. */
+  def detaperDftSeparable(taps: Seq[(Int, Double)], x: Double): Double =
+    taps.map { case (o, t) => t * math.cos(2.0 * math.Pi * o * x) }.sum
+
+  /** Full 2-D DFT detaper over the outer-product kernel
+    * (compute_detaper_dft, kernels.py:99-139): Re Σ_{o1,o2}
+    * k(o1)k(o2)·e^{2πi(o1·x + o2·y)}. For a separable kernel this equals
+    * detaperDftSeparable(x)·detaperDftSeparable(y) — KernelsSpec asserts
+    * it, tying the cheap path to the definition. */
+  def detaperDft2d(taps: Seq[(Int, Double)], x: Double, y: Double): Double =
+    (for ((o1, t1) <- taps; (o2, t2) <- taps) yield {
+      t1 * t2 * math.cos(2.0 * math.Pi * (o1 * x + o2 * y))
+    }).sum
 }

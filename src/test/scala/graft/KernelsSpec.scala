@@ -38,4 +38,27 @@ class KernelsSpec extends AnyFunSuite {
     assert(t.find(_._1 == 0).get._2 === 1.0)
     assert(t.filter(_._1 != 0).forall(p => math.abs(p._2) < 1e-15))
   }
+
+  test("separable detaper equals the full 2-D DFT detaper for separable kernels") {
+    val taps = graft.queries.GriddingQ.Taps
+    for (x <- Seq(-0.004, 0.0, 0.0013, 0.02); y <- Seq(-0.01, 0.0, 0.003)) {
+      val sep = Kernels.detaperDftSeparable(taps, x) *
+        Kernels.detaperDftSeparable(taps, y)
+      val full = Kernels.detaperDft2d(taps, x, y)
+      assert(math.abs(sep - full) < 1e-12, s"($x, $y): $sep vs $full")
+    }
+    // at the image centre the detaper is the kernel's DC gain squared
+    val dc = taps.map(_._2).sum
+    assert(math.abs(Kernels.detaperDft2d(taps, 0.0, 0.0) - dc * dc) < 1e-12)
+    // and it matches the inline taper WStack.dirtyImageDft divides by:
+    // same cos-sum, evaluated on a Column — checked via a 1-row frame
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val c = spark.range(1).select(lit(0.0013).as("lx"))
+    val inline = taps.map { case (off, tap) =>
+      lit(tap) * cos(lit(2.0 * math.Pi) * lit(off.toDouble) * col("lx"))
+    }.reduce(_ + _)
+    val got = c.select(inline.as("t")).head.getDouble(0)
+    assert(math.abs(got - Kernels.detaperDftSeparable(taps, 0.0013)) < 1e-15)
+  }
 }
