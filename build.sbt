@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as the
+// headline JSON. sbt's default LoggedOutput prefixes every forked-process
+// line with "[info] ", which left BENCH_r{1,2,3}.json unparsed — raw
+// StdoutOutput passes the bare JSON line through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,10 +70,12 @@ object PredictPipeline {
       .drop("ra", "dec")
     val spec = col("i") * pow(col("freq") / col("freq0"), col("spi"))
     // gaussian taper: rotate uv by pa, squash by the axis ratio,
-    // exp-decay with the frequency-scaled major extent
-    val u1 = (col("u") * cos(col("pa")) + col("v") * sin(col("pa"))) *
+    // exp-decay with the frequency-scaled major extent. Rotation matches
+    // gaussian_shape.py:46-56 (el = sin pa, em = cos pa):
+    //   u1 = (u·em − v·el)·er,  v1 = u·el + v·em
+    val u1 = (col("u") * cos(col("pa")) - col("v") * sin(col("pa"))) *
       (col("emin") / col("emaj"))
-    val v1 = -col("u") * sin(col("pa")) + col("v") * cos(col("pa"))
+    val v1 = col("u") * sin(col("pa")) + col("v") * cos(col("pa"))
     val fsq = (col("freq") / Phase.C) * (col("freq") / Phase.C)
     val k = lit(-(math.Pi * math.Pi)) / (lit(4e0) * log(lit(2e0)))
     // degenerate extents fall back to the point response (the reference's

@@ -241,10 +241,12 @@ object FusedRime {
         CS(s"(-sin($p.pa))", "0e0"), CS(s"cos($p.pa)", "0e0"))
       val v = mulS(mulS(gM("gp"), mulS(rot("pp"), xsM)),
         hermS(mulS(gM("gq"), rot("pq"))))
-      // r4, not r6: the derived PA itself comes out of atan2 (each engine's
-      // own libm), so cos(pa)/sin(pa) carry COMPOUND 1-ulp disagreement
-      // into the hashed products — unlike x06, whose PA inputs are exact
-      // dyadic values. The wider bucket absorbs it.
+      // The transformer ROUNDS the derived PA at r6 (RimeCompiler.derivePa)
+      // so both engines take cos/sin of the bit-identical angle — round 3
+      // proved no rounding bucket absorbs trig of an engine-computed
+      // atan2 chain (x09 red at r4 with measured 4.7e-6 margins). With
+      // exact trig arguments this is x06's driver-green regime; r4 keeps
+      // a 100× guard band over the few-ulp product noise.
       val out = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
         .map { case (n, z) =>
           s"  ${graft.core.Det.r4Sql(z.re)} AS ${n}_re,\n  ${graft.core.Det.r4Sql(z.im)} AS ${n}_im"
@@ -254,7 +256,7 @@ object FusedRime {
          |pat AS (
          |  SELECT CAST(t.n_nationkey AS BIGINT) AS time_index,
          |    CAST(a.n_nationkey AS BIGINT) AS ant,
-         |    ${graft.queries.RimeMore.paGmstSql} AS pa
+         |    ${graft.core.Det.r6Sql(graft.queries.RimeMore.paGmstSql)} AS pa
          |  FROM nation t, nation a
          |  WHERE t.n_nationkey < 16 AND a.n_nationkey < 7),
          |xs AS (

@@ -127,21 +127,24 @@ object RimeMore {
 
     // -- R11c: shapelet_with_w_term
     //    (africanus/model/shape/shapelets.py:104-150): the 2-D shapelet
-    //    basis of r13 multiplied by phase_steer_and_w_correct's
+    //    basis of r13 under phase_steer_and_w_correct's
     //    e^{i·(−2π/c)·ν·(u·l0 + v·m0 + w·(n0−1))} — the phase-steered,
-    //    w-corrected complex visibility of an off-centre shapelet source.
-    //    The synthetic l,m keep |phase| in the libm-safe regime (as r01's
-    //    inputs do); the hashed product is rounded at r4 — per-row trig
-    //    on the hashed surface is what made r01 driver-red, so the new
-    //    per-row trig query gets the 100×-margin bucket rather than r6.
+    //    w-corrected visibility of an off-centre shapelet source.
+    //    HASHED SURFACE (CLAUDE.md rule, learned from r01/r15/x09 reds):
+    //    no per-row libm output — the round-3 r4-rounded basis·cos(phase)
+    //    product flipped on the driver despite 100×-margin buckets. The
+    //    surface is instead the two factors that pin the product exactly:
+    //    the IEEE-exact steering phase (r01's driver-green class — pure
+    //    arithmetic, both engines agree bit for bit) and the r6 basis
+    //    (r13's driver-green class), as separate columns.
     Q("r15_shapelet_w", {
       val sql = RimeMore.shapelet2dSql
       val ph = SyntheticMs.phaseSql
       s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)}),
          |ch AS (${channelsSql(4)})
          |SELECT src_id, row_id, chan,
-         |  ${Det.r4Sql(s"($sql) * cos($ph)")} AS sval_re,
-         |  ${Det.r4Sql(s"($sql) * sin($ph)")} AS sval_im
+         |  $ph AS phase,
+         |  ${r6Sql(sql)} AS sval
          |FROM src, rws, ch""".stripMargin
     }) { (s, dir) =>
       val basis = expr(RimeMore.shapelet2dSql)
@@ -151,8 +154,8 @@ object RimeMore {
         .crossJoin(uvwRows(s, dir, 64).select("row_id", "u", "v", "w"))
         .crossJoin(broadcast(channels(s, dir, 4)))
         .select(col("src_id"), col("row_id"), col("chan"),
-          Det.r4(basis * cos(ph)).as("sval_re"),
-          Det.r4(basis * sin(ph)).as("sval_im"))
+          ph.as("phase"),
+          Det.r6(basis).as("sval"))
     },
 
     // -- R6: transform_sources (africanus/rime/transform.py:12-99):
@@ -206,7 +209,9 @@ object RimeMore {
     // -- R10: Gaussian source shape taper
     //    (africanus/model/shape/gaussian_shape.py:11-66): rotate uv by the
     //    position angle, squash by the axis ratio, exp-decay with
-    //    frequency-scaled extent.
+    //    frequency-scaled extent. Rotation convention follows the
+    //    reference exactly (el = sin ang, em = cos ang):
+    //      u1 = (u·em − v·el)·er,  v1 = u·el + v·em
     Q("r10_gaussian_shape",
       s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)}),
          |ch AS (${channelsSql(4)}),
@@ -218,16 +223,16 @@ object RimeMore {
          |SELECT src_id, row_id, chan,
          |  ${r6Sql(
              "exp(-(pi()*pi()/(4e0*ln(2e0))) * ((freq/299792458e0)*(freq/299792458e0)) * " +
-             "(((u*cos(ang) + v*sin(ang)) * (emin/emaj)) * ((u*cos(ang) + v*sin(ang)) * (emin/emaj)) " +
-             "+ (-u*sin(ang) + v*cos(ang)) * (-u*sin(ang) + v*cos(ang))) * (emaj*emaj))")} AS shape
+             "(((u*cos(ang) - v*sin(ang)) * (emin/emaj)) * ((u*cos(ang) - v*sin(ang)) * (emin/emaj)) " +
+             "+ (u*sin(ang) + v*cos(ang)) * (u*sin(ang) + v*cos(ang))) * (emaj*emaj))")} AS shape
          |FROM gp, rws, ch""".stripMargin) { (s, dir) =>
       val gp = sources(s, dir, 5).select(col("src_id"),
         (lit(1e-4) * (col("src_id") + 2)).as("emaj"),
         (lit(5e-5) * (col("src_id") + 1)).as("emin"),
         (lit(3e-1) * col("src_id")).as("ang"))
-      val u1 = (col("u") * cos(col("ang")) + col("v") * sin(col("ang"))) *
+      val u1 = (col("u") * cos(col("ang")) - col("v") * sin(col("ang"))) *
         (col("emin") / col("emaj"))
-      val v1 = -col("u") * sin(col("ang")) + col("v") * cos(col("ang"))
+      val v1 = col("u") * sin(col("ang")) + col("v") * cos(col("ang"))
       val fsq = (col("freq") / 299792458e0) * (col("freq") / 299792458e0)
       val k = lit(-(math.Pi * math.Pi)) / (lit(4e0) * log(lit(2e0)))
       uvwRows(s, dir, 64)

@@ -100,13 +100,22 @@ object RimeCompiler {
 
   /** Derived PA table for the X3 transformer: GMST-backend parallactic
     * angle (RimeMore.paGmstSql — IAU 1982 polynomial, per-antenna
-    * lon/lat) over the rows' (time_index × ant) grid. */
+    * lon/lat) over the rows' (time_index × ant) grid.
+    *
+    * The derived angle is rounded to 1 µrad (r6) — physically negligible
+    * (≲0.2 arcsec of feed rotation) but load-bearing for determinism: the
+    * atan2/GMST chain is engine-libm-dependent, and round 3 proved that
+    * per-row trig of an engine-computed angle on a hashed surface
+    * eventually flips (x09 red). Rounding the ANGLE makes every
+    * downstream cos/sin argument bit-identical across engines — the same
+    * exact-input regime as the driver-green x06 (dyadic PA inputs) and
+    * r04b (r6-hashed GMST PA). */
   private def derivePa(rows: DataFrame): DataFrame = {
     val times = rows.select(col("time_index")).distinct()
     val ants = rows.select(col("ant1").as("ant"))
       .union(rows.select(col("ant2").as("ant"))).distinct()
     times.crossJoin(ants)
-      .withColumn("pa", expr(graft.queries.RimeMore.paGmstSql))
+      .withColumn("pa", Det.r6(expr(graft.queries.RimeMore.paGmstSql)))
   }
 
   /** Correlation order of the full 2×2 matrix in each feed basis. */

@@ -46,30 +46,38 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
-  test("r4-rounded trig surfaces (r15/x09/r16) stay far from flip boundaries") {
-    // the three queries that keep compound transcendental values on the
-    // hashed surface round at 1e4; a cross-engine flip needs a value
-    // within ~1e-12 of a .5 boundary of x*1e4. PRINT the measured minimum
-    // so the margin is a fact, not a hope.
+  test("rounded hashed surfaces (r15 basis / x09 derived PA / r16) stay far from flip boundaries") {
+    // After the round-3 reds, NO hashed surface carries per-row trig of an
+    // engine-computed argument any more. What remains rounding-sensitive:
+    //  * r15/r13's r6 basis (exp of exact dyadic args — r13 driver-green),
+    //  * x09's transformer PA, rounded at r6 BEFORE any trig
+    //    (RimeCompiler.derivePa) — the round itself must be cross-engine
+    //    stable, i.e. pa·1e6 far from .5 boundaries (r04b's green class),
+    //  * r16's r4 beam values.
+    // PRINT the measured minimum so the margin is a fact, not a hope.
     import org.apache.spark.sql.DataFrame
-    def minBoundaryDist(df: DataFrame, cols: Seq[String]): Double =
-      df.select(least(cols.map { c =>
-          abs(abs(col(c) * 1e4 - floor(col(c) * 1e4)) - 0.5)
-        }: _*).as("d"))
-        .agg(min(col("d"))).head.getDouble(0)
-    for (d <- dirs) {
-      // recompute the UNROUNDED values by stripping r4 is impractical —
-      // instead rebuild each query's hashed expression pre-rounding
-      val r15 = {
-        val basis = expr(graft.queries.RimeMore.shapelet2dSql)
-        val ph = graft.functions.Phase.realPhase(col("l"), col("m"),
-          col("u"), col("v"), col("w")).multiply(col("freq"))
-        SyntheticMs.sources(spark, d, 5)
-          .crossJoin(SyntheticMs.uvwRows(spark, d, 64).select("row_id", "u", "v", "w"))
-          .crossJoin(broadcast(SyntheticMs.channels(spark, d, 4)))
-          .select((basis * cos(ph)).as("a"), (basis * sin(ph)).as("b"))
+    def minBoundaryDist(df: DataFrame, cols: Seq[String], scale: Double): Double = {
+      val dists = cols.map { c =>
+        abs(abs(col(c) * scale - floor(col(c) * scale)) - 0.5)
       }
-      val m15 = minBoundaryDist(r15, Seq("a", "b"))
+      val d = if (dists.size == 1) dists.head else least(dists: _*)
+      df.select(d.as("d")).agg(min(col("d"))).head.getDouble(0)
+    }
+    for (d <- dirs) {
+      val basis = {
+        val b = expr(graft.queries.RimeMore.shapelet2dSql)
+        SyntheticMs.sources(spark, d, 5)
+          .crossJoin(SyntheticMs.uvwRows(spark, d, 64).select("row_id", "u", "v"))
+          .select(b.as("a"))
+      }
+      val mBasis = minBoundaryDist(basis, Seq("a"), 1e6)
+      val paX09 = {
+        // the 16×7 (time_index, ant) grid x09's transformer derives over
+        val t = spark.range(16).select(col("id").as("time_index"))
+        val a = spark.range(7).select(col("id").as("ant"))
+        t.crossJoin(a).select(expr(graft.queries.RimeMore.paGmstSql).as("pa"))
+      }
+      val mPa = minBoundaryDist(paX09, Seq("pa"), 1e6)
       val r16 = {
         import graft.io.BeamFixture
         (for (f <- 0 until BeamFixture.NFreq; y <- 0 until BeamFixture.NPix;
@@ -77,8 +85,10 @@ class DeterminismSpec extends AnyFunSuite {
           yield BeamFixture.beamValue(x, y, f))
           .map(v => math.abs(math.abs(v * 1e4 - math.floor(v * 1e4)) - 0.5)).min
       }
-      info(s"$d: r15 min |frac(x·1e4)−.5| = $m15, r16 = $r16 (flip window ~1e-12)")
-      assert(m15 > 1e-7, s"r15 value within 1e-7 of an r4 boundary at $d")
+      info(s"$d: r15 basis min |frac(x·1e6)−.5| = $mBasis, x09 pa = $mPa, " +
+        s"r16 = $r16 (flip window ~1e-12)")
+      assert(mBasis > 1e-7, s"r15 basis value within 1e-7 of an r6 boundary at $d")
+      assert(mPa > 1e-7, "x09 derived PA within 1e-7 of an r6 boundary")
       assert(r16 > 1e-7, "r16 beam value within 1e-7 of an r4 boundary")
     }
   }

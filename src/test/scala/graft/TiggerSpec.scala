@@ -95,8 +95,9 @@ class TiggerSpec extends AnyFunSuite {
         val phase = -2.0 * math.Pi / 299792458.0 * (u * l + v * m + w * n) * freq
         val spec = s.i * math.pow(freq / s.freq0, s.spi)
         val taper = if (s.typecode == "gau") {
-          val u1 = (u * math.cos(s.pa) + v * math.sin(s.pa)) * (s.emin / s.emaj)
-          val v1 = -u * math.sin(s.pa) + v * math.cos(s.pa)
+          // gaussian_shape.py:46-56: u1 = (u·cos − v·sin)·er, v1 = u·sin + v·cos
+          val u1 = (u * math.cos(s.pa) - v * math.sin(s.pa)) * (s.emin / s.emaj)
+          val v1 = u * math.sin(s.pa) + v * math.cos(s.pa)
           val fsq = (freq / 299792458.0) * (freq / 299792458.0)
           math.exp(-(math.Pi * math.Pi) / (4 * math.log(2.0)) * fsq *
             (u1 * u1 + v1 * v1) * (s.emaj * s.emaj))

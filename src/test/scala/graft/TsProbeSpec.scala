@@ -60,6 +60,36 @@ class TsProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("s09 session spans match an independent window recomputation") {
+    // s09 is rows-checked only by the driver (no oracle — timestamp-valued
+    // hashes are unfalsifiable against the driver DuckDB's ns-read
+    // semantics, see EventsQ header). This pins its VALUES locally: the
+    // mapPartitions sessionizer vs the declarative lag/sum-window
+    // formulation the s02 oracle uses.
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- sfs) {
+      val got = queries.EventsQ.qs.find(_.name == "s09_session_spans").get
+        .fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val ev = core.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val expected = ev
+        .withColumn("new_s",
+          when(col("tus") - lag("tus", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(expr("min(tus) div 1000000").as("t_start_s"),
+          expr("max(tus) div 1000000").as("t_end_s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got === expected, s"$dir: s09 spans diverge from window recomputation")
+      info(s"$dir: ${got.size} sessions, spans identical")
+    }
+  }
+
   test("no per-user gap sits near the 30-min session boundary") {
     val gapUs = 1800000000L
     for (dir <- sfs) {
