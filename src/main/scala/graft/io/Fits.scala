@@ -65,7 +65,13 @@ object Fits {
       val bitpix = cards("BITPIX").trim.toInt
       val nAxes = cards("NAXIS").trim.toInt
       val naxis = (1 to nAxes).map(i => cards(s"NAXIS$i").trim.toInt)
-      val count = naxis.product
+      // element count in Long first: a cube over ~2^31 elements would
+      // silently overflow Int and allocate a wrong-sized (or negative)
+      // array
+      val countL = naxis.map(_.toLong).product
+      require(countL > 0 && countL <= Int.MaxValue.toLong,
+        s"FITS data too large for a JVM array: ${naxis.mkString("x")} = $countL elements")
+      val count = countL.toInt
       val data = new Array[Double](count)
       bitpix match {
         case -64 => var i = 0; while (i < count) { data(i) = in.readDouble(); i += 1 }
@@ -94,7 +100,9 @@ object Fits {
       while (sb.length % Block != 0) sb.append(" " * 80)
       out.writeBytes(sb.result())
       data.foreach(out.writeDouble)
-      val rem = (data.length * 8) % Block
+      // byte-size arithmetic in Long: data.length * 8 overflows Int past
+      // 2^28 elements and would compute wrong padding
+      val rem = ((data.length.toLong * 8) % Block).toInt
       if (rem != 0) out.write(new Array[Byte](Block - rem))
     } finally out.close()
   }

@@ -463,8 +463,10 @@ object TrainingData {
     //    every candidate pair exactly once (the a<b ordering kills the
     //    mirror match); candidates then get the EXACT integer cosine and
     //    a duplicate verdict at τ = 0.5. At 100 TB the probe explosion is
-    //    a bounded ×17 and the join hits 65 536 buckets — candidate
-    //    volume stays linear in the corpus (ScaleProbe's e02 evidence
+    //    a bounded ×17 and the probe→code join keys on the 65 536-bucket
+    //    code — ONE code-keyed shuffle of two linear relations (at test
+    //    scale the smaller side broadcasts instead; both plans keep
+    //    candidate volume linear in the corpus, ScaleProbe's e02 evidence
     //    covers the same bucket geometry).
     Q("t10_embed_neardup",
       s"""WITH ce AS (${qExplodeSql("cid", "")}),
