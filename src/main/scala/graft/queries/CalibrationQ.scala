@@ -87,6 +87,118 @@ object CalibrationQ {
           count(lit(1)).as("n_terms"))
     },
 
+    // -- G8: the Gauss-Newton UPDATE ALGEBRA under the hash gate
+    //    (calibration/phase_only/phase_only.py:243-308) — two unrolled
+    //    iterations of the phase-only solve, SQL-expressible as chained
+    //    CTEs. Float determinism by construction (CLAUDE.md rule):
+    //    * iteration 1 starts at jones = 1, so vm = model and every
+    //      jhr/jhj term is exact dyadic arithmetic — plain SUM is exact
+    //      in any order; p1 = 0.5·jhr1/jhj is one IEEE division of
+    //      identical operands → BIT-identical cross-engine.
+    //    * jhj is computed once and reused (the reference's DIAG_DIAG
+    //      fast path, phase_only.py:264-268).
+    //    * iteration 2 takes cos/sin of the bit-identical p1 (libm of a
+    //      shared argument: ulp-level disagreement only) and aggregates
+    //      jhr2 with fsum (terms rounded to 1e-6, summed as longs), so
+    //      p2 = p1 + 0.5·jhr2/jhj is again bit-identical. p1 and p2 are
+    //      hashed RAW — no rounding layer at all.
+    Q("g08_gauss_newton_2iter",
+      s"""WITH rws AS (${uvwRowsSql(16)}),
+         |ch AS (SELECT CAST(n_nationkey AS BIGINT) AS chan
+         |       FROM nation WHERE n_nationkey < 4),
+         |rc AS (
+         |  SELECT rws.row_id, rws.time_index, rws.ant1, rws.ant2, ch.chan,
+         |    ((rws.row_id * 13 + ch.chan * 5) % 19 - 9) / 16e0 AS m_re,
+         |    ((rws.row_id * 17 + ch.chan * 7) % 11 - 5) / 16e0 AS m_im,
+         |    ((rws.row_id * 19 + ch.chan * 3) % 23 - 11) / 16e0 AS v_re,
+         |    ((rws.row_id * 23 + ch.chan * 9) % 17 - 8) / 16e0 AS v_im,
+         |    ((rws.row_id + ch.chan) % 4 + 1) / 4e0 AS wt
+         |  FROM rws, ch),
+         |u1 AS (
+         |  SELECT time_index, ant1 AS ant, chan,
+         |    wt * (m_re*(v_im - m_im) - m_im*(v_re - m_re)) AS jhr_c,
+         |    wt * (m_re*m_re + m_im*m_im) AS jhj_c
+         |  FROM rc
+         |  UNION ALL
+         |  SELECT time_index, ant2 AS ant, chan,
+         |    -(wt * (m_re*(v_im - m_im) - m_im*(v_re - m_re))) AS jhr_c,
+         |    wt * (m_re*m_re + m_im*m_im) AS jhj_c
+         |  FROM rc),
+         |p1t AS (
+         |  SELECT time_index, ant, chan,
+         |    5e-1 * (SUM(jhr_c) / SUM(jhj_c)) AS p1, SUM(jhj_c) AS jhj
+         |  FROM u1 GROUP BY time_index, ant, chan),
+         |t2 AS (
+         |  SELECT rc.*, pp.p1 AS php, qq.p1 AS phq
+         |  FROM rc
+         |    JOIN p1t pp ON pp.time_index = rc.time_index
+         |      AND pp.ant = rc.ant1 AND pp.chan = rc.chan
+         |    JOIN p1t qq ON qq.time_index = rc.time_index
+         |      AND qq.ant = rc.ant2 AND qq.chan = rc.chan),
+         |v2 AS (
+         |  SELECT *,
+         |    (cos(php)*m_re - sin(php)*m_im)*cos(phq)
+         |      + (cos(php)*m_im + sin(php)*m_re)*sin(phq) AS vm_re,
+         |    (cos(php)*m_im + sin(php)*m_re)*cos(phq)
+         |      - (cos(php)*m_re - sin(php)*m_im)*sin(phq) AS vm_im
+         |  FROM t2),
+         |u2 AS (
+         |  SELECT time_index, ant1 AS ant, chan,
+         |    wt * (vm_re*(v_im - vm_im) - vm_im*(v_re - vm_re)) AS jhr_c
+         |  FROM v2
+         |  UNION ALL
+         |  SELECT time_index, ant2 AS ant, chan,
+         |    -(wt * (vm_re*(v_im - vm_im) - vm_im*(v_re - vm_re))) AS jhr_c
+         |  FROM v2),
+         |jh2 AS (
+         |  SELECT time_index, ant, chan,
+         |    ${graft.core.Det.fsumSql("jhr_c")} AS jhr2
+         |  FROM u2 GROUP BY time_index, ant, chan)
+         |SELECT p1t.time_index, p1t.ant, p1t.chan, p1t.p1 AS p1,
+         |  p1t.p1 + 5e-1 * (jh2.jhr2 / p1t.jhj) AS p2
+         |FROM p1t JOIN jh2 ON jh2.time_index = p1t.time_index
+         |  AND jh2.ant = p1t.ant AND jh2.chan = p1t.chan""".stripMargin) { (s, dir) =>
+      val rc = calRows(s, dir)
+      val m = CxCol(col("m_re"), col("m_im"))
+      // iteration 1, jones = 1: vm = m, r = v − m — all dyadic-exact
+      val r1re = col("v_re") - col("m_re")
+      val r1im = col("v_im") - col("m_im")
+      val jhr1T = col("wt") * (m.re * r1im - m.im * r1re)
+      val jhjT = col("wt") * (m.re * m.re + m.im * m.im)
+      val u1 = rc.select(col("time_index"), col("ant1").as("ant"), col("chan"),
+          jhr1T.as("jhr_c"), jhjT.as("jhj_c"))
+        .unionByName(rc.select(col("time_index"), col("ant2").as("ant"),
+          col("chan"), (-jhr1T).as("jhr_c"), jhjT.as("jhj_c")))
+      val p1t = u1.groupBy("time_index", "ant", "chan")
+        .agg((lit(5e-1) * (sum(col("jhr_c")) / sum(col("jhj_c")))).as("p1"),
+          sum(col("jhj_c")).as("jhj"))
+      // iteration 2: gains from the bit-identical p1
+      val pp = broadcast(p1t.select(col("time_index").as("pt"),
+        col("ant").as("pa"), col("chan").as("pc"), col("p1").as("php")))
+      val pq = broadcast(p1t.select(col("time_index").as("qt"),
+        col("ant").as("qa"), col("chan").as("qc"), col("p1").as("phq")))
+      val t2 = rc
+        .join(pp, col("time_index") === col("pt") && col("ant1") === col("pa")
+          && col("chan") === col("pc"))
+        .join(pq, col("time_index") === col("qt") && col("ant2") === col("qa")
+          && col("chan") === col("qc"))
+      val gp = CxCol(cos(col("php")), sin(col("php")))
+      val gq = CxCol(cos(col("phq")), sin(col("phq")))
+      val vm = gp * m * gq.conj
+      val r2re = col("v_re") - vm.re
+      val r2im = col("v_im") - vm.im
+      val jhr2T = col("wt") * (vm.re * r2im - vm.im * r2re)
+      val u2 = t2.select(col("time_index"), col("ant1").as("ant"), col("chan"),
+          jhr2T.as("jhr_c"))
+        .unionByName(t2.select(col("time_index"), col("ant2").as("ant"),
+          col("chan"), (-jhr2T).as("jhr_c")))
+      val jh2 = u2.groupBy("time_index", "ant", "chan")
+        .agg(graft.core.Det.fsum(col("jhr_c")).as("jhr2"))
+      p1t.join(jh2, Seq("time_index", "ant", "chan"))
+        .select(col("time_index"), col("ant"), col("chan"), col("p1"),
+          (col("p1") + lit(5e-1) * (col("jhr2") / col("jhj"))).as("p2"))
+    },
+
     // -- G6: Gauss-Newton phase solver (iterative driver loop; no SQL
     //    oracle — convergence is asserted in CalibrateSpec; the driver
     //    records a rows-only check).
