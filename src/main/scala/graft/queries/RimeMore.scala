@@ -29,6 +29,55 @@ object RimeMore {
       s"sin($lat)*cos(-38e-2) - cos($lat)*sin(-38e-2)*cos($ha))"
   }
 
+  /** Oracle text for r04c: the 'casa'-backend chain of
+    * functions.ParAngles.casaPa as chained CTEs over a (time_index, ant)
+    * grid with dyadic-integer ITRF fixture antennas and integer MJD-second
+    * epochs. Constants in e-notation (DuckDB DECIMAL pitfall); the WGS84
+    * derived constants are spelled as the same IEEE expressions the JVM
+    * folds. */
+  def paCasaOracleSql(nTime: Int = 16, nAnt: Int = 7): String = {
+    val f = "(1e0 / 298257223563e-9)"
+    val b = s"(6378137e0 * (1e0 - $f))"
+    val e2 = s"($f * (2e0 - $f))"
+    val ep2 = s"($e2 / (1e0 - $e2))"
+    s"""WITH pat AS (
+       |  SELECT CAST(t.n_nationkey AS BIGINT) AS time_index,
+       |    CAST(a.n_nationkey AS BIGINT) AS ant
+       |  FROM nation t, nation a
+       |  WHERE t.n_nationkey < $nTime AND a.n_nationkey < $nAnt),
+       |geo AS (
+       |  SELECT time_index, ant,
+       |    -1601710e0 + ant * 64e0 AS x,
+       |    -5042006e0 + ant * 128e0 AS y,
+       |    3554880e0 + ant * 32e0 AS z,
+       |    (5084553600e0 + time_index * 5400e0) / 86400e0 AS mjd_day
+       |  FROM pat),
+       |g2 AS (
+       |  SELECT *, atan2(y, x) AS lon, sqrt(x*x + y*y) AS p FROM geo),
+       |g3 AS (
+       |  SELECT *, atan2(z * 6378137e0, p * $b) AS th FROM g2),
+       |g4 AS (
+       |  SELECT *,
+       |    atan2(z + $ep2 * $b * sin(th)*sin(th)*sin(th),
+       |          p - $e2 * 6378137e0 * cos(th)*cos(th)*cos(th)) AS lat,
+       |    28046061837e-8 + 36098564736629e-11 * (mjd_day - 515445e-1)
+       |      + 387933e-9 * (((mjd_day - 515445e-1) / 36525e0)
+       |                     * ((mjd_day - 515445e-1) / 36525e0))
+       |      - (((mjd_day - 515445e-1) / 36525e0)
+       |         * ((mjd_day - 515445e-1) / 36525e0)
+       |         * ((mjd_day - 515445e-1) / 36525e0)) / 3871e4 AS gdeg
+       |  FROM g3),
+       |g5 AS (
+       |  SELECT *,
+       |    (gdeg - 36e1 * floor(gdeg / 36e1)) * (pi() / 18e1)
+       |      + lon - 25e-2 AS ha
+       |  FROM g4)
+       |SELECT time_index, ant,
+       |  ${r6Sql("atan2(cos(lat)*sin(ha), " +
+           "sin(lat)*cos(-38e-2) - cos(lat)*sin(-38e-2)*cos(ha))")} AS pa
+       |FROM g5""".stripMargin
+  }
+
   /** Shared Spark-expr/oracle text for r13: 2-D Hermite-Gaussian shapelet
     * sum over orders (0,0),(1,0),(0,1),(1,1),(2,0),(0,2). */
   val shapelet2dSql: String = {
@@ -106,6 +155,26 @@ object RimeMore {
     }) { (s, dir) =>
       paTable(s, dir).select(col("time_index"), col("ant"),
         Det.r6(expr(RimeMore.paGmstSql)).as("pa"))
+    },
+
+    // -- R4c: the 'casa' backend calling convention
+    //    (rime/parangles_casa.py:24-63 — the reference's DEFAULT): UTC
+    //    MJD-second epochs + ITRF-metre antenna positions + J2000 field
+    //    centre, through functions.ParAngles (Bowring geodetic inversion
+    //    on WGS84 + IAU-1982 GMST + posangle). Fixture antennas are
+    //    dyadic-integer ITRF coordinates near a real mid-latitude site;
+    //    epochs are integer seconds, so every input is cross-engine
+    //    exact and the r6 output is r04b's driver-green class
+    //    (single atan2 chain, margins measured in CasaParanglesSpec).
+    Q("r04c_parallactic_casa", RimeMore.paCasaOracleSql()) { (s, dir) =>
+      import graft.functions.ParAngles
+      val mjdSec = lit(5084553600e0) + col("time_index") * 5400e0
+      val x = lit(-1601710e0) + col("ant") * 64e0
+      val y = lit(-5042006e0) + col("ant") * 128e0
+      val z = lit(3554880e0) + col("ant") * 32e0
+      paTable(s, dir).select(col("time_index"), col("ant"),
+        Det.r6(ParAngles.casaPa(mjdSec, x, y, z,
+          lit(25e-2), lit(-38e-2))).as("pa"))
     },
 
     // -- R11b: 2-D Cartesian shapelet basis
