@@ -57,6 +57,57 @@ object TrainingData {
   private def norms(e: DataFrame, idAs: String): DataFrame =
     e.groupBy(idAs).agg(sum(col("qv") * col("qv")).as(s"${idAs}_n2"))
 
+  /** Shared CTE prefix for t10/t11: LSH-coded corpus, Hamming≤1
+    * candidate pairs, exact integer dot products + norms. */
+  private lazy val neardupCtesSql: String =
+    s"""ce AS (${qExplodeSql("cid", "")}),
+       |proj AS (
+       |  SELECT cid, j,
+       |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
+       |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+       |  GROUP BY cid, j),
+       |bk AS (
+       |  SELECT cid, CAST(SUM(CASE WHEN s > 0
+       |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS code
+       |  FROM proj GROUP BY cid),
+       |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+       |cand AS (
+       |  SELECT a.cid AS cid_a, b.cid AS cid_b
+       |  FROM bk a JOIN bk b
+       |    ON a.cid < b.cid AND bit_count(xor(a.code, b.code)) <= 1),
+       |dot AS (
+       |  SELECT cand.cid_a, cand.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+       |  FROM cand
+       |    JOIN ce ea ON ea.cid = cand.cid_a
+       |    JOIN ce eb ON eb.cid = cand.cid_b AND ea.pos = eb.pos
+       |  GROUP BY cand.cid_a, cand.cid_b)""".stripMargin
+
+  /** The t10 candidate relation: (cid_a, cid_b, cosine, is_dup) — every
+    * Hamming≤1 pair with its exact-integer cosine and τ = 0.5 verdict. */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val qCol = expr(
+      "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+    val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+      .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      .withColumn("code", expr("lsh_code16(qv)"))
+    val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i)
+    val maskDf = { import s.implicits._; masks.toDF("mask") }
+    val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"),
+        col("n2").as("n2_a"), col("qv").as("qv_a"))
+      .crossJoin(broadcast(maskDf))
+      .withColumn("probe", expr("code_a ^ mask")).drop("mask", "code_a")
+    val cand = probes.join(bk, col("code") === col("probe")
+        && col("cid_a") < col("cid"))
+    val dot = expr(
+      "aggregate(zip_with(qv_a, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+    val cosine = dot.cast("double") /
+      (sqrt(col("n2_a").cast("double")) * sqrt(col("n2").cast("double")))
+    cand.select(col("cid_a"), col("cid").as("cid_b"),
+      cosine.as("cosine"), (cosine >= 5e-1).as("is_dup"))
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val qs: Seq[Q] = Seq(
@@ -469,27 +520,7 @@ object TrainingData {
     //    candidate volume linear in the corpus, ScaleProbe's e02 evidence
     //    covers the same bucket geometry).
     Q("t10_embed_neardup",
-      s"""WITH ce AS (${qExplodeSql("cid", "")}),
-         |proj AS (
-         |  SELECT cid, j,
-         |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
-         |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
-         |  GROUP BY cid, j),
-         |bk AS (
-         |  SELECT cid, CAST(SUM(CASE WHEN s > 0
-         |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS code
-         |  FROM proj GROUP BY cid),
-         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
-         |cand AS (
-         |  SELECT a.cid AS cid_a, b.cid AS cid_b
-         |  FROM bk a JOIN bk b
-         |    ON a.cid < b.cid AND bit_count(xor(a.code, b.code)) <= 1),
-         |dot AS (
-         |  SELECT cand.cid_a, cand.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
-         |  FROM cand
-         |    JOIN ce ea ON ea.cid = cand.cid_a
-         |    JOIN ce eb ON eb.cid = cand.cid_b AND ea.pos = eb.pos
-         |  GROUP BY cand.cid_a, cand.cid_b)
+      s"""WITH $neardupCtesSql
          |SELECT dot.cid_a, dot.cid_b,
          |  CAST(dot.d AS DOUBLE)
          |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine,
@@ -497,27 +528,69 @@ object TrainingData {
          |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 5e-1 AS is_dup
          |FROM dot JOIN n2t na ON dot.cid_a = na.cid
          |         JOIN n2t nb ON dot.cid_b = nb.cid""".stripMargin) { (s, dir) =>
-      graft.expr.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, dir)
-      val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
-      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
-        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-        .withColumn("code", expr("lsh_code16(qv)"))
-      val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i)
-      val maskDf = { import s.implicits._; masks.toDF("mask") }
-      val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"),
-          col("n2").as("n2_a"), col("qv").as("qv_a"))
-        .crossJoin(broadcast(maskDf))
-        .withColumn("probe", expr("code_a ^ mask")).drop("mask", "code_a")
-      val cand = probes.join(bk, col("code") === col("probe")
-          && col("cid_a") < col("cid"))
-      val dot = expr(
-        "aggregate(zip_with(qv_a, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
-      val cosine = dot.cast("double") /
-        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2").cast("double")))
-      cand.select(col("cid_a"), col("cid").as("cid_b"),
-        cosine.as("cosine"), (cosine >= 5e-1).as("is_dup"))
+      neardupPairs(s, dir)
+    },
+
+    // -- duplicate-CLUSTER assignment: the step between t10's pairs and a
+    //    dedup keep-list. Connected components over the near-dup pair
+    //    graph via FOUR unrolled rounds of min-label propagation (the
+    //    standard distributed CC idiom: per round, every node takes the
+    //    min label among itself and its neighbours — one edge join + one
+    //    grouped min, both keyed shuffles of linear relations; diameter>16
+    //    chains would need log-rounds pointer doubling, overkill for
+    //    near-dup clusters which are cliques-with-fringe). Both engines
+    //    run the SAME fixed 4 rounds over integer labels, so the result
+    //    is hash-exact even where unconverged. Output: every corpus
+    //    vector with its cluster representative (min cid reachable ≤ 4
+    //    hops), the cluster size, and whether it survives dedup (keep ⇔
+    //    it IS the representative).
+    Q("t11_dup_clusters", {
+      def propRound(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT n.cid, LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
+           |  FROM $prev n
+           |    LEFT JOIN sym e ON e.u = n.cid
+           |    LEFT JOIN $prev l ON l.cid = e.v
+           |  GROUP BY n.cid, n.lbl)""".stripMargin
+      s"""WITH $neardupCtesSql,
+         |dup AS (
+         |  SELECT dot.cid_a, dot.cid_b
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid
+         |  WHERE CAST(dot.d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 5e-1),
+         |sym AS (SELECT cid_a AS u, cid_b AS v FROM dup
+         |        UNION ALL SELECT cid_b AS u, cid_a AS v FROM dup),
+         |l0 AS (SELECT vec_id AS cid, vec_id AS lbl FROM embeddings),
+         |${propRound("l0", "l1")},
+         |${propRound("l1", "l2")},
+         |${propRound("l2", "l3")},
+         |${propRound("l3", "l4")}
+         |SELECT cid, lbl AS cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size,
+         |  cid = lbl AS keep
+         |FROM l4""".stripMargin
+    }) { (s, dir) =>
+      val dup = neardupPairs(s, dir).filter(col("is_dup"))
+        .select("cid_a", "cid_b")
+      val sym = dup.select(col("cid_a").as("u"), col("cid_b").as("v"))
+        .unionByName(dup.select(col("cid_b").as("u"), col("cid_a").as("v")))
+      var lbl = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("cid"), col("vec_id").as("lbl"))
+      for (_ <- 1 to 4) {
+        val nbr = lbl.select(col("cid").as("lc"), col("lbl").as("ll"))
+        lbl = lbl
+          .join(sym, col("cid") === col("u"), "left")
+          .join(nbr, col("lc") === col("v"), "left")
+          .groupBy(col("cid"), col("lbl"))
+          .agg(least(col("lbl"), coalesce(min(col("ll")), col("lbl"))).as("nl"))
+          .select(col("cid"), col("nl").as("lbl"))
+      }
+      import org.apache.spark.sql.expressions.Window
+      lbl.select(col("cid"), col("lbl").as("cluster_id"),
+        count(lit(1)).over(Window.partitionBy(col("lbl")))
+          .as("cluster_size"),
+        (col("cid") === col("lbl")).as("keep"))
     },
 
     // -- IVF-style ANN: quantized per-label centroids act as the coarse

@@ -100,6 +100,15 @@ class PlanSpec extends AnyFunSuite {
       "candidate join neither broadcasts nor keys on code:\n" + p)
   }
 
+  test("t11: label propagation never funnels; cluster-size window is keyed") {
+    val p = planOf("t11_dup_clusters")
+    assert(!p.contains("Exchange SinglePartition"),
+      "t11 funnels through a single partition:\n" + p)
+    // the only windows allowed are PARTITION BY lbl (keyed)
+    assert(!"Window \\[[^\\]]*\\]$".r.findAllIn(p).exists(_.contains("partitionBy=[]")),
+      "unpartitioned window in t11")
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
