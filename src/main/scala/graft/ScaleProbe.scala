@@ -155,6 +155,44 @@ object ScaleProbe {
       }
       println(f"jaccard_blocking,$k,${256L * k},$blocked,$unblocked,$t%.2f")
     }
+    // t11 label propagation: per-round cost is one edge join + one
+    // grouped min — linear in nodes + edges. Replication inflates edges
+    // ~k² (identical clones share buckets AND are mutual dups — the same
+    // documented worst case as t10); the propagation itself must stay
+    // edge-linear, which the secs column demonstrates against the edge
+    // count.
+    println("probe,k,nodes,edges,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map(i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionAll _)
+      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("code", expr("lsh_code16(qv)")).drop("qv")
+      val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"))
+        .crossJoin(broadcast((0L +: (0 until 16).map(i => 1L << i).toSeq)
+          .toDF("mask")))
+        .withColumn("probe", expr("code_a ^ mask")).drop("mask", "code_a")
+      val dup = probes.join(bk, col("code") === col("probe")
+          && col("cid_a") < col("cid"))
+        .select(col("cid_a"), col("cid").as("cid_b")).cache()
+      val nEdges = dup.count()
+      val sym = dup.select(col("cid_a").as("u"), col("cid_b").as("v"))
+        .unionByName(dup.select(col("cid_b").as("u"), col("cid_a").as("v")))
+      val t = time {
+        var lbl = emb.select(col("vec_id").as("cid"), col("vec_id").as("lbl"))
+        for (_ <- 1 to 4) {
+          val nbr = lbl.select(col("cid").as("lc"), col("lbl").as("ll"))
+          lbl = lbl.join(sym, col("cid") === col("u"), "left")
+            .join(nbr, col("lc") === col("v"), "left")
+            .groupBy(col("cid"), col("lbl"))
+            .agg(least(col("lbl"), coalesce(min(col("ll")), col("lbl"))).as("nl"))
+            .select(col("cid"), col("nl").as("lbl"))
+        }
+        lbl.groupBy("lbl").count().write.mode("overwrite").format("noop").save()
+      }
+      dup.unpersist()
+      println(f"t11_label_prop,$k,${k * maxVec},$nEdges,$t%.2f")
+    }
     spark.stop()
   }
 }
