@@ -88,6 +88,38 @@ class RimeCompilerSpec extends AnyFunSuite {
     assert(mism === 0)
   }
 
+  test("X3 transformer: no-PA plan equals explicit r6-rounded GMST PA table") {
+    // the derived-PA path (paDf = None) must be exactly the GMST backend
+    // over the rows' (time × antenna) domain, r6-rounded BEFORE trig —
+    // the determinism contract x09's oracle relies on
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    val src = graft.queries.SyntheticMs.sources(spark, sf, 3)
+      .withColumn("i", col("flux"))
+    val rows = graft.queries.SyntheticMs.uvwRows(spark, sf, 16)
+    val chans = graft.queries.SyntheticMs.channels(spark, sf, 2)
+    val gains = graft.queries.SyntheticMs.gains(spark, sf)
+    val explicitPa = rows.select(col("time_index")).distinct()
+      .crossJoin(rows.select(col("ant1").as("ant"))
+        .union(rows.select(col("ant2").as("ant"))).distinct())
+      .withColumn("pa",
+        graft.core.Det.r6(expr(graft.queries.RimeMore.paGmstSql)))
+    val spec = "(Lp,Kpq,Bpq,Lq): [I] -> [XX,XY,YX,YY]"
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val derived = collectMap(graft.rime.RimeCompiler
+      .plan(spec, src, rows, chans, paDf = None)
+      .select("row_id", "chan", "xy_re", "xy_im"))
+    val explicit = collectMap(graft.rime.RimeCompiler
+      .plan(spec, src, rows, chans, paDf = Some(explicitPa))
+      .select("row_id", "chan", "xy_re", "xy_im"))
+    assert(derived === explicit, "transformer-derived PA diverges from " +
+      "the explicit r6-rounded GMST table")
+    assert(derived.nonEmpty)
+  }
+
   test("implicit-zero stokes: [I] alone gives XX == YY") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
