@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair graph — the step from
+  * near-duplicate PAIRS (t10) to duplicate CLUSTERS (t11) at corpus
+  * scale.
+  *
+  * Two label algorithms, both loops of keyed-shuffle DataFrame rounds
+  * (node- and edge-linear relations, no funnel, no driver-side graph):
+  *
+  *  - [[labelPropagation]]: per round every node takes the min label
+  *    among itself and its neighbours — one edge join + one grouped min
+  *    per round. Reaches over distance `rounds`, so it needs diameter
+  *    many rounds (fine for near-dup clusters, which are cliques with
+  *    fringe — t11 runs 4 fixed rounds so the DuckDB oracle can unroll
+  *    the identical iterations).
+  *  - [[pointerDoubling]]: each round does one propagation step and then
+  *    shortcuts `lbl(v) := lbl(lbl(v))` — label pointers double in reach
+  *    per round, so `rounds = ⌈log₂(diameter)⌉ + 1` suffices (the classic
+  *    pointer-jumping CC; the scale path for long-chain graphs where
+  *    diameter-many propagation rounds would be unbounded).
+  *
+  * Every round references the label relation TWICE (itself + the
+  * neighbour/shortcut lookup), so a naive declarative loop doubles both
+  * the Catalyst plan and the recomputation per round — 2^rounds cost.
+  * Each round is therefore materialized via `localCheckpoint` and
+  * rewrapped as a fresh LogicalRDD (the Calibrate idiom: rewrapping also
+  * resets the size statistics that would otherwise compound), with the
+  * previous round's cache unpersisted — at most two label copies live at
+  * any time.
+  *
+  * Both return (cid, lbl) with lbl = the minimum node id of the
+  * component once converged; fixed-round results are deterministic
+  * integers either way (what makes t11 hash-exact).
+  */
+object ConnectedComponents {
+
+  /** Symmetrize a directed pair list (u, v) → both orientations. */
+  def symmetrize(pairs: DataFrame): DataFrame = {
+    val c = pairs.columns
+    pairs.select(col(c(0)).as("u"), col(c(1)).as("v"))
+      .unionByName(pairs.select(col(c(1)).as("u"), col(c(0)).as("v")))
+  }
+
+  private def propagateOnce(lbl: DataFrame, sym: DataFrame): DataFrame = {
+    val nbr = lbl.select(col("cid").as("lc"), col("lbl").as("ll"))
+    lbl.join(sym, col("cid") === col("u"), "left")
+      .join(nbr, col("lc") === col("v"), "left")
+      .groupBy(col("cid"), col("lbl"))
+      .agg(least(col("lbl"), coalesce(min(col("ll")), col("lbl"))).as("nl"))
+      .select(col("cid"), col("nl").as("lbl"))
+  }
+
+  /** One round-boundary: cache this round's rows, free the previous
+    * round's, return a constant-size-plan DataFrame over the cache. */
+  private def roundStep(df: DataFrame, prev: Option[RDD[Row]])
+      : (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count() // materialize NOW so both downstream reads hit the cache
+    prev.foreach(_.unpersist(blocking = false))
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** `rounds` fixed min-label propagation rounds; reaches distance
+    * `rounds`. nodes: one column of node ids; sym: symmetric (u, v). */
+  def labelPropagation(nodes: DataFrame, sym: DataFrame,
+                       rounds: Int): DataFrame = {
+    val id = nodes.columns.head
+    var lbl = nodes.select(col(id).as("cid"), col(id).as("lbl"))
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to rounds) {
+      val (df, rdd) = roundStep(propagateOnce(lbl, sym), prev)
+      lbl = df; prev = Some(rdd)
+    }
+    lbl
+  }
+
+  /** Propagate + shortcut per round; reaches distance ~2^rounds. The
+    * shortcut join is total because every label IS a node id (labels
+    * only ever move to existing ids, and roots point to themselves). */
+  def pointerDoubling(nodes: DataFrame, sym: DataFrame,
+                      rounds: Int): DataFrame = {
+    val id = nodes.columns.head
+    var lbl = nodes.select(col(id).as("cid"), col(id).as("lbl"))
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to rounds) {
+      val (prop, rdd1) = roundStep(propagateOnce(lbl, sym), prev)
+      val byId = prop.select(col("cid").as("pc"), col("lbl").as("pl"))
+      val (df, rdd2) = roundStep(
+        prop.join(byId, col("lbl") === col("pc"))
+          .select(col("cid"), col("pl").as("lbl")), Some(rdd1))
+      lbl = df; prev = Some(rdd2)
+    }
+    lbl
+  }
+}

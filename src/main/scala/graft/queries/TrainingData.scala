@@ -571,21 +571,12 @@ object TrainingData {
          |  cid = lbl AS keep
          |FROM l4""".stripMargin
     }) { (s, dir) =>
+      import graft.operators.ConnectedComponents
       val dup = neardupPairs(s, dir).filter(col("is_dup"))
         .select("cid_a", "cid_b")
-      val sym = dup.select(col("cid_a").as("u"), col("cid_b").as("v"))
-        .unionByName(dup.select(col("cid_b").as("u"), col("cid_a").as("v")))
-      var lbl = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("cid"), col("vec_id").as("lbl"))
-      for (_ <- 1 to 4) {
-        val nbr = lbl.select(col("cid").as("lc"), col("lbl").as("ll"))
-        lbl = lbl
-          .join(sym, col("cid") === col("u"), "left")
-          .join(nbr, col("lc") === col("v"), "left")
-          .groupBy(col("cid"), col("lbl"))
-          .agg(least(col("lbl"), coalesce(min(col("ll")), col("lbl"))).as("nl"))
-          .select(col("cid"), col("nl").as("lbl"))
-      }
+      val lbl = ConnectedComponents.labelPropagation(
+        Tables.embeddings(s, dir).select(col("vec_id")),
+        ConnectedComponents.symmetrize(dup), rounds = 4)
       import org.apache.spark.sql.expressions.Window
       lbl.select(col("cid"), col("lbl").as("cluster_id"),
         count(lit(1)).over(Window.partitionBy(col("lbl")))

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+/** Connected-components labelers: correctness against a scalar
+  * union-find, the reach bounds that separate propagation from pointer
+  * doubling, and plan hygiene. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // fixture: a 20-node path (diameter 19), an 8-clique, a triangle with a
+  // tail, and isolated nodes
+  private val edges: Seq[(Long, Long)] =
+    (0L until 19L).map(i => (i, i + 1)) ++
+      (for (i <- 100L until 108L; j <- i + 1 until 108L) yield (i, j)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (202L, 203L))
+  private val nodes: Seq[Long] =
+    (0L until 20L) ++ (100L until 108L) ++ (200L until 204L) ++ Seq(300L, 301L)
+
+  private def unionFind(): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def run(f: (org.apache.spark.sql.DataFrame,
+                      org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] = {
+    val n = nodes.toDF("cid")
+    val sym = ConnectedComponents.symmetrize(edges.toDF("a", "b"))
+    f(n, sym).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pointer doubling converges in log-diameter rounds (6 ≥ log2(19)+1)") {
+    val got = run(ConnectedComponents.pointerDoubling(_, _, rounds = 6))
+    assert(got === unionFind())
+  }
+
+  test("fixed-round propagation reaches exactly its round count (t11's regime)") {
+    val got4 = run(ConnectedComponents.labelPropagation(_, _, rounds = 4))
+    // the 8-clique, triangle+tail, and isolates are diameter ≤ 4: exact
+    for (n <- nodes if n >= 100L) assert(got4(n) === unionFind()(n))
+    // the 19-diameter path is NOT converged at 4 rounds (node 19 can
+    // only have seen down to 19 − 4) — the documented t11 limitation
+    // that pointerDoubling removes
+    assert(got4(19L) === 15L)
+    assert(run(ConnectedComponents.labelPropagation(_, _, rounds = 19))
+      === unionFind())
+  }
+
+  test("labels are always node ids and roots are fixpoints (shortcut-join totality)") {
+    val got = run(ConnectedComponents.pointerDoubling(_, _, rounds = 3))
+    val ids = nodes.toSet
+    assert(got.values.forall(ids))
+    for ((n, l) <- got if l == n) assert(got(l) === l)
+  }
+
+  test("plans stay keyed: no single-partition funnel in either labeler") {
+    val n = nodes.toDF("cid")
+    val sym = ConnectedComponents.symmetrize(edges.toDF("a", "b"))
+    for (df <- Seq(ConnectedComponents.labelPropagation(n, sym, 3),
+        ConnectedComponents.pointerDoubling(n, sym, 3))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+  }
+}

@@ -56,6 +56,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches the batch segment rollup (s06)") {
+    // the streaming face of s06: a static dimension joins every
+    // micro-batch through the same broadcast plan the batch query gets —
+    // at cluster scale the stream is unbounded while the dim stays a
+    // broadcast, exactly the batch join geometry
+    val dir = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batchEv = spark.read.parquet(dir.toString)
+    val cust = broadcast(core.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    def rollup(ev: org.apache.spark.sql.DataFrame) =
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"))
+    val expected = rollup(batchEv).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val q = rollup(spark.readStream.schema(batchEv.schema).parquet(dir.toString))
+      .writeStream.format("memory").queryName("ev_enrich")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_enrich").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps one copy per content hash") {
     // the streaming face of t01_exact_dedup: documents arrive as a stream,
     // duplicates (same content hash) are dropped across micro-batches
