@@ -153,4 +153,37 @@ object Fits {
     val freqs = irregular(fi, "FREQ").getOrElse(axisGrid(fi))
     BeamCube(axisGrid(xi), axisGrid(yi), freqs, hdu.data)
   }
+
+  /** Beam filename-schema expansion (util/beams.py:212-313): a schema like
+    * `beam_$(corr)_$(reim).fits` expands, per correlation id, to the
+    * (real, imaginary) filename pair. Supported placeholders: `$(corr)` /
+    * `$corr` (lowercase correlation), `$(CORR)` (uppercase), `$(reim)` /
+    * `$reim` ("re"/"im"), `$(REIM)` ("RE"/"IM"); `$$` escapes a literal
+    * dollar. Correlation ids resolve through the casacore Stokes
+    * enumeration (casa_types.py:4-61) and are lowercased for the map key.
+    */
+  def beamFilenames(schema: String, corrTypes: Seq[Int]): Seq[(String, (String, String))] = {
+    val token = """\$(?:(\$)|\(([A-Za-z_][A-Za-z0-9_]*)\)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    def substitute(corr: String, reim: String): String =
+      token.replaceAllIn(schema, m => {
+        val name = if (m.group(1) != null) "$$"
+                   else if (m.group(2) != null) m.group(2)
+                   else m.group(3)
+        java.util.regex.Matcher.quoteReplacement(name match {
+          case "$$"   => "$"
+          case "corr" => corr.toLowerCase
+          case "CORR" => corr.toUpperCase
+          case "reim" => reim.toLowerCase
+          case "REIM" => reim.toUpperCase
+          case other => throw new IllegalArgumentException(
+            s"Invalid filename schema '$schema': unknown placeholder '$other'. " +
+            "Use forms such as 'beam_$(corr)_$(reim).fits' or 'beam_$(CORR)_$(REIM).fits'")
+        })
+      })
+    corrTypes.map { id =>
+      val name = graft.functions.StokesConvert.StokesTypes.lift(id)
+        .getOrElse(throw new IllegalArgumentException(s"Unknown Stokes ID $id"))
+      name.toLowerCase -> (substitute(name, "re"), substitute(name, "im"))
+    }
+  }
 }

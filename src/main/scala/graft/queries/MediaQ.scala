@@ -67,5 +67,57 @@ object MediaQ {
           }
         }(enc)
       Multimodal.decodePgm(synth, "doc_id", "payload")
+    },
+
+    // -- a REAL audio decode: every document carries a synthetic RIFF/WAVE
+    //    PCM s16le mono clip (valid 44-byte header + 64 samples, built
+    //    executor-side); the decoder must walk the chunk structure and
+    //    recover the exact sample values or the closed-form oracle (which
+    //    never sees the binary) mismatches. Frame energies are the
+    //    4-frame-sample feature extraction.
+    Q("m12_audio_decode",
+      """WITH sm0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, 64)) AS x
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, (x-1) // 16 AS f,
+        |    ((doc_id*31 + (x-1)*17) % 4096) - 2048 AS s
+        |  FROM sm0)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(64 AS BIGINT) AS n_samples,
+        |  CAST(SUM(CASE WHEN f = 0 THEN ABS(s) ELSE 0 END) AS BIGINT) AS e0,
+        |  CAST(SUM(CASE WHEN f = 1 THEN ABS(s) ELSE 0 END) AS BIGINT) AS e1,
+        |  CAST(SUM(CASE WHEN f = 2 THEN ABS(s) ELSE 0 END) AS BIGINT) AS e2,
+        |  CAST(SUM(CASE WHEN f = 3 THEN ABS(s) ELSE 0 END) AS BIGINT) AS e3,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |  CAST(SUM(ABS(s)) AS BIGINT) / 64e0 AS mean_abs
+        |FROM sm GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val synth = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = 64
+            val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+            bb.put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+            bb.putShort(1); bb.putShort(1)          // PCM, mono
+            bb.putInt(8000); bb.putInt(16000)       // rate, byte rate
+            bb.putShort(2); bb.putShort(16)         // block align, bits
+            bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+            var i = 0
+            while (i < n) {
+              bb.putShort((((id * 31 + i * 17) % 4096) - 2048).toShort)
+              i += 1
+            }
+            Row(id, bb.array())
+          }
+        }(enc)
+      Multimodal.decodeWav(synth, "doc_id", "payload")
     })
 }

@@ -299,5 +299,45 @@ object Relational {
         .select(col("mo"), col("promo_cents"), col("total_cents"),
           (col("promo_cents").cast("double") / col("total_cents").cast("double"))
             .as("promo_share"))
+    },
+
+    // -- exact per-group quantiles as order statistics: value at rank
+    //    ceil(q·n) of the cents-sorted group. Integer cents + integer rank
+    //    arithmetic -> the selected value is exact and tie-order-free (the
+    //    value at a given rank is determined by the sorted multiset even
+    //    when row_number breaks ties arbitrarily). This is the EXACT
+    //    quantile path (one shuffle + per-group sort); at 100 TB the same
+    //    query swaps to percentile_approx/t-digest sketches — the exact
+    //    form here is what such a sketch is verified against.
+    Q("q15_price_quantiles",
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT flag, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n
+        |  FROM r)
+        |SELECT flag,
+        |  MAX(CASE WHEN rn = (n*50 + 99) // 100 THEN cents END) AS p50_cents,
+        |  MAX(CASE WHEN rn = (n*90 + 99) // 100 THEN cents END) AS p90_cents,
+        |  MAX(CASE WHEN rn = (n*99 + 99) // 100 THEN cents END) AS p99_cents,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM o GROUP BY flag""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("flag")
+      val o = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          Det.cents(col("l_extendedprice")).as("cents"))
+        .withColumn("rn", row_number().over(w.orderBy("cents")).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+      o.groupBy("flag").agg(
+        max(when(col("rn") === expr("(n*50 + 99) div 100"), col("cents")))
+          .as("p50_cents"),
+        max(when(col("rn") === expr("(n*90 + 99) div 100"), col("cents")))
+          .as("p90_cents"),
+        max(when(col("rn") === expr("(n*99 + 99) div 100"), col("cents")))
+          .as("p99_cents"),
+        max(col("n")).as("n"))
     })
 }

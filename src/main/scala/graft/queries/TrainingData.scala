@@ -271,6 +271,65 @@ object TrainingData {
         .filter(col("jaccard") >= 25e-2)
     },
 
+    // -- character n-gram (5-shingle) Jaccard near-duplicates: the
+    //    char-level sibling of t05. Shingles keep token ORDER information,
+    //    so this catches rewordings token-set Jaccard inflates (shared
+    //    vocabulary, different sentences) and survives whitespace/
+    //    punctuation drift that breaks token equality. Same scale shape as
+    //    t05: DISTINCT doc shingles -> df-threshold stop-shingle blocking
+    //    (every posting list bounded at DfMax entries BEFORE the
+    //    self-join) -> postings equi-join -> exact integer intersection
+    //    counts; Jaccard is one exact double division at the end. The
+    //    c >= 10 evidence floor drops tiny-surviving-set artifacts (after
+    //    aggressive pruning two docs can share their only 1-2 rare
+    //    shingles, a spurious jaccard of 1.0).
+    Q("t12_ngram_jaccard",
+      s"""WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM documents
+        |        WHERE doc_id < $T05MaxDoc AND length(text) >= 5)),
+        |dfs AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
+        |shp AS (
+        |  SELECT sh0.doc_id, sh0.sh
+        |  FROM sh0 JOIN dfs ON sh0.sh = dfs.sh WHERE dfs.df <= $T05DfMax),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shp GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM shp a JOIN shp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, c, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE c >= 10 AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 1e-1""".stripMargin) { (s, dir) =>
+      val sh0 = Tables.documents(s, dir)
+        .filter(col("doc_id") < T05MaxDoc && length(col("text")) >= 5)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+            .as("sh"))
+        .distinct()
+      val dfS = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= T05DfMax).select("sh")
+      val shp = sh0.join(dfS, "sh").select("doc_id", "sh")
+      val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = shp.select(col("doc_id").as("id_a"), col("sh"))
+      val b = shp.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b, col("sh") === col("sh_b") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      val sa = sizes.select(col("doc_id").as("ida2"), col("n").as("n_a"))
+      val sb = sizes.select(col("doc_id").as("idb2"), col("n").as("n_b"))
+      val jac = col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))
+      pairs.join(sa, col("id_a") === col("ida2"))
+        .join(sb, col("id_b") === col("idb2"))
+        .select(col("id_a"), col("id_b"), col("c"), col("n_a"), col("n_b"),
+          jac.as("jaccard"))
+        .filter(col("c") >= 10 && col("jaccard") >= 1e-1)
+    },
+
     // -- SimHash (8-bit) from integer token hashes: per-token positional
     //    char hash mod 4096, bitwise majority vote over distinct tokens.
     Q("t06_simhash",

@@ -88,4 +88,28 @@ class FitsIoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Fits.read(bad))
     new File(bad).delete()
   }
+
+  test("beam filename schema expands per correlation and re/im (util/beams.py:259-313)") {
+    // linear feeds XX,XY,YX,YY = casacore Stokes ids 9..12
+    val linear = Fits.beamFilenames("beam_$(corr)_$(reim).fits", Seq(9, 10, 11, 12))
+    assert(linear.map(_._1) === Seq("xx", "xy", "yx", "yy"))
+    assert(linear.head._2 === (("beam_xx_re.fits", "beam_xx_im.fits")))
+    assert(linear.last._2 === (("beam_yy_re.fits", "beam_yy_im.fits")))
+
+    // uppercase placeholders upcase the substitution, not the schema text
+    val upper = Fits.beamFilenames("beam_$(CORR)_$(REIM).fits", Seq(5, 8))
+    assert(upper === Seq(
+      "rr" -> (("beam_RR_RE.fits", "beam_RR_IM.fits")),
+      "ll" -> (("beam_LL_RE.fits", "beam_LL_IM.fits"))))
+
+    // unbraced $corr form and the $$ escape
+    val bare = Fits.beamFilenames("$$b_$corr.$reim", Seq(9))
+    assert(bare === Seq("xx" -> (("$b_xx.re", "$b_xx.im"))))
+
+    // unknown placeholder and unknown stokes id both reject
+    assertThrows[IllegalArgumentException](
+      Fits.beamFilenames("beam_$(nope).fits", Seq(9)))
+    assertThrows[IllegalArgumentException](
+      Fits.beamFilenames("beam_$(corr)_$(reim).fits", Seq(99)))
+  }
 }
