@@ -281,6 +281,42 @@ object FusedRime {
       out.select((col("row_id") +: col("chan") +: rounded): _*)
     },
 
+    // -- LM TRANSFORMER (experimental/rime/fused/transformers/lm.py): the
+    //    source table carries only (ra, dec); the compiler derives the
+    //    direction cosines about the phase centre before the K sampler.
+    //    The derived l/m are r9-rounded shared rationals (the x09-PA
+    //    recipe), so the phase is IEEE-exact arithmetic of bit-identical
+    //    inputs on both engines; uvw is scaled by the dyadic 1/65536 to
+    //    keep |phase| ≪ 1 rad, where trig of a bit-identical argument is
+    //    cross-libm safe (SyntheticMs source-comment regime). The oracle
+    //    restates the full derivation chain.
+    Q("x10_fused_rime_lm", {
+      val lD = "round((cos(dec)*sin(ra - 25e-2)) * 1e9) / 1e9"
+      val mD = "round((sin(dec)*cos(-38e-2) - cos(dec)*sin(-38e-2)*cos(ra - 25e-2)) * 1e9) / 1e9"
+      s"""WITH src0 AS (${sourcesSql(5)}),
+         |src AS (
+         |  SELECT src_id, flux, $lD AS l, $mD AS m FROM src0),
+         |rws0 AS (${uvwRowsSql(16)}),
+         |rws AS (
+         |  SELECT row_id, u/65536e0 AS u, v/65536e0 AS v, w/65536e0 AS w,
+         |    ant1, ant2, time_index FROM rws0),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, chan,
+         |  ${fsumSql(s"(flux + $qSql) * cos($phaseSql)")} AS xx_re,
+         |  ${fsumSql(s"(flux + $qSql) * sin($phaseSql)")} AS xx_im,
+         |  ${fsumSql(s"(flux - $qSql) * cos($phaseSql)")} AS yy_re,
+         |  ${fsumSql(s"(flux - $qSql) * sin($phaseSql)")} AS yy_im
+         |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin
+    }) { (s, dir) =>
+      val src = srcWithStokes(s, dir).drop("l", "m")
+      val rws = uvwRows(s, dir, 16)
+        .withColumn("u", col("u") / 65536e0)
+        .withColumn("v", col("v") / 65536e0)
+        .withColumn("w", col("w") / 65536e0)
+      RimeCompiler.plan("(Kpq,Bpq): [I,Q] -> [XX,YY]",
+        src, rws, channels(s, dir, 8), phaseDir = Some((Ra0, Dec0)))
+    },
+
     // -- X1 feed inference: a CIRCULAR correlation basis switches the
     //    brightness sampler to the RR/RL/LR/LL tables —
     //    "(Kpq,Bpq): [I,V] -> [RR,LL]".

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.Det
@@ -350,6 +350,45 @@ object GriddingQ {
     //    facet offset is small (1e-4 rad) so every trig argument stays in
     //    the libm-safe regime; trig-bearing outputs are r6-rounded on both
     //    engines, the stokes round trip is exact.
+    // -- gridding/util.py:4-103 estimate_cell_size: Nyquist cell size in
+    //    arcseconds from the uv extent and the minimum wavelength, plus
+    //    the reference's ny/nx fitness checks (stated multiplicatively so
+    //    neither engine divides by a possibly-zero umin). Two scalar
+    //    aggregates (max|u|, min λ) — partial-agg map-side combine, no
+    //    data-sized shuffle at any scale. All-IEEE arithmetic: hashed
+    //    unrounded.
+    Q("f14_cell_size", {
+      def cell(mx: String) = s"(1e0 / (2e0 * 3e0 * ($mx / wave_min)))"
+      def fits(mx: String, mn: String) =
+        s"NOT (${cell(mx)} * 64e0 * ($mn / wave_min) < 1e0)"
+      s"""WITH rws AS (${uvwRowsSql(16)}), ch AS (${channelsSql(8)}),
+         |uv AS (
+         |  SELECT max(abs(u)) AS umax, min(abs(u)) AS umin,
+         |    max(abs(v)) AS vmax, min(abs(v)) AS vmin FROM rws),
+         |wv AS (SELECT min(299792458e0 / freq) AS wave_min FROM ch)
+         |SELECT
+         |  ${cell("umax")} * (180e0 / pi()) * 3600e0 AS u_cell_arcsec,
+         |  ${cell("vmax")} * (180e0 / pi()) * 3600e0 AS v_cell_arcsec,
+         |  ${fits("umax", "umin")} AS fits_ny,
+         |  ${fits("vmax", "vmin")} AS fits_nx
+         |FROM uv, wv""".stripMargin
+    }) { (s, dir) =>
+      val uv = uvwRows(s, dir, 16).agg(
+        max(abs(col("u"))).as("umax"), min(abs(col("u"))).as("umin"),
+        max(abs(col("v"))).as("vmax"), min(abs(col("v"))).as("vmin"))
+      val wv = channels(s, dir, 8)
+        .agg(min(lit(299792458e0) / col("freq")).as("wave_min"))
+      def cell(mx: Column): Column =
+        lit(1e0) / (lit(2e0) * lit(3e0) * (mx / col("wave_min")))
+      def fits(mx: Column, mn: Column): Column =
+        !(cell(mx) * lit(64e0) * (mn / col("wave_min")) < lit(1e0))
+      uv.crossJoin(wv).select(
+        (cell(col("umax")) * (lit(180e0) / lit(math.Pi)) * lit(3600e0)).as("u_cell_arcsec"),
+        (cell(col("vmax")) * (lit(180e0) / lit(math.Pi)) * lit(3600e0)).as("v_cell_arcsec"),
+        fits(col("umax"), col("umin")).as("fits_ny"),
+        fits(col("vmax"), col("vmin")).as("fits_nx"))
+    },
+
     Q("f08_facet_policies", {
       import SqlCx.CS
       import graft.core.Det.r6Sql

@@ -118,6 +118,29 @@ object RimeCompiler {
       .withColumn("pa", Det.r6(expr(graft.queries.RimeMore.paGmstSql)))
   }
 
+  /** LM transformer (experimental/rime/fused/transformers/lm.py): when the
+    * source table carries (ra, dec) but no (l, m) and a phase centre is
+    * supplied, derive the direction cosines about that centre —
+    *   l = cos dec · sin(ra − ra₀)
+    *   m = sin dec · cos dec₀ − cos dec · sin dec₀ · cos(ra − ra₀)
+    * — the reference LMTransformer's exact formula (lm.py:21-40).
+    *
+    * The derived cosines are rounded to 1e-9 (≲ 0.2 mas — physically
+    * negligible) for the same reason the PA transformer rounds at r6: the
+    * cos/sin chain is engine-libm dependent at the last ulp, and the
+    * rounding collapses both engines onto one shared rational so every
+    * downstream phase is IEEE-exact arithmetic of bit-identical inputs.
+    * DeterminismSpec measures the flip-boundary margins of the derived
+    * values. The derivation is a projection on the source DIM table —
+    * broadcast-sized at any data scale, no shuffle. */
+  private def deriveLm(src: DataFrame, pc: (Double, Double)): DataFrame = {
+    val da = col("ra") - lit(pc._1)
+    src
+      .withColumn("l", Det.r9(cos(col("dec")) * sin(da)))
+      .withColumn("m", Det.r9(sin(col("dec")) * cos(lit(pc._2)) -
+        cos(col("dec")) * sin(lit(pc._2)) * cos(da)))
+  }
+
   /** Correlation order of the full 2×2 matrix in each feed basis. */
   private def basis(feed: String): Seq[String] =
     if (feed == "circular") Seq("RR", "RL", "LR", "LL")
@@ -125,18 +148,29 @@ object RimeCompiler {
 
   /** Build the visibility pipeline for `specStr`.
     *
-    * Inputs: `src` (src_id, l, m, lowercase stokes columns as present),
-    * `rows` (row_id, u, v, w, time_index, ant1, ant2), `chans`
-    * (chan, freq), `gainsDf` (time_index, ant, g_re, g_im; required iff G
-    * is in the spec), `paDf` (time_index, ant, pa; required iff L).
+    * Inputs: `src` (src_id, lowercase stokes columns as present, plus
+    * either direct (l, m) or (ra, dec) with `phaseDir` — the LM
+    * transformer derives the cosines in the latter case), `rows` (row_id,
+    * u, v, w, time_index, ant1, ant2), `chans` (chan, freq), `gainsDf`
+    * (time_index, ant, g_re, g_im; required iff G is in the spec), `paDf`
+    * (time_index, ant, pa; required iff L).
     * Output: (row_id, chan) + <corr>_re/_im per requested correlation.
     */
-  def plan(specStr: String, src: DataFrame, rows: DataFrame,
+  def plan(specStr: String, src0: DataFrame, rows: DataFrame,
            chans: DataFrame, gainsDf: Option[DataFrame] = None,
-           paDf: Option[DataFrame] = None): DataFrame = {
+           paDf: Option[DataFrame] = None,
+           phaseDir: Option[(Double, Double)] = None): DataFrame = {
     val spec = RimeSpec.parse(specStr)
     require(!spec.hasTerm('G') || gainsDf.isDefined,
       "spec contains G but no gains table was supplied")
+    // LM transformer: a K term needs (l, m); derive them from (ra, dec)
+    // about the supplied phase centre when the source table has none.
+    val src: DataFrame =
+      if (spec.hasTerm('K') && !src0.columns.contains("l")) {
+        require(phaseDir.isDefined,
+          "spec contains K but src has no (l, m) and no phaseDir was supplied")
+        deriveLm(src0, phaseDir.get)
+      } else src0
     // X3 parallactic-angle transformer: when the spec needs L and no PA
     // table is supplied, derive one from the rows' (time, antenna) domain
     // via the GMST backend — the reference's transformer computes exactly

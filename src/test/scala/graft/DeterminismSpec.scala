@@ -93,6 +93,42 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("x10 derived l/m stay far from r9 flip boundaries and its phase stays small") {
+    // The LM transformer (RimeCompiler.deriveLm) r9-rounds trig-derived
+    // direction cosines; both engines must round the same way, so the
+    // 10 derived values (5 sources × {l, m}) need measurable distance
+    // from the .5 boundaries of x·1e9. The few-ulp cross-libm noise on
+    // the cosines is ~1e-16 absolute, so a 1e-7 margin is ~1e9× cover.
+    for (d <- dirs) {
+      val src = SyntheticMs.sources(spark, d, 5)
+      val da = col("ra") - lit(SyntheticMs.Ra0)
+      val lD = cos(col("dec")) * sin(da)
+      val mD = sin(col("dec")) * cos(lit(SyntheticMs.Dec0)) -
+        cos(col("dec")) * sin(lit(SyntheticMs.Dec0)) * cos(da)
+      def bd(c: org.apache.spark.sql.Column) =
+        abs(abs(c * 1e9 - floor(c * 1e9)) - 0.5)
+      val m = src.select(least(bd(lD), bd(mD)).as("d"))
+        .agg(min(col("d"))).head.getDouble(0)
+      info(s"$d: x10 derived-lm min |frac(x·1e9)−.5| = $m")
+      assert(m > 1e-7, s"derived l/m within 1e-7 of an r9 boundary at $d")
+      // the x10 phase over the 1/65536-scaled uvw must stay in the
+      // small-argument libm-safe regime
+      val rws = SyntheticMs.uvwRows(spark, d, 16)
+        .withColumn("u", col("u") / 65536e0)
+        .withColumn("v", col("v") / 65536e0)
+        .withColumn("w", col("w") / 65536e0)
+      val lr = graft.core.Det.r9(lD)
+      val mr = graft.core.Det.r9(mD)
+      val ph = rws.crossJoin(broadcast(src.select(lr.as("l"), mr.as("m"))))
+        .crossJoin(broadcast(SyntheticMs.channels(spark, d, 8)))
+        .select((graft.functions.Phase.realPhase(col("l"), col("m"),
+          col("u"), col("v"), col("w")) * col("freq")).as("phase"))
+        .agg(max(abs(col("phase")))).head.getDouble(0)
+      info(s"$d: x10 max |phase| = $ph")
+      assert(ph < 1.0, s"x10 phase $ph leaves the small-arg trig regime at $d")
+    }
+  }
+
   test("r01 rounded cos/sin stay far from .5 rounding boundaries") {
     for (d <- dirs) {
       // distance of x*1e6 from the nearest .5 flip boundary, minimized
