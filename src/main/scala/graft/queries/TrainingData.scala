@@ -726,6 +726,104 @@ object TrainingData {
         .select("qid", "cid", "cosine", "rank")
     },
 
+    // -- k-means (Lloyd) TRAINING under the hash gate: two unrolled
+    //    iterations over the quantized corpus, seeded from vec_id < 8.
+    //    Centroids are re-quantized to integers each iteration
+    //    (round(avg)·1e-6 embedding units), so every distance is an exact
+    //    integer sum and assignments are hash-identical on both engines —
+    //    the same fixed-iteration determinism idiom as g08's Gauss-Newton.
+    //    Scale shape: assignment is corpus × BROADCAST(K centroid
+    //    vectors) with a map-side min(struct(d2, k)) partial agg (no
+    //    window over the K-replicated corpus); recompute is one
+    //    explode + (k, pos) partial+final agg. Per iteration: one
+    //    broadcast, one keyed shuffle of dimension-sized data.
+    Q("e05_kmeans_2iter", {
+      def distAssign(cent: String, d: String, a: String): String =
+        s"""$d AS (
+           |  SELECT ce.cid, c.k,
+           |    SUM((ce.qv - c.cq)*(ce.qv - c.cq)) AS d2
+           |  FROM ce JOIN $cent c ON ce.pos = c.pos
+           |  GROUP BY ce.cid, c.k),
+           |$a AS (
+           |  SELECT cid, k FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY cid ORDER BY d2, k) AS rk
+           |    FROM $d) WHERE rk = 1)""".stripMargin
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce WHERE cid < 8),
+         |${distAssign("seed", "d1", "a1")},
+         |c1 AS (
+         |  SELECT a1.k, ce.pos,
+         |    CAST(ROUND(AVG(CAST(ce.qv AS DOUBLE))) AS BIGINT) AS cq
+         |  FROM a1 JOIN ce ON a1.cid = ce.cid
+         |  GROUP BY a1.k, ce.pos),
+         |${distAssign("c1", "d2t", "a2")}
+         |SELECT a2.k AS cluster, ce.pos,
+         |  CAST(ROUND(AVG(CAST(ce.qv AS DOUBLE))) AS BIGINT) AS cq,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM a2 JOIN ce ON a2.cid = ce.cid
+         |GROUP BY a2.k, ce.pos""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+      val ceExpl = qExplode(emb, "cid")
+      val d2 = expr(
+        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
+      // nearest centroid by exact integer L2, ties to the lower k; the
+      // min(struct) partial agg combines map-side — the K-replicated
+      // corpus never shuffles
+      def assign(cent: DataFrame): DataFrame =
+        corpus.crossJoin(broadcast(cent))
+          .select(col("cid"), col("k"), d2.as("d2"))
+          .groupBy("cid").agg(min(struct(col("d2"), col("k"))).as("m"))
+          .select(col("cid"), col("m.k").as("k"))
+      // per-(k, pos) integer re-quantized centroid, packed to vectors
+      def recompute(asg: DataFrame): DataFrame =
+        asg.join(ceExpl, "cid")
+          .groupBy("k", "pos")
+          .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
+          .groupBy("k")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
+            .as("cvec"))
+      val seeds = corpus.filter(col("cid") < 8)
+        .select(col("cid").as("k"), col("qv").as("cvec"))
+      val a2 = assign(recompute(assign(seeds)))
+      a2.join(ceExpl, "cid")
+        .groupBy(col("k").as("cluster"), col("pos"))
+        .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"),
+          count(lit(1)).as("n"))
+    },
+
+    // -- deterministic stratified sampling: fixed-size per-(lang, source)
+    //    sample ordered by a positional hash of doc_id — the reproducible
+    //    analogue of reservoir sampling for training-data splits. The
+    //    Bernoulli rate-sample flag (`bern`, ~1/8 of each stratum) is the
+    //    shuffle-free scale path: a pure filter any executor applies
+    //    locally; the fixed-size rank needs the one per-stratum shuffle.
+    Q("t13_stratified_sample",
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, source,
+        |    ((doc_id % 100003) * 7919 + 13) % 1000 AS skey
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk,
+        |  skey < 125 AS bern
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY lang, source ORDER BY skey, doc_id) AS rk
+        |  FROM keyed) WHERE rk <= 32""".stripMargin) { (s, dir) =>
+      val keyed = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        ((col("doc_id") % 100003) * 7919 + 13) % 1000 as "skey")
+      keyed.withColumn("rk",
+          row_number().over(Window.partitionBy("lang", "source")
+            .orderBy("skey", "doc_id")).cast("long"))
+        .filter(col("rk") <= 32)
+        .select(col("doc_id"), col("lang"), col("source"), col("rk"),
+          (col("skey") < 125).as("bern"))
+    },
+
     // -- per-label centroids (embedding aggregation): partial+final avg of
     //    quantized components.
     Q("e03_label_centroids",
