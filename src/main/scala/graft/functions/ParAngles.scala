@@ -78,4 +78,38 @@ object ParAngles {
     val ha = gmstDegRed(mjdDay) * (math.Pi / 180.0) + lon - ra
     posAngle(lat, ha, dec)
   }
+
+  /** Earth Rotation Angle (IAU 2000 / Capitaine et al.), radians in
+    * [0, 2π): ERA = 2π·(0.7790572732640 + 1.00273781191135448·Tu),
+    * Tu = JD(UT1) − 2451545.0, reduced to one turn before the 2π scale
+    * so the angle stays in libm's well-agreed small-argument range. */
+  def eraRad(mjdDay: Column): Column = {
+    val turns = lit(0.7790572732640) +
+      lit(1.00273781191135448) * (mjdDay - 51544.5)
+    (turns - floor(turns)) * (2.0 * math.Pi)
+  }
+
+  /** The 'astropy'-contract chain (rime/parangles_astropy.py:20-41):
+    * same UTC-MJD-seconds / ITRF-metres / (ra, dec) inputs and the same
+    * geodetic inversion as [[casaPa]], but the hour angle runs off the
+    * IAU-2000 ERA — the rotation underlying astropy's CIRS frame — in
+    * place of casacore's GMST-1982. The CIRS precession-nutation and
+    * polar-motion corrections (sub-arcminute at these epochs) need
+    * ephemeris tables the container does not ship, same scope decision
+    * as the casa backend's equation-of-the-equinoxes term.
+    *
+    * Determinism: `lat` and `ha` are r9-rounded (1 nrad — physically
+    * nil) so the hashed posangle takes cos/sin of BIT-IDENTICAL
+    * arguments on both engines; DeterminismSpec measures the flip
+    * margins of both roundings over the query grid. */
+  def astropyPa(mjdSec: Column, x: Column, y: Column, z: Column,
+                ra: Column, dec: Column): Column = {
+    import graft.core.Det
+    val mjdDay = mjdSec / 86400.0
+    val lon = itrfLon(x, y)
+    val p = itrfP(x, y)
+    val lat = Det.r9(itrfLat(p, z, bowringTheta(p, z)))
+    val ha = Det.r9(eraRad(mjdDay) + lon - ra)
+    posAngle(lat, ha, dec)
+  }
 }

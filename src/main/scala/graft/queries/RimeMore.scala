@@ -78,6 +78,50 @@ object RimeMore {
        |FROM g5""".stripMargin
   }
 
+  /** Oracle for r04d: the astropy-convention chain — identical geodetic
+    * inversion to [[paCasaOracleSql]], hour angle from the IAU-2000 ERA,
+    * lat/ha r9-rounded before the posangle (mirrors
+    * ParAngles.astropyPa). */
+  def paEraOracleSql(nTime: Int = 16, nAnt: Int = 7): String = {
+    val f = "(1e0 / 298257223563e-9)"
+    val b = s"(6378137e0 * (1e0 - $f))"
+    val e2 = s"($f * (2e0 - $f))"
+    val ep2 = s"($e2 / (1e0 - $e2))"
+    s"""WITH pat AS (
+       |  SELECT CAST(t.n_nationkey AS BIGINT) AS time_index,
+       |    CAST(a.n_nationkey AS BIGINT) AS ant
+       |  FROM nation t, nation a
+       |  WHERE t.n_nationkey < $nTime AND a.n_nationkey < $nAnt),
+       |geo AS (
+       |  SELECT time_index, ant,
+       |    -1601710e0 + ant * 64e0 AS x,
+       |    -5042006e0 + ant * 128e0 AS y,
+       |    3554880e0 + ant * 32e0 AS z,
+       |    (5084553600e0 + time_index * 5400e0) / 86400e0 AS mjd_day
+       |  FROM pat),
+       |g2 AS (
+       |  SELECT *, atan2(y, x) AS lon, sqrt(x*x + y*y) AS p FROM geo),
+       |g3 AS (
+       |  SELECT *, atan2(z * 6378137e0, p * $b) AS th FROM g2),
+       |g4 AS (
+       |  SELECT *,
+       |    atan2(z + $ep2 * $b * sin(th)*sin(th)*sin(th),
+       |          p - $e2 * 6378137e0 * cos(th)*cos(th)*cos(th)) AS lat0,
+       |    7790572732640e-13
+       |      + 100273781191135448e-17 * (mjd_day - 515445e-1) AS turns
+       |  FROM g3),
+       |g5 AS (
+       |  SELECT *,
+       |    round(lat0 * 1e9) / 1e9 AS lat,
+       |    round(((turns - floor(turns)) * (2e0 * pi()) + lon - 25e-2)
+       |          * 1e9) / 1e9 AS ha
+       |  FROM g4)
+       |SELECT time_index, ant,
+       |  ${r6Sql("atan2(cos(lat)*sin(ha), " +
+           "sin(lat)*cos(-38e-2) - cos(lat)*sin(-38e-2)*cos(ha))")} AS pa
+       |FROM g5""".stripMargin
+  }
+
   /** Shared Spark-expr/oracle text for r13: 2-D Hermite-Gaussian shapelet
     * sum over orders (0,0),(1,0),(0,1),(1,1),(2,0),(0,2). */
   val shapelet2dSql: String = {
@@ -174,6 +218,23 @@ object RimeMore {
       val z = lit(3554880e0) + col("ant") * 32e0
       paTable(s, dir).select(col("time_index"), col("ant"),
         Det.r6(ParAngles.casaPa(mjdSec, x, y, z,
+          lit(25e-2), lit(-38e-2))).as("pa"))
+    },
+
+    // -- R4d: the 'astropy' backend convention
+    //    (rime/parangles_astropy.py:20-41) — same ITRF/MJD-second/J2000
+    //    inputs as r04c, hour angle from the IAU-2000 Earth Rotation
+    //    Angle (astropy's CIRS rotation) instead of GMST-1982. lat/ha
+    //    r9-round before the posangle so the hashed r6 chain takes trig
+    //    of bit-identical arguments (DeterminismSpec margins).
+    Q("r04d_parallactic_era", RimeMore.paEraOracleSql()) { (s, dir) =>
+      import graft.functions.ParAngles
+      val mjdSec = lit(5084553600e0) + col("time_index") * 5400e0
+      val x = lit(-1601710e0) + col("ant") * 64e0
+      val y = lit(-5042006e0) + col("ant") * 128e0
+      val z = lit(3554880e0) + col("ant") * 32e0
+      paTable(s, dir).select(col("time_index"), col("ant"),
+        Det.r6(ParAngles.astropyPa(mjdSec, x, y, z,
           lit(25e-2), lit(-38e-2))).as("pa"))
     },
 

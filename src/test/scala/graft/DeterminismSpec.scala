@@ -129,6 +129,35 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("r04d ERA-backend rounded surfaces stay far from flip boundaries") {
+    // r04d r9-rounds lat and ha before the posangle and r6-rounds the
+    // result; all three roundings must be cross-engine stable on the
+    // 16×7 query grid.
+    import graft.functions.ParAngles
+    val t = spark.range(16).select(col("id").as("time_index"))
+    val a = spark.range(7).select(col("id").as("ant"))
+    val mjdDay = (lit(5084553600e0) + col("time_index") * 5400e0) / 86400.0
+    val x = lit(-1601710e0) + col("ant") * 64e0
+    val y = lit(-5042006e0) + col("ant") * 128e0
+    val z = lit(3554880e0) + col("ant") * 32e0
+    val p = ParAngles.itrfP(x, y)
+    val lat0 = ParAngles.itrfLat(p, z, ParAngles.bowringTheta(p, z))
+    val ha0 = ParAngles.eraRad(mjdDay) + ParAngles.itrfLon(x, y) - lit(25e-2)
+    val pa = ParAngles.astropyPa(lit(5084553600e0) + col("time_index") * 5400e0,
+      x, y, z, lit(25e-2), lit(-38e-2))
+    def bd(c: org.apache.spark.sql.Column, scale: Double) =
+      abs(abs(c * scale - floor(c * scale)) - 0.5)
+    val m = t.crossJoin(a)
+      .select(least(bd(lat0, 1e9), bd(ha0, 1e9), bd(pa, 1e6)).as("d"))
+      .agg(min(col("d"))).head.getDouble(0)
+    info(s"r04d min flip-boundary distance (lat/ha at 1e9, pa at 1e6) = $m")
+    assert(m > 1e-7, "an r04d rounded value sits within 1e-7 of a flip boundary")
+    val haMax = t.crossJoin(a).select(abs(ha0).as("h"))
+      .agg(max(col("h"))).head.getDouble(0)
+    info(s"r04d max |ha| = $haMax (libm-safe range)")
+    assert(haMax < 10.0, s"r04d hour angle $haMax outside the small-arg regime")
+  }
+
   test("r01 rounded cos/sin stay far from .5 rounding boundaries") {
     for (d <- dirs) {
       // distance of x*1e6 from the nearest .5 flip boundary, minimized
