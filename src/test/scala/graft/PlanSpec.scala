@@ -112,6 +112,42 @@ class PlanSpec extends AnyFunSuite {
       "unpartitioned window in t11")
   }
 
+  test("e05: k-means assignment broadcasts centroids, never funnels or windows the corpus") {
+    val p = planOf("e05_kmeans_2iter")
+    assert(!p.contains("Exchange SinglePartition"),
+      "e05 funnels data through one partition:\n" + p)
+    // both assignment rounds must broadcast the K centroid vectors
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "k-means assignment does not broadcast centroids:\n" + p)
+    // assignment is a map-side-combining agg, not a window over the
+    // K-replicated corpus
+    assert(!p.contains("Window ["), "e05 uses a window over the corpus:\n" + p)
+  }
+
+  test("t13: stratified sample is one stratum-keyed shuffle, filter pushed to scan") {
+    val p = planOf("t13_stratified_sample")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "t13 must shuffle exactly once (by stratum):\n" + p)
+  }
+
+  test("x10: derived-lm fused rime stays broadcast-only around one source-sum exchange") {
+    val p = planOf("x10_fused_rime_lm")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "only the source-sum exchange may shuffle:\n" + p)
+  }
+
+  test("f14: cell-size estimate is two scalar aggs — no data-sized exchange") {
+    val p = planOf("f14_cell_size")
+    // scalar aggregates legitimately gather partials to one partition;
+    // the partial/final split must be present so the gather moves only
+    // per-partition partials, never rows
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
