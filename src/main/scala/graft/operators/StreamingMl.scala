@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming faces of the ML-pipeline aggregations: incremental per-label
+  * centroid maintenance over an embedding stream — the online counterpart
+  * of the e03 batch centroids (and the recompute step of e05's Lloyd
+  * iteration), for pipelines that keep class prototypes current while
+  * training data arrives.
+  *
+  * State per key is one quantized component-sum vector plus a count —
+  * constant in stream length — and the sums are exact integer arithmetic
+  * (the repo-wide quantized-embedding idiom), so after any prefix of the
+  * stream the emitted centroid equals the batch average of the rows seen,
+  * independent of micro-batch boundaries (StreamingSpec proves parity
+  * against the e03 aggregation).
+  */
+object StreamingMl {
+
+  final case class VecIn(label: Int, qv: Seq[Long])
+  final case class CentState(n: Long, sums: Seq[Long])
+  final case class CentOut(label: Int, n: Long, centroidQ: Seq[Double])
+
+  /** Running per-label centroids: one `mapGroupsWithState` update per
+    * label per micro-batch, emitting the centroid over all rows seen so
+    * far. Dimension is taken from the first vector of each label. */
+  def streamingCentroids(ds: Dataset[VecIn]): Dataset[CentOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.label)
+      .mapGroupsWithState[CentState, CentOut](GroupStateTimeout.NoTimeout) {
+        (label: Int, rows: Iterator[VecIn], state: GroupState[CentState]) =>
+          var st = state.getOption.getOrElse(CentState(0L, Nil))
+          for (r <- rows) {
+            val sums =
+              if (st.n == 0L) r.qv
+              else st.sums.lazyZip(r.qv).map(_ + _)
+            st = CentState(st.n + 1L, sums)
+          }
+          state.update(st)
+          CentOut(label, st.n, st.sums.map(_.toDouble / st.n))
+      }
+  }
+}

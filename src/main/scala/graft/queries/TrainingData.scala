@@ -824,6 +824,54 @@ object TrainingData {
           (col("skey") < 125).as("bern"))
     },
 
+    // -- repetition filter (the Gopher/C4-style quality signal): fraction
+    //    of repeated word 3-grams per document plus the worst single-gram
+    //    multiplicity. Two-level agg — (doc, gram) counts partial+final,
+    //    then one per-doc rollup; integers + one final division, so the
+    //    ratio is cross-engine exact. Short docs (< 3 tokens) come back
+    //    via the left join with zero counts on both engines.
+    Q("t14_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        |  FROM toks WHERE len(tk) >= 3),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+        |  FROM idx),
+        |pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+        |ag AS (
+        |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_unique,
+        |    MAX(c) AS max_rep
+        |  FROM pg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(ag.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(ag.n_unique, 0) AS BIGINT) AS n_unique,
+        |  CAST(COALESCE(ag.max_rep, 0) AS BIGINT) AS max_rep,
+        |  CASE WHEN ag.n_grams IS NULL THEN 0e0
+        |       ELSE 1e0 - CAST(ag.n_unique AS DOUBLE) / CAST(ag.n_grams AS DOUBLE)
+        |  END AS rep_ratio
+        |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+          .as("gram"))
+      val ag = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_unique"), max(col("c")).as("max_rep"))
+      docs.select(col("doc_id")).join(ag, Seq("doc_id"), "left").select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("max_rep"), lit(0L)).as("max_rep"),
+        when(col("n_grams").isNull, lit(0e0))
+          .otherwise(lit(1e0) - col("n_unique").cast("double") / col("n_grams").cast("double"))
+          .as("rep_ratio"))
+    },
+
     // -- per-label centroids (embedding aggregation): partial+final avg of
     //    quantized components.
     Q("e03_label_centroids",

@@ -171,4 +171,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(done.toSeq === Seq(EventOps.SessionOut(7L, 0L, 50L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming centroid maintenance matches the batch e03 aggregation") {
+    // feed the sf0.001 embeddings through a memory stream in TWO
+    // micro-batches; after the last batch, each label's most recent
+    // emitted centroid must equal the batch average over the full table
+    // (exact integer sums make this independent of batch boundaries)
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.VecIn
+    implicit val ctx = spark.sqlContext
+    val rows = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), VecIn(r.getInt(1), r.getSeq[Long](2))))
+      .sortBy(_._1)
+    val (first, second) = rows.map(_._2).splitAt(rows.length / 2)
+    val ms = MemoryStream[VecIn]
+    val q = StreamingMl.streamingCentroids(ms.toDS())
+      .writeStream.format("memory").queryName("cents")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      // last update per label wins
+      val got = spark.table("cents").as[StreamingMl.CentOut].collect()
+        .groupBy(_.label).map { case (l, outs) =>
+          l -> outs.maxBy(_.n)
+        }
+      val batch = spark.createDataset(rows.map(_._2).toSeq)
+        .select(col("label"), posexplode(col("qv")))
+        .groupBy("label", "pos")
+        .agg(avg(col("col").cast("double")).as("c"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      for ((label, pos, c, n) <- batch) {
+        val o = got(label)
+        assert(o.n === n, s"label $label count")
+        assert(o.centroidQ(pos) === c, s"label $label pos $pos centroid")
+      }
+    } finally q.stop()
+  }
 }
