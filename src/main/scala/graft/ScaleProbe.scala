@@ -193,6 +193,52 @@ object ScaleProbe {
       dup.unpersist()
       println(f"t11_label_prop,$k,${k * maxVec},$nEdges,$t%.2f")
     }
+    // e05 k-means: one Lloyd iteration = broadcast assignment (map-side
+    // min(struct) agg) + (k, pos) recompute agg. Cost must track the
+    // corpus linearly — there is no pairwise term anywhere.
+    println("probe,k,corpus,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map(i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionAll _)
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+      val ce = emb.select(col("vec_id").as("cid"), posexplode(col("embedding")))
+        .select(col("cid"), (col("pos") + 1).as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+      val seeds = corpus.filter(col("cid") < 8)
+        .select(col("cid").as("kc"), col("qv").as("cvec"))
+      val d2 = expr(
+        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
+      val t = time {
+        val asg = corpus.crossJoin(broadcast(seeds))
+          .select(col("cid"), col("kc"), d2.as("d2"))
+          .groupBy("cid").agg(min(struct(col("d2"), col("kc"))).as("m"))
+          .select(col("cid"), col("m.kc").as("kc"))
+        asg.join(ce, "cid").groupBy("kc", "pos")
+          .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"e05_lloyd_iter,$k,${k * maxVec},$t%.2f")
+    }
+    // t14 repetition: per-doc gram explosion is linear in token count;
+    // the two-level agg keeps the shuffle keyed by (doc, gram) then doc.
+    println("probe,k,docs,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val docs = doc0.filter(col("doc_id") < 1250L * k)
+      val t = time {
+        val grams = docs
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+            .as("gram"))
+        grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("n_grams"),
+            count(lit(1)).as("n_unique"), max(col("c")).as("max_rep"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"t14_repetition,$k,${1250L * k},$t%.2f")
+    }
     spark.stop()
   }
 }
