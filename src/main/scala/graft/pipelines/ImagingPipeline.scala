@@ -1,0 +1,129 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Deconv, FacetClean, WStack}
+
+/** End-to-end imaging MAJOR CYCLE — the workflow a reference user runs as
+  * vis2im → hogbom → model predict → residual
+  * (gridding/wgridder/vis2im.py, deconv/hogbom/clean.py,
+  * gridding/wgridder/im2residim.py), composed from this repo's operators:
+  *
+  *   1. w-stacked convolutional gridding ([[WStack.planeGrids]]),
+  *   2. per-plane transform + w-correction + plane sum + detaper
+  *      ([[WStack.dirtyImageDft]]; [[graft.operators.Fft.planeImages]] is
+  *      the dense production path, FftSpec-equivalent),
+  *   3. facet-parallel Hogbom CLEAN ([[FacetClean.clean]] — sequential
+  *      within a facet, perfectly parallel across facets),
+  *   4. model visibilities from the clean components (the d01 DFT) and
+  *      row-level subtraction → residual visibilities.
+  *
+  * Scale shape: the vis table is the only data-sized input and it is
+  * touched exactly twice (one keyed grid aggregation; one broadcast-join
+  * subtraction). The image lives as a (plane, cell)/(x, y) keyed
+  * DataFrame, facets clean in parallel executors, and the component list
+  * — like the reference's sky models — is broadcast-sized. Nothing
+  * data-sized reaches the driver except the PSF patch (bounded by
+  * (2·psfHalf+1)², independent of data and image size).
+  */
+object ImagingPipeline {
+
+  /** @param facets facets per axis (facets² clean tasks)
+    * @param cell   direction-cosine step per pixel; pixel (x, y) maps to
+    *               l = (x − nx/2)·cell, m = (y − ny/2)·cell */
+  final case class Config(
+      nx: Int, ny: Int, cell: Double,
+      taps: Seq[(Int, Double)],
+      nPlanes: Int, wMax: Double, eta: Double,
+      facets: Int,
+      gamma: Double, threshold: Double, maxIter: Int, psfHalf: Int)
+
+  /** The (x, y, lx, my) pixel grid as a DataFrame. */
+  def pixelGrid(spark: SparkSession, cfg: Config): DataFrame = {
+    val xs = spark.range(cfg.nx).select(col("id").as("x"))
+    val ys = spark.range(cfg.ny).select(col("id").as("y"))
+    xs.crossJoin(ys)
+      .withColumn("lx", (col("x").cast("double") - cfg.nx / 2.0) * cfg.cell)
+      .withColumn("my", (col("y").cast("double") - cfg.ny / 2.0) * cfg.cell)
+  }
+
+  /** vis columns: (row_id, w, pu, pv, re, im) → detapered dirty image
+    * (x, y, dirty, dirty_dt). */
+  def dirtyImage(vis: DataFrame, cfg: Config): DataFrame = {
+    val grids = WStack.planeGrids(vis, cfg.taps, cfg.nPlanes, cfg.wMax,
+      cfg.eta, fsum = c => sum(c)).drop("n_hits")
+    WStack.dirtyImageDft(grids, pixelGrid(vis.sparkSession, cfg), cfg.taps,
+      cfg.nPlanes, cfg.wMax, fsum = c => sum(c), r6 = identity)
+  }
+
+  /** The PSF patch around the beam centre, normalized to unit peak:
+    * image the SAME uv rows with unit visibilities, cut ±psfHalf around
+    * (nx/2, ny/2). Returns (patch row-major, peak value). The collect is
+    * (2·psfHalf+1)² scalars — bounded, never data-sized. */
+  def psfPatch(vis: DataFrame, cfg: Config): (Array[Double], Double) = {
+    val unit = vis.withColumn("re", lit(1e0)).withColumn("im", lit(0e0))
+    val img = dirtyImage(unit, cfg)
+    val h = cfg.psfHalf
+    val cx = cfg.nx / 2; val cy = cfg.ny / 2
+    val cut = img.filter(col("x").between(cx - h, cx + h) &&
+        col("y").between(cy - h, cy + h))
+      .select(col("x"), col("y"), col("dirty_dt")).collect()
+      .map(r => ((r.getLong(0).toInt - (cx - h), r.getLong(1).toInt - (cy - h)),
+        r.getDouble(2))).toMap
+    val n = 2 * h + 1
+    val patch = Array.tabulate(n * n)(i => cut.getOrElse((i / n, i % n), 0.0))
+    val peak = patch(h * n + h)
+    (patch.map(_ / peak), peak)
+  }
+
+  /** Facet-split the (x, y, value) image and clean every facet in
+    * parallel; returns GLOBAL-coordinate components (x, y, flux). */
+  def cleanFacets(img: DataFrame, psf: Array[Double], cfg: Config): DataFrame = {
+    val fx = cfg.nx / cfg.facets; val fy = cfg.ny / cfg.facets
+    val split = img.select(
+      ((col("x") / fx).cast("long") * cfg.facets + (col("y") / fy).cast("long"))
+        .as("facet_id"),
+      (col("x") % fx).as("x"), (col("y") % fy).as("y"), col("value"))
+    val comps = FacetClean.clean(split, fx, fy, psf, cfg.psfHalf,
+      cfg.gamma, cfg.threshold, cfg.maxIter)
+    comps.select(
+      ((col("facet_id") / cfg.facets).cast("long") * fx + col("x")).as("x"),
+      ((col("facet_id") % cfg.facets) * fy + col("y")).as("y"),
+      col("flux"))
+      .groupBy("x", "y").agg(sum(col("flux")).as("flux"))
+  }
+
+  /** Model visibilities of the component list at each vis row's uv cell —
+    * the d01 im_to_vis DFT with the components broadcast (sky models are
+    * driver-sized in the reference too). */
+  def modelVis(vis: DataFrame, comps: DataFrame, cfg: Config): DataFrame = {
+    val c = broadcast(comps
+      .withColumn("lx", (col("x").cast("double") - cfg.nx / 2.0) * cfg.cell)
+      .withColumn("my", (col("y").cast("double") - cfg.ny / 2.0) * cfg.cell)
+      .select(col("lx"), col("my"), col("flux")))
+    val theta: Column = lit(2.0 * math.Pi) *
+      (col("pu") * col("lx") + col("pv") * col("my"))
+    vis.select(col("row_id"), col("pu"), col("pv")).crossJoin(c)
+      .groupBy("row_id")
+      .agg(sum(col("flux") * cos(theta)).as("m_re"),
+        (-sum(col("flux") * sin(theta))).as("m_im"))
+  }
+
+  final case class MajorCycleResult(
+      dirty: DataFrame, components: DataFrame, residualVis: DataFrame)
+
+  /** One full major cycle: image, clean, predict, subtract. */
+  def majorCycle(vis: DataFrame, cfg: Config): MajorCycleResult = {
+    val (psf, peak) = psfPatch(vis, cfg)
+    val dirty = dirtyImage(vis, cfg)
+    val comps = cleanFacets(
+      dirty.select(col("x"), col("y"), (col("dirty_dt") / peak).as("value")),
+      psf, cfg)
+    val model = modelVis(vis, comps, cfg)
+    val residual = vis.join(model, "row_id")
+      .select(col("row_id"), col("pu"), col("pv"), col("w"),
+        (col("re") - col("m_re")).as("re"),
+        (col("im") - col("m_im")).as("im"))
+    MajorCycleResult(dirty, comps, residual)
+  }
+}

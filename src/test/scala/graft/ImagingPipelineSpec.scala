@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.ImagingPipeline
+import graft.pipelines.ImagingPipeline.Config
+
+/** End-to-end major cycle on a synthetic two-source field with FULL
+  * integer-uv coverage: the uv cells form the complete 16×16 DFT basis of
+  * the pixel grid, so the detapered PSF is an exact delta and every stage
+  * of the pipeline (grid → w-stack → DFT image → detaper → facet clean →
+  * model DFT → subtraction) must reproduce the sources and null the
+  * visibilities to numerical precision. */
+class ImagingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = Config(
+    nx = 16, ny = 16, cell = 1.0 / 16,
+    taps = graft.queries.GriddingQ.Taps,
+    nPlanes = 3, wMax = 1.0, eta = 1e-2,
+    facets = 2,
+    gamma = 0.5, threshold = 1e-4, maxIter = 400, psfHalf = 3)
+
+  // sources at interior facet positions (facet borders at x,y = 8)
+  private val sources = Seq((11, 4, 3.0), (3, 12, 2.0))
+
+  private def visDf = {
+    import spark.implicits._
+    val cells = for (gu <- -8 until 8; gv <- -8 until 8) yield (gu, gv)
+    val rows = cells.zipWithIndex.map { case ((gu, gv), i) =>
+      val (re, im) = sources.foldLeft((0.0, 0.0)) { case ((r, m), (sx, sy, f)) =>
+        val th = 2.0 * math.Pi *
+          (gu * (sx - 8.0) / 16.0 + gv * (sy - 8.0) / 16.0)
+        (r + f * math.cos(th), m - f * math.sin(th))
+      }
+      (i.toLong, 0.0, gu.toLong, gv.toLong, re, im)
+    }
+    rows.toDF("row_id", "w", "pu", "pv", "re", "im")
+  }
+
+  test("the PSF of full integer-uv coverage is a delta after detapering") {
+    val (psf, peak) = ImagingPipeline.psfPatch(visDf, cfg)
+    assert(math.abs(peak - 256.0) < 1e-6, s"psf peak $peak != 16*16")
+    val h = cfg.psfHalf; val n = 2 * h + 1
+    for (i <- 0 until n * n if i != h * n + h)
+      assert(math.abs(psf(i)) < 1e-9, s"psf sidelobe at $i: ${psf(i)}")
+  }
+
+  test("major cycle recovers the sources and nulls the residual visibilities") {
+    val r = ImagingPipeline.majorCycle(visDf, cfg)
+    val comps = r.components.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // all recovered flux sits on the true source pixels
+    for (((x, y), f) <- comps)
+      assert(sources.exists(s => s._1 == x && s._2 == y),
+        s"spurious component at ($x, $y) flux $f")
+    for ((sx, sy, f) <- sources) {
+      val got = comps.getOrElse((sx.toLong, sy.toLong), 0.0)
+      assert(math.abs(got - f) < 1e-2,
+        s"source ($sx, $sy): recovered $got, true $f")
+    }
+    // residual visibility power collapses vs the input
+    val pIn = visDf.select(sum(col("re") * col("re") + col("im") * col("im")))
+      .head.getDouble(0)
+    val pRes = r.residualVis
+      .select(sum(col("re") * col("re") + col("im") * col("im")))
+      .head.getDouble(0)
+    info(f"vis power in=$pIn%.3f residual=$pRes%.6f ratio=${pRes / pIn}%.2e")
+    assert(pRes / pIn < 1e-4, s"residual power $pRes vs input $pIn")
+  }
+}
