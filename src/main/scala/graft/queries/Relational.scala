@@ -172,6 +172,19 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // -- CUBE: all four grouping combinations in one pass (rounds out the
+    //    ROLLUP/pivot grouping-set family).
+    Q("q16_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n"))
+    },
+
     // -- pivot: per-returnflag quantity totals spread over line statuses
     //    (oracle states the equivalent conditional aggregation).
     Q("q11_pivot",
