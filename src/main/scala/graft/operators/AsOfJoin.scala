@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for each left row, the most recent right row with
+  * `rightTs <= leftTs` on the same key. Spark has no native operator for
+  * this; the classic scale shape is the UNION-SORT trick:
+  *
+  *   tag both inputs, union them, and run ONE keyed window ordered by
+  *   (ts, side) carrying `last_value(right payload, ignoreNulls)` forward
+  *   — each left row then reads the latest right row at or before it.
+  *
+  * Cost: a single hash shuffle of |L| + |R| rows on the key plus a
+  * per-partition sort — no range explosion, no per-key collect, skew
+  * bounded by the hottest key exactly like any keyed window. This beats
+  * the non-equi-join formulation (O(|L|·|R|) per key) at any scale, and
+  * it is the same plan DuckDB's native ASOF JOIN lowers to.
+  */
+object AsOfJoin {
+
+  /** @param left     rows to enrich
+    * @param right    reference rows (e.g. state changes)
+    * @param key      join key column name (same on both sides)
+    * @param ts       event-time column name (same on both sides);
+    *                 comparisons are `right.ts <= left.ts`
+    * @param rightCols right-side payload columns to carry (renamed as
+    *                 given); all other right columns are dropped
+    * @return left rows + the matched right payload (null when no right
+    *         row precedes the left row)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal ts → a right row AT the left
+    // row's timestamp matches (the <= convention, DuckDB ASOF default)
+    val r = right.select(
+      col(key) +: col(ts) +: rightCols.toSeq.map { case (c, a) => col(c).as(a) }: _*)
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.values.foldLeft(unioned) { (df, a) =>
+      df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select((leftCols ++ rightCols.values).map(col): _*)
+  }
+}

@@ -93,6 +93,69 @@ object EventsQ {
           .as("n_full_funnel"))
     },
 
+    // -- AS-OF join (operators/AsOfJoin.scala): each purchase matched to
+    //    the user's most recent view at or before it. The oracle is
+    //    DuckDB's NATIVE ASOF LEFT JOIN — the Spark side must reproduce
+    //    it exactly via the union-sort plan (one keyed shuffle of
+    //    |L|+|R|, no range explosion). Matching compares µs timestamps;
+    //    the ≥58.8 ms same-user gap makes it read-robust, and the hashed
+    //    surface carries only row IDENTITIES (event ids), never times.
+    Q("s11_asof_join",
+      s"""WITH v AS (
+         |  SELECT user_id, $TusSql AS tus, event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (
+         |  SELECT user_id, $TusSql AS tus, event_id
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, v.view_id
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND p.tus >= v.tus""".stripMargin) { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      AsOfJoin.asOf(purchases, views, "user_id", "tus",
+          Map("event_id" -> "view_id"))
+        .select("event_id", "user_id", "view_id")
+    },
+
+    // -- RANGE join scale path: events matched to IRREGULAR value bands.
+    //    The oracle states the semantics as a BETWEEN theta-join; the
+    //    Spark plan converts it to an EQUI join by exploding each band
+    //    over fixed-width cover bins (floor(value/50)) and post-filtering
+    //    — bands×bins stays broadcast-sized, the fact table shuffles
+    //    never, and no nested-loop join appears at any scale.
+    Q("s12_range_join",
+      """WITH bands AS (
+        |  SELECT * FROM (VALUES (0, 0e0, 5e1), (1, 5e1, 15e1),
+        |    (2, 15e1, 3e2), (3, 3e2, 5e2), (4, 5e2, 1e3))
+        |    AS t(band, lo, hi))
+        |SELECT band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events JOIN bands
+        |  ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin) { (s, dir) =>
+      val binW = 50.0
+      val bands = Seq((0L, 0e0, 5e1), (1L, 5e1, 15e1), (2L, 15e1, 3e2),
+        (3L, 3e2, 5e2), (4L, 5e2, 1e3))
+      val cover = bands.flatMap { case (b, lo, hi) =>
+        ((lo / binW).toLong until math.ceil(hi / binW).toLong)
+          .map(bin => (bin, b, lo, hi))
+      }
+      import s.implicits._
+      val coverDf = broadcast(cover.toDF("bin", "band", "lo", "hi"))
+      Tables.events(s, dir)
+        .withColumn("bin", floor(col("value") / binW).cast("long"))
+        .join(coverDf, "bin")
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(Det.cents(col("value"))).as("cents"))
+    },
+
     // -- gap-based sessionization (30 min) + per-session rollup. Session
     //    boundaries are decided at µs. HASHED SURFACE: session STRUCTURE
     //    only (user_id, session_id, n_events, value_cents) — after three

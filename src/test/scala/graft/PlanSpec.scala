@@ -148,6 +148,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("s11: as-of join is one keyed union-sort — no nested loop, no range explosion") {
+    val p = planOf("s11_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "as-of join regressed to a nested-loop theta join:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(p.contains("Window"), "as-of carry-forward window missing:\n" + p)
+  }
+
+  test("s12: range join runs as a broadcast equi-join on the cover bin") {
+    val p = planOf("s12_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join regressed to a nested loop:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "cover-bin equi join does not broadcast:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
