@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst extensions — the "custom Expression beats UDF" tier of
   * SURVEY §7.3 — registered through `SparkSessionExtensions` (class
@@ -175,6 +175,72 @@ object RollingFingerprint {
   }
 }
 
+/** Bottom-k (KMV) sketch: the k smallest DISTINCT values of an integer
+  * hash column — the mergeable distinct-count sketch of Bar-Yossef et al.
+  * (estimate (k−1)·M/h_k), and equally a bottom-k MinHash signature.
+  * Unlike HLL this sketch is exactly DETERMINISTIC given the hash, so the
+  * DuckDB oracle can state it as DISTINCT + ROW_NUMBER ≤ k and the result
+  * hash-matches bit for bit. State is a bounded TreeSet (≤ k longs) per
+  * group — a TypedImperativeAggregate with O(k) buffers that partial-
+  * aggregates map-side like any built-in. */
+case class KmvMinHashes(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]]
+    with UnaryLike[Expression] {
+  require(k > 0, "kmv_minhash needs k > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_minhash"
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+
+  private def add(b: scala.collection.mutable.TreeSet[Long], x: Long): Unit = {
+    if (b.size < k) b += x
+    else if (x < b.last) { b += x; if (b.size > k) b -= b.last }
+  }
+
+  override def update(b: scala.collection.mutable.TreeSet[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow):
+      scala.collection.mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(b, v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.TreeSet[Long],
+                     o: scala.collection.mutable.TreeSet[Long]):
+      scala.collection.mutable.TreeSet[Long] = {
+    o.foreach(add(b, _)); b
+  }
+
+  override def eval(b: scala.collection.mutable.TreeSet[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+
+  override def serialize(b: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.size)
+    bb.putInt(b.size); b.foreach(bb.putLong); bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = scala.collection.mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { b += bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMinHashes =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMinHashes =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinHashes =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("sinc"),
@@ -188,7 +254,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => LshCode16(args.head)),
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
-      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+      (args: Seq[Expression]) => RollingFingerprint(args.head)),
+    (FunctionIdentifier("kmv_minhash"),
+      new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_minhash"),
+      (args: Seq[Expression]) => KmvMinHashes(args.head,
+        args(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()))
 
   def injectInto(ext: SparkSessionExtensions): Unit =
     fns.foreach(ext.injectFunction)

@@ -156,6 +156,48 @@ object EventsQ {
           sum(Det.cents(col("value"))).as("cents"))
     },
 
+    // -- KMV (bottom-k) distinct-count sketch per event type: the
+    //    mergeable sketch runs as a native TypedImperativeAggregate
+    //    (expr/GraftExpressions.KmvMinHashes — bounded O(k) state,
+    //    map-side partials like any built-in agg). Deterministic given
+    //    the integer Lehmer hash, so the oracle can state the exact
+    //    same k smallest distinct hashes via DISTINCT + ROW_NUMBER and
+    //    the estimate (k−1)·M/h_k hash-matches bit for bit — the
+    //    oracle-checkable counterpart of approx_count_distinct.
+    Q("s13_kmv_sketch",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    (user_id * 48271) % 2147483647 AS hv FROM events),
+        |rk AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        |  FROM h),
+        |ag AS (
+        |  SELECT event_type, MAX(hv) AS kth, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM rk WHERE rk <= 64 GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_exact, ag.kth, ag.n_kept,
+        |  CASE WHEN ag.n_kept < 64 THEN CAST(ag.n_kept AS DOUBLE)
+        |       ELSE 63e0 * 2147483647e0 / CAST(ag.kth AS DOUBLE) END AS est
+        |FROM ex JOIN ag ON ex.event_type = ag.event_type""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          ((col("user_id") * 48271) % 2147483647L).as("hv"), col("user_id"))
+        .groupBy("event_type")
+        .agg(expr("kmv_minhash(hv, 64)").as("arr"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          element_at(col("arr"), size(col("arr"))).as("kth"),
+          size(col("arr")).cast("long").as("n_kept"),
+          when(size(col("arr")) < 64, size(col("arr")).cast("double"))
+            .otherwise(lit(63e0) * lit(2147483647e0) /
+              element_at(col("arr"), size(col("arr"))).cast("double"))
+            .as("est"))
+    },
+
     // -- gap-based sessionization (30 min) + per-session rollup. Session
     //    boundaries are decided at µs. HASHED SURFACE: session STRUCTURE
     //    only (user_id, session_id, n_events, value_cents) — after three

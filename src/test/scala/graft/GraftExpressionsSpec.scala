@@ -89,4 +89,23 @@ class GraftExpressionsSpec extends AnyFunSuite {
       === rows.find(_.getLong(0) == 0L).get.getLong(1))
     assert(graft.expr.RollingFingerprint.compute("") === 0L)
   }
+
+  test("kmv_minhash keeps the k smallest distinct values, invariant to partitioning") {
+    import spark.implicits._
+    // values with duplicates, spread over many partitions so map-side
+    // partials MUST merge; expectation is the brute-force bottom-8
+    val vals = (1L to 500L).map(i => (i * 7919) % 997) ++ Seq(3L, 3L, 5L)
+    val expect = vals.distinct.sorted.take(8)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vals.toDF("v").repartition(parts)
+        .agg(org.apache.spark.sql.functions.expr("kmv_minhash(v, 8)").as("arr"))
+        .head.getSeq[Long](0)
+      assert(got === expect, s"parts=$parts")
+    }
+    // fewer distinct values than k: the sketch returns them all, sorted
+    val small = Seq(9L, 2L, 9L, 4L).toDF("v")
+      .agg(org.apache.spark.sql.functions.expr("kmv_minhash(v, 8)").as("arr"))
+      .head.getSeq[Long](0)
+    assert(small === Seq(2L, 4L, 9L))
+  }
 }
