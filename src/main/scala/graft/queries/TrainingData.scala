@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.core.Tables
+import graft.core.{Det, Tables}
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, token-Jaccard, SimHash),
@@ -870,6 +870,67 @@ object TrainingData {
         when(col("n_grams").isNull, lit(0e0))
           .otherwise(lit(1e0) - col("n_unique").cast("double") / col("n_grams").cast("double"))
           .as("rep_ratio"))
+    },
+
+    // -- BM25 relevance scoring (Robertson k1 = 1.2, b = 0.75) for the
+    //    fixed query {the, data, join}: per-doc term counts by the t02
+    //    delimiter-count idiom, corpus stats in ONE scalar agg broadcast
+    //    back, score = Σ idf·tf-norm rounded r6 BEFORE the rank so the
+    //    (score desc, doc_id) top-20 is cross-engine deterministic. The
+    //    idf ln sees a bit-identical rational argument on both engines
+    //    (m01's driver-green class).
+    Q("t16_bm25", {
+      def cnt(w: String) = {
+        val l = w.length + 2
+        s"(length(text) - length(replace(text, ' $w ', ''))) / $l"
+      }
+      val dl = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      def idf(df: String) =
+        s"ln((CAST(n AS DOUBLE) - CAST($df AS DOUBLE) + 5e-1) / (CAST($df AS DOUBLE) + 5e-1) + 1e0)"
+      def part(c: String, df: String) =
+        s"${idf(df)} * ((CAST($c AS DOUBLE) * 22e-1) / (CAST($c AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * (CAST(dl AS DOUBLE) / avgdl))))"
+      s"""WITH t AS (
+         |  SELECT doc_id, $dl AS dl,
+         |    ${cnt("the")} AS c_the, ${cnt("data")} AS c_data,
+         |    ${cnt("join")} AS c_join
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    AVG(CAST(dl AS DOUBLE)) AS avgdl,
+         |    CAST(SUM(CASE WHEN c_the > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_the,
+         |    CAST(SUM(CASE WHEN c_data > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_data,
+         |    CAST(SUM(CASE WHEN c_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join
+         |  FROM t)
+         |SELECT doc_id,
+         |  ${graft.core.Det.r6Sql(
+             s"${part("c_the", "df_the")} + ${part("c_data", "df_data")} + ${part("c_join", "df_join")}")} AS bm25
+         |FROM t, g
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      def cnt(w: String) = (length(col("text")) -
+        length(expr(s"replace(text, ' $w ', '')"))) / (w.length + 2)
+      val dl = length(col("text")) -
+        length(expr("replace(text, ' ', '')")) + 1
+      val t = Tables.documents(s, dir).select(col("doc_id"), dl.as("dl"),
+        cnt("the").as("c_the"), cnt("data").as("c_data"),
+        cnt("join").as("c_join"))
+      def dfAgg(c: String) =
+        sum(when(col(c) > 0, 1).otherwise(0)).cast("long").as(s"df_${c.drop(2)}")
+      val g = t.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"),
+        dfAgg("c_the"), dfAgg("c_data"), dfAgg("c_join"))
+      def idf(df: Column): Column =
+        log((col("n").cast("double") - df.cast("double") + lit(5e-1)) /
+          (df.cast("double") + lit(5e-1)) + lit(1e0))
+      def part(c: Column, df: Column): Column =
+        idf(df) * ((c.cast("double") * lit(22e-1)) /
+          (c.cast("double") + lit(12e-1) * (lit(25e-2) + lit(75e-2) *
+            (col("dl").cast("double") / col("avgdl")))))
+      t.crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          Det.r6(part(col("c_the"), col("df_the")) +
+            part(col("c_data"), col("df_data")) +
+            part(col("c_join"), col("df_join"))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     },
 
     // -- per-label centroids (embedding aggregation): partial+final avg of
