@@ -78,6 +78,38 @@ object ConnectedComponents {
     lbl
   }
 
+  /** Fixed-point integer PageRank over a symmetric edge list: p₀ = scale
+    * per node; per round p'(v) = 0.15·scale + ⌊85·Σ_{u→v} ⌊p(u)/deg(u)⌋
+    * / 100⌋, ALL in integer arithmetic (floor divisions, exact long
+    * sums), so a fixed round count is bit-identical on any engine — the
+    * same fixed-iteration determinism contract as [[labelPropagation]]
+    * and g08. Dangling-node mass is dropped (documented variant). Per
+    * round: one degree join + one edge join + one grouped sum — node- and
+    * edge-linear keyed shuffles, no funnel; rounds are materialized via
+    * the same roundStep idiom so plans stay constant-size. */
+  def fixedPointPageRank(nodes: DataFrame, sym: DataFrame, rounds: Int,
+                         scale: Long = 1000000L): DataFrame = {
+    val id = nodes.columns.head
+    val n = nodes.select(col(id).as("cid"))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("du"), col("deg"))
+    var p = n.select(col("cid"), lit(scale).as("p"))
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to rounds) {
+      val share = p.join(deg, col("cid") === col("du"))
+        .select(col("cid").as("src"), expr("p div deg").as("share"))
+      val inc = sym.join(share, col("u") === col("src"))
+        .groupBy(col("v")).agg(sum(col("share")).as("inc"))
+      val np = n.join(inc, col("cid") === col("v"), "left")
+        .select(col("cid"),
+          (lit(scale * 15L / 100L) +
+            expr("(85 * coalesce(inc, 0L)) div 100")).as("p"))
+      val (df, rdd) = roundStep(np, prev)
+      p = df; prev = Some(rdd)
+    }
+    p
+  }
+
   /** Propagate + shortcut per round; reaches distance ~2^rounds. The
     * shortcut join is total because every label IS a node id (labels
     * only ever move to existing ids, and roots point to themselves). */

@@ -933,6 +933,48 @@ object TrainingData {
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     },
 
+    // -- fixed-point integer PageRank, 3 unrolled rounds over the t10
+    //    near-dup graph (ConnectedComponents.fixedPointPageRank): node
+    //    importance within duplicate clusters, e.g. to pick the
+    //    representative to KEEP. Every operation is integer (floor
+    //    divisions, exact long sums), so the fixed iteration count is
+    //    hash-exact — the DuckDB oracle unrolls the identical rounds.
+    Q("t17_pagerank", {
+      def prRound(prevP: String, next: String): String =
+        s"""$next AS (
+           |  SELECT n.cid,
+           |    CAST(150000 + (85 * COALESCE(SUM(l.p // d.deg), 0)) // 100
+           |      AS BIGINT) AS p
+           |  FROM nodes n
+           |    LEFT JOIN sym e ON e.v = n.cid
+           |    LEFT JOIN $prevP l ON l.cid = e.u
+           |    LEFT JOIN deg d ON d.u = e.u
+           |  GROUP BY n.cid)""".stripMargin
+      s"""WITH $neardupCtesSql,
+         |dup AS (
+         |  SELECT dot.cid_a, dot.cid_b
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid
+         |  WHERE CAST(dot.d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 5e-1),
+         |sym AS (SELECT cid_a AS u, cid_b AS v FROM dup
+         |        UNION ALL SELECT cid_b AS u, cid_a AS v FROM dup),
+         |nodes AS (SELECT vec_id AS cid FROM embeddings),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+         |p0 AS (SELECT cid, CAST(1000000 AS BIGINT) AS p FROM nodes),
+         |${prRound("p0", "p1")},
+         |${prRound("p1", "p2")},
+         |${prRound("p2", "p3")}
+         |SELECT cid, p FROM p3""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ConnectedComponents
+      val dup = neardupPairs(s, dir).filter(col("is_dup"))
+        .select("cid_a", "cid_b")
+      ConnectedComponents.fixedPointPageRank(
+        Tables.embeddings(s, dir).select(col("vec_id")),
+        ConnectedComponents.symmetrize(dup), rounds = 3)
+    },
+
     // -- per-label centroids (embedding aggregation): partial+final avg of
     //    quantized components.
     Q("e03_label_centroids",

@@ -164,6 +164,12 @@ class PlanSpec extends AnyFunSuite {
       "cover-bin equi join does not broadcast:\n" + p)
   }
 
+  test("t17: pagerank rounds never funnel through a single partition") {
+    val p = planOf("t17_pagerank")
+    assert(!p.contains("Exchange SinglePartition"),
+      "t17 funnels data through one partition:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
