@@ -48,4 +48,39 @@ object AsOfJoin {
     carried.filter(col("_side") === 1)
       .select((leftCols ++ rightCols.values).map(col): _*)
   }
+
+  final case class AsOfEvent(key: Long, ts: Long, isRight: Boolean,
+                             id: Long, payload: Long)
+  final case class AsOfState(ts: Long, payload: Long)
+  final case class AsOfMatch(id: Long, key: Long, matched: Option[Long])
+
+  /** STREAMING as-of enrichment: one interleaved stream of left rows and
+    * right (state-change) rows; every left row is matched to the latest
+    * right row at or before it. Keyed state is ONE (ts, payload) pair —
+    * constant in stream length, the streaming face of [[asOf]] exactly as
+    * `EventOps.streamingSessions` is of the batch sessionizer. Rows
+    * within a micro-batch are event-time sorted before the scan; across
+    * batches the operator relies on per-key arrival order (watermarked
+    * upstream sort), the same contract as the streaming BDA binner. */
+  def streamingAsOf(ds: org.apache.spark.sql.Dataset[AsOfEvent])
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state) =>
+          // rights sort before lefts at equal ts — the <= convention
+          val sorted = events.toSeq.sortBy(e => (e.ts, if (e.isRight) 0 else 1, e.id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfMatch]
+          for (e <- sorted) {
+            if (e.isRight) {
+              if (cur.forall(_.ts <= e.ts)) cur = Some(AsOfState(e.ts, e.payload))
+            } else out += AsOfMatch(e.id, key, cur.map(_.payload))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -172,6 +172,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch union-sort join across batches") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    import graft.operators.AsOfJoin.{AsOfEvent, AsOfMatch}
+    implicit val ctx = spark.sqlContext
+    // rights (state changes) and lefts interleaved on two keys
+    val rights = Seq((1L, 10L, 100L), (1L, 50L, 105L), (2L, 5L, 200L))
+    val lefts = Seq((1L, 5L, 900L), (1L, 20L, 901L), (1L, 60L, 902L),
+      (2L, 4L, 903L), (2L, 5L, 904L))
+    // batch expectation through the production asOf operator
+    val batch = AsOfJoin.asOf(
+      lefts.toDF("key", "tus", "id"),
+      rights.toDF("key", "tus", "payload"),
+      "key", "tus", Map("payload" -> "matched"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val ms = MemoryStream[AsOfEvent]
+    val q = AsOfJoin.streamingAsOf(ms.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // split by event time at ts 30 — key 1's open state must carry over
+      def ev(rows: Seq[(Long, Long, Long)], right: Boolean) =
+        rows.map(r => AsOfEvent(r._1, r._2, right, if (right) 0L else r._3,
+          if (right) r._3 else 0L))
+      ms.addData(ev(rights.filter(_._2 < 30), right = true) ++
+        ev(lefts.filter(_._2 < 30), right = false))
+      q.processAllAvailable()
+      ms.addData(ev(rights.filter(_._2 >= 30), right = true) ++
+        ev(lefts.filter(_._2 >= 30), right = false))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").as[AsOfMatch].collect()
+        .map(m => m.id -> m.matched).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance matches the batch e03 aggregation") {
     // feed the sf0.001 embeddings through a memory stream in TWO
     // micro-batches; after the last batch, each label's most recent
