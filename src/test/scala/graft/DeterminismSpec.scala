@@ -158,6 +158,80 @@ class DeterminismSpec extends AnyFunSuite {
     assert(haMax < 10.0, s"r04d hour angle $haMax outside the small-arg regime")
   }
 
+  test("t16 BM25 scores stay far from their r6 round boundaries") {
+    // t16 hashes r6(score) and ranks by it: every score·1e6 must sit far
+    // from .5 flips AND the raw rank-20/21 gap must dwarf cross-libm ulps
+    // so the top-20 membership cannot change engine-to-engine.
+    for (d <- dirs) {
+      val q = graft.SparkEntry.queries
+      val scores = {
+        // recompute the raw (unrounded) scores via the registered query's
+        // own pipeline: take the rounded output margins directly
+        val df = q("t16_bm25")(spark, d)
+        df.select(col("bm25")).collect().map(_.getDouble(0))
+      }
+      // rounded outputs are exact multiples of 1e-6 by construction; the
+      // real exposure is the ROUNDING of the raw score, measured below
+      val t = graft.queries.TrainingData
+      val m = {
+        import org.apache.spark.sql.DataFrame
+        // raw-score margin: rebuild the un-rounded score exactly as the
+        // query does, then measure |frac(x·1e6) − .5|
+        val docs = graft.core.Tables.documents(spark, d)
+        def cnt(w: String) = (length(col("text")) -
+          length(expr(s"replace(text, ' $w ', '')"))) / (w.length + 2)
+        val dl = length(col("text")) - length(expr("replace(text, ' ', '')")) + 1
+        val tt = docs.select(col("doc_id"), dl.as("dl"),
+          cnt("the").as("c_the"), cnt("data").as("c_data"), cnt("join").as("c_join"))
+        def dfAgg(c: String) =
+          sum(when(col(c) > 0, 1).otherwise(0)).cast("long").as(s"df_${c.drop(2)}")
+        val g = tt.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"),
+          dfAgg("c_the"), dfAgg("c_data"), dfAgg("c_join"))
+        def idf(df0: org.apache.spark.sql.Column) =
+          log((col("n").cast("double") - df0.cast("double") + lit(5e-1)) /
+            (df0.cast("double") + lit(5e-1)) + lit(1e0))
+        def part(c: org.apache.spark.sql.Column, df0: org.apache.spark.sql.Column) =
+          idf(df0) * ((c.cast("double") * lit(22e-1)) /
+            (c.cast("double") + lit(12e-1) * (lit(25e-2) + lit(75e-2) *
+              (col("dl").cast("double") / col("avgdl")))))
+        val raw = part(col("c_the"), col("df_the")) +
+          part(col("c_data"), col("df_data")) + part(col("c_join"), col("df_join"))
+        tt.crossJoin(broadcast(g))
+          .select(abs(abs(raw * 1e6 - floor(raw * 1e6)) - 0.5).as("m"))
+          .agg(min(col("m"))).head.getDouble(0)
+      }
+      info(s"$d: t16 raw-score min |frac(x·1e6)−.5| = $m over the corpus")
+      assert(m > 1e-6, s"a t16 score sits within 1e-6 of an r6 flip at $d")
+      // the rank-20/21 gap on the rounded surface (ties broken by doc_id
+      // deterministically, so equality is also safe — only require the
+      // measured flip margin above)
+      assert(scores.length == 20)
+    }
+  }
+
+  test("e05/e03 centroid averages are exact rationals (sums inside 2^53)") {
+    // ROUND(avg(qv)) needs NO flip margin: the average is an exact
+    // integer sum divided by an exact count — bit-identical on both
+    // engines — and .5-EXACT averages round identically (both engines
+    // round half away from zero; sf0.001 exercises a .5-exact centroid
+    // and the driver gate hashes green). The one precondition is that
+    // every double-held partial sum stays an exact integer, i.e. the
+    // per-(k, pos) |sum| is far inside 2^53. Assert that with audit
+    // headroom for 1e6x corpus growth.
+    for (d <- dirs) {
+      val emb = graft.core.Tables.embeddings(spark, d)
+      val m = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select((col("pos") + 1).as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("pos").agg(sum(abs(col("qv"))).as("s"))
+        .agg(max(col("s"))).head.getLong(0)
+      info(s"$d: max per-position |qv| sum = $m (2^53 = ${1L << 53})")
+      assert(m < (1L << 53) / 1000000L,
+        s"per-position sums at $d leave <1e6x headroom under 2^53 — " +
+          "switch centroid sums to exact long aggregation before avg")
+    }
+  }
+
   test("r01 rounded cos/sin stay far from .5 rounding boundaries") {
     for (d <- dirs) {
       // distance of x*1e6 from the nearest .5 flip boundary, minimized
