@@ -368,6 +368,47 @@ object FusedRime {
         srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8))
     },
 
+    // -- X2 registry GENERALITY: a second custom DDE term 'Z' — a
+    //    Zernike-defocus-shaped diagonal Jones over dyadic per-(src, ant)
+    //    radial coordinates (the full Zernike surface is verified by
+    //    r08/r12; here the registry wiring itself is under the gate).
+    //    Diagonal terms still route through the full-2×2 sum path, so
+    //    the oracle states Z·M·Zᴴ with implicit-zero off-diagonals.
+    Q("x11_fused_rime_zernike", {
+      val k = CS(s"cos($phaseSql)", s"sin($phaseSql)")
+      def scaleS(b: String) = CS(s"(${k.re} * ($b))", s"(${k.im} * ($b))")
+      val m0 = MS(
+        scaleS(s"flux + $qSql"),
+        CS("0e0", "0e0") * k,
+        CS("0e0", "(-0e0)") * k,
+        scaleS(s"flux - $qSql"))
+      def zM(a: String) = {
+        val q = s"(((src_id * 3 + $a * 2) % 8) / 16e0)"
+        MS(CS(s"(2e0 * $q - 1e0)", "0e0"), CS("0e0", "0e0"),
+          CS("0e0", "0e0"), CS(s"(1e0 - $q / 2e0)", "0e0"))
+      }
+      val v = mulS(mulS(zM("ant1"), m0), hermS(zM("ant2")))
+      val sums = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) =>
+          s"  ${fsumSql(z.re)} AS ${n}_re,\n  ${fsumSql(z.im)} AS ${n}_im"
+        }.mkString(",\n")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)})
+         |SELECT row_id, time_index, ant1, ant2, chan,
+         |$sums
+         |FROM rws, src, ch GROUP BY row_id, time_index, ant1, ant2, chan""".stripMargin
+    }) { (s, dir) =>
+      import graft.core.{Cx, CxCol}
+      import graft.functions.Feeds.Jones2x2
+      RimeCompiler.registerDde('Z', (src, _, ant) => {
+        val q = ((src * 3 + ant * 2) % 8) / 16e0
+        Jones2x2(CxCol(lit(2e0) * q - 1e0, lit(0e0)), Cx.zero, Cx.zero,
+          CxCol(lit(1e0) - q / 2e0, lit(0e0)))
+      })
+      RimeCompiler.plan("(Zp,Kpq,Bpq,Zq): [I,Q] -> [XX,XY,YX,YY]",
+        srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8))
+    },
+
     // -- X4's compensated summation in the PRODUCT path: the source
     //    contraction routed through the native `kahan_sum` Catalyst
     //    aggregate (expr/GraftExpressions.scala). On this fixture the
