@@ -172,6 +172,31 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // -- correlated scalar subquery: customers above their own nation's
+    //    average balance (integer-cents averages on both sides). Catalyst
+    //    decorrelates this into an aggregate + join — the plan shape that
+    //    makes correlated SQL scale; the text below runs verbatim on both
+    //    engines through spark.sql.
+    Q("q17_correlated", {
+      val sql =
+        """SELECT c_custkey, c_nationkey,
+          |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |FROM customer o
+          |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+          |  SELECT AVG(CAST(ROUND(i.c_acctbal * 100) AS BIGINT))
+          |  FROM customer i WHERE i.c_nationkey = o.c_nationkey)""".stripMargin
+      sql
+    }) { (s, dir) =>
+      graft.core.Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey, c_nationkey,
+          |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |FROM customer o
+          |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+          |  SELECT AVG(CAST(ROUND(i.c_acctbal * 100) AS BIGINT))
+          |  FROM customer i WHERE i.c_nationkey = o.c_nationkey)""".stripMargin)
+    },
+
     // -- CUBE: all four grouping combinations in one pass (rounds out the
     //    ROLLUP/pivot grouping-set family).
     Q("q16_cube",

@@ -975,6 +975,36 @@ object TrainingData {
         ConnectedComponents.symmetrize(dup), rounds = 3)
     },
 
+    // -- feature standardization (z-score per embedding dimension): the
+    //    preprocessing step in front of k-means/ANN. Mean and variance
+    //    come from exact integer sums (Σqv, Σqv² both far inside 2^53),
+    //    so mean, var and sqrt(var) are bit-identical cross-engine
+    //    (sqrt is IEEE exact-rounded); the hashed z-scores for the first
+    //    8 vectors are pure class-(a) arithmetic — no rounding layer.
+    Q("e06_standardize",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |st AS (
+         |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(qv) AS BIGINT) AS s1, CAST(SUM(qv*qv) AS BIGINT) AS s2
+         |  FROM ce GROUP BY pos)
+         |SELECT ce.cid, ce.pos,
+         |  (CAST(ce.qv AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))
+         |    / sqrt(CAST(st.s2 AS DOUBLE) / CAST(st.n AS DOUBLE)
+         |           - (CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))
+         |             * (CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))) AS z
+         |FROM ce JOIN st ON ce.pos = st.pos
+         |WHERE ce.cid < 8""".stripMargin) { (s, dir) =>
+      val ce = qExplode(Tables.embeddings(s, dir), "cid")
+      val st = ce.groupBy("pos").agg(count(lit(1)).as("n"),
+        sum(col("qv")).as("s1"), sum(col("qv") * col("qv")).as("s2"))
+      val mean = col("s1").cast("double") / col("n").cast("double")
+      val z = (col("qv").cast("double") - mean) /
+        sqrt(col("s2").cast("double") / col("n").cast("double") - mean * mean)
+      ce.join(broadcast(st), "pos")
+        .filter(col("cid") < 8)
+        .select(col("cid"), col("pos"), z.as("z"))
+    },
+
     // -- per-label centroids (embedding aggregation): partial+final avg of
     //    quantized components.
     Q("e03_label_centroids",
