@@ -1005,6 +1005,34 @@ object TrainingData {
         .select(col("cid"), col("pos"), z.as("z"))
     },
 
+    // -- regex tokenizer counts (the BPE-ish pre-tokenization pass):
+    //    alphabetic runs, digit runs, and a subword estimate that charges
+    //    long words ⌈len/4⌉ pieces — integer outputs from the same
+    //    simple regex class ([a-z]+/[0-9]+) both engines implement
+    //    identically.
+    Q("t18_regex_tokens",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[a-z]+') AS words,
+        |    regexp_extract_all(text, '[0-9]+') AS nums
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(nums) AS BIGINT) AS n_nums,
+        |  CAST(COALESCE(list_sum(list_transform(words,
+        |    w -> CAST(CEIL(length(w) / 4e0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
+        |FROM g""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("words"),
+          expr("regexp_extract_all(text, '[0-9]+', 0)").as("nums"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          size(col("nums")).cast("long").as("n_nums"),
+          expr("aggregate(words, 0L, (a, w) -> a + CAST(CEIL(length(w) / 4e0) AS BIGINT))")
+            .as("n_subwords"))
+    },
+
     // -- per-label centroids (embedding aggregation): partial+final avg of
     //    quantized components.
     Q("e03_label_centroids",
