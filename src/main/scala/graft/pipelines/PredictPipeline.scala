@@ -48,6 +48,40 @@ object PredictPipeline {
       .agg(Det.fsum(spec * ph.re).as("vre"), Det.fsum(spec * ph.im).as("vim"))
   }
 
+  /** dft/examples/predict_from_fits.py analogue: a FITS model IMAGE
+    * (pure-JVM [[graft.io.Fits.read]]) becomes the component list — every
+    * non-zero pixel is a point source at the (l, m) of its CRPIX/CRVAL/
+    * CDELT grid position (DEG→RAD) — and the same broadcast expansion +
+    * fixed-point source sum predicts (row_id, chan, vre, vim). The image
+    * is driver-read like any sky model (components are broadcast-sized);
+    * the vis table never leaves the executors. */
+  def predictFromFits(spark: SparkSession, fitsPath: String,
+                      uvw: DataFrame, chans: DataFrame): DataFrame = {
+    val hdu = graft.io.Fits.read(fitsPath)
+    val Seq(nx, ny) = hdu.naxis.take(2).toSeq
+    def axis(i: Int): (Double, Double, Double) = (
+      hdu.num(s"CRPIX$i").getOrElse(1.0),
+      hdu.num(s"CRVAL$i").getOrElse(0.0),
+      hdu.num(s"CDELT$i").getOrElse(1.0))
+    val (px1, v1, d1) = axis(1); val (px2, v2, d2) = axis(2)
+    val degRad = math.Pi / 180.0
+    val comps = for {
+      y <- 0 until ny; x <- 0 until nx
+      flux = hdu.data(y * nx + x) if flux != 0.0
+    } yield (
+      ((x + 1 - px1) * d1 + v1) * degRad,
+      ((y + 1 - px2) * d2 + v2) * degRad,
+      flux)
+    import spark.implicits._
+    val src = broadcast(comps.toDF("l", "m", "flux"))
+    val ph = Phase.phaseDelay(col("l"), col("m"),
+      col("u"), col("v"), col("w"), col("freq"))
+    uvw.crossJoin(src).crossJoin(broadcast(chans))
+      .groupBy("row_id", "chan")
+      .agg(Det.fsum(col("flux") * ph.re).as("vre"),
+        Det.fsum(col("flux") * ph.im).as("vim"))
+  }
+
   /** Full run: predict + write-back (the MODEL_DATA sink). */
   def run(spark: SparkSession, skyModelPath: String, uvw: DataFrame,
           chans: DataFrame, ra0: Double, dec0: Double, outPath: String): Unit =

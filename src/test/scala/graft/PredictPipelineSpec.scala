@@ -63,4 +63,43 @@ class PredictPipelineSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("vre") - expRe) < 1e-5)
     assert(math.abs(got.getAs[Double]("vim") - expIm) < 1e-5)
   }
+
+  test("predict from a FITS model image matches a direct computation") {
+    // dft/examples/predict_from_fits.py: write an 8x8 image with two
+    // non-zero pixels through the pure-JVM FITS writer, predict, and
+    // cross-check against the same DFT computed directly
+    import spark.implicits._
+    val nx = 8; val ny = 8
+    val data = new Array[Double](nx * ny)
+    val pix = Seq((2, 3, 1.5), (6, 5, -0.5)) // (x, y, flux)
+    for ((x, y, f) <- pix) data(y * nx + x) = f
+    val cards = Seq(
+      "SIMPLE" -> "T", "BITPIX" -> "-64", "NAXIS" -> "2",
+      "NAXIS1" -> nx.toString, "NAXIS2" -> ny.toString,
+      "CRPIX1" -> "5.0", "CRVAL1" -> "0.0", "CDELT1" -> "-2.777778e-3",
+      "CRPIX2" -> "5.0", "CRVAL2" -> "0.0", "CDELT2" -> "2.777778e-3")
+    val f = java.nio.file.Files.createTempFile("model_img", ".fits")
+    graft.io.Fits.write(f.toString, cards, data)
+    val uvw = Seq((0L, 1000.0, 500.0, 10.0), (1L, -250.0, 125.0, 2.0))
+      .toDF("row_id", "u", "v", "w")
+    val chans = Seq((0L, 1.4e9)).toDF("chan", "freq")
+    val got = PredictPipeline.predictFromFits(spark, f.toString, uvw, chans)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("vre"), r.getAs[Double]("vim"))).toMap
+    val degRad = math.Pi / 180.0
+    for ((rowId, u, v, w) <- Seq((0L, 1000.0, 500.0, 10.0),
+        (1L, -250.0, 125.0, 2.0))) {
+      var re = 0.0; var im = 0.0
+      for ((x, y, flux) <- pix) {
+        val l = ((x + 1 - 5.0) * -2.777778e-3) * degRad
+        val m = ((y + 1 - 5.0) * 2.777778e-3) * degRad
+        val n = math.sqrt(1 - l * l - m * m)
+        val ph = -2 * math.Pi / 299792458.0 *
+          (u * l + v * m + w * (n - 1)) * 1.4e9
+        re += flux * math.cos(ph); im += flux * math.sin(ph)
+      }
+      assert(math.abs(got(rowId)._1 - re) < 1e-5, s"row $rowId re")
+      assert(math.abs(got(rowId)._2 - im) < 1e-5, s"row $rowId im")
+    }
+  }
 }
