@@ -172,6 +172,29 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // -- the window-function family in one pass: LAG/LEAD (offsets),
+    //    FIRST_VALUE (frame edge), NTILE (bucketing) and DENSE_RANK over
+    //    one customer-keyed, date-ordered window — integer surfaces only.
+    Q("q18_window_family",
+      """SELECT o_orderkey, o_custkey,
+        |  LAG(o_orderkey) OVER w AS prev_key,
+        |  LEAD(o_orderkey) OVER w AS next_key,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS rk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("rk"))
+    },
+
     // -- correlated scalar subquery: customers above their own nation's
     //    average balance (integer-cents averages on both sides). Catalyst
     //    decorrelates this into an aggregate + join — the plan shape that
