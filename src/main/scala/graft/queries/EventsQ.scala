@@ -198,6 +198,33 @@ object EventsQ {
             .as("est"))
     },
 
+    // -- cohort retention: users grouped by first-seen week, counted per
+    //    weeks-since-cohort period. Week indices are µs divisions (7-day
+    //    buckets); the ≥2.3 ms measured margin to SECOND boundaries (a
+    //    superset of week boundaries) makes every bucket assignment
+    //    read-robust. Two keyed aggs: per-user first week, then the
+    //    (cohort, period) distinct-user rollup.
+    Q("s14_cohort_retention", {
+      val wk = s"($TusSql // ${7L * 86400000000L})"
+      s"""WITH uw AS (
+         |  SELECT user_id, $wk AS wk FROM events),
+         |cohort AS (
+         |  SELECT user_id, MIN(wk) AS c0 FROM uw GROUP BY user_id)
+         |SELECT c.c0 AS cohort_week,
+         |  CAST(uw.wk - c.c0 AS BIGINT) AS period,
+         |  CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+         |FROM uw JOIN cohort c ON uw.user_id = c.user_id
+         |GROUP BY c.c0, uw.wk - c.c0""".stripMargin
+    }) { (s, dir) =>
+      val weekMicros = 7L * 86400000000L
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"(ts div 1000) div $weekMicros").as("wk"))
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("c0"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("c0").as("cohort_week"), (col("wk") - col("c0")).as("period"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
     // -- gap-based sessionization (30 min) + per-session rollup. Session
     //    boundaries are decided at µs. HASHED SURFACE: session STRUCTURE
     //    only (user_id, session_id, n_events, value_cents) — after three
