@@ -70,6 +70,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** Intensity histogram over a decoded P5 PGM payload — the
+    * feature-extraction step after decode: pixel counts per quartile bin
+    * (0-63, 64-127, 128-191, 192-255) plus the dominant bin (ties to
+    * the lower index). Same mapPartitions batch shape as [[decodePgm]];
+    * a production codec slots into the same loop. */
+  def pgmHistogram(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("h0", LongType),
+      StructField("h1", LongType), StructField("h2", LongType),
+      StructField("h3", LongType), StructField("dominant", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          var pos = 0
+          def token(): String = {
+            while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+            val start = pos
+            while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+            new String(bytes, start, pos - start, "US-ASCII")
+          }
+          require(token() == "P5", s"not a P5 PGM payload (id $id)")
+          val w = token().toInt
+          val h = token().toInt
+          token() // maxval
+          pos += 1
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < w * h) {
+            hist((bytes(pos + i) & 0xff) >> 6) += 1
+            i += 1
+          }
+          var dom = 0
+          var j = 1
+          while (j < 4) { if (hist(j) > hist(dom)) dom = j; j += 1 }
+          Row(id, hist(0), hist(1), hist(2), hist(3), dom.toLong)
+        }
+      }(enc)
+  }
+
   /** REAL audio decode — RIFF/WAVE, PCM s16le mono: 12-byte RIFF header,
     * then tagged chunks; `fmt ` fixes the sample format, `data` carries
     * little-endian 16-bit samples; unknown chunks are skipped by size (the

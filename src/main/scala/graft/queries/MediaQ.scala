@@ -69,6 +69,49 @@ object MediaQ {
       Multimodal.decodePgm(synth, "doc_id", "payload")
     },
 
+    // -- feature extraction AFTER decode: intensity histogram per image
+    //    (quartile bins + dominant bin, ties to the lower index). Same
+    //    synthetic P5 payloads as m11; the oracle restates the bucket
+    //    counts from the closed-form pixel values.
+    Q("m13_image_histogram",
+      """WITH px0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, 64)) AS x
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    ((doc_id*7 + ((x-1) // 8)*3 + ((x-1) % 8)*5) % 256) // 64 AS b
+        |  FROM px0),
+        |hist AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |    CAST(SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, h0, h1, h2, h3,
+        |  CAST(CASE
+        |    WHEN h0 >= h1 AND h0 >= h2 AND h0 >= h3 THEN 0
+        |    WHEN h1 >= h2 AND h1 >= h3 THEN 1
+        |    WHEN h2 >= h3 THEN 2 ELSE 3 END AS BIGINT) AS dominant
+        |FROM hist""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val synth = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+            val px = Array.tabulate(64) { i =>
+              ((id * 7 + (i / 8) * 3 + (i % 8) * 5) % 256).toByte
+            }
+            Row(id, header ++ px)
+          }
+        }(enc)
+      Multimodal.pgmHistogram(synth, "doc_id", "payload")
+    },
+
     // -- a REAL audio decode: every document carries a synthetic RIFF/WAVE
     //    PCM s16le mono clip (valid 44-byte header + 64 samples, built
     //    executor-side); the decoder must walk the chunk structure and
