@@ -209,6 +209,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the KMV typed aggregate runs under Structured Streaming with batch parity") {
+    // custom TypedImperativeAggregates must serialize their buffers
+    // through the streaming state store; prove kmv_minhash survives
+    // multi-batch accumulation and matches the batch bottom-8
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val vals = (1L to 300L).map(i => (i % 3, (i * 7919) % 997))
+    val expect = vals.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(8)
+    }
+    val ms = MemoryStream[(Long, Long)]
+    val q = ms.toDF().toDF("g", "v")
+      .groupBy("g").agg(expr("kmv_minhash(v, 8)").as("arr"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = vals.splitAt(150)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      val got = spark.table("kmv_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance matches the batch e03 aggregation") {
     // feed the sf0.001 embeddings through a memory stream in TWO
     // micro-batches; after the last batch, each label's most recent
