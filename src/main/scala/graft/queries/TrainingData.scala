@@ -330,6 +330,53 @@ object TrainingData {
         .filter(col("c") >= 10 && col("jaccard") >= 1e-1)
     },
 
+    // -- eval DECONTAMINATION: flag evaluation documents whose word
+    //    5-grams leak from the training split — the standard
+    //    train/test-overlap hygiene pass of an LLM data pipeline. Eval =
+    //    sources src0/src1; overlap = distinct eval grams present in ANY
+    //    train doc; contaminated at ≥ 3 shared grams. One gram-keyed
+    //    equi-join (the postings shape); at production scale the train
+    //    side compresses to a bloom/minhash filter, the join key and
+    //    per-doc rollup are unchanged.
+    Q("t19_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+        |  FROM (SELECT doc_id, source, tk,
+        |          unnest(generate_series(1, len(tk) - 4)) AS i
+        |        FROM toks WHERE len(tk) >= 5)),
+        |ev AS (SELECT DISTINCT doc_id, gram FROM g
+        |       WHERE source IN ('src0', 'src1')),
+        |tr AS (SELECT DISTINCT gram FROM g
+        |       WHERE source NOT IN ('src0', 'src1')),
+        |ov AS (SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |       FROM ev JOIN tr ON ev.gram = tr.gram GROUP BY ev.doc_id),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |        FROM ev GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_grams,
+        |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  COALESCE(ov.n_overlap, 0) >= 3 AS contaminated
+        |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id""".stripMargin) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))"))
+          .as("gram"))
+      val isEval = col("source").isin("src0", "src1")
+      val ev = g.filter(isEval).select("doc_id", "gram").distinct()
+      val tr = g.filter(!isEval).select("gram").distinct()
+      val ov = ev.join(tr, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      val tot = ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      tot.join(ov, Seq("doc_id"), "left").select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 3).as("contaminated"))
+    },
+
     // -- SimHash (8-bit) from integer token hashes: per-token positional
     //    char hash mod 4096, bitwise majority vote over distinct tokens.
     Q("t06_simhash",
