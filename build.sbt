@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~130 codegen'd queries in one JVM overflow the default 240 MB JIT
+  // code cache; once it sweeps, whichever query compiles next stalls for
+  // seconds — the roaming full-suite-only outliers (r3's gridder family,
+  // r4's a11) that never reproduce in isolation. Headroom removes the
+  // sweep.
+  "-XX:ReservedCodeCacheSize=1g",
 )
