@@ -120,6 +120,36 @@ class RimeCompilerSpec extends AnyFunSuite {
     assert(derived.nonEmpty)
   }
 
+  test("LM transformer contract: derived lm equals the explicit r9 table; missing phaseDir rejects") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val M = graft.queries.SyntheticMs
+    val srcNoLm = M.sources(spark, TestSpark.sf, 5).drop("l", "m")
+      .withColumn("i", col("flux"))
+    val rows = M.uvwRows(spark, TestSpark.sf, 64)
+    val chans = M.channels(spark, TestSpark.sf, 2)
+    // no lm and no phase centre: the K term cannot be built
+    val e = intercept[IllegalArgumentException] {
+      graft.rime.RimeCompiler.plan("(Kpq,Bpq): [I] -> [XX,YY]",
+        srcNoLm, rows, chans)
+    }
+    assert(e.getMessage.contains("phaseDir"))
+    // derived lm must equal the explicitly-derived r9 table bit for bit
+    val derived = graft.rime.RimeCompiler.plan("(Kpq,Bpq): [I] -> [XX,YY]",
+      srcNoLm, rows, chans, phaseDir = Some((M.Ra0, M.Dec0)))
+      .orderBy("row_id", "chan").collect().toSeq
+    val da = col("ra") - lit(M.Ra0)
+    val explicitSrc = srcNoLm
+      .withColumn("l", graft.core.Det.r9(cos(col("dec")) * sin(da)))
+      .withColumn("m", graft.core.Det.r9(sin(col("dec")) * cos(lit(M.Dec0)) -
+        cos(col("dec")) * sin(lit(M.Dec0)) * cos(da)))
+    val explicit = graft.rime.RimeCompiler.plan("(Kpq,Bpq): [I] -> [XX,YY]",
+      explicitSrc, rows, chans)
+      .orderBy("row_id", "chan").collect().toSeq
+    assert(derived === explicit)
+    assert(derived.nonEmpty)
+  }
+
   test("implicit-zero stokes: [I] alone gives XX == YY") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
