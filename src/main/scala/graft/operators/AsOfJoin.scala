@@ -33,6 +33,9 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clash = rightCols.values.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"right payload aliases collide with left columns: $clash")
     // side 0 sorts before side 1 at equal ts → a right row AT the left
     // row's timestamp matches (the <= convention, DuckDB ASOF default)
     val r = right.select(

@@ -79,6 +79,8 @@ object ImagingPipeline {
   /** Facet-split the (x, y, value) image and clean every facet in
     * parallel; returns GLOBAL-coordinate components (x, y, flux). */
   def cleanFacets(img: DataFrame, psf: Array[Double], cfg: Config): DataFrame = {
+    require(cfg.nx % cfg.facets == 0 && cfg.ny % cfg.facets == 0,
+      s"facets (${cfg.facets}) must divide nx=${cfg.nx} and ny=${cfg.ny}")
     val fx = cfg.nx / cfg.facets; val fy = cfg.ny / cfg.facets
     val split = img.select(
       ((col("x") / fx).cast("long") * cfg.facets + (col("y") / fy).cast("long"))
