@@ -59,10 +59,18 @@ object Det {
     * pass through COMPOUND transcendental evaluation (trig of trig, cubes
     * of cos, large per-query value counts): the 100× wider rounding bucket
     * makes a 1-ulp cross-engine libm disagreement harmlessly far from any
-    * flip boundary. */
-  def r4Sql(e: String): String = s"round(($e) * 1e4) / 1e4"
-  def r6Sql(e: String): String = s"round(($e) * 1e6) / 1e6"
-  def r9Sql(e: String): String = s"round(($e) * 1e9) / 1e9"
+    * flip boundary.
+    *
+    * The trailing `+ 0e0` is load-bearing: DuckDB's std::round keeps the
+    * SIGN of zero (round(-1e-9) = -0.0, surviving the /scale divide),
+    * while Spark's round() goes through BigDecimal, which has no negative
+    * zero and emits +0.0. The two compare equal numerically but hash
+    * differently at byte/repr level — the round-3/4 x09-class red.
+    * Adding +0.0 normalizes -0.0 to +0.0 (exact identity for every other
+    * value), matching Spark's output bit-for-bit. */
+  def r4Sql(e: String): String = s"(round(($e) * 1e4) / 1e4 + 0e0)"
+  def r6Sql(e: String): String = s"(round(($e) * 1e6) / 1e6 + 0e0)"
+  def r9Sql(e: String): String = s"(round(($e) * 1e9) / 1e9 + 0e0)"
 
   /** Exact fixed-point sum: terms are rounded to 1/scale, accumulated as
     * longs (order-independent, overflow-free at our magnitudes), divided

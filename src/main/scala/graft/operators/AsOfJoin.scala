@@ -33,9 +33,16 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val clash = rightCols.values.toSet.intersect(leftCols.toSet)
+    val aliases = rightCols.values.toSeq
+    val clash = aliases.toSet.intersect(leftCols.toSet)
     require(clash.isEmpty,
       s"right payload aliases collide with left columns: $clash")
+    val reserved = Set("_side", "_pay")
+    require(!leftCols.exists(reserved) && !aliases.exists(reserved) &&
+      !reserved(key) && !reserved(ts),
+      s"column names $reserved are reserved by asOf")
+    require(!aliases.contains(key) && !aliases.contains(ts),
+      "right payload aliases must not shadow the key/ts columns")
     // side 0 sorts before side 1 at equal ts → a right row AT the left
     // row's timestamp matches (the <= convention, DuckDB ASOF default)
     val r = right.select(
@@ -45,11 +52,17 @@ object AsOfJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.values.foldLeft(unioned) { (df, a) =>
-      df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
-    }
+    // the payload is carried as ONE struct built only on right-side rows:
+    // `last(ignoreNulls)` then lands on the matched right ROW atomically,
+    // so a NULL payload value inside the matched row stays null instead of
+    // resurrecting a stale value from an earlier right row (and multiple
+    // payload columns can never mix across rows)
+    val payload = when(col("_side") === 0, struct(aliases.map(col): _*))
+    val carried = unioned
+      .withColumn("_pay", last(payload, ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select((leftCols ++ rightCols.values).map(col): _*)
+      .select(leftCols.map(col) ++
+        aliases.map(a => col(s"_pay.$a").as(a)): _*)
   }
 
   final case class AsOfEvent(key: Long, ts: Long, isRight: Boolean,

@@ -32,6 +32,9 @@ object StreamingMl {
         (label: Int, rows: Iterator[VecIn], state: GroupState[CentState]) =>
           var st = state.getOption.getOrElse(CentState(0L, Nil))
           for (r <- rows) {
+            require(st.n == 0L || st.sums.length == r.qv.length,
+              s"embedding dimension changed mid-stream for label $label: " +
+                s"${st.sums.length} vs ${r.qv.length}")
             val sums =
               if (st.n == 0L) r.qv
               else st.sums.lazyZip(r.qv).map(_ + _)

@@ -132,7 +132,7 @@ object EventsQ {
         |  SELECT * FROM (VALUES (0, 0e0, 5e1), (1, 5e1, 15e1),
         |    (2, 15e1, 3e2), (3, 3e2, 5e2), (4, 5e2, 1e3))
         |    AS t(band, lo, hi))
-        |SELECT band,
+        |SELECT CAST(band AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events JOIN bands
@@ -167,7 +167,7 @@ object EventsQ {
     Q("s13_kmv_sketch",
       """WITH h AS (
         |  SELECT DISTINCT event_type,
-        |    (user_id * 48271) % 2147483647 AS hv FROM events),
+        |    ((user_id % 2147483647) * 48271) % 2147483647 AS hv FROM events),
         |rk AS (
         |  SELECT event_type, hv,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
@@ -185,7 +185,12 @@ object EventsQ {
       graft.expr.GraftFunctions.register(s)
       Tables.events(s, dir)
         .select(col("event_type"),
-          ((col("user_id") * 48271) % 2147483647L).as("hv"), col("user_id"))
+          // reduce BEFORE multiplying (a true Lehmer step): user_id is
+          // within 2^31 at every SF today, but an unreduced product
+          // overflows BIGINT at user_id ~1.17e15 — where Spark (ANSI off)
+          // wraps silently while DuckDB errors out
+          (((col("user_id") % 2147483647L) * 48271) % 2147483647L).as("hv"),
+          col("user_id"))
         .groupBy("event_type")
         .agg(expr("kmv_minhash(hv, 64)").as("arr"),
           countDistinct(col("user_id")).as("n_exact"))
@@ -247,7 +252,8 @@ object EventsQ {
          |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
          |                             ROWS UNBOUNDED PRECEDING) AS session_id
          |  FROM s)
-         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
          |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM s2 GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
       EventOps.gapSessions(
@@ -258,13 +264,29 @@ object EventsQ {
           sum(Det.cents(col("value"))).as("value_cents"))
     },
 
-    // -- session SPANS (s02's former timestamp columns): rows-checked by
-    //    the driver (row count = session count, which IS oracle-decidable
-    //    structure) and value-checked by SessionSpec against an
-    //    independent local recomputation. Deliberately no oracle: any
-    //    timestamp-valued hash output re-enters the unfalsifiable
-    //    read-semantics game that kept s02 red for three rounds.
-    Q.noOracle("s09_session_spans") { (s, dir) =>
+    // -- session SPANS (s02's former timestamp columns), back under the
+    //    oracle gate: the round-1..3 red on this surface is now explained
+    //    by the uncast HUGEINT session_id (see s02), not by timestamps —
+    //    s08's round-4 fingerprint (oracle_rows 9954 = the µs birthday
+    //    collapse of 10000 ns residues) pinned the driver's DuckDB to a
+    //    µs-precision read, under which SECONDS-truncated spans are safe:
+    //    a ≤1 µs read perturbation flips a second bucket only within 1 µs
+    //    of a boundary and the closest event sits 2.3 ms away
+    //    (TsProbeSpec).
+    Q("s09_session_spans",
+      s"""WITH s AS (
+         |  SELECT event_id, user_id, $TusSql AS tus,
+         |    CASE WHEN $TusSql - LAG($TusSql) OVER (
+         |             PARTITION BY user_id ORDER BY $TusSql, event_id)
+         |              > $GapMicros THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s2 AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM s)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  MIN(tus) // 1000000 AS t_start_s, MAX(tus) // 1000000 AS t_end_s
+         |FROM s2 GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
       EventOps.gapSessions(
           Tables.events(s, dir).withColumn("ts", expr("ts div 1000")),
           GapMicros)
@@ -286,18 +308,18 @@ object EventsQ {
         sum(when(expr("ts % 1000 = 0"), 1L).otherwise(0L)).as("n_us_exact"))
     },
 
-    // -- read-precision FINGERPRINT (DIAGNOSTIC, expected red unless the
-    //    driver's DuckDB keeps TIMESTAMP_NS): one row per distinct
-    //    sub-second residue of the ns timestamp. The correctness JSON
-    //    records `oracle_rows` numerically even on a red row, and the
-    //    residue count is a precision fingerprint: keep-ns / truncate-µs /
-    //    round-µs / ms / s reads each yield a distinct count (expected
-    //    values per semantics are computed from the raw data and recorded
-    //    in BASELINE.md at round close). The Spark side emits the keep-ns
-    //    set, so green ⇔ keep-ns.
-    Q("s08_ts_residues",
-      """SELECT DISTINCT CAST(epoch_ns(ts) % 1000000000 AS BIGINT) AS sub_s_ns
-        |FROM events""".stripMargin) { (s, dir) =>
+    // -- read-precision FINGERPRINT — RETIRED to a rows-only check after
+    //    doing its job in round 4: as an oracle query its oracle_rows came
+    //    back 9954 vs Spark's 10000 distinct sub-second ns residues at
+    //    sf0.01. 10000 draws into the 1e6 µs buckets collapse to an
+    //    expected 1e6·(1−(1−1e-6)^10000) ≈ 9950 distinct values (keep-ns
+    //    would give 10000, ms ≈ 1000, s = 1), so the driver's DuckDB reads
+    //    TIMESTAMP(NANOS) at MICROSECOND precision — same as local 1.0.0.
+    //    With that pinned (and the historical s02 red explained by the
+    //    uncast HUGEINT session_id, not by timestamps), the probe follows
+    //    the s07 precedent: a designed-red row costs a headline point
+    //    every round once its information is on record.
+    Q.noOracle("s08_ts_residues") { (s, dir) =>
       Tables.events(s, dir)
         .select((col("ts") % 1000000000L).as("sub_s_ns")).distinct()
     },

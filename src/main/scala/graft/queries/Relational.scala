@@ -124,7 +124,7 @@ object Relational {
         sum(col("l_quantity").cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("running_qty"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
     },
 
     // -- Distinct aggregation.

@@ -44,7 +44,7 @@ object TrainingData {
   /** (id, pos 1-based, qv = round(val·1e6) as long). */
   private def qExplode(df: DataFrame, idAs: String): DataFrame =
     df.select(col("vec_id").as(idAs), posexplode(col("embedding")))
-      .select(col(idAs), (col("pos") + 1).as("pos"),
+      .select(col(idAs), (col("pos") + 1).cast("long").as("pos"),
         round(col("col").cast("double") * 1e6).cast("long").as("qv"))
 
   private def qExplodeSql(idAs: String, filter: String): String =
@@ -142,9 +142,10 @@ object TrainingData {
       val nThe = (length(t) - length(expr("replace(text, ' the ', '')"))) / 5
       Tables.documents(s, dir).select(
         col("doc_id"),
-        length(t).as("n_chars_m"),
-        nTokens.as("n_tokens"),
-        (length(t) - length(expr("replace(text, '.', '')"))).as("n_periods"),
+        length(t).cast("long").as("n_chars_m"),
+        nTokens.cast("long").as("n_tokens"),
+        (length(t) - length(expr("replace(text, '.', '')"))).cast("long")
+          .as("n_periods"),
         nThe.as("n_the"),
         (length(noSpace).cast("double") / nTokens).as("avg_token_len"),
         (nThe.cast("double") / nTokens).as("stop_ratio"),
@@ -742,7 +743,7 @@ object TrainingData {
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
       val cent = emb.select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), (col("pos") + 1).as("pos"),
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
           round(col("col").cast("double") * 1e6).cast("long").as("qv"))
         .groupBy("label", "pos")
         .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
@@ -1093,7 +1094,7 @@ object TrainingData {
          |FROM ce GROUP BY label, pos""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-        .select(col("label"), (col("pos") + 1).as("pos"),
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
           round(col("col").cast("double") * 1e6).cast("long").as("qv"))
         .groupBy("label", "pos")
         .agg(avg(col("qv").cast("double")).as("centroid_q"),

@@ -232,6 +232,55 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("signed zero: Spark round() never emits -0.0 (the r*Sql +0e0 contract)") {
+    // Root cause of the round-3/4 x09-class driver reds, found in round 5:
+    // DuckDB's std::round keeps the sign of zero (round(-1e-9) = -0.0 and
+    // -0.0/1e4 stays -0.0) while Spark's round() goes through BigDecimal,
+    // which HAS no negative zero — so a tiny-negative value rounds to
+    // +0.0 in Spark and -0.0 in DuckDB. Numerically equal, but a byte- or
+    // repr-level hash (the driver's) sees them as different. The oracle
+    // helpers r4Sql/r6Sql/r9Sql therefore append `+ 0e0` (exact identity
+    // for every value except -0.0 → +0.0). This test pins the Spark half
+    // of that contract: Det.r4/r6/r9 of a tiny negative must be POSITIVE
+    // zero, else the +0e0 normalization would mismatch in the other
+    // direction.
+    import graft.core.Det
+    val row = spark.range(1).select(
+      Det.r4(lit(-1e-9)).as("a"), Det.r6(lit(-1e-12)).as("b"),
+      Det.r9(lit(-1e-15)).as("c"), Det.r4(lit(-0.0)).as("d")).head
+    for (i <- 0 until 4) {
+      val v = row.getDouble(i)
+      assert(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) == 0L,
+        s"col $i: Spark rounding emitted negative zero (bits ${
+          java.lang.Double.doubleToRawLongBits(v)})")
+    }
+  }
+
+  test("e06 per-position variances are strictly positive (no x/0 surface)") {
+    // e06_standardize divides by sqrt(var). A zero-variance dimension
+    // (constant embedding position) would yield Infinity/NaN in Spark but
+    // NULL in DuckDB (float division by zero) — a silent hash-gate
+    // divergence. Assert the precondition that makes the surface safe:
+    // every per-position variance of the quantized values is bounded away
+    // from zero.
+    for (d <- dirs) {
+      val emb = graft.core.Tables.embeddings(spark, d)
+      val minVar = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select((col("pos") + 1).as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("pos").agg(count(lit(1)).as("n"),
+          sum(col("qv")).as("s1"), sum(col("qv") * col("qv")).as("s2"))
+        .select((col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n"))).as("v"))
+        .agg(min(col("v"))).head.getDouble(0)
+      info(s"$d: min per-position variance = $minVar")
+      assert(minVar > 1.0,
+        s"a near-constant embedding position at $d puts x/~0 on the e06 " +
+          "surface — guard the divisor or drop the position")
+    }
+  }
+
   test("r01 rounded cos/sin stay far from .5 rounding boundaries") {
     for (d <- dirs) {
       // distance of x*1e6 from the nearest .5 flip boundary, minimized
