@@ -817,27 +817,36 @@ object TrainingData {
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
       val ceExpl = qExplode(emb, "cid")
-      val d2 = expr(
-        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
-      // nearest centroid by exact integer L2, ties to the lower k; the
-      // min(struct) partial agg combines map-side — the K-replicated
-      // corpus never shuffles
-      def assign(cent: DataFrame): DataFrame =
-        corpus.crossJoin(broadcast(cent))
-          .select(col("cid"), col("k"), d2.as("d2"))
-          .groupBy("cid").agg(min(struct(col("d2"), col("k"))).as("m"))
-          .select(col("cid"), col("m.k").as("k"))
-      // per-(k, pos) integer re-quantized centroid, packed to vectors
-      def recompute(asg: DataFrame): DataFrame =
+      // centroids are MODEL-sized (k × dim = 8 × dim longs) at any corpus
+      // scale, so they live on the driver between iterations — the
+      // CLAUDE.md iterative-solver idiom. Assignment is then a ZERO-
+      // shuffle projection: exact integer L2 against each literal
+      // centroid, argmin via least(struct(d2, k)) (ties to the lower k),
+      // instead of the former crossJoin + per-cid min aggregation
+      // (2 exchanges per assignment round).
+      def assignLit(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+        val cands = cents.map { case (k, v) =>
+          val d2 = aggregate(
+            zip_with(col("qv"), typedLit(v), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)
+          struct(d2.as("d2"), lit(k).as("k"))
+        }
+        corpus.select(col("cid"), least(cands: _*).getField("k").as("k"))
+      }
+      // per-(k, pos) integer re-quantized centroids, collected (8 × dim)
+      def recompute(asg: DataFrame): Seq[(Long, Seq[Long])] =
         asg.join(ceExpl, "cid")
           .groupBy("k", "pos")
           .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
-          .groupBy("k")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
-            .as("cvec"))
-      val seeds = corpus.filter(col("cid") < 8)
-        .select(col("cid").as("k"), col("qv").as("cvec"))
-      val a2 = assign(recompute(assign(seeds)))
+          .collect()
+          .groupBy(_.getAs[Long]("k"))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("cq")).toSeq
+          }.toSeq.sortBy(_._1)
+      val seeds = corpus.filter(col("cid") < 8).collect()
+        .map(r => r.getAs[Long]("cid") -> r.getSeq[Long](1))
+        .toSeq.sortBy(_._1)
+      val a2 = assignLit(recompute(assignLit(seeds)))
       a2.join(ceExpl, "cid")
         .groupBy(col("k").as("cluster"), col("pos"))
         .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"),
