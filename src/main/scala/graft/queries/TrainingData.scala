@@ -1108,5 +1108,70 @@ object TrainingData {
         .groupBy("label", "pos")
         .agg(avg(col("qv").cast("double")).as("centroid_q"),
           count(lit(1)).as("n"))
+    },
+
+    // -- SEQUENCE PACKING (the GPT-style concatenate-then-chunk layout a
+    //    trainer's data loader needs): documents are laid head-to-tail in
+    //    doc_id order within a (source, shard) stream and cut into
+    //    fixed-capacity packs of 2048 tokens. Each doc's pack id, offset
+    //    inside the pack, and the number of chunks it straddles fall out
+    //    of ONE window cumsum — all exact integer arithmetic. The shard
+    //    key (doc_id div 8192) bounds every window partition at 8192 docs
+    //    regardless of corpus size: at 100 TB the packing streams
+    //    shard-parallel instead of serializing per source (the
+    //    deterministic contract is per-(source, shard), which is what a
+    //    sharded loader consumes anyway).
+    Q("t20_seq_packing",
+      """WITH tk AS (
+        |  SELECT doc_id, source, doc_id // 8192 AS shard,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tok) OVER (PARTITION BY source, shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tk)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset,
+        |  CAST((cum - 1) // 2048 - (cum - n_tok) // 2048 + 1 AS BIGINT)
+        |    AS n_chunks
+        |FROM c""".stripMargin) { (s, dir) =>
+      val nTok = (length(col("text")) -
+        length(expr("replace(text, ' ', '')")) + 1).cast("long")
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("doc_id div 8192").as("shard"), nTok.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr("(cum - n_tok) div 2048").as("pack_id"),
+          expr("(cum - n_tok) % 2048").as("pack_offset"),
+          expr("(cum - 1) div 2048 - (cum - n_tok) div 2048 + 1")
+            .as("n_chunks"))
+    },
+
+    // -- BPE merge-candidate scan (the inner loop of byte-pair-encoding
+    //    vocabulary induction): corpus-wide frequency of every adjacent
+    //    character pair, top 20 with a deterministic (count desc, pair)
+    //    tie-break. One linear transform+explode pass and a tiny-key
+    //    aggregate with map-side partials — the shuffle carries distinct
+    //    pairs (bounded by alphabet², not corpus size), so the scan is
+    //    embarrassingly parallel at any SF.
+    Q("t21_bpe_pairs",
+      """WITH idx AS (
+        |  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2),
+        |pr AS (SELECT substr(text, CAST(i AS INTEGER), 2) AS pair FROM idx)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pr GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
     })
 }
