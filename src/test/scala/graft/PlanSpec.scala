@@ -112,13 +112,21 @@ class PlanSpec extends AnyFunSuite {
       "unpartitioned window in t11")
   }
 
-  test("e05: k-means assignment broadcasts centroids, never funnels or windows the corpus") {
+  test("e05: k-means assignment is a zero-shuffle literal projection") {
+    // centroids are model-sized and live on the driver between
+    // iterations; the FINAL plan's assignment must be a projection
+    // against literal centroid vectors (least(struct(d2, k)) over
+    // typedLit arrays) — no crossJoin, no per-vector min aggregation,
+    // and no window over the corpus. The only exchanges left are the
+    // final (k, pos) rollup and its cid-keyed build side.
     val p = planOf("e05_kmeans_2iter")
     assert(!p.contains("Exchange SinglePartition"),
       "e05 funnels data through one partition:\n" + p)
-    // both assignment rounds must broadcast the K centroid vectors
-    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "k-means assignment does not broadcast centroids:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "k-means assignment reintroduced the K-replicating join:\n" + p)
+    assert(p.contains("least(struct(d2"),
+      "k-means assignment is not the literal-centroid projection:\n" + p)
     // assignment is a map-side-combining agg, not a window over the
     // K-replicated corpus
     assert(!p.contains("Window ["), "e05 uses a window over the corpus:\n" + p)
