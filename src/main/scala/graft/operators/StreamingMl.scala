@@ -18,6 +18,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingMl {
 
+  final case class DocIn(source: String, shard: Long, docId: Long, nTok: Long)
+  final case class PackState(cum: Long)
+  final case class PackOut(docId: Long, source: String, nTok: Long,
+                           packId: Long, packOffset: Long, nChunks: Long)
+
+  /** Streaming face of t20 sequence packing: documents of one
+    * (source, shard) stream are laid head-to-tail and cut into
+    * fixed-capacity token packs as they arrive. Keyed state is ONE
+    * running token count — constant in stream length — and the emitted
+    * (pack, offset, span) triple equals the batch window-cumsum layout
+    * after any prefix of the stream, independent of micro-batch
+    * boundaries (exact integer arithmetic; StreamingSpec proves parity
+    * against the t20 batch query). Rows within a micro-batch are
+    * doc_id-sorted before the scan; across batches the operator relies
+    * on per-key arrival order, the same contract as the streaming BDA
+    * binner and as-of join. */
+  def streamingPacking(ds: Dataset[DocIn], capacity: Long = 2048L)
+      : Dataset[PackOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(d => (d.source, d.shard))
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, Long), docs: Iterator[DocIn],
+         state: GroupState[PackState]) =>
+          val sorted = docs.toSeq.sortBy(_.docId)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = sorted.map { d =>
+            val start = cum
+            cum += d.nTok
+            PackOut(d.docId, d.source, d.nTok, start / capacity,
+              start % capacity, (cum - 1) / capacity - start / capacity + 1)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   final case class VecIn(label: Int, qv: Seq[Long])
   final case class CentState(n: Long, sums: Seq[Long])
   final case class CentOut(label: Int, n: Long, centroidQ: Seq[Double])

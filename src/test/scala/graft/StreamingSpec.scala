@@ -277,4 +277,44 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming sequence packing matches the t20 batch layout") {
+    // feed the documents table through two micro-batches split mid-shard;
+    // every doc's (pack_id, pack_offset, n_chunks) must equal the t20
+    // batch window-cumsum layout — exact integer state makes the result
+    // independent of the batch boundary
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{DocIn, PackOut}
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        expr("doc_id div 8192").as("shard"),
+        (length(col("text")) -
+          length(expr("replace(text, ' ', '')")) + 1).cast("long").as("n_tok"))
+      .collect()
+      .map(r => DocIn(r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+      .sortBy(_.docId)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val ms = MemoryStream[DocIn]
+    val q = StreamingMl.streamingPacking(ms.toDS())
+      .writeStream.format("memory").queryName("packs")
+      .outputMode("append").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("packs").as[PackOut].collect()
+        .map(p => p.docId -> p).toMap
+      val batch = graft.SparkEntry.queries("t20_seq_packing")(spark, TestSpark.sf)
+        .collect()
+      assert(got.size === batch.length)
+      for (r <- batch) {
+        val o = got(r.getAs[Long]("doc_id"))
+        assert(o.packId === r.getAs[Long]("pack_id"), s"doc ${o.docId} pack")
+        assert(o.packOffset === r.getAs[Long]("pack_offset"),
+          s"doc ${o.docId} offset")
+        assert(o.nChunks === r.getAs[Long]("n_chunks"), s"doc ${o.docId} span")
+      }
+    } finally q.stop()
+  }
 }
