@@ -390,5 +390,41 @@ object EventsQ {
         .agg(sum(expr("""CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT)"""))
           .as("sum_k"),
           count(lit(1)).as("n"))
+    },
+
+    // -- Markov transition matrix of event types: per-user successor
+    //    pairs via LAG over the proven (tus, event_id) ordering (same
+    //    ordering contract as s02; TsProbeSpec asserts no same-user gap
+    //    is within 1 µs, so a µs-read perturbation cannot reorder a
+    //    pair), then corpus-wide counts and row-normalized transition
+    //    probabilities (long/long IEEE division — bit-identical). One
+    //    shuffle on user_id; the transition matrix is event_type² rows.
+    Q("s15_markov_transitions",
+      s"""WITH s AS (
+         |  SELECT user_id, event_type,
+         |    LAG(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY $TusSql, event_id) AS prev_type
+         |  FROM events),
+         |tr AS (
+         |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM s WHERE prev_type IS NOT NULL
+         |  GROUP BY prev_type, event_type),
+         |tot AS (
+         |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+         |  FROM tr GROUP BY prev_type)
+         |SELECT tr.prev_type, tr.event_type, tr.n, tr.n / tot.t AS p
+         |FROM tr JOIN tot ON tot.prev_type = tr.prev_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("prev_type").as("pt"))
+        .agg(sum(col("n")).as("t"))
+      tr.join(broadcast(tot), col("prev_type") === col("pt"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          (col("n") / col("t")).as("p"))
     })
 }

@@ -1173,5 +1173,120 @@ object TrainingData {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
+    },
+
+    // -- character-bigram language-model scoring (the perplexity-style
+    //    quality signal a pretraining filter runs corpus-wide): train
+    //    P(b|a) = c(ab)/c(a·) on the whole corpus, score each document by
+    //    the summed log-probability of its own bigrams. Both count tables
+    //    are bounded by alphabet² so they BROADCAST — the only shuffle is
+    //    the per-doc rollup. Determinism: counts are exact integers,
+    //    c2/c1 is one correctly-rounded IEEE division (bit-identical),
+    //    ln() of that bit-identical argument is class (b), and the per-doc
+    //    sum uses Det.fsum (class (c), the driver-green r09/x01 pattern);
+    //    DeterminismSpec measures the term margin to the 1e-6 rounding
+    //    boundary.
+    Q("t22_bigram_lm",
+      s"""WITH idx AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text) - 1)) AS i
+         |  FROM documents WHERE length(text) >= 2),
+         |pr AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS pair
+         |  FROM idx),
+         |bg AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2
+         |       FROM pr GROUP BY pair),
+         |un AS (SELECT substr(pair, 1, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS c1
+         |       FROM pr GROUP BY substr(pair, 1, 1))
+         |SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ${Det.fsumSql("ln(bg.c2 / un.c1)")} AS logp
+         |FROM pr
+         |  JOIN bg ON bg.pair = pr.pair
+         |  JOIN un ON un.ch = substr(pr.pair, 1, 1)
+         |GROUP BY pr.doc_id""".stripMargin) { (s, dir) =>
+      val pr = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+      val bg = pr.groupBy("pair").agg(count(lit(1)).as("c2"))
+      val un = pr.groupBy(substring(col("pair"), 1, 1).as("ch"))
+        .agg(count(lit(1)).as("c1"))
+      pr.join(broadcast(bg), "pair")
+        .join(broadcast(un), substring(col("pair"), 1, 1) === col("ch"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          Det.fsum(log(col("c2") / col("c1"))).as("logp"))
+    },
+
+    // -- temperature-sampled source mixing (the multi-source data-mix
+    //    recipe: weight ∝ count^0.5): per-source doc counts, sqrt
+    //    (IEEE-exact on an exact integer — class (a)), fixed-point
+    //    micro-unit total so the normalizing sum is order-free, one final
+    //    long/long IEEE division. Output is a handful of rows whatever
+    //    the corpus size; the only pass is one map-side-combined count.
+    Q("t23_source_mix",
+      """WITH sc AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, n_docs,
+        |    CAST(ROUND(sqrt(n_docs) * 1e6) AS BIGINT) AS sq
+        |  FROM sc)
+        |SELECT source, n_docs,
+        |  sq / CAST((SELECT SUM(sq) FROM q) AS BIGINT) AS mix_w
+        |FROM q""".stripMargin) { (s, dir) =>
+      val sc = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val qd = sc.withColumn("sq",
+        round(sqrt(col("n_docs")) * 1e6).cast("long"))
+      qd.crossJoin(broadcast(qd.agg(sum(col("sq")).as("tot"))))
+        .select(col("source"), col("n_docs"),
+          (col("sq") / col("tot")).as("mix_w"))
+    },
+
+    // -- product quantization (the ANN memory-compression path: 64-dim
+    //    embedding → 8 subspaces × 2-bit codes): per-subspace nearest
+    //    centroid of a formula-literal dyadic codebook, exact integer L2
+    //    on the 1e-6-quantized vectors, ties to the lower code via
+    //    min(struct). ONE shuffle (the per-(vec, sub) rollup); the
+    //    codebook is model-sized and broadcasts at any corpus scale.
+    Q("e07_pq_codes", {
+      s"""WITH ce AS (${qExplodeSql("vid", "")}),
+         |cb AS (
+         |  SELECT s.sub, c.c, j.j,
+         |    (((c.c * 7 + j.j * 3 + s.sub * 5) % 8) - 4) * 250000 AS cq
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS sub) s,
+         |       (SELECT unnest(generate_series(0, 3)) AS c) c,
+         |       (SELECT unnest(generate_series(0, 7)) AS j) j),
+         |d AS (
+         |  SELECT ce.vid, cb.sub, cb.c,
+         |    CAST(SUM((ce.qv - cb.cq) * (ce.qv - cb.cq)) AS BIGINT) AS d2
+         |  FROM ce JOIN cb ON cb.sub = (ce.pos - 1) // 8
+         |    AND cb.j = (ce.pos - 1) % 8
+         |  GROUP BY ce.vid, cb.sub, cb.c)
+         |SELECT vid AS vec_id, sub, c AS code, d2 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY vid, sub ORDER BY d2, c) AS rk
+         |  FROM d) WHERE rk = 1""".stripMargin
+    }) { (s, dir) =>
+      val ce = qExplode(Tables.embeddings(s, dir), "vid")
+        .withColumn("sub", expr("(pos - 1) div 8"))
+        .withColumn("j", expr("(pos - 1) % 8"))
+      val cb = s.range(8).select(col("id").as("sub"))
+        .crossJoin(s.range(4).select(col("id").as("c")))
+        .crossJoin(s.range(8).select(col("id").as("j")))
+        .withColumn("cq",
+          ((col("c") * 7 + col("j") * 3 + col("sub") * 5) % 8 - 4) * 250000L)
+      val sq = (col("qv") - col("cq")) * (col("qv") - col("cq"))
+      val dCols = (0 to 3).map(k => sum(when(col("c") === k, sq)).as(s"d$k"))
+      val d = ce.join(broadcast(cb), Seq("sub", "j"))
+        .groupBy("vid", "sub")
+        .agg(dCols.head, dCols.tail: _*)
+      val cands = (0 to 3).map(k =>
+        struct(col(s"d$k").as("d2"), lit(k.toLong).as("c")))
+      d.select(col("vid").as("vec_id"), col("sub"),
+        least(cands: _*).getField("c").as("code"),
+        least(cands: _*).getField("d2").as("d2"))
     })
 }

@@ -209,6 +209,30 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("t22 bigram ln terms stay far from their fsum 1e-6 round boundaries") {
+    // t22 fsums ln(c2/c1) per bigram occurrence: c2/c1 is one IEEE
+    // division of exact integer counts (bit-identical cross-engine), so
+    // the only exposure is rounding ln() of it to 1e-6 — a 1-ulp libm
+    // disagreement flips a term only within ~ulp of a .5 boundary.
+    for (d <- dirs) {
+      val docs = graft.core.Tables.documents(spark, d)
+      val pr = docs.filter(length(col("text")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+      val bg = pr.groupBy("pair").agg(count(lit(1)).as("c2"))
+      val un = pr.groupBy(substring(col("pair"), 1, 1).as("ch"))
+        .agg(count(lit(1)).as("c1"))
+      val term = log(col("c2") / col("c1"))
+      val m = pr.join(broadcast(bg), "pair")
+        .join(broadcast(un), substring(col("pair"), 1, 1) === col("ch"))
+        .select(abs(abs(term * 1e6 - floor(term * 1e6)) - 0.5).as("m"))
+        .agg(min(col("m"))).head.getDouble(0)
+      info(s"$d: t22 ln-term min |frac(x·1e6)−.5| = $m over all occurrences")
+      assert(m > 1e-6, s"a t22 ln term sits within 1e-6 of its round boundary at $d")
+    }
+  }
+
   test("e05/e03 centroid averages are exact rationals (sums inside 2^53)") {
     // ROUND(avg(qv)) needs NO flip margin: the average is an exact
     // integer sum divided by an exact count — bit-identical on both
