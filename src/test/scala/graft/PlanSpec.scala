@@ -178,6 +178,34 @@ class PlanSpec extends AnyFunSuite {
       "t17 funnels data through one partition:\n" + p)
   }
 
+  test("t22: bigram count tables broadcast; only the per-doc rollup shuffles data") {
+    // Both count tables are bounded by alphabet² at any corpus size, so
+    // the scoring joins must broadcast — a sort-merge here would shuffle
+    // the corpus-sized pair stream twice for model-sized build sides.
+    val p = planOf("t22_bigram_lm")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "t22 count-table joins do not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "t22 shuffles the pair stream for a model-sized join:\n" + p)
+  }
+
+  test("e07: PQ codebook broadcasts and assignment is one keyed aggregation") {
+    val p = planOf("e07_pq_codes")
+    assert(p.contains("BroadcastHashJoin"),
+      "e07 codebook join does not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange SinglePartition"),
+      "e07 shuffles the exploded corpus against the model-sized codebook:\n" + p)
+  }
+
+  test("i01: CLEAN cycles broadcast the peak and PSF — the image is never funneled") {
+    // limit(1) on the peak search necessarily passes through a single
+    // partition for ONE ROW; what must never happen is the image-sized
+    // relation joining without a broadcast on the model-sized side.
+    val p = planOf("i01_hogbom_2iter")
+    assert(!p.contains("SortMergeJoin"),
+      "i01 sort-merges against a 1-row/9-row relation:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
