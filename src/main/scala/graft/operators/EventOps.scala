@@ -64,6 +64,37 @@ object EventOps {
       }
   }
 
+  final case class TypedEv(userId: Long, tus: Long, eventId: Long,
+                           eventType: String)
+  final case class TransState(lastType: String)
+  final case class TransOut(prevType: String, eventType: String)
+
+  /** Streaming face of the s15 Markov transition scan: per-user keyed
+    * state is the LAST event type only — constant in stream length — and
+    * each arriving event emits one (prev, next) pair. After any stream
+    * prefix the emitted pair multiset equals the batch LAG over the
+    * proven (tus, event_id) ordering, independent of micro-batch
+    * boundaries (StreamingSpec proves parity across a mid-user split);
+    * the downstream transition-count aggregation is an ordinary streaming
+    * groupBy. */
+  def streamingTransitions(ds: Dataset[TypedEv]): Dataset[TransOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[TypedEv], state: GroupState[TransState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tus, e.eventId))
+          var last = state.getOption.map(_.lastType)
+          val out = Seq.newBuilder[TransOut]
+          for (e <- sorted) {
+            last.foreach(p => out += TransOut(p, e.eventType))
+            last = Some(e.eventType)
+          }
+          last.foreach(t => state.update(TransState(t)))
+          out.result().iterator
+      }
+  }
+
   final case class BdaRow(rowId: Long, ant1: Long, ant2: Long, time: Double,
                           ivl: Double, u: Double, v: Double, w: Double)
   final case class BdaState(bin: Long, tsLow: Double,

@@ -1204,19 +1204,28 @@ object TrainingData {
          |  JOIN bg ON bg.pair = pr.pair
          |  JOIN un ON un.ch = substr(pr.pair, 1, 1)
          |GROUP BY pr.doc_id""".stripMargin) { (s, dir) =>
-      val pr = Tables.documents(s, dir)
+      // ONE corpus explode: (doc, pair) multiplicities feed both the
+      // model (bg; un derives from the TINY bg table, not a second
+      // corpus pass) and the scoring rollup — the two consumers share an
+      // identical (doc_id, pair) exchange, which ReuseExchange dedups,
+      // and each occurrence contributes cnt·round(ln·1e6), exactly the
+      // per-occurrence fsum.
+      val pc = Tables.documents(s, dir)
         .filter(length(col("text")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
           .as("pair"))
-      val bg = pr.groupBy("pair").agg(count(lit(1)).as("c2"))
-      val un = pr.groupBy(substring(col("pair"), 1, 1).as("ch"))
-        .agg(count(lit(1)).as("c1"))
-      pr.join(broadcast(bg), "pair")
+        .groupBy("doc_id", "pair").agg(count(lit(1)).as("cnt"))
+      val bg = pc.groupBy("pair").agg(sum(col("cnt")).as("c2"))
+      val un = bg.groupBy(substring(col("pair"), 1, 1).as("ch"))
+        .agg(sum(col("c2")).as("c1"))
+      pc.join(broadcast(bg), "pair")
         .join(broadcast(un), substring(col("pair"), 1, 1) === col("ch"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          Det.fsum(log(col("c2") / col("c1"))).as("logp"))
+        .agg(sum(col("cnt")).as("n_pairs"),
+          (sum(col("cnt") *
+            round(log(col("c2") / col("c1")) * 1e6).cast("long")) / 1e6)
+            .as("logp"))
     },
 
     // -- temperature-sampled source mixing (the multi-source data-mix
@@ -1288,5 +1297,48 @@ object TrainingData {
       d.select(col("vid").as("vec_id"), col("sub"),
         least(cands: _*).getField("c").as("code"),
         least(cands: _*).getField("d2").as("d2"))
+    },
+
+    // -- BPE merge APPLICATION (one unrolled trainer iteration on top of
+    //    t21's candidate scan): pick the top pair, rewrite the corpus
+    //    with it merged to a fresh 1-char symbol (leftmost-nonoverlapping
+    //    replace — identical semantics in both engines), and recount.
+    //    The winning pair is ONE broadcast row, so the rewrite is a pure
+    //    projection; shuffles stay bounded by the (alphabet+1)² pair
+    //    space at any corpus size.
+    Q("t24_bpe_merge",
+      """WITH idx AS (
+        |  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2),
+        |pr AS (SELECT substr(text, CAST(i AS INTEGER), 2) AS pair FROM idx),
+        |top1 AS (
+        |  SELECT pair FROM pr GROUP BY pair
+        |  ORDER BY COUNT(*) DESC, pair LIMIT 1),
+        |m AS (
+        |  SELECT replace(text, (SELECT pair FROM top1), chr(1)) AS mtext
+        |  FROM documents WHERE length(text) >= 2),
+        |idx2 AS (
+        |  SELECT mtext, unnest(generate_series(1, length(mtext) - 1)) AS i
+        |  FROM m WHERE length(mtext) >= 2),
+        |pr2 AS (SELECT substr(mtext, CAST(i AS INTEGER), 2) AS pair FROM idx2)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pr2 GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs2 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+      val top1 = docs2
+        .select(explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("mpair"))
+      docs2.crossJoin(broadcast(top1))
+        .select(expr("replace(text, mpair, char(1))").as("mtext"))
+        .filter(length(col("mtext")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(mtext) - 1), i -> substring(mtext, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
     })
 }

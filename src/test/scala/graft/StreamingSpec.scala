@@ -317,4 +317,37 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming Markov transitions match the s15 batch pair counts") {
+    // feed the events table through two micro-batches split mid-stream;
+    // the emitted (prev, next) pair counts must equal the batch LAG scan
+    // regardless of where the split lands (per-user last-type state)
+    import spark.implicits._
+    import graft.operators.EventOps
+    import graft.operators.EventOps.{TypedEv, TransOut}
+    implicit val ctx = spark.sqlContext
+    val evs = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => TypedEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(e => (e.tus, e.eventId))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[TypedEv]
+    val q = EventOps.streamingTransitions(ms.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("trans").as[TransOut].collect()
+        .groupBy(t => (t.prevType, t.eventType)).view.mapValues(_.length.toLong).toMap
+      val batch = graft.SparkEntry.queries("s15_markov_transitions")(
+          spark, TestSpark.sf).collect()
+        .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
