@@ -1299,6 +1299,123 @@ object TrainingData {
         least(cands: _*).getField("d2").as("d2"))
     },
 
+    // -- IVF-PQ search (the production ANN layout: coarse inverted-file
+    //    cells + product-quantized codes + asymmetric-distance lookup
+    //    tables): each query builds a (sub, code) → partial-distance LUT
+    //    against the PQ codebook, probes its own coarse cell, and scores
+    //    candidates by summing 8 LUT entries — query time never touches a
+    //    full database vector. All exact integer arithmetic; codebook,
+    //    LUTs, and query cells are model-sized broadcasts at any corpus
+    //    scale, and the per-(query, candidate) rollup is the only
+    //    data-sized shuffle.
+    Q("e08_ivfpq_search", {
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |cent AS (
+         |  SELECT label, pos, CAST(ROUND(AVG(CAST(qv AS DOUBLE))) AS BIGINT) AS cq
+         |  FROM (SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS pos,
+         |          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+         |        FROM embeddings)
+         |  GROUP BY label, pos),
+         |dist AS (
+         |  SELECT ce.cid, cent.label,
+         |    SUM((ce.qv - cent.cq)*(ce.qv - cent.cq)) AS d2
+         |  FROM ce JOIN cent ON ce.pos = cent.pos
+         |  GROUP BY ce.cid, cent.label),
+         |cell AS (
+         |  SELECT cid, label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, label) AS rk
+         |    FROM dist) WHERE rk = 1),
+         |cb AS (
+         |  SELECT s.sub, c.c, j.j,
+         |    (((c.c * 7 + j.j * 3 + s.sub * 5) % 8) - 4) * 250000 AS cq
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS sub) s,
+         |       (SELECT unnest(generate_series(0, 3)) AS c) c,
+         |       (SELECT unnest(generate_series(0, 7)) AS j) j),
+         |pqd AS (
+         |  SELECT ce.cid, cb.sub, cb.c,
+         |    SUM((ce.qv - cb.cq) * (ce.qv - cb.cq)) AS d2
+         |  FROM ce JOIN cb ON cb.sub = (ce.pos - 1) // 8
+         |    AND cb.j = (ce.pos - 1) % 8
+         |  GROUP BY ce.cid, cb.sub, cb.c),
+         |code AS (
+         |  SELECT cid, sub, c FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY cid, sub ORDER BY d2, c) AS rk
+         |    FROM pqd) WHERE rk = 1),
+         |lut AS (
+         |  SELECT cid AS qid, sub, c, CAST(d2 AS BIGINT) AS l
+         |  FROM pqd WHERE cid < 8),
+         |cand AS (
+         |  SELECT q.cid AS qid, c2.cid
+         |  FROM cell q JOIN cell c2 ON q.label = c2.label AND q.cid <> c2.cid
+         |  WHERE q.cid < 8),
+         |adc AS (
+         |  SELECT cand.qid, cand.cid, CAST(SUM(lut.l) AS BIGINT) AS ad2
+         |  FROM cand
+         |  JOIN code ON code.cid = cand.cid
+         |  JOIN lut ON lut.qid = cand.qid AND lut.sub = code.sub
+         |    AND lut.c = code.c
+         |  GROUP BY cand.qid, cand.cid)
+         |SELECT qid, cid, ad2, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY ad2, cid) AS BIGINT) AS rank
+         |  FROM adc) WHERE rank <= 3""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+      // coarse quantizer: per-label centroid VECTORS, broadcast (e04 shape)
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("cqv"))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("cqv").cast("double"))).cast("long").as("cq"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
+          .as("cvec"))
+      val d2c = expr(
+        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
+      val cell = corpus.crossJoin(broadcast(cent))
+        .select(col("cid"), col("label").as("cell"), d2c.as("d2"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("cid").orderBy("d2", "cell")))
+        .filter(col("rk") === 1).select("cid", "cell")
+      // PQ codes (e07 shape) + per-query LUTs from the same (sub, c) grid
+      val ce = qExplode(emb, "vid")
+        .withColumn("sub", expr("(pos - 1) div 8"))
+        .withColumn("j", expr("(pos - 1) % 8"))
+      val cb = s.range(8).select(col("id").as("sub"))
+        .crossJoin(s.range(4).select(col("id").as("c")))
+        .crossJoin(s.range(8).select(col("id").as("j")))
+        .withColumn("cq",
+          ((col("c") * 7 + col("j") * 3 + col("sub") * 5) % 8 - 4) * 250000L)
+      val sqd = (col("qv") - col("cq")) * (col("qv") - col("cq"))
+      val dCols = (0 to 3).map(k => sum(when(col("c") === k, sqd)).as(s"d$k"))
+      val dpq = ce.join(broadcast(cb), Seq("sub", "j"))
+        .groupBy("vid", "sub").agg(dCols.head, dCols.tail: _*)
+      val candsC = (0 to 3).map(k =>
+        struct(col(s"d$k").as("d2"), lit(k.toLong).as("c")))
+      val code = dpq.select(col("vid").as("cid"), col("sub"),
+        least(candsC: _*).getField("c").as("c"))
+      val lut = ce.filter(col("vid") < 8).join(broadcast(cb), Seq("sub", "j"))
+        .groupBy(col("vid").as("qid"), col("sub"), col("c"))
+        .agg(sum(sqd).as("l"))
+      val qcell = broadcast(cell.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("cell")))
+      val cand = cell.join(qcell, "cell")
+        .filter(col("qid") =!= col("cid")).select("qid", "cid")
+      val adc = cand.join(code, "cid")
+        .join(broadcast(lut), Seq("qid", "sub", "c"))
+        .groupBy("qid", "cid").agg(sum(col("l")).as("ad2"))
+      adc.withColumn("rank",
+          row_number().over(Window.partitionBy("qid").orderBy("ad2", "cid"))
+            .cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "cid", "ad2", "rank")
+    },
+
     // -- BPE merge APPLICATION (one unrolled trainer iteration on top of
     //    t21's candidate scan): pick the top pair, rewrite the corpus
     //    with it merged to a fresh 1-char symbol (leftmost-nonoverlapping

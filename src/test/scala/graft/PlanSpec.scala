@@ -197,6 +197,23 @@ class PlanSpec extends AnyFunSuite {
       "e07 shuffles the exploded corpus against the model-sized codebook:\n" + p)
   }
 
+  test("e08: IVF-PQ query side is broadcast-only (codebook, LUTs, query cells)") {
+    // Query-time joins against the corpus-sized code/cell relations must
+    // broadcast the model-sized side — a sort-merge would shuffle the
+    // corpus once per query structure.
+    // The candidate×code join is corpus-sized on BOTH sides (candidates
+    // grow with the probed cells), so a cid-keyed shuffle join there is
+    // the correct scale shape — what must broadcast is every model-sized
+    // relation (codebook, per-query LUTs, query cells, coarse centroids),
+    // and nothing may funnel through one partition except the final
+    // 24-row top-k.
+    val p = planOf("e08_ivfpq_search")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
+      "e08 codebook/LUT/cell joins do not broadcast:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "e08 funnels corpus-sized data through one partition:\n" + p)
+  }
+
   test("i01: CLEAN cycles broadcast the peak and PSF — the image is never funneled") {
     // limit(1) on the peak search necessarily passes through a single
     // partition for ONE ROW; what must never happen is the image-sized
