@@ -213,4 +213,88 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Video FRAME SAMPLING — every `stride`-th frame of a raw grayscale
+    * clip ("GV\n<nFrames> <w> <h>\n" ASCII header, then nFrames
+    * contiguous w×h frames). One input row fans out to one output row
+    * per SAMPLED frame (flat map — the batch shape a real video codec's
+    * keyframe extractor plugs into); unsampled frames are skipped by
+    * offset arithmetic, never materialized. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   stride: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("frame", LongType),
+      StructField("pix_sum", LongType), StructField("mean_pix", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          var pos = 0
+          def token(): String = {
+            while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+            val start = pos
+            while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+            new String(bytes, start, pos - start, "US-ASCII")
+          }
+          require(token() == "GV", s"not a GV clip payload (id $id)")
+          val nFrames = token().toInt
+          val w = token().toInt
+          val h = token().toInt
+          pos += 1 // single newline after header
+          require(bytes.length - pos == nFrames * w * h,
+            s"payload length ${bytes.length - pos} != $nFrames x $w x $h (id $id)")
+          (0 until nFrames by stride).map { f =>
+            val base = pos + f * w * h
+            var sum = 0L
+            var i = 0
+            while (i < w * h) { sum += bytes(base + i) & 0xff; i += 1 }
+            Row(id, f.toLong, sum, sum.toDouble / (w * h))
+          }
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbour RESIZE after decode — P5 PGM downsampled by
+    * integer `factor` (source pixel (r·factor, c·factor) survives).
+    * Output: one row per RESIZED image row with its pixel sum and mean —
+    * the (id, row) fan-out a downstream patch embedder consumes. Same
+    * mapPartitions placement contract as [[decodePgm]]. */
+  def resizePgm(df: DataFrame, idCol: String, binCol: String,
+                factor: Int = 2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("r", LongType),
+      StructField("row_sum", LongType), StructField("row_mean", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          var pos = 0
+          def token(): String = {
+            while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+            val start = pos
+            while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+            new String(bytes, start, pos - start, "US-ASCII")
+          }
+          require(token() == "P5", s"not a P5 PGM payload (id $id)")
+          val w = token().toInt
+          val h = token().toInt
+          token() // maxval
+          pos += 1
+          val (ow, oh) = (w / factor, h / factor)
+          (0 until oh).map { or =>
+            var sum = 0L
+            var oc = 0
+            while (oc < ow) {
+              sum += bytes(pos + (or * factor) * w + oc * factor) & 0xff
+              oc += 1
+            }
+            Row(id, or.toLong, sum, sum.toDouble / ow)
+          }
+        }
+      }(enc)
+  }
 }

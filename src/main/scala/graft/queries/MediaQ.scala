@@ -162,5 +162,79 @@ object MediaQ {
           }
         }(enc)
       Multimodal.decodeWav(synth, "doc_id", "payload")
+    },
+
+    // -- video FRAME SAMPLING: every document carries a synthetic 16-frame
+    //    8x8 grayscale clip (ASCII GV header + raw frames, built
+    //    executor-side); the operator parses the header, skips unsampled
+    //    frames by offset arithmetic, and emits every 4th frame's
+    //    features. The oracle restates the sampled frames from the
+    //    closed-form pixel values — it never sees the binary.
+    Q("m14_frame_sample",
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, 3)) AS s FROM documents),
+        |px AS (
+        |  SELECT doc_id, s * 4 AS f, unnest(generate_series(0, 63)) AS x
+        |  FROM fr),
+        |v AS (
+        |  SELECT doc_id, f,
+        |    (doc_id * 11 + f * 13 + (x // 8) * 3 + (x % 8) * 5) % 256 AS p
+        |  FROM px)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |  CAST(SUM(p) AS BIGINT) AS pix_sum,
+        |  CAST(SUM(p) AS BIGINT) / 64e0 AS mean_pix
+        |FROM v GROUP BY doc_id, f""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val synth = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val header = "GV\n16 8 8\n".getBytes("US-ASCII")
+            val px = Array.tabulate(16 * 64) { i =>
+              val f = i / 64; val j = i % 64
+              ((id * 11 + f * 13 + (j / 8) * 3 + (j % 8) * 5) % 256).toByte
+            }
+            Row(id, header ++ px)
+          }
+        }(enc)
+      Multimodal.sampleFrames(synth, "doc_id", "payload", stride = 4)
+    },
+
+    // -- RESIZE after decode: the same synthetic P5 payloads as m11,
+    //    nearest-neighbour downsampled 8x8 -> 4x4 (source pixel (2r, 2c)
+    //    survives); one output row per resized row — the patch fan-out a
+    //    downstream embedder consumes.
+    Q("m15_image_resize",
+      """WITH rr AS (
+        |  SELECT doc_id, unnest(generate_series(0, 3)) AS r FROM documents),
+        |cc AS (
+        |  SELECT doc_id, r, unnest(generate_series(0, 3)) AS c FROM rr),
+        |v AS (
+        |  SELECT doc_id, r,
+        |    (doc_id * 7 + (r * 2) * 3 + (c * 2) * 5) % 256 AS p
+        |  FROM cc)
+        |SELECT doc_id, CAST(r AS BIGINT) AS r,
+        |  CAST(SUM(p) AS BIGINT) AS row_sum,
+        |  CAST(SUM(p) AS BIGINT) / 4e0 AS row_mean
+        |FROM v GROUP BY doc_id, r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val synth = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+            val px = Array.tabulate(64) { i =>
+              ((id * 7 + (i / 8) * 3 + (i % 8) * 5) % 256).toByte
+            }
+            Row(id, header ++ px)
+          }
+        }(enc)
+      Multimodal.resizePgm(synth, "doc_id", "payload", factor = 2)
     })
 }
