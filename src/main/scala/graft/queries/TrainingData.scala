@@ -1299,6 +1299,54 @@ object TrainingData {
         least(cands: _*).getField("d2").as("d2"))
     },
 
+    // -- END-TO-END pipeline compose under ONE hash gate: quality filter
+    //    (token floor) → exact dedup (first doc per identical text wins)
+    //    → sequence packing of the survivors. The stages chain as pure
+    //    DataFrame transforms — dedup is one text-keyed shuffle
+    //    (row_number, no join back), packing reuses the t20 shard-bounded
+    //    window — demonstrating that the library's operators compose into
+    //    the full training-data path without materialization barriers.
+    Q("t25_pipeline_pack",
+      """WITH tk AS (
+        |  SELECT doc_id, source, text,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+        |  FROM documents),
+        |keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM tk WHERE n_tok >= 24
+        |  GROUP BY text),
+        |surv AS (
+        |  SELECT tk.doc_id, tk.source, tk.doc_id // 8192 AS shard, tk.n_tok
+        |  FROM tk JOIN keep ON keep.doc_id = tk.doc_id),
+        |c AS (
+        |  SELECT *, SUM(n_tok) OVER (PARTITION BY source, shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM surv)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset,
+        |  CAST((cum - 1) // 2048 - (cum - n_tok) // 2048 + 1 AS BIGINT)
+        |    AS n_chunks
+        |FROM c""".stripMargin) { (s, dir) =>
+      val nTok = (length(col("text")) -
+        length(expr("replace(text, ' ', '')")) + 1).cast("long")
+      val dedupW = Window.partitionBy("text").orderBy("doc_id")
+      val surv = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"), nTok.as("n_tok"))
+        .filter(col("n_tok") >= 24)
+        .withColumn("rn", row_number().over(dedupW))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"),
+          expr("doc_id div 8192").as("shard"), col("n_tok"))
+      val packW = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      surv.withColumn("cum", sum(col("n_tok")).over(packW))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr("(cum - n_tok) div 2048").as("pack_id"),
+          expr("(cum - n_tok) % 2048").as("pack_offset"),
+          expr("(cum - 1) div 2048 - (cum - n_tok) div 2048 + 1")
+            .as("n_chunks"))
+    },
+
     // -- IVF-PQ search (the production ANN layout: coarse inverted-file
     //    cells + product-quantized codes + asymmetric-distance lookup
     //    tables): each query builds a (sub, code) → partial-distance LUT
