@@ -64,15 +64,28 @@ object ConnectedComponents {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** Materialize a relation that every round re-reads (the edge list, the
+    * degree table). Without this, each round's plan recomputes the full
+    * upstream pipeline — for t11/t17 that upstream is the entire LSH
+    * near-dup candidate join, so `rounds` rounds cost `rounds`× the graph
+    * construction. Pinned once, construction runs once and rounds read
+    * the cached rows. */
+  private def pin(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   /** `rounds` fixed min-label propagation rounds; reaches distance
     * `rounds`. nodes: one column of node ids; sym: symmetric (u, v). */
   def labelPropagation(nodes: DataFrame, sym: DataFrame,
                        rounds: Int): DataFrame = {
     val id = nodes.columns.head
+    val symC = pin(sym)
     var lbl = nodes.select(col(id).as("cid"), col(id).as("lbl"))
     var prev: Option[RDD[Row]] = None
     for (_ <- 1 to rounds) {
-      val (df, rdd) = roundStep(propagateOnce(lbl, sym), prev)
+      val (df, rdd) = roundStep(propagateOnce(lbl, symC), prev)
       lbl = df; prev = Some(rdd)
     }
     lbl
@@ -91,14 +104,15 @@ object ConnectedComponents {
                          scale: Long = 1000000L): DataFrame = {
     val id = nodes.columns.head
     val n = nodes.select(col(id).as("cid"))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("du"), col("deg"))
+    val symC = pin(sym)
+    val deg = pin(symC.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("du"), col("deg")))
     var p = n.select(col("cid"), lit(scale).as("p"))
     var prev: Option[RDD[Row]] = None
     for (_ <- 1 to rounds) {
       val share = p.join(deg, col("cid") === col("du"))
         .select(col("cid").as("src"), expr("p div deg").as("share"))
-      val inc = sym.join(share, col("u") === col("src"))
+      val inc = symC.join(share, col("u") === col("src"))
         .groupBy(col("v")).agg(sum(col("share")).as("inc"))
       val np = n.join(inc, col("cid") === col("v"), "left")
         .select(col("cid"),
@@ -116,10 +130,11 @@ object ConnectedComponents {
   def pointerDoubling(nodes: DataFrame, sym: DataFrame,
                       rounds: Int): DataFrame = {
     val id = nodes.columns.head
+    val symC = pin(sym)
     var lbl = nodes.select(col(id).as("cid"), col(id).as("lbl"))
     var prev: Option[RDD[Row]] = None
     for (_ <- 1 to rounds) {
-      val (prop, rdd1) = roundStep(propagateOnce(lbl, sym), prev)
+      val (prop, rdd1) = roundStep(propagateOnce(lbl, symC), prev)
       val byId = prop.select(col("cid").as("pc"), col("lbl").as("pl"))
       val (df, rdd2) = roundStep(
         prop.join(byId, col("lbl") === col("pc"))

@@ -426,5 +426,85 @@ object EventsQ {
       tr.join(broadcast(tot), col("prev_type") === col("pt"))
         .select(col("prev_type"), col("event_type"), col("n"),
           (col("n") / col("t")).as("p"))
+    },
+
+    // -- HyperLogLog-shaped distinct sketch (the register-max companion
+    //    to s13's KMV bottom-k): m = 16 registers, register index and
+    //    rank from two chained Lehmer steps (reduce-before-multiply, the
+    //    s13 overflow rule), rho = trailing-zero rank as a 20-branch
+    //    integer CASE (no libm). Per-register MAX pre-aggregates
+    //    map-side to ≤ types×16 keys — the classic mergeable sketch:
+    //    at 100 TB every partition ships 16 small ints per type, and
+    //    register-wise MAX merges shards/streams for free. The raw
+    //    estimate 0.673·m²/Σ2^(-reg) is hashed safely: each 2^(-reg) is
+    //    dyadic-exact (integer shift, cast, one exact division), the
+    //    16-term sum is exact (common denominator 2^21), and the final
+    //    division is ONE IEEE op of bit-identical doubles — class (a).
+    //    Empty registers coalesce to 0 via a generated (type × 0..15)
+    //    grid; n_exact rides along as the honesty column.
+    Q("s16_hll_sketch", {
+      val rhoCase = (1 to 20)
+        .map(k => s"WHEN h2 % ${1L << k} = ${1L << (k - 1)} THEN $k")
+        .mkString("CASE ", " ", " ELSE 21 END")
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ((user_id % 2147483647) * 48271) % 2147483647 AS h1
+         |  FROM events),
+         |hh AS (
+         |  SELECT event_type, h1 % 16 AS idx,
+         |    (h1 * 16807) % 2147483647 AS h2 FROM h),
+         |r AS (SELECT event_type, idx, $rhoCase AS rho FROM hh),
+         |rg AS (
+         |  SELECT event_type, idx, MAX(rho) AS mrho
+         |  FROM r GROUP BY event_type, idx),
+         |grid AS (
+         |  SELECT et.event_type, g.idx
+         |  FROM (SELECT DISTINCT event_type FROM events) et,
+         |       (SELECT unnest(generate_series(0, 15)) AS idx) g),
+         |regs AS (
+         |  SELECT grid.event_type, CAST(grid.idx AS BIGINT) AS idx,
+         |    CAST(COALESCE(rg.mrho, 0) AS BIGINT) AS reg
+         |  FROM grid LEFT JOIN rg
+         |    ON grid.event_type = rg.event_type AND grid.idx = rg.idx),
+         |est AS (
+         |  SELECT event_type,
+         |    172.288e0 / SUM(1e0 / CAST((1 << CAST(reg AS INTEGER)) AS DOUBLE))
+         |      AS est
+         |  FROM regs GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT regs.event_type, regs.idx, regs.reg, est.est, ex.n_exact
+         |FROM regs
+         |JOIN est ON regs.event_type = est.event_type
+         |JOIN ex ON regs.event_type = ex.event_type""".stripMargin
+    }) { (s, dir) =>
+      val rhoCase = (1 to 20)
+        .map(k => s"WHEN h2 % ${1L << k} = ${1L << (k - 1)} THEN $k")
+        .mkString("CASE ", " ", " ELSE 21 END")
+      val ev = Tables.events(s, dir)
+      val hh = ev.select(col("event_type"),
+          (((col("user_id") % 2147483647L) * 48271) % 2147483647L).as("h1"))
+        .select(col("event_type"), (col("h1") % 16).as("idx"),
+          ((col("h1") * 16807) % 2147483647L).as("h2"))
+      val rg = hh.select(col("event_type"), col("idx"),
+          expr(rhoCase).as("rho"))
+        .groupBy("event_type", "idx").agg(max(col("rho")).as("mrho"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(s.range(0, 16).select(col("id").as("idx")))
+      val regs = grid.join(rg, Seq("event_type", "idx"), "left")
+        .select(col("event_type"), col("idx"),
+          coalesce(col("mrho"), lit(0)).cast("long").as("reg"))
+      val est = regs.groupBy(col("event_type").as("et"))
+        .agg((lit(172.288) /
+          sum(lit(1.0) /
+            expr("cast(shiftleft(1, cast(reg as int)) as double)")))
+          .as("est"))
+      val ex = ev.groupBy(col("event_type").as("ext"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      regs.join(broadcast(est), col("event_type") === col("et"))
+        .join(broadcast(ex), col("event_type") === col("ext"))
+        .select(col("event_type"), col("idx"), col("reg"), col("est"),
+          col("n_exact"))
     })
 }

@@ -1505,5 +1505,42 @@ object TrainingData {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
+    },
+
+    // -- deterministic weighted sampling (the data-mix DRAW step under
+    //    t23's mix WEIGHTS): priority sampling with fixed-point integer
+    //    priorities — pri = (lehmer(doc_id)·10⁶) div weight, keep the k
+    //    smallest per source, so P(pick) ∝ weight (n_chars) while both
+    //    engines rank bit-identical BIGINTs (no RNG, no libm; the
+    //    A-ES/priority-sampling shape with the uniform replaced by a
+    //    Lehmer hash). Reduce-before-multiply per the s13 overflow rule;
+    //    hv·10⁶ < 2⁵¹. One partition-by-source window; Spark 4 pushes
+    //    the rank≤k filter into the sort as a per-group top-k
+    //    (WindowGroupLimit), so at 100 TB each source shard keeps k
+    //    rows, never materializing the full ranked corpus.
+    Q("t26_weighted_sample",
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ((doc_id % 2147483647) * 48271) % 2147483647 AS hv
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (
+        |  SELECT source, doc_id, (hv * 1000000) // n_chars AS pri FROM h),
+        |rk AS (
+        |  SELECT source, doc_id, pri,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY pri, doc_id) AS rk
+        |  FROM p)
+        |SELECT source, doc_id, pri, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("pri", "doc_id")
+      Tables.documents(s, dir).filter(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"),
+          expr("(((doc_id % 2147483647) * 48271) % 2147483647) * 1000000")
+            .as("hvs"), col("n_chars"))
+        .select(col("source"), col("doc_id"),
+          expr("hvs div n_chars").as("pri"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("source", "doc_id", "pri", "rk")
     })
 }
