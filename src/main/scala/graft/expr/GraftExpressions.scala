@@ -175,6 +175,53 @@ object RollingFingerprint {
   }
 }
 
+/** Per-document bigram fsum Σᵢ terms[cp(i)·128 + cp(i+1)] over adjacent
+  * character pairs — one codegen pass over the string against a
+  * 16 384-slot long LUT (the alphabet²-bounded bigram model, built once
+  * and broadcast as a one-row array). The declarative forms both lose:
+  * explode + join re-shuffles a corpus-chars-sized relation, and
+  * `aggregate(sequence…, element_at(map…))` walks an interpreted lambda
+  * with an O(|Σ|²) linear map probe per character. ASCII-only by
+  * contract (the corpus precondition DeterminismSpec asserts); a
+  * code point ≥ 128 throws rather than silently diverging from the
+  * substr-based oracle. */
+case class BigramFsum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bigram_fsum"
+
+  override protected def nullSafeEval(text: Any, arr: Any): Any =
+    BigramFsum.compute(text.toString,
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a) =>
+      s"${ev.value} = graft.expr.BigramFsum.compute($t.toString(), $a);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BigramFsum =
+    copy(left = newLeft, right = newRight)
+}
+
+object BigramFsum {
+  def compute(s: String, terms: org.apache.spark.sql.catalyst.util.ArrayData)
+      : Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i + 1 < n) {
+      val a = s.charAt(i).toInt
+      val b = s.charAt(i + 1).toInt
+      if (a >= 128 || b >= 128)
+        throw new IllegalArgumentException(
+          s"bigram_fsum: non-ASCII code point at $i (corpus contract)")
+      acc += terms.getLong(a * 128 + b)
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Bottom-k (KMV) sketch: the k smallest DISTINCT values of an integer
   * hash column — the mergeable distinct-count sketch of Bar-Yossef et al.
   * (estimate (k−1)·M/h_k), and equally a bottom-k MinHash signature.
@@ -255,6 +302,9 @@ object GraftFunctions {
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (args: Seq[Expression]) => RollingFingerprint(args.head)),
+    (FunctionIdentifier("bigram_fsum"),
+      new ExpressionInfo(classOf[BigramFsum].getName, "bigram_fsum"),
+      (args: Seq[Expression]) => BigramFsum(args.head, args(1))),
     (FunctionIdentifier("kmv_minhash"),
       new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_minhash"),
       (args: Seq[Expression]) => KmvMinHashes(args.head,

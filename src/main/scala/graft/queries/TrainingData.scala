@@ -1166,12 +1166,10 @@ object TrainingData {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pr GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .filter(length(col("text")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
+      import graft.operators.TextCombiner
+      TextCombiner.pairCodeCounts(Tables.documents(s, dir), "text")
+        .select(TextCombiner.pairString("code").as("pair"),
+          col("cnt").as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
     },
 
@@ -1204,28 +1202,37 @@ object TrainingData {
          |  JOIN bg ON bg.pair = pr.pair
          |  JOIN un ON un.ch = substr(pr.pair, 1, 1)
          |GROUP BY pr.doc_id""".stripMargin) { (s, dir) =>
-      // ONE corpus explode: (doc, pair) multiplicities feed both the
-      // model (bg; un derives from the TINY bg table, not a second
-      // corpus pass) and the scoring rollup — the two consumers share an
-      // identical (doc_id, pair) exchange, which ReuseExchange dedups,
-      // and each occurrence contributes cnt·round(ln·1e6), exactly the
-      // per-occurrence fsum.
-      val pc = Tables.documents(s, dir)
-        .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("pair"))
-        .groupBy("doc_id", "pair").agg(count(lit(1)).as("cnt"))
-      val bg = pc.groupBy("pair").agg(sum(col("cnt")).as("c2"))
-      val un = bg.groupBy(substring(col("pair"), 1, 1).as("ch"))
+      // Model pass: TextCombiner's per-partition LUT (alphabet²-bounded
+      // shuffle, no per-occurrence rows anywhere); unigrams derive from
+      // the TINY bg table. Scoring pass: the per-pair fsum term
+      // round(ln·1e6) folds into ONE broadcast long[16384] and each doc
+      // scores in a single codegen'd BigramFsum pass over its bytes —
+      // zero extra rows, no interpreted lambda, no map probe. The
+      // per-occurrence terms are identical to the old (doc, pair)-rollup
+      // plan, so the hashed surface is bit-identical.
+      graft.expr.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.operators.TextCombiner
+      val docs2 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+      // model pass: per-partition LUT combiner — the shuffle carries
+      // ≤ 16 384 codes per partition, never the corpus pair stream
+      val bg = TextCombiner.pairCodeCounts(docs2, "text")
+        .select(col("code"), col("cnt").as("c2"))
+      val un = bg.groupBy(expr("code div 128").as("c0"))
         .agg(sum(col("c2")).as("c1"))
-      pc.join(broadcast(bg), "pair")
-        .join(broadcast(un), substring(col("pair"), 1, 1) === col("ch"))
-        .groupBy("doc_id")
-        .agg(sum(col("cnt")).as("n_pairs"),
-          (sum(col("cnt") *
-            round(log(col("c2") / col("c1")) * 1e6).cast("long")) / 1e6)
-            .as("logp"))
+      // the model is alphabet²-bounded (≤ 16 384 rows at ANY corpus
+      // size), so folding it into a driver-side LUT is the e05
+      // centroids-on-driver idiom, not a data-sized collect
+      val lut = new Array[Long](16384)
+      bg.join(un, expr("code div 128") === col("c0"))
+        .select(col("code"),
+          round(log(col("c2") / col("c1")) * 1e6).cast("long").as("t"))
+        .collect().foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+      val lutDf = Seq(lut.toSeq).toDF("arr")
+      docs2.crossJoin(broadcast(lutDf))
+        .select(col("doc_id"),
+          (length(col("text")) - 1).cast("long").as("n_pairs"),
+          (expr("bigram_fsum(text, arr)") / 1e6).as("logp"))
     },
 
     // -- temperature-sampled source mixing (the multi-source data-mix
@@ -1489,21 +1496,19 @@ object TrainingData {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pr2 GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.TextCombiner
       val docs2 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
-      val top1 = docs2
-        .select(explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      // both scans ride the LUT combiner; chr(1) from the merge rewrite
+      // stays inside the ASCII contract
+      val top1 = TextCombiner.pairCodeCounts(docs2, "text")
+        .select(TextCombiner.pairString("code").as("pair"), col("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .select(col("pair").as("mpair"))
-      docs2.crossJoin(broadcast(top1))
+      val merged = docs2.crossJoin(broadcast(top1))
         .select(expr("replace(text, mpair, char(1))").as("mtext"))
-        .filter(length(col("mtext")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(mtext) - 1), i -> substring(mtext, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
+      TextCombiner.pairCodeCounts(merged, "mtext")
+        .select(TextCombiner.pairString("code").as("pair"),
+          col("cnt").as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
     },
 
