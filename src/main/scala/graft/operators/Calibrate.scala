@@ -104,9 +104,13 @@ object Calibrate {
         ckptRdd = rdd
         phases = spark.createDataFrame(rdd, updated.schema).drop("d")
       } else {
-        // between checkpoints the plan stacks ≤(checkEvery−1) join layers
-        // over the last checkpointed grid — trivially recomputed at grid
-        // (not data) size by the next broadcast
+        // between checkpoints the plan stacks ≤(checkEvery−1) join
+        // layers over the last checkpointed grid. WARNING (measured):
+        // each of those layers re-executes its own data-sized joins and
+        // nested broadcasts every time the stacked plan is broadcast
+        // again — checkEvery = 3 ran 40× SLOWER than 1 on g06. Keep
+        // checkEvery = 1 unless the fact table is large enough that the
+        // per-iteration materialize job dominates the replayed joins.
         phases = updated.drop("d")
       }
     }

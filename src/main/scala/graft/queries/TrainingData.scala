@@ -1547,5 +1547,36 @@ object TrainingData {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 20)
         .select("source", "doc_id", "pri", "rk")
+    },
+
+    // -- sliding-window document chunking (the retrieval/pretraining
+    //    chunker): fixed 256-char windows on a 192-char stride (64
+    //    overlap), one chunk row per start position 1 + k·stride ≤ len.
+    //    Pure integer arithmetic + substr, so the chunk text itself sits
+    //    on the hashed surface exactly. The explode is bounded by
+    //    len/stride per document — output is corpus-linear with no
+    //    shuffle at all (chunking is a projection; the scan partitioning
+    //    carries through), which is the whole point at 100 TB: chunk
+    //    where the data lives, shuffle nothing.
+    Q("t27_doc_chunks",
+      """WITH k AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (length(text) - 1) // 192)) AS k
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, k AS chunk_idx, CAST(k * 192 + 1 AS BIGINT) AS start,
+        |  CAST(LEAST(256, length(text) - k * 192) AS BIGINT) AS clen,
+        |  substr(text, CAST(k * 192 + 1 AS INTEGER),
+        |         CAST(LEAST(256, length(text) - k * 192) AS INTEGER))
+        |    AS chunk
+        |FROM k""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, (length(text) - 1) div 192)")).as("k"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+          expr("cast(k * 192 + 1 as bigint)").as("start"),
+          expr("cast(least(256, length(text) - k * 192) as bigint)")
+            .as("clen"),
+          expr("substring(text, k * 192 + 1, least(256, length(text) - k * 192))")
+            .as("chunk"))
     })
 }

@@ -235,6 +235,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL registers accumulate under streaming with batch parity (s16)") {
+    // s16's scale claim is that register-wise MAX merges shards and
+    // STREAMS for free; prove the (type, idx) → max(rho) registers
+    // accumulated over micro-batches equal the batch registers for the
+    // same rows (same Lehmer chain + trailing-zero CASE as the query).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rhoCase = (1 to 20)
+      .map(k => s"WHEN h2 % ${1L << k} = ${1L << (k - 1)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 21 END")
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"),
+        (((col("v") % 2147483647L) * 48271) % 2147483647L).as("h1"))
+      .select(col("g"), (col("h1") % 16).as("idx"),
+        ((col("h1") * 16807) % 2147483647L).as("h2"))
+      .select(col("g"), col("idx"), expr(rhoCase).as("rho"))
+      .groupBy("g", "idx").agg(max(col("rho")).as("mrho"))
+    val vals = (1L to 400L).map(i => (i % 2, (i * 104729) % 99991))
+    val expect = regs(vals.toDF("g", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ms = MemoryStream[(Long, Long)]
+    val q = regs(ms.toDF().toDF("g", "v"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = vals.splitAt(200)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      val got = spark.table("hll_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance matches the batch e03 aggregation") {
     // feed the sf0.001 embeddings through a memory stream in TWO
     // micro-batches; after the last batch, each label's most recent
