@@ -239,6 +239,29 @@ object ScaleProbe {
       }
       println(f"t14_repetition,$k,${1250L * k},$t%.2f")
     }
+    // t21/t22/t24 pair counting: the TextCombiner LUT ships ≤16 384 rows
+    // per partition whatever the corpus size, vs the explode plan's one
+    // row per corpus character into the hash-agg. Both are char-linear
+    // in CPU; the combiner's shuffle volume is CONSTANT in k.
+    println("probe,k,docs,explode_s,combiner_s")
+    for (k <- Seq(1, 2, 4)) {
+      val docs = (0 until k).map(i =>
+        doc0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc)))
+        .reduce(_ unionAll _)
+      val tE = time {
+        docs.filter(length(col("text")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      val tC = time {
+        graft.operators.TextCombiner.pairCodeCounts(docs, "text")
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"pair_combiner,$k,${k * maxDoc},$tE%.2f,$tC%.2f")
+    }
     spark.stop()
   }
 }

@@ -1578,5 +1578,53 @@ object TrainingData {
             .as("clen"),
           expr("substring(text, k * 192 + 1, least(256, length(text) - k * 192))")
             .as("chunk"))
+    },
+
+    // -- chunk-level exact dedup (t27's granularity + t01's dedup rule —
+    //    the pretraining-pipeline combination that catches boilerplate
+    //    repeated ACROSS documents that whole-doc dedup misses): each
+    //    256/192 window fingerprints via the codegen rolling_fp pass,
+    //    keep ⇔ first (doc_id, chunk_idx) owner of the fingerprint.
+    //    ONE fingerprint-keyed shuffle; the per-fp window groups are
+    //    duplicate-cluster-sized. Bites on this corpus: 16 chunks drop
+    //    at sf0.01.
+    Q("t28_chunk_dedup",
+      """WITH k AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (length(text) - 1) // 192)) AS k
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (
+        |  SELECT doc_id, k AS chunk_idx,
+        |    substr(text, CAST(k * 192 + 1 AS INTEGER),
+        |           CAST(LEAST(256, length(text) - k * 192) AS INTEGER))
+        |      AS chunk
+        |  FROM k),
+        |cp AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    unnest(generate_series(1, length(chunk))) AS i
+        |  FROM ch),
+        |fp AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CAST(SUM(CAST(ascii(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)
+        |          * ((i * 2654435761) % 1048576 + 1)) % 1073741824 AS BIGINT)
+        |      AS fp
+        |  FROM cp GROUP BY doc_id, chunk_idx)
+        |SELECT doc_id, chunk_idx, fp,
+        |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+        |  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1
+        |    AS keep
+        |FROM fp""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val fp = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, (length(text) - 1) div 192)")).as("k"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+          expr("rolling_fp(substring(text, k * 192 + 1, least(256, length(text) - k * 192)))")
+            .as("fp"))
+      val w = Window.partitionBy("fp")
+      val wo = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+      fp.select(col("doc_id"), col("chunk_idx"), col("fp"),
+        count(lit(1)).over(w).as("n_copies"),
+        (row_number().over(wo) === 1).as("keep"))
     })
 }
