@@ -191,6 +191,36 @@ class PlanSpec extends AnyFunSuite {
       "t22 shuffles the pair stream for a model-sized join:\n" + p)
   }
 
+  test("t26: the per-source rank filter pushes down as a window group limit") {
+    // the scale claim is that each source shard keeps k rows during the
+    // sort instead of ranking the full corpus — Spark 4's
+    // WindowGroupLimit must appear below the window
+    val p = planOf("t26_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "t26 rank filter did not push down as a per-group top-k:\n" + p)
+  }
+
+  test("t27: chunking is a pure projection — zero shuffle") {
+    val p = planOf("t27_doc_chunks")
+    assert(!p.contains("Exchange"),
+      "t27 chunker must not shuffle (chunk where the data lives):\n" + p)
+  }
+
+  test("t28: chunk dedup shuffles ONCE, keyed by fingerprint") {
+    val p = planOf("t28_chunk_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "t28 must have exactly the fingerprint shuffle:\n" + p)
+  }
+
+  test("s16: register grid and estimate tables broadcast; registers pre-aggregate") {
+    val p = planOf("s16_hll_sketch")
+    assert(!p.contains("SortMergeJoin"),
+      "s16 model-sized joins must broadcast:\n" + p)
+    assert(p.contains("partial_max") || p.contains("partial_merge") ||
+        p.contains("HashAggregate"),
+      "s16 register MAX must pre-aggregate map-side:\n" + p)
+  }
+
   test("e07: PQ codebook broadcasts and assignment is one keyed aggregation") {
     val p = planOf("e07_pq_codes")
     assert(p.contains("BroadcastHashJoin"),
