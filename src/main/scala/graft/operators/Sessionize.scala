@@ -92,4 +92,35 @@ object Sessionize {
       }
       .toDF("row_id", "ant1", "ant2", "bin")
   }
+
+  /** [[timeBinsFull]] with payload carry: the same sorted-partition
+    * streaming scan, but EVERY input column rides the binner's single
+    * (ant1, ant2) shuffle and `bin` is appended — the a10 idiom. The
+    * thin variant forces a row_id join-back to reattach payload, which
+    * at scale is a SECOND fact-sized shuffle; carrying makes the binner
+    * one-shuffle total. Requires long ant1/ant2, double time/interval. */
+  def timeBinsCarry(df: DataFrame, binSecs: Double,
+                    intervalCol: String = "ivl"): DataFrame = {
+    val s = df.sparkSession
+    val part = df.repartition(col("ant1"), col("ant2"))
+      .sortWithinPartitions(col("ant1"), col("ant2"), col("time"),
+        col("row_id"))
+    val sch = part.schema
+    val iA1 = sch.fieldIndex("ant1"); val iA2 = sch.fieldIndex("ant2")
+    val iT = sch.fieldIndex("time"); val iI = sch.fieldIndex(intervalCol)
+    val rdd = part.rdd.mapPartitions { it =>
+      var curA1 = Long.MinValue; var curA2 = Long.MinValue
+      var bin = -1L; var binLow = 0.0
+      it.map { r =>
+        val a1 = r.getLong(iA1); val a2 = r.getLong(iA2)
+        if (a1 != curA1 || a2 != curA2) { curA1 = a1; curA2 = a2; bin = -1L }
+        val t = r.getDouble(iT); val half = r.getDouble(iI) * 0.5
+        if (bin < 0L) { bin = 0L; binLow = t - half }
+        else if (t + half - binLow > binSecs) { bin += 1L; binLow = t - half }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    s.createDataFrame(rdd,
+      sch.add("bin", org.apache.spark.sql.types.LongType))
+  }
 }

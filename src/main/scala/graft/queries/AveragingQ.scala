@@ -261,9 +261,9 @@ object AveragingQ {
       val rows = avRows(s, dir)
         .withColumn("time", lit(1e3) + col("seq").cast("double"))
         .select("row_id", "ant1", "ant2", "time", "ivl", "flag_row")
-      val binned = Sessionize.timeBinsFull(rows, 4.0)
-        .select(col("row_id").as("bid"), col("bin"))
-      val withBin = rows.join(binned, col("row_id") === col("bid")).drop("bid")
+      // payload rides the binner's single (ant1, ant2) shuffle — no
+      // row_id join-back (the a10 idiom; saves a fact-sized shuffle)
+      val withBin = Sessionize.timeBinsCarry(rows, 4.0)
       val bins = withBin.groupBy("ant1", "ant2", "bin")
         .agg(avg(col("time")).as("time_avg"),
           sum(col("ivl")).as("ivl_sum"),
@@ -328,9 +328,7 @@ object AveragingQ {
             |  (seq % 64 < 4) OR (row_id % 11 = 0) OR ((row_id + c) % 3 = 0))""".stripMargin))
         .withColumn("flag_row", Averaging.mergeFlagRow(col("flags")))
         .select("row_id", "ant1", "ant2", "time", "ivl", "flag_row")
-      val binned = Sessionize.timeBinsFull(rows, 4.0)
-        .select(col("row_id").as("bid"), col("bin"))
-      rows.join(binned, col("row_id") === col("bid"))
+      Sessionize.timeBinsCarry(rows, 4.0)
         .groupBy("ant1", "ant2", "bin")
         .agg(
           Averaging.twoTierAvg(col("time"), col("flag_row")).as("time_out"),
