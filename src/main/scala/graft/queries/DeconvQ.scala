@@ -28,6 +28,58 @@ import graft.core.Tables
 object DeconvQ {
 
   val qs: Seq[Q] = Seq(
+    Q("l01_kron_matvec",
+      // naive statement: y_i = Σ_j (A⊗B)[i,j]·x_j with i = i1·4+i2,
+      // j = j1·4+j2 — the oracle materializes the Kronecker product the
+      // distributed plan must NEVER build
+      """WITH idx AS (SELECT unnest(generate_series(0, 3)) AS v),
+        |a AS (
+        |  SELECT i.v AS i1, j.v AS j1,
+        |    ((i.v * 3 + j.v * 5) % 7) - 3 AS av
+        |  FROM idx i, idx j),
+        |b AS (
+        |  SELECT i.v AS i2, j.v AS j2,
+        |    ((i.v * 2 + j.v * 3) % 5) - 2 AS bv
+        |  FROM idx i, idx j),
+        |x AS (
+        |  SELECT j1.v AS j1, j2.v AS j2,
+        |    ((j1.v * 4 + j2.v) % 5) - 2 AS xv
+        |  FROM idx j1, idx j2)
+        |SELECT CAST(a.i1 * 4 + b.i2 AS BIGINT) AS i,
+        |  CAST(SUM(a.av * b.bv * x.xv) AS BIGINT) AS y
+        |FROM a JOIN x ON a.j1 = x.j1
+        |       JOIN b ON b.j2 = x.j2
+        |GROUP BY a.i1 * 4 + b.i2""".stripMargin) { (s, dir) =>
+      // distributed face of L1 kron_matvec (kronecker_tools.py:58-96):
+      // y = (A⊗B)x as TWO grouped contractions — inner over j2 with B,
+      // outer over j1 with A. The 16×16 product never exists; at scale
+      // (A⊗B is n²×m² for n×m factors) that factoring is the operator.
+      // Both factor tables are model-sized → broadcast; the data-sized
+      // relation (x, then the inner contraction) is the only thing
+      // shuffled, keyed by its own indices. Exact integer arithmetic on
+      // both sides. The local-array variant (operators/Deconv.kronMatvec)
+      // remains the facet-scale path, spec'd by KronSpec.
+      val idx = s.range(0, 4).select(col("id").cast("long").as("v"))
+      val a = idx.select(col("v").as("i1")).crossJoin(
+          idx.select(col("v").as("j1")))
+        .select(col("i1"), col("j1"),
+          (((col("i1") * 3 + col("j1") * 5) % 7) - 3).as("av"))
+      val b = idx.select(col("v").as("i2")).crossJoin(
+          idx.select(col("v").as("j2")))
+        .select(col("i2"), col("j2"),
+          (((col("i2") * 2 + col("j2") * 3) % 5) - 2).as("bv"))
+      val x = idx.select(col("v").as("xj1")).crossJoin(
+          idx.select(col("v").as("xj2")))
+        .select(col("xj1"), col("xj2"),
+          (((col("xj1") * 4 + col("xj2")) % 5) - 2).as("xv"))
+      val inner = x.join(broadcast(b), col("xj2") === col("j2"))
+        .groupBy(col("i2"), col("xj1"))
+        .agg(sum(col("bv") * col("xv")).as("t"))
+      inner.join(broadcast(a), col("xj1") === col("j1"))
+        .groupBy((col("i1") * 4 + col("i2")).as("i"))
+        .agg(sum(col("av") * col("t")).as("y"))
+    },
+
     Q("i01_hogbom_2iter",
       """WITH n AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
