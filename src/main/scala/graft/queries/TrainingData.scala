@@ -638,6 +638,111 @@ object TrainingData {
       neardupPairs(s, dir)
     },
 
+    // -- ANN quality diagnostic: recall@3 of the LSH multiprobe path
+    //    (e02) against the exact top-3 (e01) — the measurement a real
+    //    pipeline runs before trusting an approximate index. Hashed
+    //    surface is counts and a 0..3/3 division (IEEE-exact of small
+    //    longs); the cosine orderings feeding the ranks are bit-identical
+    //    across engines (exact-integer dots and norms, one sqrt/division
+    //    chain — the e01/e02 contract). Scale shape: the exact side is
+    //    the brute-force baseline (8 query vectors broadcast), the LSH
+    //    side the bucketed path; the final per-query rollup is 8 rows.
+    Q("e09_ann_recall",
+      s"""WITH qe AS (${qExplodeSql("qid", "WHERE vec_id < 8")}),
+         |ce AS (${qExplodeSql("cid", "")}),
+         |qn AS (SELECT qid, SUM(qv*qv) AS qid_n2 FROM qe GROUP BY qid),
+         |cn AS (SELECT cid, SUM(qv*qv) AS cid_n2 FROM ce GROUP BY cid),
+         |dote AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  GROUP BY qe.qid, ce.cid),
+         |cose AS (
+         |  SELECT dote.qid, dote.cid,
+         |    CAST(dote.d AS DOUBLE)
+         |      / (sqrt(CAST(qn.qid_n2 AS DOUBLE)) * sqrt(CAST(cn.cid_n2 AS DOUBLE))) AS cosine
+         |  FROM dote JOIN qn ON dote.qid = qn.qid JOIN cn ON dote.cid = cn.cid
+         |  WHERE dote.qid <> dote.cid),
+         |ex3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |    FROM cose) WHERE rank <= 3),
+         |proj AS (
+         |  SELECT cid, j,
+         |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
+         |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+         |  GROUP BY cid, j),
+         |bk AS (
+         |  SELECT cid, CAST(SUM(CASE WHEN s > 0
+         |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM proj GROUP BY cid),
+         |cand AS (
+         |  SELECT q.cid AS qid, c.cid AS cid
+         |  FROM bk q JOIN bk c
+         |    ON q.cid < 8 AND q.cid <> c.cid
+         |    AND bit_count(xor(q.code, c.code)) <= 2),
+         |dotl AS (
+         |  SELECT cand.qid, cand.cid, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM cand
+         |    JOIN ce ea ON ea.cid = cand.qid
+         |    JOIN ce eb ON eb.cid = cand.cid AND ea.pos = eb.pos
+         |  GROUP BY cand.qid, cand.cid),
+         |cosl AS (
+         |  SELECT dotl.qid, dotl.cid,
+         |    CAST(dotl.d AS DOUBLE)
+         |      / (sqrt(CAST(na.cid_n2 AS DOUBLE)) * sqrt(CAST(nb.cid_n2 AS DOUBLE))) AS cosine
+         |  FROM dotl JOIN cn na ON dotl.qid = na.cid JOIN cn nb ON dotl.cid = nb.cid),
+         |lsh3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |    FROM cosl) WHERE rank <= 3)
+         |SELECT ex3.qid, CAST(COUNT(lsh3.cid) AS BIGINT) AS n_hit,
+         |  COUNT(lsh3.cid) / 3 AS recall
+         |FROM ex3 LEFT JOIN lsh3
+         |  ON ex3.qid = lsh3.qid AND ex3.cid = lsh3.cid
+         |GROUP BY ex3.qid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("code", expr("lsh_code16(qv)"))
+      val queries = broadcast(bk.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("qv").as("qqv"),
+          col("n2").as("q_n2"), col("code").as("qcode")))
+      val dot = expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      val cosine = (dot.cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      val rk = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("cid"))
+      val ex3 = bk.crossJoin(queries).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cosine.as("cosine"))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3).select("qid", "cid")
+      val masks: Seq[Long] = 0L +:
+        (0 until 16).map(i => 1L << i) ++:
+        (for (i <- 0 until 16; j <- i + 1 until 16)
+          yield (1L << i) | (1L << j))
+      val maskDf = { import s.implicits._; masks.toDF("mask") }
+      val qb = broadcast(queries.crossJoin(maskDf)
+        .withColumn("probe", expr("qcode ^ mask")).drop("mask", "qcode"))
+      val lsh3 = bk.join(qb, col("code") === col("probe"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cosine.as("cosine"))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("lq"), col("cid").as("lc"), lit(1L).as("hit"))
+      ex3.join(lsh3,
+          col("qid") === col("lq") && col("cid") === col("lc"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit") / lit(3)).as("recall"))
+    },
+
     // -- duplicate-CLUSTER assignment: the step between t10's pairs and a
     //    dedup keep-list. Connected components over the near-dup pair
     //    graph via FOUR unrolled rounds of min-label propagation (the
