@@ -28,6 +28,120 @@ import graft.core.Tables
 object DeconvQ {
 
   val qs: Seq[Q] = Seq(
+    // -- I2 restore under the gate: closed-form beam fit from the PSF
+    //    lobe's second moments + sparse convolution of clean components
+    //    + residual add (clean.py:40-70, 202-236). Determinism chain, by
+    //    CLAUDE.md class: the synthetic PSF lobe is INTEGER-valued, so
+    //    every moment is an exact integer sum (order-free); the central
+    //    moments, truncation correction (literal 1−ln 2 — never an
+    //    engine ln(2)), covariance inverse and per-offset quadratic form
+    //    q = a·dx² + 2b·dx·dy + c·dy² (integer dx, dy) are single-chain
+    //    arithmetic of bit-identical doubles; exp(−q) is then exp of a
+    //    BIT-IDENTICAL argument — class (b), the driver-green x06
+    //    regime; each pixel fsums flux·exp(−q) over its components —
+    //    class (c) — and adds a dyadic residual. Scale shape: components
+    //    × bounded beam support join pixels — output-linear, the
+    //    reference's sparse-components convolution.
+    Q("i02_restore", {
+      val corr = "30685281944005469e-17" // 1 - ln 2, as a shared literal
+      val term = "flux * exp(-(ba*(g.x-cx)*(g.x-cx)" +
+        " + 2e0*bb*(g.x-cx)*(g.y-cy) + bc*(g.y-cy)*(g.y-cy)))"
+      s"""WITH off AS (SELECT unnest(generate_series(-3, 3)) AS v),
+        |psf AS (
+        |  SELECT dx.v AS dx, dy.v AS dy,
+        |    GREATEST(0, 4096 - 256*dx.v*dx.v - 512*dy.v*dy.v - 64*dx.v) AS w
+        |  FROM off dx, off dy),
+        |lobe AS (SELECT * FROM psf
+        |         WHERE w * 2 >= (SELECT MAX(w) FROM psf)),
+        |mom AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(w*dx) AS BIGINT) AS swx, CAST(SUM(w*dy) AS BIGINT) AS swy,
+        |    CAST(SUM(w*dx*dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(w*dx*dy) AS BIGINT) AS sxy,
+        |    CAST(SUM(w*dy*dy) AS BIGINT) AS syy
+        |  FROM lobe),
+        |beam AS (
+        |  SELECT cyy / (2e0 * det) AS ba, -cxy / (2e0 * det) AS bb,
+        |         cxx / (2e0 * det) AS bc
+        |  FROM (
+        |    SELECT cxx, cxy, cyy, cxx * cyy - cxy * cxy AS det FROM (
+        |      SELECT
+        |        (CAST(sxx AS DOUBLE)/sw - (CAST(swx AS DOUBLE)/sw)*(CAST(swx AS DOUBLE)/sw)) / $corr AS cxx,
+        |        (CAST(sxy AS DOUBLE)/sw - (CAST(swx AS DOUBLE)/sw)*(CAST(swy AS DOUBLE)/sw)) / $corr AS cxy,
+        |        (CAST(syy AS DOUBLE)/sw - (CAST(swy AS DOUBLE)/sw)*(CAST(swy AS DOUBLE)/sw)) / $corr AS cyy
+        |      FROM mom))),
+        |px AS (SELECT unnest(generate_series(0, 15)) AS v),
+        |grid AS (SELECT x.v AS x, y.v AS y FROM px x, px y),
+        |comp AS (
+        |  SELECT CAST(n_nationkey * 3 % 16 AS BIGINT) AS cx,
+        |         CAST(n_nationkey * 7 % 16 AS BIGINT) AS cy,
+        |         CAST(n_nationkey % 4 + 1 AS BIGINT) AS flux
+        |  FROM nation WHERE n_nationkey < 5),
+        |cnv AS (
+        |  SELECT g.x, g.y, ${graft.core.Det.fsumSql(term)} AS cv
+        |  FROM grid g
+        |    LEFT JOIN comp ON abs(g.x - cx) <= 3 AND abs(g.y - cy) <= 3,
+        |    beam
+        |  GROUP BY g.x, g.y)
+        |SELECT x, y, COALESCE(cv, 0e0) AS conv,
+        |  COALESCE(cv, 0e0) + ((x*7 + y*3) % 9 - 4) / 256e0 AS restored
+        |FROM cnv""".stripMargin
+    }) { (s, dir) =>
+      val corr = 0.30685281944005469 // 1 - ln 2 (shared literal)
+      val off = s.range(-3, 4).select(col("id").as("v"))
+      val psf = off.select(col("v").as("dx")).crossJoin(
+          off.select(col("v").as("dy")))
+        .select(col("dx"), col("dy"),
+          greatest(lit(0L),
+            lit(4096L) - lit(256L) * col("dx") * col("dx") -
+              lit(512L) * col("dy") * col("dy") - lit(64L) * col("dx"))
+            .as("w"))
+      val mx = psf.agg(max(col("w"))).head.getLong(0)
+      val mom = psf.filter(col("w") * 2 >= mx)
+        .agg(sum(col("w")).as("sw"),
+          sum(col("w") * col("dx")).as("swx"),
+          sum(col("w") * col("dy")).as("swy"),
+          sum(col("w") * col("dx") * col("dx")).as("sxx"),
+          sum(col("w") * col("dx") * col("dy")).as("sxy"),
+          sum(col("w") * col("dy") * col("dy")).as("syy"))
+      val cen = mom.select(
+        ((col("sxx").cast("double") / col("sw") -
+          (col("swx").cast("double") / col("sw")) *
+            (col("swx").cast("double") / col("sw"))) / corr).as("cxx"),
+        ((col("sxy").cast("double") / col("sw") -
+          (col("swx").cast("double") / col("sw")) *
+            (col("swy").cast("double") / col("sw"))) / corr).as("cxy"),
+        ((col("syy").cast("double") / col("sw") -
+          (col("swy").cast("double") / col("sw")) *
+            (col("swy").cast("double") / col("sw"))) / corr).as("cyy"))
+      val beam = cen
+        .withColumn("det", col("cxx") * col("cyy") - col("cxy") * col("cxy"))
+        .select((col("cyy") / (lit(2.0) * col("det"))).as("ba"),
+          (-col("cxy") / (lit(2.0) * col("det"))).as("bb"),
+          (col("cxx") / (lit(2.0) * col("det"))).as("bc"))
+      val px = s.range(0, 16).select(col("id").as("v"))
+      val grid = px.select(col("v").as("x")).crossJoin(
+        px.select(col("v").as("y")))
+      val comp = Tables.nation(s, dir).filter(col("n_nationkey") < 5)
+        .select(expr("cast(n_nationkey * 3 % 16 as bigint)").as("cx"),
+          expr("cast(n_nationkey * 7 % 16 as bigint)").as("cy"),
+          expr("cast(n_nationkey % 4 + 1 as bigint)").as("flux"))
+      val q = col("ba") * (col("x") - col("cx")) * (col("x") - col("cx")) +
+        lit(2.0) * col("bb") * (col("x") - col("cx")) * (col("y") - col("cy")) +
+        col("bc") * (col("y") - col("cy")) * (col("y") - col("cy"))
+      val cv = (sum(round(col("flux") * exp(-q) * 1e6).cast("long")) / 1e6)
+      grid.join(broadcast(comp),
+          abs(col("x") - col("cx")) <= 3 && abs(col("y") - col("cy")) <= 3,
+          "left")
+        .crossJoin(broadcast(beam))
+        .groupBy("x", "y").agg(cv.as("cv"))
+        .select(col("x"), col("y"),
+          coalesce(col("cv"), lit(0.0)).as("conv"),
+          (coalesce(col("cv"), lit(0.0)) +
+            ((col("x") * 7 + col("y") * 3) % 9 - 4) / lit(256.0))
+            .as("restored"))
+    },
+
     Q("l01_kron_matvec",
       // naive statement: y_i = Σ_j (A⊗B)[i,j]·x_j with i = i1·4+i2,
       // j = j1·4+j2 — the oracle materializes the Kronecker product the
