@@ -31,6 +31,75 @@ object BeamFixture {
     c * c * c
   }
 
+  /** Imaginary-part model for the complex fixture pair: cos²·sin of the
+    * same clamped Westerbork argument, quartered — deterministic and
+    * restatable in closed form by the DuckDB oracle, and NOT proportional
+    * to the real part, so the trilinear amplitude renormalization of
+    * fast_beam_cubes.py:110-238 is value-changing on this cube. */
+  def beamValueIm(x: Int, y: Int, f: Int): Double = {
+    val l = rad(lDeg(x)); val m = rad(lDeg(y))
+    val r = math.sqrt(l * l + m * m)
+    val a = math.min(65e0 * (freq(f) * 1e-9) * r, 1.0881)
+    val c = math.cos(a)
+    c * c * math.sin(a) * 25e-2
+  }
+
+  /** Write the COMPLEX fixture pair through the beam filename schema
+    * (util/beams.py:212-313): `schema` contains `$(corr)`/`$(reim)`
+    * placeholders, expanded for the XX correlation into a (re, im) file
+    * pair — the ingestion layout the reference's l_axis/m_axis beam
+    * loader consumes. Returns (rePath, imPath). Same always-regenerate
+    * discipline as [[ensure]]. */
+  def ensurePair(schema: String): (String, String) = {
+    val Seq((_, (reP, imP))) =
+      Fits.beamFilenames(schema, Seq(9)) // 9 = casacore Stokes XX
+    def data(im: Boolean): Array[Double] = {
+      val a = new Array[Double](NFreq * NPix * NPix)
+      var i = 0
+      for (f <- 0 until NFreq; y <- 0 until NPix; x <- 0 until NPix) {
+        a(i) = if (im) beamValueIm(x, y, f) else beamValue(x, y, f); i += 1
+      }
+      a
+    }
+    writeCube(reP, data(im = false))
+    writeCube(imP, data(im = true))
+    (reP, imP)
+  }
+
+  private def writeCube(path: String, data: Array[Double]): Unit = {
+    val file = new File(path)
+    val cards = headerCards
+    val tmp = File.createTempFile("graft_beam_build", ".fits",
+      file.getAbsoluteFile.getParentFile)
+    Fits.write(tmp.getAbsolutePath, cards, data)
+    java.nio.file.Files.move(tmp.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def headerCards: Seq[(String, String)] = Seq(
+    "SIMPLE" -> "T",
+    "BITPIX" -> "-64",
+    "NAXIS" -> "3",
+    "NAXIS1" -> NPix.toString,
+    "NAXIS2" -> NPix.toString,
+    "NAXIS3" -> NFreq.toString,
+    "CTYPE1" -> "'X'",
+    "CUNIT1" -> "'DEG'",
+    "CRPIX1" -> (1 + NPix / 2).toString,
+    "CRVAL1" -> "0.0",
+    "CDELT1" -> CDeltDeg.toString,
+    "CTYPE2" -> "'Y'",
+    "CUNIT2" -> "'DEG'",
+    "CRPIX2" -> (1 + NPix / 2).toString,
+    "CRVAL2" -> "0.0",
+    "CDELT2" -> CDeltDeg.toString,
+    "CTYPE3" -> "'FREQ'",
+    "CRPIX3" -> "1",
+    "CRVAL3" -> "8.56E8",
+    "CDELT3" -> "2.14E8") ++
+    (1 to NFreq).map(k => s"GFREQ$k" -> freq(k - 1).toString)
+
   /** Write the fixture. ALWAYS regenerated and atomically moved into
     * place: trusting a pre-existing /tmp file would let a stale cube from
     * an older code revision (or a torn concurrent write) silently feed
@@ -38,42 +107,12 @@ object BeamFixture {
     * are deterministic, so concurrent writers converge on identical
     * bytes and the rename is safe either way. */
   def ensure(path: String): String = {
-    val file = new File(path)
-    locally {
-      val data = new Array[Double](NFreq * NPix * NPix)
-      var i = 0
-      for (f <- 0 until NFreq; y <- 0 until NPix; x <- 0 until NPix) {
-        data(i) = beamValue(x, y, f); i += 1
-      }
-      val cards = Seq(
-        "SIMPLE" -> "T",
-        "BITPIX" -> "-64",
-        "NAXIS" -> "3",
-        "NAXIS1" -> NPix.toString,
-        "NAXIS2" -> NPix.toString,
-        "NAXIS3" -> NFreq.toString,
-        "CTYPE1" -> "'X'",
-        "CUNIT1" -> "'DEG'",
-        "CRPIX1" -> (1 + NPix / 2).toString,
-        "CRVAL1" -> "0.0",
-        "CDELT1" -> CDeltDeg.toString,
-        "CTYPE2" -> "'Y'",
-        "CUNIT2" -> "'DEG'",
-        "CRPIX2" -> (1 + NPix / 2).toString,
-        "CRVAL2" -> "0.0",
-        "CDELT2" -> CDeltDeg.toString,
-        "CTYPE3" -> "'FREQ'",
-        "CRPIX3" -> "1",
-        "CRVAL3" -> "8.56E8",
-        "CDELT3" -> "2.14E8") ++
-        (1 to NFreq).map(k => s"GFREQ$k" -> freq(k - 1).toString)
-      val tmp = File.createTempFile("graft_beam_build", ".fits",
-        file.getAbsoluteFile.getParentFile)
-      Fits.write(tmp.getAbsolutePath, cards, data)
-      java.nio.file.Files.move(tmp.toPath, file.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val data = new Array[Double](NFreq * NPix * NPix)
+    var i = 0
+    for (f <- 0 until NFreq; y <- 0 until NPix; x <- 0 until NPix) {
+      data(i) = beamValue(x, y, f); i += 1
     }
+    writeCube(path, data)
     path
   }
 
@@ -82,4 +121,11 @@ object BeamFixture {
   def defaultPath: String =
     new File(System.getProperty("java.io.tmpdir"),
       s"graft_beam_fixture_${NPix}x${NPix}x$NFreq.fits").getAbsolutePath
+
+  /** Default filename schema for the complex pair (expands to
+    * `graft_beam_cx_<layout>_xx_re.fits` / `..._im.fits`). */
+  def defaultSchema: String =
+    new File(System.getProperty("java.io.tmpdir"),
+      s"graft_beam_cx_${NPix}x${NPix}x${NFreq}_$$(corr)_$$(reim).fits")
+      .getAbsolutePath
 }

@@ -409,6 +409,180 @@ object FusedRime {
         srcWithStokes(s, dir), uvwRows(s, dir, 16), channels(s, dir, 8))
     },
 
+    // -- X2 with the REAL beam: the FITS cube sampler as a fused term —
+    //    "(Cp,Kpq,Bpq,Cq)" where C is graft.rime.BeamCubeTerm: complex
+    //    cube ingested from a FITS file pair via the $(corr)/$(reim)
+    //    filename schema, header-derived geometry, irregular-GFREQ
+    //    frequency interpolation WITH boundary extrapolation (clamp plane,
+    //    scale lm by f/f_boundary — channels 0-1 and 7-8 of the widened
+    //    SPW fall outside the cube grid), snap-clamped spatial
+    //    coordinates (sources 0 and 4 overflow the grid at lmZoom=2048),
+    //    8-corner trilinear gather, amplitude renormalization — matching
+    //    fused/terms/cube_dde.py:19-333 ∘ fast_beam_cubes.py:10-238. The
+    //    oracle restates the cube from the fixture's closed-form
+    //    generating model (r4 shared rationals, the r16-proven bucket),
+    //    the full coordinate chain, the corner joins, and E·M·Eᴴ.
+    Q("x12_fused_rime_beam", {
+      import graft.io.BeamFixture.{NPix, NFreq}
+      // closed-form cube (BeamFixture.beamValue/beamValueIm restated)
+      val arg = "LEAST(65e0 * (freq * 1e-9) * sqrt(l*l + m*m), 10881e-4)"
+      val cubeSql =
+        s"""SELECT x AS li, y AS mi, f AS fi,
+           |    ${graft.core.Det.r4Sql("cos(a) * cos(a) * cos(a)")} AS b_re,
+           |    ${graft.core.Det.r4Sql("cos(a) * cos(a) * sin(a) * 25e-2")} AS b_im
+           |  FROM (
+           |    SELECT x, y, f, $arg AS a
+           |    FROM (
+           |      SELECT CAST(px.n_nationkey AS BIGINT) AS x,
+           |        CAST(py.n_nationkey AS BIGINT) AS y,
+           |        CAST(pf.n_nationkey AS BIGINT) AS f,
+           |        ((CAST(px.n_nationkey AS DOUBLE) - 4e0) * 375e-3) * (pi() / 180e0) AS l,
+           |        ((CAST(py.n_nationkey AS DOUBLE) - 4e0) * 375e-3) * (pi() / 180e0) AS m,
+           |        856e6 + pf.n_nationkey * 214e6 + (CASE WHEN pf.n_nationkey = 0
+           |          OR pf.n_nationkey = ${NFreq - 1} THEN 0e0
+           |          ELSE ((pf.n_nationkey*3) % 5 - 2) * 1e5 END) AS freq
+           |      FROM nation px, nation py, nation pf
+           |      WHERE px.n_nationkey < $NPix AND py.n_nationkey < $NPix
+           |        AND pf.n_nationkey < $NFreq))""".stripMargin
+      // GFREQ grid values (exact integers; jitter per BeamFixture.freq)
+      val gf = (0 until NFreq).map(f => 856e6 + f * 214e6 +
+        (if (f == 0 || f == NFreq - 1) 0.0 else ((f * 3) % 5 - 2) * 1e5))
+      def gfLit(v: Double): String = s"${v.toLong}e0"
+      def planeCase(off: Int): String =
+        "(CASE f0 " + (0 until NFreq - 1).map(k =>
+          s"WHEN $k THEN ${gfLit(gf(k + off))} ").mkString + "ELSE 0e0 END)"
+      val fmin = gfLit(gf.head); val fmax = gfLit(gf.last)
+      val f0Sql = (1 until NFreq - 1).map(k =>
+        s"(CASE WHEN fc >= ${gfLit(gf(k))} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      // spatial map (mirrors BeamCubeTerm.pixCols: crpix-1 = 4, zoom 2048)
+      def pixSql(lm: String, p: String): String =
+        s"""GREATEST(0e0, LEAST(4e0 + ($lm * 2048e0 * fscale)
+           |      / (375e-3 * (pi() / 180e0)), ${NPix - 1}e0)) AS ${p}cc""".stripMargin
+      val corners = graft.rime.BeamCubeTerm.corners
+      def wS(a: Int, b: Int, c: Int): String = Seq(
+        if (a == 0) "(1e0-dl)" else "dl",
+        if (b == 0) "(1e0-dm)" else "dm",
+        if (c == 0) "(1e0-fw)" else "fw").mkString("*")
+      def blendS(f: String => String): String =
+        corners.map { case (nm, a, b, c) => s"${wS(a, b, c)}*${f(nm)}" }
+          .mkString(" + ")
+      val wre = blendS(nm => s"$nm.b_re")
+      val wim = blendS(nm => s"$nm.b_im")
+      val wabs = blendS(nm => s"sqrt($nm.b_re*$nm.b_re + $nm.b_im*$nm.b_im)")
+      val den = s"sqrt(($wre)*($wre) + ($wim)*($wim))"
+      val joins = corners.map { case (nm, a, b, c) =>
+        s"JOIN cube $nm ON $nm.li = pp.l0+$a AND $nm.mi = pp.m0+$b AND $nm.fi = pp.f0+$c"
+      }.mkString("\n")
+      // E·M·Eᴴ in the compiler's application order
+      val k = CS(s"cos($phaseSql)", s"sin($phaseSql)")
+      def scaleS(b: String) = CS(s"(${k.re} * ($b))", s"(${k.im} * ($b))")
+      val m0 = MS(
+        scaleS(s"flux + $qSql"),
+        CS("0e0", "0e0") * k,
+        CS("0e0", "(-0e0)") * k,
+        scaleS(s"flux - $qSql"))
+      val eM = MS(CS("e_re", "e_im"), CS("0e0", "0e0"),
+        CS("0e0", "0e0"), CS("e_re", "e_im"))
+      val v = mulS(mulS(eM, m0), hermS(eM))
+      val sums = Seq("xx" -> v.m00, "xy" -> v.m01, "yx" -> v.m10, "yy" -> v.m11)
+        .map { case (n, z) =>
+          s"  ${fsumSql(z.re)} AS ${n}_re,\n  ${fsumSql(z.im)} AS ${n}_im"
+        }.mkString(",\n")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (SELECT CAST(n_nationkey AS BIGINT) AS chan,
+         |       7e8 + n_nationkey * 15e7 AS freq
+         |       FROM nation WHERE n_nationkey < 9),
+         |cube AS ($cubeSql),
+         |fm0 AS (
+         |  SELECT chan, freq,
+         |    CASE WHEN freq < $fmin THEN freq/$fmin
+         |         WHEN freq > $fmax THEN freq/$fmax ELSE 1e0 END AS fscale,
+         |    CASE WHEN freq < $fmin THEN $fmin
+         |         WHEN freq > $fmax THEN $fmax ELSE freq END AS fc
+         |  FROM ch),
+         |fm1 AS (SELECT *, $f0Sql AS f0 FROM fm0),
+         |fm AS (
+         |  SELECT chan, freq, fscale, CAST(f0 AS BIGINT) AS f0,
+         |    (fc - ${planeCase(0)}) / (${planeCase(1)} - ${planeCase(0)}) AS fw
+         |  FROM fm1),
+         |pt AS (
+         |  SELECT src_id, flux, l, m, chan, freq, f0, fw,
+         |    ${pixSql("l", "l")},
+         |    ${pixSql("m", "m")}
+         |  FROM src, fm),
+         |pp AS (
+         |  SELECT src_id, flux, l, m, chan, freq, f0, fw,
+         |    LEAST(CAST(FLOOR(lcc) AS BIGINT), ${NPix - 2}) AS l0,
+         |    LEAST(CAST(FLOOR(mcc) AS BIGINT), ${NPix - 2}) AS m0,
+         |    lcc - CAST(LEAST(CAST(FLOOR(lcc) AS BIGINT), ${NPix - 2}) AS DOUBLE) AS dl,
+         |    mcc - CAST(LEAST(CAST(FLOOR(mcc) AS BIGINT), ${NPix - 2}) AS DOUBLE) AS dm
+         |  FROM pt),
+         |pe AS (
+         |  SELECT pp.src_id, pp.flux, pp.l, pp.m, pp.chan, pp.freq,
+         |    CASE WHEN $den = 0e0 THEN $wre
+         |         ELSE ($wre) * (($wabs) / ($den)) END AS e_re,
+         |    CASE WHEN $den = 0e0 THEN $wim
+         |         ELSE ($wim) * (($wabs) / ($den)) END AS e_im
+         |  FROM pp
+         |$joins)
+         |SELECT row_id, time_index, ant1, ant2, chan,
+         |$sums
+         |FROM rws, pe
+         |GROUP BY row_id, time_index, ant1, ant2, chan""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.BeamFixture
+      import graft.rime.BeamCubeTerm
+      RimeCompiler.registerTerm('C',
+        BeamCubeTerm(BeamFixture.defaultSchema, 2048.0))
+      val ch = graft.core.Tables.nation(s, dir)
+        .filter(col("n_nationkey") < 9)
+        .select(col("n_nationkey").cast("long").as("chan"),
+          (lit(7e8) + col("n_nationkey") * 15e7).as("freq"))
+      RimeCompiler.plan("(Cp,Kpq,Bpq,Cq): [I,Q] -> [XX,XY,YX,YY]",
+        srcWithStokes(s, dir), uvwRows(s, dir, 16), ch)
+    },
+
+    // -- The fused GAUSSIAN SHAPE term (fused/terms/gaussian.py:9-80): a
+    //    scalar pq envelope scaling every correlation of the coherency
+    //    inside the source sum — r10's taper expression registered as
+    //    pair term 'S'. The envelope is r6-rounded to a shared rational
+    //    (the compound exp(trig) chain of the r10-proven bucket), so the
+    //    fsum terms stay class (a)x(b) of bit-identical factors.
+    Q("x13_fused_rime_gaussian", {
+      val shape = graft.core.Det.r6Sql(
+        "exp(-(pi()*pi()/(4e0*ln(2e0))) * ((freq/299792458e0)*(freq/299792458e0)) * " +
+        "(((u*cos(ang) - v*sin(ang)) * (emin/emaj)) * ((u*cos(ang) - v*sin(ang)) * (emin/emaj)) " +
+        "+ (u*sin(ang) + v*cos(ang)) * (u*sin(ang) + v*cos(ang))) * (emaj*emaj))")
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(16)}),
+         |ch AS (${channelsSql(8)}),
+         |gp AS (
+         |  SELECT src_id, flux, l, m,
+         |    1e-4 * (src_id + 2) AS emaj, 5e-5 * (src_id + 1) AS emin,
+         |    3e-1 * src_id AS ang
+         |  FROM src)
+         |SELECT row_id, chan,
+         |  ${fsumSql(s"((flux + $qSql) * cos($phaseSql)) * $shape")} AS xx_re,
+         |  ${fsumSql(s"((flux + $qSql) * sin($phaseSql)) * $shape")} AS xx_im,
+         |  ${fsumSql(s"((flux - $qSql) * cos($phaseSql)) * $shape")} AS yy_re,
+         |  ${fsumSql(s"((flux - $qSql) * sin($phaseSql)) * $shape")} AS yy_im
+         |FROM rws, gp, ch GROUP BY row_id, chan""".stripMargin
+    }) { (s, dir) =>
+      val u1 = (col("u") * cos(col("ang")) - col("v") * sin(col("ang"))) *
+        (col("emin") / col("emaj"))
+      val v1 = col("u") * sin(col("ang")) + col("v") * cos(col("ang"))
+      val fsq = (col("freq") / 299792458e0) * (col("freq") / 299792458e0)
+      val kc = lit(-(math.Pi * math.Pi)) / (lit(4e0) * log(lit(2e0)))
+      RimeCompiler.registerPair('S', () => graft.core.Det.r6(
+        exp(kc * fsq * (u1 * u1 + v1 * v1) * (col("emaj") * col("emaj")))))
+      val src = srcWithStokes(s, dir)
+        .withColumn("emaj", lit(1e-4) * (col("src_id") + 2))
+        .withColumn("emin", lit(5e-5) * (col("src_id") + 1))
+        .withColumn("ang", lit(3e-1) * col("src_id"))
+      RimeCompiler.plan("(Kpq,Spq,Bpq): [I,Q] -> [XX,YY]",
+        src, uvwRows(s, dir, 16), channels(s, dir, 8))
+    },
+
     // -- X4's compensated summation in the PRODUCT path: the source
     //    contraction routed through the native `kahan_sum` Catalyst
     //    aggregate (expr/GraftExpressions.scala). On this fixture the

@@ -1,0 +1,156 @@
+package graft.rime
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Cx, CxCol, Det}
+import graft.functions.Feeds.Jones2x2
+import graft.io.{BeamFixture, Fits}
+
+/** The real FITS beam-cube DDE as a fused-RIME term — the Spark analogue
+  * of the reference's flagship `BeamCubeDDE`
+  * (africanus/experimental/rime/fused/terms/cube_dde.py:19-333), with the
+  * sampling semantics of `beam_cube_dde` (africanus/rime/
+  * fast_beam_cubes.py:10-54 freq_grid_interp, 110-238 trilinear gather +
+  * amplitude renormalization):
+  *
+  *   - the complex cube is ingested from a REAL FITS file pair through the
+  *     `$(corr)`/`$(reim)` filename schema (util/beams.py:212-313) by the
+  *     pure-JVM [[graft.io.Fits]] reader; geometry (CRPIX/CDELT/CUNIT) and
+  *     the irregular GFREQ1..N frequency grid come from the parsed header;
+  *   - data frequencies interpolate BETWEEN beam freq planes; frequencies
+  *     outside the grid clamp to the boundary plane and SCALE the (l, m)
+  *     coordinates by f/f_boundary (the reference's extrapolation);
+  *   - spatial coordinates snap-clamp to the grid edge, then an 8-corner
+  *     trilinear gather blends the corner voxels;
+  *   - the complex blend is rescaled so its modulus equals the blended
+  *     modulus of the corners (amplitude renormalization).
+  *
+  * Term-protocol mapping (terms/core.py:28-197): `stage` is the setup pass
+  * — it derives the per-(source, chan) sampling coordinates and performs
+  * the corner gather as BROADCAST joins against the voxel dimension table
+  * (the cube is executor-memory sized at any data scale, like the
+  * reference's in-memory beam array); `jones` is the sampler — a diagonal
+  * complex Jones from the staged blend columns. The cube is identical for
+  * both antennas of a baseline (one physical beam), so the staged columns
+  * are side-independent and staging is idempotent.
+  *
+  * Determinism (per CLAUDE.md): voxel values are r4-rounded shared
+  * rationals (the r16-proven bucket for the fixture's compound-libm
+  * generating model); every coordinate/weight/blend op downstream is
+  * IEEE-exact arithmetic of bit-identical inputs (class (a)), so the
+  * sampled Jones needs no output rounding before the fsum source sum.
+  *
+  * `lmZoom` maps the source direction-cosines onto the beam extent (the
+  * reference's beam_lm_extents scaling).
+  */
+final case class BeamCubeTerm(schema: String, lmZoom: Double)
+    extends RimeCompiler.DdeTerm {
+
+  override def stage(df: DataFrame, side: String): DataFrame = {
+    if (df.columns.contains("bce_re")) return df // one beam, both sides
+    val (reP, imP) = BeamFixture.ensurePair(schema)
+    val hdu = Fits.read(reP)
+    val reCube = Fits.beamCube(reP)
+    val imCube = Fits.beamCube(imP)
+    require(reCube.nFreq == imCube.nFreq && reCube.npixX == imCube.npixX &&
+      reCube.npixY == imCube.npixY, "re/im cube geometry mismatch")
+    require(hdu.num("CRVAL1").getOrElse(0.0) == 0.0 &&
+      hdu.num("CRVAL2").getOrElse(0.0) == 0.0,
+      "beam term assumes a zero-centred CRVAL (fixture layout)")
+    val crpix1 = hdu.num("CRPIX1").getOrElse(1.0) - 1.0
+    val crpix2 = hdu.num("CRPIX2").getOrElse(1.0) - 1.0
+    val cdelt1 = hdu.num("CDELT1").getOrElse(1.0)
+    val cdelt2 = hdu.num("CDELT2").getOrElse(1.0)
+    val nx = reCube.npixX; val ny = reCube.npixY
+    val freqs = reCube.freqs
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val voxels = for {
+      f <- 0 until reCube.nFreq; y <- 0 until ny; x <- 0 until nx
+    } yield (x.toLong, y.toLong, f.toLong,
+      reCube.value(x, y, f), imCube.value(x, y, f))
+    // r4 shared rationals — the r16-proven bucket for file-vs-closed-form
+    val cube = voxels.toDF("li", "mi", "fi", "raw_re", "raw_im")
+      .select(col("li"), col("mi"), col("fi"),
+        Det.r4(col("raw_re")).as("b_re"), Det.r4(col("raw_im")).as("b_im"))
+
+    // freq_grid_interp (fast_beam_cubes.py:10-54): boundary clamp+scale,
+    // bracketing plane by interior-bound indicator sum, linear weight
+    val fmin = freqs.head; val fmax = freqs.last
+    val fscale = when(col("freq") < fmin, col("freq") / fmin)
+      .when(col("freq") > fmax, col("freq") / fmax).otherwise(lit(1e0))
+    val fc = when(col("freq") < fmin, lit(fmin))
+      .when(col("freq") > fmax, lit(fmax)).otherwise(col("freq"))
+    val f0 = (1 until freqs.length - 1)
+      .map(k => when(col("bcfc") >= freqs(k), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    def planeAt(i: Column, off: Int): Column =
+      freqs.indices.init.foldLeft(lit(freqs(off)).cast("double")) {
+        (acc, k) => when(i === k.toLong, lit(freqs(k + off))).otherwise(acc)
+      }
+    // spatial map: pix = (crpix-1) + zoom·l·fscale / (cdelt·π/180),
+    // snap-clamped to the grid (the reference's edge handling)
+    def pixCols(lm: Column, crpix: Double, cdeltDeg: Double, n: Int,
+                p: String): DataFrame => DataFrame = { d =>
+      val raw = lit(crpix) +
+        (lm * lit(lmZoom) * col("bcfscale")) /
+          (lit(cdeltDeg) * (lit(math.Pi) / lit(180e0)))
+      d.withColumn(s"bc${p}cc",
+          greatest(lit(0e0), least(raw, lit((n - 1).toDouble))))
+        .withColumn(s"bc${p}0",
+          least(floor(col(s"bc${p}cc")).cast("long"), lit((n - 2).toLong)))
+        .withColumn(s"bcd$p",
+          col(s"bc${p}cc") - col(s"bc${p}0").cast("double"))
+    }
+    var out = df
+      .withColumn("bcfscale", fscale)
+      .withColumn("bcfc", fc)
+      .withColumn("bcf0", f0)
+    out = out.withColumn("bcfw",
+      (col("bcfc") - planeAt(col("bcf0"), 0)) /
+        (planeAt(col("bcf0"), 1) - planeAt(col("bcf0"), 0)))
+    out = pixCols(col("l"), crpix1, cdelt1, nx, "l")(out)
+    out = pixCols(col("m"), crpix2, cdelt2, ny, "m")(out)
+
+    // 8-corner gather: broadcast joins against the voxel dim table
+    for ((nm, a, b, c) <- BeamCubeTerm.corners)
+      out = out.join(
+        broadcast(cube.select(col("li").as(s"${nm}_li"),
+          col("mi").as(s"${nm}_mi"), col("fi").as(s"${nm}_fi"),
+          col("b_re").as(s"${nm}_re"), col("b_im").as(s"${nm}_im"))),
+        col(s"${nm}_li") === col("bcl0") + a &&
+          col(s"${nm}_mi") === col("bcm0") + b &&
+          col(s"${nm}_fi") === col("bcf0") + c)
+
+    def w(a: Int, b: Int, c: Int): Column =
+      (if (a == 0) lit(1e0) - col("bcdl") else col("bcdl")) *
+        (if (b == 0) lit(1e0) - col("bcdm") else col("bcdm")) *
+        (if (c == 0) lit(1e0) - col("bcfw") else col("bcfw"))
+    def blend(f: String => Column): Column =
+      BeamCubeTerm.corners.map { case (nm, a, b, c) => w(a, b, c) * f(nm) }
+        .reduce(_ + _)
+    val wre = blend(nm => col(s"${nm}_re"))
+    val wim = blend(nm => col(s"${nm}_im"))
+    val wabs = blend(nm => sqrt(col(s"${nm}_re") * col(s"${nm}_re") +
+      col(s"${nm}_im") * col(s"${nm}_im")))
+    val den = sqrt(wre * wre + wim * wim)
+    out
+      .withColumn("bce_re",
+        when(den === 0e0, wre).otherwise(wre * (wabs / den)))
+      .withColumn("bce_im",
+        when(den === 0e0, wim).otherwise(wim * (wabs / den)))
+  }
+
+  def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 = {
+    val e = CxCol(col("bce_re"), col("bce_im"))
+    Jones2x2(e, Cx.zero, Cx.zero, e)
+  }
+}
+
+object BeamCubeTerm {
+  /** Corner enumeration shared with the oracle-SQL generator — the order
+    * fixes the blend's expression tree on both engines. */
+  val corners: Seq[(String, Int, Int, Int)] =
+    for (a <- 0 to 1; b <- 0 to 1; c <- 0 to 1) yield (s"bc$a$b$c", a, b, c)
+}

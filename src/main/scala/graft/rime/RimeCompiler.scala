@@ -33,6 +33,10 @@ final case class TermRef(letter: Char, side: String)
 final case class RimeSpec(terms: Seq[TermRef], stokes: Seq[String],
                           corrs: Seq[String]) {
   def hasTerm(c: Char): Boolean = terms.exists(_.letter == c)
+  /** Scalar pq envelope terms (everything pair-sided except K and B). */
+  def pairDde: Seq[Char] =
+    terms.filter(t => t.side == "pq" && t.letter != 'K' && t.letter != 'B')
+      .map(_.letter)
   /** X1 feed inference: the correlation basis decides linear vs circular. */
   val feed: String = {
     val circ = corrs.forall(Set("RR", "RL", "LR", "LL"))
@@ -67,8 +71,9 @@ object RimeSpec {
       terms.foreach { t =>
         if (t.letter == 'K' || t.letter == 'B')
           require(t.side == "pq", s"${t.letter} is a pair term (pq)")
-        else
-          require(t.side != "pq", s"${t.letter} is a per-antenna term (p or q)")
+        // other letters: p/q = per-antenna Jones, pq = scalar pair envelope
+        // (the Gaussian-shape slot) — resolved against the registries at
+        // plan time
       }
       val stokes = st.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(stokes.forall(KnownStokes), s"unknown stokes in [$st]")
@@ -89,14 +94,49 @@ object RimeCompiler {
     * (terms/core.py:28-197). */
   type DdeFactory = (Column, Column, Column) => Jones2x2
 
+  /** A per-antenna DDE term. The reference's term protocol splits setup
+    * (`fields`/`init_fields`, run once over the inputs) from per-element
+    * sampling (terms/core.py:28-197); the Spark analogue is `stage` — a
+    * DataFrame transformation that may add broadcast-dimension joins and
+    * derived columns to the expanded (row × source × chan) frame — plus
+    * `jones`, the 2×2 sampler expression over the staged columns. */
+  trait DdeTerm extends Serializable {
+    /** Transform the expanded frame for one side ("p"/"q"). Called once
+      * per side BEFORE the source sum; must be idempotent when the term's
+      * columns are side-independent. */
+    def stage(df: DataFrame, side: String): DataFrame = df
+    def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2
+  }
+
+  /** Pure-expression term (no staging) — adapts the plain factory API. */
+  private final case class ExprTerm(f: DdeFactory) extends DdeTerm {
+    def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 =
+      f(src, time, ant)
+  }
+
   /** Pre-registered 'E': the same dyadic diag-dominant test beam as the
     * DDE predict fixture (queries/PredictFull.e2Col). */
-  private val registry = scala.collection.mutable.Map[Char, DdeFactory](
-    'E' -> ((s: Column, t: Column, a: Column) =>
+  private val registry = scala.collection.mutable.Map[Char, DdeTerm](
+    'E' -> ExprTerm((s: Column, t: Column, a: Column) =>
       graft.queries.PredictFull.e2Col(s, t, a)))
 
   def registerDde(letter: Char, f: DdeFactory): Unit =
-    registry.synchronized { registry(letter) = f }
+    registry.synchronized { registry(letter) = ExprTerm(f) }
+
+  def registerTerm(letter: Char, t: DdeTerm): Unit =
+    registry.synchronized { registry(letter) = t }
+
+  /** Scalar pair-term (pq) registry: a real envelope multiplying every
+    * correlation of the source coherency inside the sum — the slot the
+    * reference's Gaussian shape term occupies
+    * (experimental/rime/fused/terms/gaussian.py:9-80). The factory is
+    * re-invoked per plan so registrations stay side-effect free. */
+  type PairFactory = () => Column
+
+  private val pairRegistry = scala.collection.mutable.Map[Char, PairFactory]()
+
+  def registerPair(letter: Char, f: PairFactory): Unit =
+    pairRegistry.synchronized { pairRegistry(letter) = f }
 
   /** Derived PA table for the X3 transformer: GMST-backend parallactic
     * angle (RimeMore.paGmstSql — IAU 1982 polynomial, per-antenna
@@ -183,6 +223,12 @@ object RimeCompiler {
     (spec.leftDde ++ spec.rightDde).foreach { c =>
       require(registry.contains(c), s"no DDE term registered for '$c'")
     }
+    spec.pairDde.foreach { c =>
+      require(pairRegistry.contains(c), s"no pair term registered for '$c'")
+    }
+    // scalar pq envelopes (Gaussian shape et al.) scale every correlation
+    // of the coherency inside the source sum
+    val envelopes: Seq[Column] = spec.pairDde.map(c => pairRegistry(c)())
 
     // implicit-zero stokes (conversion.py:163-198) — referenced through
     // the src plan so stokes u/v never collide with the uvw u/v columns
@@ -199,18 +245,25 @@ object RimeCompiler {
     // per-corr fused sampler (brightness × phase) in the inferred feed
     // basis. Diagonal entries have real brightness — keep the real-scale
     // form so expressions match the hand-written oracle trees bit for bit.
-    def sampler(corr: String): CxCol = corr match {
-      case "XX" => k.scale(st("I") + st("Q"))
-      case "YY" => k.scale(st("I") - st("Q"))
-      case "XY" => CxCol(st("U"), st("V")) * k
-      case "YX" => CxCol(st("U"), -st("V")) * k
-      case "RR" => k.scale(st("I") + st("V"))
-      case "LL" => k.scale(st("I") - st("V"))
-      case "RL" => CxCol(st("Q"), st("U")) * k
-      case "LR" => CxCol(st("Q"), -st("U")) * k
+    def sampler(corr: String): CxCol = {
+      val base = corr match {
+        case "XX" => k.scale(st("I") + st("Q"))
+        case "YY" => k.scale(st("I") - st("Q"))
+        case "XY" => CxCol(st("U"), st("V")) * k
+        case "YX" => CxCol(st("U"), -st("V")) * k
+        case "RR" => k.scale(st("I") + st("V"))
+        case "LL" => k.scale(st("I") - st("V"))
+        case "RL" => CxCol(st("Q"), st("U")) * k
+        case "LR" => CxCol(st("Q"), -st("U")) * k
+      }
+      envelopes.foldLeft(base)((z, e) => z.scale(e))
     }
 
-    val expanded = rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
+    val expanded0 = rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
+    // stage the DDE terms' broadcast joins / derived columns (term
+    // protocol setup) before the source sum
+    val expanded = (spec.leftDde.map((_, "p")) ++ spec.rightDde.map((_, "q")))
+      .foldLeft(expanded0) { case (df, (c, side)) => registry(c).stage(df, side) }
     val hasDde = spec.leftDde.nonEmpty || spec.rightDde.nonEmpty
     val needsAnts = spec.hasTerm('G') || spec.hasTerm('L') || hasDde
     val gKeys =
@@ -235,9 +288,9 @@ object RimeCompiler {
         val m0 = Jones2x2(sampler(bs(0)), sampler(bs(1)),
           sampler(bs(2)), sampler(bs(3)))
         val left = spec.leftDde.map(c =>
-          registry(c)(col("src_id"), col("time_index"), col("ant1")))
+          registry(c).jones(col("src_id"), col("time_index"), col("ant1"), "p"))
         val right = spec.rightDde.map(c =>
-          registry(c)(col("src_id"), col("time_index"), col("ant2")))
+          registry(c).jones(col("src_id"), col("time_index"), col("ant2"), "q"))
         val withLeft = left.foldRight(m0)((e, m) => Jones2x2.mul(e, m))
         val v = right.reverse
           .foldLeft(Option.empty[Jones2x2])((acc, e) =>

@@ -54,6 +54,26 @@ class FitsIoSpec extends AnyFunSuite {
     new File(path).delete()
   }
 
+  test("complex fixture pair: schema expansion, im model, r4 flip margins") {
+    val (reP, imP) = BeamFixture.ensurePair(BeamFixture.defaultSchema)
+    assert(reP.endsWith("_xx_re.fits") && imP.endsWith("_xx_im.fits"))
+    val re = Fits.beamCube(reP); val im = Fits.beamCube(imP)
+    assert(re.nFreq === im.nFreq && re.npixX === im.npixX)
+    // x12 hashes Det.r4(file value) against the oracle's r4 of a DuckDB
+    // libm recompute; a flip needs a value within cross-engine noise
+    // (~1e-12 at this magnitude) of a .5·1e-4 bucket boundary. Measure
+    // the global minimum margin over BOTH cubes — the precondition the
+    // CATEGORICAL RULE requires for class-(d) rounded surfaces.
+    var minMargin = Double.MaxValue
+    for (cube <- Seq(re, im); v <- cube.data) {
+      val scaled = math.abs(v) * 1e4
+      val d = math.abs(scaled - math.floor(scaled) - 0.5)
+      minMargin = math.min(minMargin, d)
+    }
+    assert(minMargin > 1e-9,
+      s"an r4 bucket boundary sits within noise of a voxel value: $minMargin")
+  }
+
   test("float32 data reads via widening; unsupported BITPIX rejected") {
     val path = tmpFits("f32")
     // hand-write a BITPIX=-32 file: header via Fits.write would force -64

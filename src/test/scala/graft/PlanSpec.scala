@@ -147,6 +147,26 @@ class PlanSpec extends AnyFunSuite {
       "only the source-sum exchange may shuffle:\n" + p)
   }
 
+  test("x12: fused beam term — 8-corner gather all broadcast, one source-sum exchange") {
+    val p = planOf("x12_fused_rime_beam")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+    // the voxel dim table joins 8x per plan but must never shuffle the
+    // expanded fact frame; the only wide exchange is the source sum
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 8,
+      "corner gather lost its broadcast joins:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "only the source-sum exchange may shuffle:\n" + p)
+  }
+
+  test("x13: fused gaussian envelope adds no joins or exchanges beyond x01's") {
+    val p = planOf("x13_fused_rime_gaussian")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "envelope must stay inside the source-sum projection:\n" + p)
+  }
+
   test("f14: cell-size estimate is two scalar aggs — no data-sized exchange") {
     val p = planOf("f14_cell_size")
     // scalar aggregates legitimately gather partials to one partition;

@@ -38,11 +38,26 @@ class RimeCompilerSpec extends AnyFunSuite {
   test("rejects malformed specs") {
     assertThrows[IllegalArgumentException](RimeSpec.parse("Kpq,Bpq"))
     assertThrows[IllegalArgumentException](
-      RimeSpec.parse("(Zpq): [I] -> [XX]"))
+      RimeSpec.parse("(Kp): [I] -> [XX]")) // K is a pair term
     assertThrows[IllegalArgumentException](
       RimeSpec.parse("(Kpq): [W] -> [XX]"))
     assertThrows[IllegalArgumentException](
       RimeSpec.parse("(Kpq): [I] -> [AA]"))
+  }
+
+  test("pq non-K/B letters classify as scalar pair envelopes (gaussian slot)") {
+    val s = RimeSpec.parse("(Kpq,Spq,Bpq): [I,Q] -> [XX,YY]")
+    assert(s.pairDde === Seq('S'))
+    assert(s.leftDde.isEmpty && s.rightDde.isEmpty)
+    // an unregistered pair letter is rejected at plan time, not parse time
+    val spark = TestSpark.spark
+    val err = intercept[IllegalArgumentException] {
+      graft.rime.RimeCompiler.plan("(Kpq,Wpq,Bpq): [I] -> [XX]",
+        graft.queries.SyntheticMs.sources(spark, TestSpark.sf),
+        graft.queries.SyntheticMs.uvwRows(spark, TestSpark.sf),
+        graft.queries.SyntheticMs.channels(spark, TestSpark.sf))
+    }
+    assert(err.getMessage.contains("no pair term registered"))
   }
 
   test("one-sided gain spec applies only that side's factor") {
