@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst extensions — the "custom Expression beats UDF" tier of
   * SURVEY §7.3 — registered through `SparkSessionExtensions` (class
@@ -186,9 +186,13 @@ object RollingFingerprint {
   * code point ≥ 128 throws rather than silently diverging from the
   * substr-based oracle. */
 case class BigramFsum(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "bigram_fsum"
+  // reject misuse at analysis time — without this a non-string text or
+  // non-array<long> LUT fails inside codegen (ArrayData.getLong)
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(LongType))
 
   override protected def nullSafeEval(text: Any, arr: Any): Any =
     BigramFsum.compute(text.toString,

@@ -102,7 +102,15 @@ object Sessionize {
   def timeBinsCarry(df: DataFrame, binSecs: Double,
                     intervalCol: String = "ivl"): DataFrame = {
     val s = df.sparkSession
-    val part = df.repartition(col("ant1"), col("ant2"))
+    // same defensive coercion as timeBinsFull — casting ONLY the key
+    // columns preserves the payload carry; without it an int ant or
+    // float time fails mid-job with an opaque ClassCastException
+    val dfc = df
+      .withColumn("ant1", col("ant1").cast("long"))
+      .withColumn("ant2", col("ant2").cast("long"))
+      .withColumn("time", col("time").cast("double"))
+      .withColumn(intervalCol, col(intervalCol).cast("double"))
+    val part = dfc.repartition(col("ant1"), col("ant2"))
       .sortWithinPartitions(col("ant1"), col("ant2"), col("time"),
         col("row_id"))
     val sch = part.schema

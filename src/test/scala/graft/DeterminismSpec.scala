@@ -233,6 +233,46 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("i02 restore exp terms stay far from their fsum 1e-6 round boundaries") {
+    // i02 fsums flux·exp(−q) where q is pure IEEE arithmetic of the
+    // SF-independent beam-fit rationals — the argument is bit-identical
+    // cross-engine, so the only exposure is a 1-ulp libm disagreement on
+    // exp() flipping a round(term·1e6). The fixture is driver-sized;
+    // replicate the exact op order (JVM Math == Spark's codegen libm)
+    // and measure every term's distance to its .5 boundary. Mirrors the
+    // t22 ln-term margin test per the round-5 ADVICE.
+    val ws = for (dx <- -3 to 3; dy <- -3 to 3)
+      yield (dx, dy, math.max(0L, 4096L - 256L * dx * dx - 512L * dy * dy - 64L * dx))
+    val mx = ws.map(_._3).max
+    val lobe = ws.filter(_._3 * 2 >= mx)
+    val sw = lobe.map(_._3).sum
+    val swx = lobe.map(t => t._3 * t._1).sum
+    val swy = lobe.map(t => t._3 * t._2).sum
+    val sxx = lobe.map(t => t._3 * t._1 * t._1).sum
+    val sxy = lobe.map(t => t._3 * t._1 * t._2).sum
+    val syy = lobe.map(t => t._3 * t._2 * t._2).sum
+    val corr = 0.30685281944005469
+    val cxx = (sxx.toDouble / sw - (swx.toDouble / sw) * (swx.toDouble / sw)) / corr
+    val cxy = (sxy.toDouble / sw - (swx.toDouble / sw) * (swy.toDouble / sw)) / corr
+    val cyy = (syy.toDouble / sw - (swy.toDouble / sw) * (swy.toDouble / sw)) / corr
+    val det = cxx * cyy - cxy * cxy
+    val ba = cyy / (2.0 * det); val bb = -cxy / (2.0 * det)
+    val bc = cxx / (2.0 * det)
+    var minM = Double.MaxValue
+    for (x <- 0 until 16; y <- 0 until 16; k <- 0 until 5) {
+      val cx = k * 3 % 16; val cy = k * 7 % 16
+      if (math.abs(x - cx) <= 3 && math.abs(y - cy) <= 3) {
+        val q = ba * (x - cx) * (x - cx) +
+          2.0 * bb * (x - cx) * (y - cy) + bc * (y - cy) * (y - cy)
+        val t = (k % 4 + 1).toDouble * math.exp(-q) * 1e6
+        minM = math.min(minM, math.abs(t - math.floor(t) - 0.5))
+      }
+    }
+    info(s"i02 exp-term min |frac(x·1e6)−.5| = $minM over the support")
+    assert(minM > 1e-6,
+      s"an i02 exp term sits within 1e-6 of its round boundary: $minM")
+  }
+
   test("e05/e03 centroid averages are exact rationals (sums inside 2^53)") {
     // ROUND(avg(qv)) needs NO flip margin: the average is an exact
     // integer sum divided by an exact count — bit-identical on both

@@ -48,6 +48,12 @@ class TextCombinerSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       TextCombiner.pairCodeCounts(docs, "text").collect()
     }
-    assert(ex.getMessage != null)
+    // the corpus-contract check must be what fired — not an unrelated
+    // analysis/serialization error that would also satisfy intercept
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("non-ASCII"),
+      s"expected the corpus-contract failure, got: $msgs")
   }
 }
