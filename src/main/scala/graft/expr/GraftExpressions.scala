@@ -312,7 +312,21 @@ object GraftFunctions {
     (FunctionIdentifier("kmv_minhash"),
       new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_minhash"),
       (args: Seq[Expression]) => KmvMinHashes(args.head,
-        args(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()))
+        args(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime filters but keeps both OUT of the public registry;
+    // surfacing them lets a query build a bloom sketch with one
+    // distributed aggregate and probe it declaratively — the t19
+    // decontamination prefilter.
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (args: Seq[Expression]) => new aggregate.BloomFilterAggregate(
+        args.head, args(1), args(2)).toAggregateExpression()),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args.head, args(1))))
 
   def injectInto(ext: SparkSessionExtensions): Unit =
     fns.foreach(ext.injectFunction)

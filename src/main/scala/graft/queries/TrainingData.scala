@@ -369,7 +369,32 @@ object TrainingData {
       val isEval = col("source").isin("src0", "src1")
       val ev = g.filter(isEval).select("doc_id", "gram").distinct()
       val tr = g.filter(!isEval).select("gram").distinct()
-      val ov = ev.join(tr, "gram")
+      // TRAIN-SIDE SKETCH: the train grams compress to a bloom filter
+      // built by ONE distributed aggregate (Spark's own runtime-filter
+      // shape: bloom_filter_agg in a scalar subquery, its one-row result
+      // inlined before the main query runs). The eval side is
+      // pre-filtered through it, so the exact gram join — kept below,
+      // unchanged, because a bloom has NO false negatives — shuffles
+      // only true overlaps plus the ~1% false-positive residue instead
+      // of every eval gram. At model scale the sketch is
+      // bits/8 bytes regardless of train-corpus size (capped at Spark's
+      // 4M-item/64Mbit runtime-filter ceiling here; a 100 TB run raises
+      // spark.sql.optimizer.runtime.bloomFilter.* instead of the cap).
+      // GraftExpressionsSpec pins the false-positive bound; the oracle
+      // states the exact join only.
+      graft.expr.GraftFunctions.register(s)
+      val nDocs = Tables.documents(s, dir).count()
+      val items = math.min(math.max(nDocs * 128L, 1024L), 4000000L)
+      val bits = math.min(items * 10L, 67108864L)
+      ev.createOrReplaceTempView("t19_ev_grams")
+      tr.createOrReplaceTempView("t19_tr_grams")
+      val evPref = s.sql(
+        s"""SELECT doc_id, gram FROM t19_ev_grams
+           |WHERE bloom_might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(gram), ${items}L, ${bits}L)
+           |   FROM t19_tr_grams),
+           |  xxhash64(gram))""".stripMargin)
+      val ov = evPref.join(tr, "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       val tot = ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       tot.join(ov, Seq("doc_id"), "left").select(

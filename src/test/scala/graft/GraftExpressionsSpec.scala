@@ -108,4 +108,29 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .head.getSeq[Long](0)
     assert(small === Seq(2L, 4L, 9L))
   }
+
+  test("bloom sketch: zero false negatives; false-positive rate within bound") {
+    import spark.implicits._
+    // the t19 prefilter contract: members ALWAYS pass (so the exact join
+    // after the prefilter is lossless), and the 10-bits-per-item sizing
+    // holds the FP rate near its ~1% design point on disjoint probes
+    (1 to 10000).map(i => s"member_$i").toDF("s")
+      .createOrReplaceTempView("bloom_members")
+    val bloomSub =
+      "(SELECT bloom_filter_agg(xxhash64(s), 10000L, 100000L) FROM bloom_members)"
+    val fn = spark.sql(
+      s"""SELECT count(*) FROM bloom_members
+         |WHERE NOT bloom_might_contain($bloomSub, xxhash64(s))""".stripMargin)
+      .head.getLong(0)
+    assert(fn === 0L, "a bloom filter must have no false negatives")
+    (1 to 20000).map(i => s"probe_$i").toDF("s")
+      .createOrReplaceTempView("bloom_probes")
+    val fp = spark.sql(
+      s"""SELECT count(*) FROM bloom_probes
+         |WHERE bloom_might_contain($bloomSub, xxhash64(s))""".stripMargin)
+      .head.getLong(0)
+    val rate = fp.toDouble / 20000
+    info(s"bloom FP rate at 10 bits/item: $rate ($fp / 20000)")
+    assert(rate < 0.03, s"FP rate $rate exceeds 3x the 1% design point")
+  }
 }

@@ -147,6 +147,20 @@ class PlanSpec extends AnyFunSuite {
       "only the source-sum exchange may shuffle:\n" + p)
   }
 
+  test("t19: train side compresses to a bloom sketch; exact gram join kept") {
+    val p = planOf("t19_decontamination")
+    // the compressed build side: eval grams probe the subquery-built
+    // bloom BEFORE the exact join, so only overlaps + FP residue shuffle
+    assert(p.contains("might_contain"),
+      "t19 lost its bloom prefilter:\n" + p.take(2000))
+    // and the exact join survives (the bloom is a prefilter, not the
+    // verdict — false positives must still be eliminated). At this SF the
+    // gram join broadcasts; at scale it shuffles — either way it is a
+    // join KEYED ON GRAM, which is the scale-invariant to pin.
+    assert("Join \\[gram".r.findFirstIn(p).isDefined,
+      "t19 lost the exact gram join:\n" + p.take(2000))
+  }
+
   test("x12: fused beam term — 8-corner gather all broadcast, one source-sum exchange") {
     val p = planOf("x12_fused_rime_beam")
     assert(!p.contains("SortMergeJoin"))
