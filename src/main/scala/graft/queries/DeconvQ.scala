@@ -262,5 +262,78 @@ object DeconvQ {
         .crossJoin(broadcast(pk2.select(col("px").as("c2_x"),
           col("py").as("c2_y"),
           (expr("pv div 2") / 16384e0).as("c2_flux"))))
+    },
+
+    // -- L2 under the gate: the REAL convex-hull machinery
+    //    (operators/FacetGeometry — geometry.py:33-750) run over 20
+    //    integer-coordinate facet point clouds whose hull is KNOWN by
+    //    construction (an octagon: rectangle corners + strictly-protruding
+    //    diamond tips, salted with interior points and duplicates in a
+    //    scrambled order). The oracle states the closed-form octagon
+    //    directly — vertex count, shoelace area, and an edge-rounded
+    //    perimeter — so any monotone-chain bug (drop/keep/ordering)
+    //    shifts the hash. Determinism: coordinates are exact ints, the
+    //    shoelace is an exact-integer sum, and each edge length is
+    //    rounded to 1e-6 BEFORE the sum (order-free long addition;
+    //    hypot-vs-sqrt 1-ulp divergence is margin-checked in
+    //    FacetGeometrySpec). Facet planning is driver-sized math (the
+    //    reference's is too); the gate hashes its full output.
+    Q("l02_hull_geometry", {
+      // CCW octagon vertices in closed form
+      def vx(i: Int): (String, String) = i match {
+        case 0 => ("(cx + a)", "cy")
+        case 1 => ("(cx + w)", "(cy + h)")
+        case 2 => ("cx", "(cy + b)")
+        case 3 => ("(cx - w)", "(cy + h)")
+        case 4 => ("(cx - a)", "cy")
+        case 5 => ("(cx - w)", "(cy - h)")
+        case 6 => ("cx", "(cy - b)")
+        case 7 => ("(cx + w)", "(cy - h)")
+      }
+      val shoelace = (0 until 8).map { i =>
+        val (x1, y1) = vx(i); val (x2, y2) = vx((i + 1) % 8)
+        s"($x1*$y2 - $x2*$y1)"
+      }.mkString(" + ")
+      val perim = (0 until 8).map { i =>
+        val (x1, y1) = vx(i); val (x2, y2) = vx((i + 1) % 8)
+        s"CAST(ROUND(sqrt(CAST(($x2-$x1)*($x2-$x1) + ($y2-$y1)*($y2-$y1) AS DOUBLE)) * 1e6) AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         |    n_nationkey * 3 % 7 AS cx, n_nationkey * 5 % 9 AS cy,
+         |    n_nationkey % 5 + 2 AS w, n_nationkey % 3 + 1 AS h,
+         |    (n_nationkey % 5 + 2) + 1 AS a,
+         |    (n_nationkey % 3 + 1) + 1 AS b
+         |  FROM nation WHERE n_nationkey < 20)
+         |SELECT k AS facet_id, CAST(8 AS BIGINT) AS n_hull,
+         |  5e-1 * abs(CAST($shoelace AS DOUBLE)) AS area,
+         |  CAST($perim AS BIGINT) / 1e6 AS perim
+         |FROM f""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.FacetGeometry
+      import s.implicits._
+      val rows = Tables.nation(s, dir).filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").cast("long").as("k"))
+        .collect().map(_.getLong(0)).sorted.map { k =>
+        val cx = (k * 3 % 7).toDouble; val cy = (k * 5 % 9).toDouble
+        val w = (k % 5 + 2).toDouble; val h = (k % 3 + 1).toDouble
+        // a−w = b−h = 1: (a−w)(b−h) = 1 < w·h, so a tip can never be
+        // collinear with its two neighbouring rect corners — all 8 stay hull
+        val a = w + 1; val b = h + 1
+        val pts0: Seq[(Double, Double)] = Seq(
+          (cx + a, cy), (cx + w, cy + h), (cx, cy + b), (cx - w, cy + h),
+          (cx - a, cy), (cx - w, cy - h), (cx, cy - b), (cx + w, cy - h),
+          // interior salt + a duplicate vertex: the hull must shed these
+          (cx, cy), (cx + (k % 3 - 1), cy + (k % 2)), (cx + a, cy))
+        val pts = pts0.indices.sortBy(i => (i * 7) % 13).map(pts0)
+        val hull = FacetGeometry.convexHull(pts)
+        val area = FacetGeometry.area(hull)
+        val perim = hull.indices.map { i =>
+          val (x1, y1) = hull(i); val (x2, y2) = hull((i + 1) % hull.size)
+          math.round(math.hypot(x2 - x1, y2 - y1) * 1e6)
+        }.sum / 1e6
+        (k, hull.size.toLong, area, perim)
+      }.toSeq
+      rows.toDF("facet_id", "n_hull", "area", "perim")
     })
 }

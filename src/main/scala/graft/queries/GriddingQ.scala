@@ -461,5 +461,38 @@ object GriddingQ {
         Det.r6(rot.re).as("pv_re"), Det.r6(rot.im).as("pv_im"),
         rl.re.as("rl_re"), rl.im.as("rl_im"),
         uRt.re.as("u_re"), uRt.im.as("u_im"))
+    },
+
+    // -- F8 under the gate: the oversampled sinc and Hanning-sinc AA
+    //    kernels (functions/Kernels — kernels.py:17-95) hashed against
+    //    the oracle's closed-form recompute over the identical
+    //    half-support-7, oversample-5 index grid. Kernel construction is
+    //    driver-side precompute (the reference's is too); hashing the
+    //    full arrays gates the index→coordinate map, the zero-guard and
+    //    the window product. Determinism: the argument (i−35)/5 is one
+    //    exact IEEE division (bit-identical), sin/cos of a bit-identical
+    //    argument is class (b), and the r4 output bucket carries the
+    //    KernelsSpec-measured flip margins (class (d), the r13 recipe).
+    //    The Kaiser-Bessel variant stays spec-only: its Bessel series
+    //    has a data-dependent term count no fixed SQL tree restates.
+    Q("f15_aa_kernels", {
+      val x = "((CAST(i AS DOUBLE) - 35e0) / 5e0)"
+      val sinc = s"CASE WHEN $x = 0e0 THEN 1e0 ELSE sin(pi()*$x)/(pi()*$x) END"
+      val han = s"($sinc) * (5e-1 + 5e-1 * cos((pi() * (CAST(i AS DOUBLE) - 35e0)) / 36e0))"
+      s"""WITH idx AS (
+         |  SELECT CAST(a.n_nationkey * 3 + b.n_nationkey AS BIGINT) AS i
+         |  FROM nation a, nation b
+         |  WHERE b.n_nationkey < 3 AND a.n_nationkey * 3 + b.n_nationkey < 71)
+         |SELECT i, ${Det.r4Sql(sinc)} AS sinc_tap, ${Det.r4Sql(han)} AS hanning_tap
+         |FROM idx""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.Kernels
+      import s.implicits._
+      val sv = Kernels.sinc(7, 5)
+      val hv = Kernels.hanningSinc(7, 5)
+      sv.indices.map(i => (i.toLong, sv(i), hv(i))).toSeq
+        .toDF("i", "s_raw", "h_raw")
+        .select(col("i"), Det.r4(col("s_raw")).as("sinc_tap"),
+          Det.r4(col("h_raw")).as("hanning_tap"))
     })
 }

@@ -438,6 +438,53 @@ object ModelFit {
         .select(col("src_id"), col("ant"), zval.as("zval"))
     },
 
+    // -- M3 under the gate: the WSClean component-list READER
+    //    (io/WSCleanReader — model/wsclean/file_model.py:19-266) run over
+    //    an authored fixture exercising sexagesimal signs, fractional
+    //    seconds, bracketed SPI lists (2/1/0 elements), case-folded
+    //    types, empty-field defaults and the header reference frequency.
+    //    The oracle is a VALUES table of the fixture's RAW field numbers
+    //    with the conversion formulas restated — any field-split, sign,
+    //    default-fallback or unit bug shifts the hash. All conversions
+    //    are IEEE-exact arithmetic of identical literals (class (a)).
+    Q("m03_wsclean_load",
+      """WITH raw(name, ctype, sgn_ra, rh, rm, rs, sgn_de, dd, dm, ds,
+        |         flux, spi0, n_spi, log_si, ref_freq, majas, minas, odeg) AS (
+        |  VALUES
+        |    ('s0','POINT',    1e0,  8e0, 18e0, 395e-1, -1e0, 12e0, 24e0, 432e-1,
+        |     125e-2, -7e-1,  2, true,  14e8,     0e0,     0e0,     0e0),
+        |    ('s1','GAUSSIAN',-1e0,  0e0, 30e0, 1575e-2, 1e0, 45e0, 10e0,  36e-1,
+        |      25e-1, -55e-2, 1, false, 14e8, 1205e-1, 6025e-2, 3375e-2),
+        |    ('s2','POINT',    1e0, 12e0,  0e0,    0e0,  1e0,  0e0,  0e0,    0e0,
+        |      75e-2,   0e0,  0, false, 14e8,     0e0,     0e0,     0e0))
+        |SELECT name, ctype,
+        |  sgn_ra * (rh + rm/60e0 + rs/3600e0) * (pi()/12e0) AS ra,
+        |  sgn_de * (dd + dm/60e0 + ds/3600e0) * (pi()/180e0) AS dec,
+        |  flux, spi0, CAST(n_spi AS BIGINT) AS n_spi, log_si, ref_freq,
+        |  majas * (pi()/648000e0) AS maj,
+        |  minas * (pi()/648000e0) AS min_ax,
+        |  (odeg * pi()) / 180e0 AS orient
+        |FROM raw""".stripMargin) { (s, dir) =>
+      val text =
+        """Format = Name, Type, Ra, Dec, I, SpectralIndex, LogarithmicSI, ReferenceFrequency='1.4e9', MajorAxis, MinorAxis, Orientation
+          |s0,POINT,08:18:39.5,-12.24.43.2,1.25,[-0.7,0.05],true,1.4e9,,,
+          |s1,GAUSSIAN,-00:30:15.75,45.10.03.6,2.5,[-0.55],false,,120.5,60.25,33.75
+          |s2,point,12:00:00,00.00.00,0.75,[],,,,,
+          |""".stripMargin
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_wsclean_m03.txt")
+      java.nio.file.Files.write(path.toPath,
+        text.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      graft.io.WSCleanReader.read(s, path.getAbsolutePath)
+        .select(col("name"), col("compType").as("ctype"), col("ra"),
+          col("dec"), col("flux"),
+          coalesce(expr("try_element_at(spi, 1)"), lit(0e0)).as("spi0"),
+          size(col("spi")).cast("long").as("n_spi"),
+          col("logSI").as("log_si"), col("refFreq").as("ref_freq"),
+          col("majorAxis").as("maj"), col("minorAxis").as("min_ax"),
+          col("orientation").as("orient"))
+    },
+
     // -- R7 ingestion: the beam cube arrives as a REAL FITS file
     //    (MeqTrees layout, beam_factory.py:37-165) written and read by the
     //    pure-JVM graft.io.Fits — header-derived DEG→RAD axis grids,

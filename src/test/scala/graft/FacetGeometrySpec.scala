@@ -48,4 +48,27 @@ class FacetGeometrySpec extends AnyFunSuite {
     val b = aabb(Seq((1.2, -0.7), (3.8, 2.1)))
     assert(b === BBox(1, 4, -1, 3))
   }
+
+  test("l02 edge lengths stay far from their 1e-6 round boundaries") {
+    // l02 hashes per-edge round(len*1e6) where the Spark side computes
+    // hypot and the oracle sqrt(dx^2+dy^2) -- 1-ulp apart at worst. A
+    // flip needs an edge length within that noise of a .5 boundary;
+    // measure the minimum margin over every facet's octagon edges.
+    var minM = Double.MaxValue
+    for (k <- 0L until 20L) {
+      val cx = (k * 3 % 7).toDouble; val cy = (k * 5 % 9).toDouble
+      val w = (k % 5 + 2).toDouble; val h = (k % 3 + 1).toDouble
+      val a = w + 1; val b2 = h + 1
+      val oct = Seq((cx + a, cy), (cx + w, cy + h), (cx, cy + b2),
+        (cx - w, cy + h), (cx - a, cy), (cx - w, cy - h), (cx, cy - b2),
+        (cx + w, cy - h))
+      for (i <- oct.indices) {
+        val (x1, y1) = oct(i); val (x2, y2) = oct((i + 1) % 8)
+        val t = math.hypot(x2 - x1, y2 - y1) * 1e6
+        minM = math.min(minM, math.abs(t - math.floor(t) - 0.5))
+      }
+    }
+    info(s"l02 edge min |frac(len*1e6)-.5| = $minM")
+    assert(minM > 1e-6, s"an l02 edge sits within 1e-6 of a round boundary")
+  }
 }

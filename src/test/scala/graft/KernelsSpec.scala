@@ -61,4 +61,19 @@ class KernelsSpec extends AnyFunSuite {
     val got = c.select(inline.as("t")).head.getDouble(0)
     assert(math.abs(got - Kernels.detaperDftSeparable(taps, 0.0013)) < 1e-15)
   }
+
+  test("f15 kernel values stay far from their r4 flip boundaries") {
+    // f15 r4-hashes the sinc and hanning-sinc arrays against a DuckDB
+    // libm recompute of the same bit-identical arguments; the class-(d)
+    // precondition is a measured margin around every round(v*1e4)
+    // boundary, far above the ~1-ulp cross-libm noise.
+    val sv = Kernels.sinc(7, 5); val hv = Kernels.hanningSinc(7, 5)
+    var minM = Double.MaxValue
+    for (v <- sv ++ hv) {
+      val t = math.abs(v) * 1e4
+      minM = math.min(minM, math.abs(t - math.floor(t) - 0.5))
+    }
+    info(s"f15 kernel min |frac(|v|*1e4)-.5| = $minM over ${sv.length * 2} values")
+    assert(minM > 1e-9, s"a kernel value sits within 1e-9 of an r4 boundary")
+  }
 }
