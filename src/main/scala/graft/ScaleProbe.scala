@@ -262,6 +262,73 @@ object ScaleProbe {
       }
       println(f"pair_combiner,$k,${k * maxDoc},$tE%.2f,$tC%.2f")
     }
+
+    // ---- END-TO-END registered-query probes over k-replicated table
+    // DIRS: the real a08/a09 BDA binner+average, f11 w-stack imaging,
+    // t19 decontamination (bloom build + exact join) and t25 pack
+    // pipeline, timed against k x the fact parquet (dims copied).
+    // Near-linear seconds in k is the claim each plan shape makes.
+    val docAll = spark.read.parquet(s"$sf/documents.parquet")
+    val maxDocAll = docAll.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val ordAll = spark.read.parquet(s"$sf/orders.parquet")
+    val maxOrd = ordAll.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    println("probe,k,a08_s,a09_s,f11_s,t19_s,t25_s")
+    for (k <- Seq(1, 2, 4)) {
+      val d = s"/tmp/graft_scaleprobe_k$k"
+      (0 until k).map(i => ordAll.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i * maxOrd)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+      (0 until k).map(i => docAll.withColumn("doc_id",
+          col("doc_id") + lit(i * maxDocAll)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      for (t <- Seq("region", "nation"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/$t.parquet"),
+          java.nio.file.Paths.get(s"$d/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def tq(n: String): Double = time {
+        SparkEntry.queries(n)(spark, d)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val (a8, a9, f11, t19, t25) = (tq("a08_bda_mapper"),
+        tq("a09_bda_average"), tq("f11_wstack_dirty"),
+        tq("t19_decontamination"), tq("t25_pipeline_pack"))
+      println(f"e2e_queries,$k,$a8%.2f,$a9%.2f,$f11%.2f,$t19%.2f,$t25%.2f")
+    }
+
+    // f11 vs IMAGE size: the DFT-dirty stage is (grid cells x pixels) —
+    // image-area-bound by design, data-size-independent. Doubling npix
+    // must ~4x only the pixel stage while the gridding stage (data-bound)
+    // stays flat; at production scale this stage is the per-facet FFT.
+    println("probe,npix,secs")
+    for (npix <- Seq(8, 16, 32)) {
+      val p = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderkey") % 32 === 0)
+        .select(col("o_orderkey").as("row_id"),
+          (((col("o_orderkey") * 7) % 201 - 100) / 2e1).as("w"),
+          round(((col("o_orderkey") % 2001 - 1000) / 2e0) * 25e-2)
+            .cast("long").as("pu"),
+          round((((col("o_orderkey") * 3) % 2001 - 1000) / 2e0) * 25e-2)
+            .cast("long").as("pv"),
+          (((col("o_orderkey") * 13) % 19 - 9) / 16e0).as("re"),
+          (((col("o_orderkey") * 17) % 11 - 5) / 16e0).as("im"))
+      val taps = graft.queries.GriddingQ.Taps
+      val px = spark.range(npix).select(col("id").as("x"))
+        .crossJoin(spark.range(npix).select(col("id").as("y")))
+        .withColumn("lx", (col("x").cast("double") - npix / 2) / 1024e0)
+        .withColumn("my", (col("y").cast("double") - npix / 2) / 1024e0)
+      val t = time {
+        val grids = graft.operators.WStack.planeGrids(p, taps, nPlanes = 4,
+          wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c)).drop("n_hits")
+        graft.operators.WStack.dirtyImageDft(grids, px, taps,
+          nPlanes = 4, wMax = 5.0, fsum = c => Det.fsum(c),
+          r6 = c => Det.r6(c))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"f11_image_size,$npix,$t%.2f")
+    }
     spark.stop()
   }
 }
