@@ -113,15 +113,29 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double)
     out = pixCols(col("l"), crpix1, cdelt1, nx, "l")(out)
     out = pixCols(col("m"), crpix2, cdelt2, ny, "m")(out)
 
-    // 8-corner gather: broadcast joins against the voxel dim table
-    for ((nm, a, b, c) <- BeamCubeTerm.corners)
-      out = out.join(
-        broadcast(cube.select(col("li").as(s"${nm}_li"),
-          col("mi").as(s"${nm}_mi"), col("fi").as(s"${nm}_fi"),
-          col("b_re").as(s"${nm}_re"), col("b_im").as(s"${nm}_im"))),
-        col(s"${nm}_li") === col("bcl0") + a &&
-          col(s"${nm}_mi") === col("bcm0") + b &&
-          col(s"${nm}_fi") === col("bcf0") + c)
+    // 8-corner gather. The voxel table is a dense (nx, ny, nFreq) grid,
+    // so each corner is a direct flat-index lookup — ship the cube as two
+    // literal arrays (executor-constant, like the reference's in-memory
+    // beam) and gather with codegen'd element_at instead of 8 broadcast
+    // hash joins. The values are COLLECTED from the same Spark-side
+    // r4-rounding pipeline the join version read, so every double on the
+    // hashed surface is bit-identical to the join plan; only the plan
+    // shape changes (8 joins -> 16 array loads inside one projection).
+    // The collect is 405 rows — dimension-table bounded at any data scale.
+    val flat = cube.select("li", "mi", "fi", "b_re", "b_im").collect()
+    val reArr = Array.ofDim[Double](nx * ny * reCube.nFreq)
+    val imArr = Array.ofDim[Double](nx * ny * reCube.nFreq)
+    flat.foreach { r =>
+      val i = ((r.getLong(2) * ny + r.getLong(1)) * nx + r.getLong(0)).toInt
+      reArr(i) = r.getDouble(3); imArr(i) = r.getDouble(4)
+    }
+    val (reLit, imLit) = (typedLit(reArr.toSeq), typedLit(imArr.toSeq))
+    for ((nm, a, b, c) <- BeamCubeTerm.corners) {
+      val idx = (((col("bcf0") + c) * ny + (col("bcm0") + b)) * nx +
+        (col("bcl0") + a)).cast("int") + 1
+      out = out.withColumn(s"${nm}_re", element_at(reLit, idx))
+        .withColumn(s"${nm}_im", element_at(imLit, idx))
+    }
 
     def w(a: Int, b: Int, c: Int): Column =
       (if (a == 0) lit(1e0) - col("bcdl") else col("bcdl")) *

@@ -161,16 +161,20 @@ class PlanSpec extends AnyFunSuite {
       "t19 lost the exact gram join:\n" + p.take(2000))
   }
 
-  test("x12: fused beam term — 8-corner gather all broadcast, one source-sum exchange") {
+  test("x12: fused beam term — corner gather join-free, one source-sum exchange") {
     val p = planOf("x12_fused_rime_beam")
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("Exchange SinglePartition"))
-    // the voxel dim table joins 8x per plan but must never shuffle the
-    // expanded fact frame; the only wide exchange is the source sum
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 8,
-      "corner gather lost its broadcast joins:\n" + p)
+    // the 8-corner gather is literal-array element_at lookups inside the
+    // projection — it must add NO joins over the expanded fact frame (the
+    // only joins are x01's broadcast source/channel expansions), and the
+    // only wide exchange is the source sum
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 0,
+      "corner gather regressed to per-voxel joins:\n" + p.take(3000))
+    assert(p.contains("element_at"),
+      "corner gather lost its literal-array lookups:\n" + p.take(3000))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      "only the source-sum exchange may shuffle:\n" + p)
+      "only the source-sum exchange may shuffle:\n" + p.take(3000))
   }
 
   test("x13: fused gaussian envelope adds no joins or exchanges beyond x01's") {
