@@ -387,7 +387,12 @@ object TrainingData {
       val items = math.min(math.max(nDocs * 128L, 1024L), 4000000L)
       val bits = math.min(items * 10L, 67108864L)
       ev.createOrReplaceTempView("t19_ev_grams")
-      tr.createOrReplaceTempView("t19_tr_grams")
+      // the bloom build reads the RAW train gram stream, not the
+      // distinct()ed join side: bloom insertion is idempotent, so the bit
+      // pattern is identical, and the build pass carries only the
+      // bitmap-sized aggregate state — zero shuffle of the gram table.
+      // Only the exact join's build side pays the distinct shuffle.
+      g.filter(!isEval).select("gram").createOrReplaceTempView("t19_tr_grams")
       val evPref = s.sql(
         s"""SELECT doc_id, gram FROM t19_ev_grams
            |WHERE bloom_might_contain(
