@@ -301,9 +301,11 @@ object ScaleProbe {
     // f11 vs IMAGE size: the DFT-dirty stage is (grid cells x pixels) —
     // image-area-bound by design, data-size-independent. Doubling npix
     // must ~4x only the pixel stage while the gridding stage (data-bound)
-    // stays flat; at production scale this stage is the per-facet FFT.
-    println("probe,npix,secs")
-    for (npix <- Seq(8, 16, 32)) {
+    // stays flat; at production scale this stage is the per-plane FFT
+    // (timed alongside as fft_s: same planeGrids front half, then
+    // Fft.planeImages — FftSpec proves it equals the DFT algebra).
+    println("probe,npix,dft_s,fft_s")
+    for (npix <- Seq(8, 16, 32, 64)) {
       val p = spark.read.parquet(s"$sf/orders.parquet")
         .filter(col("o_orderkey") % 32 === 0)
         .select(col("o_orderkey").as("row_id"),
@@ -319,15 +321,22 @@ object ScaleProbe {
         .crossJoin(spark.range(npix).select(col("id").as("y")))
         .withColumn("lx", (col("x").cast("double") - npix / 2) / 1024e0)
         .withColumn("my", (col("y").cast("double") - npix / 2) / 1024e0)
-      val t = time {
-        val grids = graft.operators.WStack.planeGrids(p, taps, nPlanes = 4,
+      def gridsOf: DataFrame =
+        graft.operators.WStack.planeGrids(p, taps, nPlanes = 4,
           wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c)).drop("n_hits")
-        graft.operators.WStack.dirtyImageDft(grids, px, taps,
+      val tDft = time {
+        graft.operators.WStack.dirtyImageDft(gridsOf, px, taps,
           nPlanes = 4, wMax = 5.0, fsum = c => Det.fsum(c),
           r6 = c => Det.r6(c))
           .write.mode("overwrite").format("noop").save()
       }
-      println(f"f11_image_size,$npix,$t%.2f")
+      val tFft = time {
+        graft.operators.Fft.planeImages(gridsOf, npix)
+          .groupBy("x", "y")
+          .agg(sum("ire").as("re"), sum("iim").as("im"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"f11_image_size,$npix,$tDft%.2f,$tFft%.2f")
     }
     spark.stop()
   }
