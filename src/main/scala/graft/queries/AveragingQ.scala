@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.core.Tables
-import graft.operators.{Averaging, GlobalIndex, Sessionize}
+import graft.core.{Det, Tables}
+import graft.operators.{Averaging, Deconv, GlobalIndex, Sessionize}
 
 /** Averaging subsystem queries — SURVEY §2.5 A1-A7.
   *
@@ -392,5 +392,74 @@ object AveragingQ {
         .select("ant1", "ant2", "bin", "chan_bin",
           "time_avg", "interval_sum", "exposure_sum", "weight_sum",
           "sigma_out", "row_flag", "vre_avg", "vim_avg", "ws_sum", "chan_flag")
+    },
+
+    // -- A10 under the gate: the REAL natural-cubic-spline fit/eval
+    //    (operators/Deconv.fitCubicSpline/evalSpline —
+    //    averaging/splines.py:14-130) run per nation on 6 uniform knots
+    //    whose y-values are exact integer cent sums. With h = 1 every
+    //    Thomas-algorithm step is a single IEEE op (+,−,×,/) on
+    //    bit-identical operands, so the oracle can state the SAME op
+    //    sequence (unrolled n=6 forward elimination + back substitution)
+    //    and hash-match with no rounding — CLAUDE.md class (a). The
+    //    trailing + 0.0 / + 0e0 normalizes a possible −0.0 second
+    //    derivative identically on both sides. DeterminismSpec pins the
+    //    2^53 sum-exactness precondition.
+    Q("a17_cubic_spline", {
+      val ys = (0 to 5).map { b =>
+        s"""CAST(COALESCE(SUM(CASE WHEN c_custkey % 6 = $b
+           |  THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) END), 0) AS DOUBLE) AS y$b""".stripMargin
+      }.mkString(",\n    ")
+      // eval at dyadic xv with t = u = 0.5: mirrors evalSpline's
+      // t*y(j) + u*y(j+1) + ((t³−t)·m(j) + (u³−u)·m(j+1))·h·h/6
+      def ev(yj: String, yj1: String, mj: String, mj1: String) =
+        s"(5e-1*$yj + 5e-1*$yj1 + ((5e-1*5e-1*5e-1 - 5e-1)*$mj + " +
+          s"(5e-1*5e-1*5e-1 - 5e-1)*$mj1) * 1e0 * 1e0 / 6e0) + 0e0"
+      s"""WITH y AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS k,
+         |    $ys
+         |  FROM customer GROUP BY 1),
+         |d AS (
+         |  SELECT *,
+         |    (y2 - y1)/1e0 - (y1 - y0)/1e0 AS d1,
+         |    (y3 - y2)/1e0 - (y2 - y1)/1e0 AS d2,
+         |    (y4 - y3)/1e0 - (y3 - y2)/1e0 AS d3,
+         |    (y5 - y4)/1e0 - (y4 - y3)/1e0 AS d4
+         |  FROM y),
+         |f1 AS (SELECT *, 2e0/3e0 - ((1e0/6e0)/(2e0/3e0))*(1e0/6e0) AS b2,
+         |              d2 - ((1e0/6e0)/(2e0/3e0))*d1 AS e2 FROM d),
+         |f2 AS (SELECT *, 2e0/3e0 - ((1e0/6e0)/b2)*(1e0/6e0) AS b3,
+         |              d3 - ((1e0/6e0)/b2)*e2 AS e3 FROM f1),
+         |f3 AS (SELECT *, 2e0/3e0 - ((1e0/6e0)/b3)*(1e0/6e0) AS b4,
+         |              d4 - ((1e0/6e0)/b3)*e3 AS e4 FROM f2),
+         |s4 AS (SELECT *, e4/b4 AS m4 FROM f3),
+         |s3 AS (SELECT *, (e3 - (1e0/6e0)*m4)/b3 AS m3 FROM s4),
+         |s2 AS (SELECT *, (e2 - (1e0/6e0)*m3)/b2 AS m2 FROM s3),
+         |s1 AS (SELECT *, (d1 - (1e0/6e0)*m2)/(2e0/3e0) AS m1 FROM s2)
+         |SELECT k, m1 + 0e0 AS m1, m2 + 0e0 AS m2,
+         |  m3 + 0e0 AS m3, m4 + 0e0 AS m4,
+         |  ${ev("y0", "y1", "0e0", "m1")} AS v05,
+         |  ${ev("y2", "y3", "m2", "m3")} AS v25,
+         |  ${ev("y4", "y5", "m4", "0e0")} AS v45
+         |FROM s1""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val knotAggs = (0 to 5).map { b =>
+        coalesce(sum(when(col("c_custkey") % 6 === b,
+          Det.cents(col("c_acctbal")))), lit(0L)).cast("double").as(s"y$b")
+      }
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("k"))
+        .agg(knotAggs.head, knotAggs.tail: _*)
+        .as[(Long, Double, Double, Double, Double, Double, Double)]
+        .map { case (k, y0, y1, y2, y3, y4, y5) =>
+          val xk = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+          val yk = Array(y0, y1, y2, y3, y4, y5)
+          val m = Deconv.fitCubicSpline(xk, yk)
+          val v = Deconv.evalSpline(xk, yk, m, Array(0.5, 2.5, 4.5))
+          (k, m(1) + 0.0, m(2) + 0.0, m(3) + 0.0, m(4) + 0.0,
+            v(0) + 0.0, v(1) + 0.0, v(2) + 0.0)
+        }
+        .toDF("k", "m1", "m2", "m3", "m4", "v05", "v25", "v45")
     })
 }

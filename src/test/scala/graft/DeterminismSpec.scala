@@ -296,6 +296,26 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("a17 spline knot sums are exact integers inside 2^53") {
+    // a17's oracle mirrors the unrolled Thomas algorithm op-for-op, so
+    // the hash match rests solely on the knot inputs being bit-identical
+    // doubles cross-engine — i.e. the per-(nation, bucket) cent sums must
+    // be exact integers under 2^53. The spline arithmetic itself is pure
+    // IEEE (+,−,×,/) on those operands and needs no margin (CLAUDE.md
+    // class (a)). Assert the precondition with 1e6x corpus headroom.
+    import graft.core.Det
+    for (d <- dirs) {
+      val m = graft.core.Tables.customer(spark, d)
+        .groupBy(col("c_nationkey"), col("c_custkey") % 6)
+        .agg(sum(abs(Det.cents(col("c_acctbal")))).as("s"))
+        .agg(max(col("s"))).head.getLong(0)
+      info(s"$d: max per-(nation,bucket) |cents| sum = $m")
+      assert(m < (1L << 53) / 1000000L,
+        s"a17 knot sums at $d leave <1e6x headroom under 2^53 — " +
+          "keep knots as long cents and divide after the fit instead")
+    }
+  }
+
   test("signed zero: Spark round() never emits -0.0 (the r*Sql +0e0 contract)") {
     // Root cause of the round-3/4 x09-class driver reds, found in round 5:
     // DuckDB's std::round keeps the sign of zero (round(-1e-9) = -0.0 and
