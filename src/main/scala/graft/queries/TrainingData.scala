@@ -1761,5 +1761,157 @@ object TrainingData {
       fp.select(col("doc_id"), col("chunk_idx"), col("fp"),
         count(lit(1)).over(w).as("n_copies"),
         (row_number().over(wo) === 1).as("keep"))
+    },
+
+    // -- SemDeDup (semantic dedup: cluster-then-prune — Abbas et al.
+    //    2023): assign every embedding to its nearest seed centroid by
+    //    exact integer L2 (a ZERO-shuffle literal projection, the e05
+    //    assignment idiom), then compare pairs ONLY within a cluster and
+    //    prune any vector with a lower-id neighbour at cosine ≥ 0.45 (the
+    //    one-pass greedy keep-lowest rule — deterministic, no iteration).
+    //    Cosines are exact-integer dots over one sqrt/division chain, so
+    //    every verdict is bit-identical cross-engine (the t10 contract).
+    //    Scale shape: the whole point of the algorithm is that the
+    //    quadratic pair blowup is PER CLUSTER — at production the cluster
+    //    count k grows with the corpus (n/k bounded), the e05-trained
+    //    centroids stay model-sized, and the only wide move is ONE
+    //    cluster-keyed shuffle of the two linear relations.
+    Q("t29_semdedup",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce WHERE cid < 8),
+         |dk AS (
+         |  SELECT ce.cid, s.k, SUM((ce.qv - s.cq)*(ce.qv - s.cq)) AS d2
+         |  FROM ce JOIN seed s ON ce.pos = s.pos
+         |  GROUP BY ce.cid, s.k),
+         |asg AS (
+         |  SELECT cid, k FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY cid ORDER BY d2, k) AS rk
+         |    FROM dk) WHERE rk = 1),
+         |pair AS (
+         |  SELECT x.cid AS cid_a, y.cid AS cid_b
+         |  FROM asg x JOIN asg y ON x.k = y.k AND x.cid < y.cid),
+         |dot AS (
+         |  SELECT pair.cid_a, pair.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM pair JOIN ce ea ON ea.cid = pair.cid_a
+         |            JOIN ce eb ON eb.cid = pair.cid_b AND ea.pos = eb.pos
+         |  GROUP BY pair.cid_a, pair.cid_b),
+         |cosb AS (
+         |  SELECT dot.cid_b AS cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid),
+         |ver AS (
+         |  SELECT cid,
+         |    CAST(SUM(CASE WHEN cosine >= 45e-2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near,
+         |    MAX(cosine) AS max_cos
+         |  FROM cosb GROUP BY cid)
+         |SELECT asg.cid, asg.k AS cluster,
+         |  CAST(COALESCE(ver.n_near, 0) AS BIGINT) AS n_near,
+         |  COALESCE(ver.n_near, 0) > 0 AS pruned,
+         |  ver.max_cos AS max_cos
+         |FROM asg LEFT JOIN ver ON asg.cid = ver.cid""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      // seed centroids are model-sized (8 × dim longs) — collect + literal
+      // assignment, zero shuffle (the e05 idiom; ties to the lower k)
+      val seeds = corpus.filter(col("cid") < 8)
+        .select("cid", "qv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+      val cands = seeds.map { case (k, v) =>
+        val d2 = aggregate(
+          zip_with(col("qv"), typedLit(v), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d2.as("d2"), lit(k).as("k"))
+      }
+      val cell = corpus.select(col("cid"), col("qv"), col("n2"),
+        least(cands: _*).getField("k").as("k"))
+      val a = cell.select(col("k"), col("cid").as("cid_a"),
+        col("qv").as("qv_a"), col("n2").as("n2_a"))
+      val b = cell.select(col("k"), col("cid").as("cid_b"),
+        col("qv").as("qv_b"), col("n2").as("n2_b"))
+      val dotAb = expr(
+        "aggregate(zip_with(qv_a, qv_b, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      val cos = a.join(b, "k").filter(col("cid_a") < col("cid_b"))
+        .select(col("cid_b").as("cid"),
+          (dotAb.cast("double") /
+            (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+            .as("cosine"))
+      val ver = cos.groupBy("cid")
+        .agg(sum(when(col("cosine") >= 45e-2, 1L).otherwise(0L)).as("nn"),
+          max(col("cosine")).as("mc"))
+      cell.select(col("cid"), col("k").as("cluster"))
+        .join(ver, Seq("cid"), "left")
+        .select(col("cid"), col("cluster"),
+          coalesce(col("nn"), lit(0L)).as("n_near"),
+          (coalesce(col("nn"), lit(0L)) > 0).as("pruned"),
+          col("mc").as("max_cos"))
+    },
+
+    // -- DSIR-style importance weights (Xie et al. 2023: data selection
+    //    via importance resampling): per-doc log importance weight under
+    //    hashed-feature unigram models of a TARGET domain (lang = 'en')
+    //    vs the RAW corpus, with add-one smoothing over the 16 384-code
+    //    char-bigram feature space. Rides the t22 machinery end to end:
+    //    both models come from the alphabet²-bounded per-partition LUT
+    //    combiner, fold into ONE broadcast long[16384] of fixed-point
+    //    ln-ratio terms, and each doc scores in a single codegen
+    //    BigramFsum pass — zero per-occurrence rows at any corpus size.
+    //    Determinism: both smoothed probabilities are IEEE quotients of
+    //    exact integers (bit-identical), ln of the bit-identical ratio is
+    //    the t22 class with the same DeterminismSpec margin guard.
+    Q("t30_dsir_weights",
+      s"""WITH idx AS (
+         |  SELECT doc_id, lang, text,
+         |    unnest(generate_series(1, length(text) - 1)) AS i
+         |  FROM documents WHERE length(text) >= 2),
+         |pr AS (
+         |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 2) AS pair
+         |  FROM idx),
+         |bgr AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cr
+         |        FROM pr GROUP BY pair),
+         |bgt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS ct
+         |        FROM pr WHERE lang = 'en' GROUP BY pair),
+         |tot AS (SELECT (SELECT COUNT(*) FROM pr) AS tr,
+         |               (SELECT COUNT(*) FROM pr WHERE lang = 'en') AS tt)
+         |SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ${Det.fsumSql(
+              "ln(((COALESCE(bgt.ct, 0) + 1) / (tot.tt + 16384)) / " +
+                "((bgr.cr + 1) / (tot.tr + 16384)))")} AS logw
+         |FROM pr
+         |  JOIN bgr ON bgr.pair = pr.pair
+         |  LEFT JOIN bgt ON bgt.pair = pr.pair
+         |  CROSS JOIN tot
+         |GROUP BY pr.doc_id""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.operators.TextCombiner
+      val docs2 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+      val raw = TextCombiner.pairCodeCounts(docs2, "text")
+        .select(col("code"), col("cnt").as("cr"))
+      val tgt = TextCombiner.pairCodeCounts(
+          docs2.filter(col("lang") === "en"), "text")
+        .select(col("code").as("tcode"), col("cnt").as("ct"))
+      // totals are two scalars; the models are alphabet²-bounded — the
+      // t22 LUT-on-driver idiom, not a data-sized collect
+      val tr = raw.agg(sum(col("cr"))).head.getLong(0)
+      val tt = tgt.agg(sum(col("ct"))).head.getLong(0)
+      val lut = new Array[Long](16384)
+      raw.join(tgt, col("code") === col("tcode"), "left")
+        .select(col("code"),
+          round(log(((coalesce(col("ct"), lit(0L)) + 1) / lit(tt + 16384L)) /
+            ((col("cr") + 1) / lit(tr + 16384L))) * 1e6).cast("long").as("t"))
+        .collect().foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+      val lutDf = Seq(lut.toSeq).toDF("arr")
+      docs2.crossJoin(broadcast(lutDf))
+        .select(col("doc_id"),
+          (length(col("text")) - 1).cast("long").as("n_pairs"),
+          (expr("bigram_fsum(text, arr)") / 1e6).as("logw"))
     })
 }

@@ -233,6 +233,33 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("t30 DSIR ln-ratio terms stay far from their fsum 1e-6 round boundaries") {
+    // t30 fsums ln of a ratio of two smoothed IEEE quotients of exact
+    // integer counts — the argument is bit-identical cross-engine, so as
+    // with t22 the only exposure is rounding the libm ln() to 1e-6.
+    for (d <- dirs) {
+      val docs = graft.core.Tables.documents(spark, d)
+        .filter(length(col("text")) >= 2)
+      val pr = docs
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+      val cr = pr.groupBy("pair").agg(count(lit(1)).as("cr"))
+      val ct = pr.filter(col("lang") === "en")
+        .groupBy(col("pair").as("tpair")).agg(count(lit(1)).as("ct"))
+      val tr = pr.count()
+      val tt = pr.filter(col("lang") === "en").count()
+      val term = log(((coalesce(col("ct"), lit(0L)) + 1) / lit(tt + 16384L)) /
+        ((col("cr") + 1) / lit(tr + 16384L)))
+      val m = pr.join(broadcast(cr), "pair")
+        .join(broadcast(ct), col("pair") === col("tpair"), "left")
+        .select(abs(abs(term * 1e6 - floor(term * 1e6)) - 0.5).as("m"))
+        .agg(min(col("m"))).head.getDouble(0)
+      info(s"$d: t30 ln-term min |frac(x·1e6)−.5| = $m over all occurrences")
+      assert(m > 1e-6, s"a t30 ln term sits within 1e-6 of its round boundary at $d")
+    }
+  }
+
   test("i02 restore exp terms stay far from their fsum 1e-6 round boundaries") {
     // i02 fsums flux·exp(−q) where q is pure IEEE arithmetic of the
     // SF-independent beam-fit rationals — the argument is bit-identical
