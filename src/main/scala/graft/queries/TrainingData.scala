@@ -1913,5 +1913,51 @@ object TrainingData {
         .select(col("doc_id"),
           (length(col("text")) - 1).cast("long").as("n_pairs"),
           (expr("bigram_fsum(text, arr)") / 1e6).as("logw"))
+    },
+
+    // -- quality-classifier INFERENCE (the fastText/logistic-scorer slot
+    //    of a pretraining pipeline): a fixed dyadic-weight logistic model
+    //    over exact per-doc features — token count, type-token ratio,
+    //    stopword ratio. Scoring is a ZERO-shuffle projection (the model
+    //    is literal weights), which is exactly how a trained linear model
+    //    deploys at 100 TB. Determinism: every feature is an integer or
+    //    one IEEE quotient of integers (bit-identical), the linear score
+    //    z is a fixed-order dyadic-weight chain (class (a), hashed raw);
+    //    exp sees the r6-ROUNDED z (rounded-rational argument, class (b))
+    //    and the sigmoid output is r6-rounded with a DeterminismSpec
+    //    margin guard — the t16 recipe.
+    Q("t31_quality_score", {
+      val zSql = "((CAST(n_tok AS DOUBLE) / 1024e0 " +
+        "+ 2e0 * (CAST(n_typ AS DOUBLE) / CAST(n_tok AS DOUBLE))) " +
+        "- 15e-1 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))) - 1e0"
+      val zr = Det.r6Sql(zSql)
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      AS n_typ,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t = 'a' OR t = 'the')) AS BIGINT) AS n_stop
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id, n_tok, n_typ, n_stop,
+         |  ($zSql) AS z,
+         |  ${Det.r6Sql(s"1e0 / (1e0 + exp(-($zr)))")} AS prob,
+         |  ${Det.r6Sql(s"1e0 / (1e0 + exp(-($zr)))")} >= 5e-1 AS keep
+         |FROM f""".stripMargin
+    }) { (s, dir) =>
+      val f = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)")
+            .as("n_typ"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "t -> t = 'a' OR t = 'the')) AS BIGINT)").as("n_stop"))
+      val z = ((col("n_tok").cast("double") / 1024e0
+        + lit(2e0) * (col("n_typ").cast("double") / col("n_tok").cast("double")))
+        - lit(15e-1) * (col("n_stop").cast("double") / col("n_tok").cast("double"))) - 1e0
+      val zr = Det.r6(z)
+      val prob = Det.r6(lit(1e0) / (lit(1e0) + exp(-zr)))
+      f.select(col("doc_id"), col("n_tok"), col("n_typ"), col("n_stop"),
+        z.as("z"), prob.as("prob"), (prob >= 5e-1).as("keep"))
     })
 }

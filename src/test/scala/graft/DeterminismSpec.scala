@@ -260,6 +260,38 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("t31 sigmoid outputs stay far from their r6 round boundaries") {
+    // t31's z is pure IEEE arithmetic (bit-identical; rounding IT needs
+    // no margin per the exact-rational rule), but the sigmoid evaluates
+    // libm exp of the r6-rounded z — so the r6-rounded prob needs the
+    // usual 1-ulp flip margin. Also pin keep's 0.5 comparison margin.
+    import graft.core.Det
+    for (d <- dirs) {
+      val docs = graft.core.Tables.documents(spark, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)")
+            .as("n_typ"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "t -> t = 'a' OR t = 'the')) AS BIGINT)").as("n_stop"))
+      val z = ((col("n_tok").cast("double") / 1024e0
+        + lit(2e0) * (col("n_typ").cast("double") / col("n_tok").cast("double")))
+        - lit(15e-1) * (col("n_stop").cast("double") / col("n_tok").cast("double"))) - 1e0
+      val praw = lit(1e0) / (lit(1e0) + exp(-Det.r6(z)))
+      val row = docs
+        .select(abs(abs(praw * 1e6 - floor(praw * 1e6)) - 0.5).as("m"),
+          abs(Det.r6(praw) - 0.5).as("k"))
+        .agg(min(col("m")), min(col("k"))).head
+      info(s"$d: t31 sigmoid min r6 margin = ${row.getDouble(0)}, " +
+        s"min |prob−.5| = ${row.getDouble(1)}")
+      assert(row.getDouble(0) > 1e-6,
+        s"a t31 sigmoid sits within 1e-6 of its r6 boundary at $d")
+      assert(row.getDouble(1) > 1e-7,
+        s"a t31 prob sits on the keep threshold at $d")
+    }
+  }
+
   test("i02 restore exp terms stay far from their fsum 1e-6 round boundaries") {
     // i02 fsums flux·exp(−q) where q is pure IEEE arithmetic of the
     // SF-independent beam-fit rationals — the argument is bit-identical

@@ -293,6 +293,29 @@ class PlanSpec extends AnyFunSuite {
       "i01 sort-merges against a 1-row/9-row relation:\n" + p)
   }
 
+  test("t29: centroid assignment is literal (no join); pairs move in cluster-keyed shuffles") {
+    // The scale contract: assignment must be a zero-join projection
+    // against literal centroids (never a centroid join), and the only
+    // wide moves are the cluster-keyed pair join + per-vector rollup —
+    // no single-partition exchange anywhere.
+    val p = planOf("t29_semdedup")
+    assert(!p.contains("SortMergeJoin") || p.contains("Exchange hashpartitioning"),
+      "t29 lost its keyed shuffles:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "t29 funnels through one partition:\n" + p)
+  }
+
+  test("t30: both models fold into a broadcast LUT; the corpus never shuffles") {
+    // Same contract as t22, with two model passes: scoring is one
+    // projection against the broadcast ln-ratio LUT row.
+    val p = planOf("t30_dsir_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"),
+      "t30 LUT does not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "t30 shuffles the pair stream for a model-sized join:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
