@@ -220,6 +220,34 @@ object ScaleProbe {
       }
       println(f"e05_lloyd_iter,$k,${k * maxVec},$t%.2f")
     }
+    // t29 SemDeDup: the scale contract is that the cluster count grows
+    // with the corpus (n/k bounded), so within-cluster pair volume stays
+    // ~linear in n. Replicas get a small deterministic perturbation (so
+    // they are near- but not exact clones — organic growth, not the k²
+    // clone artifact) and the seed set grows to 8k centroids (the first 8
+    // of each replica). Pairs/secs must grow ~k, not k².
+    println("probe,k,corpus,seeds,pairs,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map { i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("qv", expr(
+            s"transform(embedding, (x, p) -> " +
+              s"CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) + " +
+              s"((vec_id % 97) * 131 + p * 17 + $i * 53) % 401 - 200)"))
+      }.reduce(_ unionAll _)
+      val corpus = emb.select(col("vec_id").as("cid"), col("qv"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      val seeds = graft.operators.SemDedup.collectSeeds(
+        corpus.filter(col("cid") % maxVec < 8))
+      var pairs = 0L
+      val t = time {
+        val cell = graft.operators.SemDedup.assign(corpus, seeds)
+        pairs = cell.select(col("k"), col("cid").as("a"))
+          .join(cell.select(col("k"), col("cid").as("b")), "k")
+          .filter(col("a") < col("b")).count()
+      }
+      println(f"t29_semdedup_pairs,$k,${k * maxVec},${seeds.size},$pairs,$t%.2f")
+    }
     // t14 repetition: per-doc gram explosion is linear in token count;
     // the two-level agg keeps the shuffle keyed by (doc, gram) then doc.
     println("probe,k,docs,secs")

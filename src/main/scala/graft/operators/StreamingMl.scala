@@ -81,4 +81,37 @@ object StreamingMl {
           CentOut(label, st.n, st.sums.map(_.toDouble / st.n))
       }
   }
+
+  final case class ChunkIn(docId: Long, chunkIdx: Long, fp: Long)
+  final case class DedupState(nSeen: Long)
+  final case class DedupOut(docId: Long, chunkIdx: Long, fp: Long,
+                            nSeen: Long, keep: Boolean)
+
+  /** Streaming face of t01/t28 exact dedup — dedup-on-ingest: chunks
+    * arrive keyed by fingerprint; the FIRST arrival is kept, later
+    * copies flagged. State per fingerprint is one counter — constant in
+    * stream length per key (at production scale the state store is
+    * fingerprint-cardinality-sized; bound it with a timeout/TTL when the
+    * dedup horizon is finite). Rows within a micro-batch are
+    * (docId, chunkIdx)-sorted so a batch boundary never reorders
+    * simultaneous arrivals; across batches first-arrival-wins — the
+    * ingestion-order contract shared with the streaming packer. When the
+    * stream arrives in doc order the kept set equals the batch
+    * min-owner rule (StreamingSpec proves parity against t28). */
+  def streamingDedup(ds: Dataset[ChunkIn]): Dataset[DedupOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[DedupState, DedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[ChunkIn], state: GroupState[DedupState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.docId, r.chunkIdx))
+          var n = state.getOption.map(_.nSeen).getOrElse(0L)
+          val out = sorted.map { r =>
+            n += 1
+            DedupOut(r.docId, r.chunkIdx, r.fp, n, n == 1L)
+          }
+          state.update(DedupState(n))
+          out.iterator
+      }
+  }
 }

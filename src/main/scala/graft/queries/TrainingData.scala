@@ -1814,44 +1814,13 @@ object TrainingData {
          |  COALESCE(ver.n_near, 0) > 0 AS pruned,
          |  ver.max_cos AS max_cos
          |FROM asg LEFT JOIN ver ON asg.cid = ver.cid""".stripMargin) { (s, dir) =>
+      import graft.operators.SemDedup
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-      // seed centroids are model-sized (8 × dim longs) — collect + literal
-      // assignment, zero shuffle (the e05 idiom; ties to the lower k)
-      val seeds = corpus.filter(col("cid") < 8)
-        .select("cid", "qv").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
-      val cands = seeds.map { case (k, v) =>
-        val d2 = aggregate(
-          zip_with(col("qv"), typedLit(v), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        struct(d2.as("d2"), lit(k).as("k"))
-      }
-      val cell = corpus.select(col("cid"), col("qv"), col("n2"),
-        least(cands: _*).getField("k").as("k"))
-      val a = cell.select(col("k"), col("cid").as("cid_a"),
-        col("qv").as("qv_a"), col("n2").as("n2_a"))
-      val b = cell.select(col("k"), col("cid").as("cid_b"),
-        col("qv").as("qv_b"), col("n2").as("n2_b"))
-      val dotAb = expr(
-        "aggregate(zip_with(qv_a, qv_b, (a, b) -> a * b), 0L, (a, x) -> a + x)")
-      val cos = a.join(b, "k").filter(col("cid_a") < col("cid_b"))
-        .select(col("cid_b").as("cid"),
-          (dotAb.cast("double") /
-            (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
-            .as("cosine"))
-      val ver = cos.groupBy("cid")
-        .agg(sum(when(col("cosine") >= 45e-2, 1L).otherwise(0L)).as("nn"),
-          max(col("cosine")).as("mc"))
-      cell.select(col("cid"), col("k").as("cluster"))
-        .join(ver, Seq("cid"), "left")
-        .select(col("cid"), col("cluster"),
-          coalesce(col("nn"), lit(0L)).as("n_near"),
-          (coalesce(col("nn"), lit(0L)) > 0).as("pruned"),
-          col("mc").as("max_cos"))
+      SemDedup.prune(corpus, SemDedup.seedsOf(corpus, 8), lit(45e-2))
     },
 
     // -- DSIR-style importance weights (Xie et al. 2023: data selection
