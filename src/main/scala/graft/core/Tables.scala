@@ -26,7 +26,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** Events stream table. The generator has produced two physical layouts
+    * for `ts`: parquet TIMESTAMP(NANOS) (read as a raw ns long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ). Normalize both to the repo-wide convention:
+    * `ts` = nanoseconds since epoch as LONG, so every consumer's µs logic
+    * (`ts div 1000`) is layout-independent. The NTZ→LTZ cast is exact
+    * because every entry point pins `spark.sql.session.timeZone=UTC`;
+    * ×1000 is exact in long range (2024 epoch ≈ 1.7e18 ns). DuckDB reads
+    * the µs layout natively, so the oracles' `epoch_ns(ts)` stays exact. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -360,7 +360,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.EventOps
     import graft.operators.EventOps.{TypedEv, TransOut}
     implicit val ctx = spark.sqlContext
-    val evs = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val evs = graft.core.Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("ts div 1000").as("tus"),
         col("event_id"), col("event_type"))
       .collect()
