@@ -1928,5 +1928,187 @@ object TrainingData {
       val prob = Det.r6(lit(1e0) / (lit(1e0) + exp(-zr)))
       f.select(col("doc_id"), col("n_tok"), col("n_typ"), col("n_stop"),
         z.as("z"), prob.as("prob"), (prob >= 5e-1).as("keep"))
+    },
+
+    // -- Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 adapted
+    //    to the corpus: word-count bounds, mean-word-length bounds,
+    //    stopword floor, duplicate-word ceiling, most-common-word
+    //    ceiling). Every rule is an INTEGER cross-multiplied comparison —
+    //    no float ever reaches the hashed surface. One token explode with
+    //    map-side partial aggs; the histogram shuffle is doc-keyed, so at
+    //    100 TB it scales with the corpus, never with a pair blowup.
+    Q("t32_gopher_rules",
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE length(text) > 0),
+        |h AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_typ,
+        |    CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |    CAST(SUM(CASE WHEN tok = 'a' OR tok = 'the' THEN c ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    CAST(SUM(length(tok) * c) AS BIGINT) AS n_chars_ns
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_typ, max_cnt, n_stop, n_chars_ns,
+        |  (n_tok BETWEEN 20 AND 400) AS r_wc,
+        |  (3 * n_tok <= n_chars_ns AND n_chars_ns <= 10 * n_tok) AS r_mwl,
+        |  (n_stop >= 2) AS r_stop,
+        |  (5 * (n_tok - n_typ) <= 3 * n_tok) AS r_dup,
+        |  (5 * max_cnt <= n_tok) AS r_top,
+        |  (n_tok BETWEEN 20 AND 400
+        |    AND 3 * n_tok <= n_chars_ns AND n_chars_ns <= 10 * n_tok
+        |    AND n_stop >= 2
+        |    AND 5 * (n_tok - n_typ) <= 3 * n_tok
+        |    AND 5 * max_cnt <= n_tok) AS keep
+        |FROM f""".stripMargin) { (s, dir) =>
+      val h = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val f = h.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_typ"),
+        max(col("c")).as("max_cnt"),
+        sum(when(col("tok") === "a" || col("tok") === "the", col("c"))
+          .otherwise(0L)).as("n_stop"),
+        sum(length(col("tok")).cast("long") * col("c")).as("n_chars_ns"))
+      val rWc = col("n_tok").between(20, 400)
+      val rMwl = (lit(3) * col("n_tok") <= col("n_chars_ns")) &&
+        (col("n_chars_ns") <= lit(10) * col("n_tok"))
+      val rStop = col("n_stop") >= 2
+      val rDup = lit(5) * (col("n_tok") - col("n_typ")) <= lit(3) * col("n_tok")
+      val rTop = lit(5) * col("max_cnt") <= col("n_tok")
+      f.select(col("doc_id"), col("n_tok"), col("n_typ"), col("max_cnt"),
+        col("n_stop"), col("n_chars_ns"),
+        rWc.as("r_wc"), rMwl.as("r_mwl"), rStop.as("r_stop"),
+        rDup.as("r_dup"), rTop.as("r_top"),
+        (rWc && rMwl && rStop && rDup && rTop).as("keep"))
+    },
+
+    // -- CCNet-style perplexity bucketing (Wenzek et al. 2020: score each
+    //    doc under a corpus LM, split each language into head/middle/tail
+    //    terciles by per-char perplexity). The LM is t22's char-bigram
+    //    model via the alphabet²-bounded LUT combiner + one codegen
+    //    BigramFsum pass; the hashed surface is the exact micro-ln LONG
+    //    score, its exact-rational per-pair mean (round of a bit-identical
+    //    IEEE quotient — class (a)), and an integer-ordered ntile. The
+    //    tercile window is one lang-keyed shuffle of doc-sized rows.
+    Q("t33_ccnet_buckets",
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2),
+        |pr AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS pair
+        |  FROM idx),
+        |bg AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM pr GROUP BY pair),
+        |un AS (SELECT substr(pair, 1, 1) AS ch, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM pr GROUP BY substr(pair, 1, 1)),
+        |sc AS (
+        |  SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(ROUND(ln(bg.c2 / un.c1) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS score_u
+        |  FROM pr
+        |    JOIN bg ON bg.pair = pr.pair
+        |    JOIN un ON un.ch = substr(pr.pair, 1, 1)
+        |  GROUP BY pr.doc_id),
+        |m AS (
+        |  SELECT d.doc_id, d.lang, sc.n_pairs, sc.score_u,
+        |    CAST(ROUND(CAST(sc.score_u AS DOUBLE) / sc.n_pairs) AS BIGINT)
+        |      AS mean_u
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, lang, n_pairs, score_u, mean_u,
+        |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY mean_u DESC, doc_id)
+        |    AS BIGINT) AS bucket
+        |FROM m""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.operators.TextCombiner
+      val docs2 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+      val bg = TextCombiner.pairCodeCounts(docs2, "text")
+        .select(col("code"), col("cnt").as("c2"))
+      val un = bg.groupBy(expr("code div 128").as("c0"))
+        .agg(sum(col("c2")).as("c1"))
+      // alphabet²-bounded model → driver LUT (the t22 idiom, not a
+      // data-sized collect); terms identical to t22's hashed surface
+      val lut = new Array[Long](16384)
+      bg.join(un, expr("code div 128") === col("c0"))
+        .select(col("code"),
+          round(log(col("c2") / col("c1")) * 1e6).cast("long").as("t"))
+        .collect().foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+      val lutDf = Seq(lut.toSeq).toDF("arr")
+      val sc = docs2.crossJoin(broadcast(lutDf))
+        .select(col("doc_id"), col("lang"),
+          (length(col("text")) - 1).cast("long").as("n_pairs"),
+          expr("bigram_fsum(text, arr)").as("score_u"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("mean_u").desc, col("doc_id"))
+      sc.withColumn("mean_u",
+          round(col("score_u").cast("double") / col("n_pairs")).cast("long"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+    },
+
+    // -- exact-substring match runs (Lee et al. 2022 "Deduplicating
+    //    Training Data Makes Language Models Better": find maximal shared
+    //    word-K-gram runs across document pairs — the suffix-array dedup's
+    //    relational face). Positional K-gram join blocked by gram
+    //    frequency (stop-grams never enter the pair join), then
+    //    gaps-and-islands (pa − row_number per (a,b,offset)) merges
+    //    consecutive matches into maximal runs. Pure integer arithmetic.
+    //    At scale: the gram join shuffles on the gram key with the df cap
+    //    bounding any hot gram's fan-out; the island window rides ONE
+    //    (a,b,diff)-keyed shuffle.
+    Q("t34_substring_runs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS p
+        |  FROM toks WHERE len(tk) >= 8),
+        |g AS (
+        |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 7), ' ')
+        |    AS gram FROM idx),
+        |df AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        |gf AS (SELECT g.doc_id, g.p, g.gram
+        |       FROM g JOIN df ON df.gram = g.gram WHERE df.c BETWEEN 2 AND 16),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.p AS pa, b.p AS pb, a.p - b.p AS diff
+        |  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diff, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+        |                            ORDER BY pa) AS i
+        |  FROM pr)
+        |SELECT doc_a, doc_b, diff,
+        |  CAST(MIN(pa) AS BIGINT) AS start_a,
+        |  CAST(MIN(pb) AS BIGINT) AS start_b,
+        |  CAST(COUNT(*) + 7 AS BIGINT) AS match_words
+        |FROM isl GROUP BY doc_a, doc_b, diff, i""".stripMargin) { (s, dir) =>
+      val K = 8
+      val idx = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= K)
+        .select(col("doc_id"), col("tk"),
+          explode(expr(s"sequence(1, size(tk) - ${K - 1})")).as("p"))
+      val g = idx.select(col("doc_id"), col("p").cast("long").as("p"),
+        expr(s"concat_ws(' ', slice(tk, p, $K))").as("gram"))
+      val dfc = g.groupBy("gram").agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 16)).select("gram")
+      val gf = g.join(dfc, "gram")
+      val pr = gf.select(col("gram"), col("doc_id").as("doc_a"),
+          col("p").as("pa"))
+        .join(gf.select(col("gram"), col("doc_id").as("doc_b"),
+          col("p").as("pb")), "gram")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+          (col("pa") - col("pb")).as("diff"))
+      val w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+      pr.withColumn("i", col("pa") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diff", "i")
+        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+          (count(lit(1)) + lit(K - 1).cast("long")).as("match_words"))
+        .drop("i")
     })
 }

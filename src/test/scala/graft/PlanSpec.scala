@@ -316,6 +316,36 @@ class PlanSpec extends AnyFunSuite {
       "t30 shuffles the pair stream for a model-sized join:\n" + p)
   }
 
+  test("t32: rule battery is one explode + doc-keyed aggregation chain") {
+    // the histogram and the per-doc rollup share the doc_id key — Spark
+    // must not insert a second corpus shuffle between them, and no join
+    // may appear (the rules are pure post-agg arithmetic)
+    val p = planOf("t32_gopher_rules")
+    assert(!p.contains("Join"), "t32 must be join-free:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "t32 grew beyond the token + doc rollup shuffles:\n" + p)
+  }
+
+  test("t33: LM LUT broadcasts; tercile window is one lang-keyed shuffle") {
+    val p = planOf("t33_ccnet_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"),
+      "t33 LUT does not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "t33 shuffles a corpus-sized stream for a model-sized join:\n" + p)
+  }
+
+  test("t34: gram join shuffles on the gram key; islands ride one window shuffle") {
+    // the pair join must hash-partition by gram (blocked by the df cap),
+    // never broadcast a corpus-sized gram stream
+    val p = planOf("t34_substring_runs")
+    assert(p.contains("Exchange hashpartitioning"),
+      "t34 lost its keyed shuffles:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+      "t34 must never cross-join the corpus:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
