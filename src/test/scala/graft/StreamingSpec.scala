@@ -384,4 +384,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("streaming chunk dedup matches the t28 batch keep rule") {
+    // feed the t28 chunk fingerprints through two micro-batches in
+    // (doc_id, chunk_idx) order — dedup-on-ingest must keep exactly the
+    // batch min-owner set and count every copy, wherever the batch
+    // boundary lands (per-fingerprint counter state survives the split)
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{ChunkIn, DedupOut}
+    implicit val ctx = spark.sqlContext
+    val batch = graft.SparkEntry.queries("t28_chunk_dedup")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("fp"), r.getAs[Long]("n_copies"), r.getAs[Boolean]("keep")))
+      .toMap
+    val arrivals = batch.toSeq.sortBy(_._1)
+      .map { case ((d, c), (fp, _, _)) => ChunkIn(d, c, fp) }
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val ms = MemoryStream[ChunkIn]
+    val q = StreamingMl.streamingDedup(ms.toDS())
+      .writeStream.format("memory").queryName("chunk_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      val got = spark.table("chunk_dedup").as[DedupOut].collect()
+      assert(got.length === batch.size)
+      got.foreach { o =>
+        val (fp, _, keep) = batch((o.docId, o.chunkIdx))
+        assert(o.fp === fp)
+        assert(o.keep === keep,
+          s"keep mismatch at (${o.docId}, ${o.chunkIdx})")
+      }
+      // the per-fingerprint counters must agree with the batch copy counts
+      val lastSeen = got.groupBy(_.fp).view.mapValues(_.map(_.nSeen).max).toMap
+      batch.foreach { case (_, (fp, nCopies, _)) =>
+        assert(lastSeen(fp) === nCopies, s"copy count mismatch for fp $fp")
+      }
+    } finally q.stop()
+  }
 }
