@@ -2050,6 +2050,113 @@ object TrainingData {
         .withColumn("bucket", ntile(3).over(w).cast("long"))
     },
 
+    // -- MinHash-band recall diagnostic (the dedup sibling of e09: before
+    //    trusting an LSH dedup pass at 100 TB, measure what the band rule
+    //    misses on a pinned sample). Ground truth = exact token-set
+    //    Jaccard ≥ 0.5 on docs < 64; candidates = t08's (h1,h2) band
+    //    bucket join on the same sample. The hashed surface is three
+    //    exact counts and two exact single divisions. Sample-bounded by
+    //    construction — corpus growth never widens any relation here.
+    Q("t35_minhash_recall",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 64),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |truth AS (
+        |  SELECT ia, ib FROM pairs
+        |    JOIN sizes sa ON sa.doc_id = ia
+        |    JOIN sizes sb ON sb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 5e-1),
+        |sig AS (
+        |  SELECT doc_id, MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2
+        |  FROM toks GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2
+        |    AND a.doc_id < b.doc_id)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+        |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+        |  CAST((SELECT COUNT(*) FROM cand c JOIN truth t
+        |        ON c.ia = t.ia AND c.ib = t.ib) AS BIGINT) AS n_hit,
+        |  CAST((SELECT COUNT(*) FROM cand c JOIN truth t
+        |        ON c.ia = t.ia AND c.ib = t.ib) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM truth) AS recall,
+        |  CAST((SELECT COUNT(*) FROM cand c JOIN truth t
+        |        ON c.ia = t.ia AND c.ib = t.ib) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM cand) AS precision""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = toks.select(col("doc_id").as("ia"), col("tok"))
+        .join(toks.select(col("doc_id").as("ib"), col("tok").as("tb")),
+          col("tok") === col("tb") && col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      val truth = pairs
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+          >= 5e-1)
+        .select("ia", "ib")
+      val sig = toks.groupBy("doc_id").agg(
+        min(md5(concat(lit("a"), col("tok")))).as("h1"),
+        min(md5(concat(lit("b"), col("tok")))).as("h2"))
+      val cand = sig.select(col("doc_id").as("ia"), col("h1"), col("h2"))
+        .join(sig.select(col("doc_id").as("ib"), col("h1").as("g1"),
+          col("h2").as("g2")),
+          col("h1") === col("g1") && col("h2") === col("g2")
+            && col("ia") < col("ib"))
+        .select("ia", "ib")
+      val hit = cand.join(truth, Seq("ia", "ib"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+          (col("n_hit").cast("double") / col("n_cand")).as("precision"))
+    },
+
+    // -- token-budget allocation (the "how many epochs of each source"
+    //    planning step of a data mix — Muennighoff 2023's ≤4-epoch repeat
+    //    rule): per-source token counts, √-tempered weights in fixed
+    //    point, integer-division allocation of a literal token budget,
+    //    micro-epoch repeat factors capped at 4. Pure integer arithmetic;
+    //    output is sources-sized at any corpus scale.
+    Q("t36_token_budget",
+      """WITH sc AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, n_tok,
+        |    CAST(ROUND(sqrt(n_tok) * 1e6) AS BIGINT) AS sq
+        |  FROM sc),
+        |t AS (SELECT CAST(SUM(sq) AS BIGINT) AS tot FROM q)
+        |SELECT source, n_tok, sq,
+        |  (1048576 * sq) // tot AS alloc_tok,
+        |  LEAST(4000000, ((1048576 * sq) // tot) * 1000000 // n_tok)
+        |    AS epochs_u,
+        |  (((1048576 * sq) // tot) * 1000000 // n_tok) > 4000000 AS capped
+        |FROM q, t""".stripMargin) { (s, dir) =>
+      val sc = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+      val qd = sc.withColumn("sq",
+        round(sqrt(col("n_tok")) * 1e6).cast("long"))
+      val alloc = expr("(1048576 * sq) div tot")
+      val rawEpochs = expr("((1048576 * sq) div tot) * 1000000 div n_tok")
+      qd.crossJoin(broadcast(qd.agg(sum(col("sq")).as("tot"))))
+        .select(col("source"), col("n_tok"), col("sq"),
+          alloc.as("alloc_tok"),
+          least(lit(4000000L), rawEpochs).as("epochs_u"),
+          (rawEpochs > 4000000L).as("capped"))
+    },
+
     // -- exact-substring match runs (Lee et al. 2022 "Deduplicating
     //    Training Data Makes Language Models Better": find maximal shared
     //    word-K-gram runs across document pairs — the suffix-array dedup's

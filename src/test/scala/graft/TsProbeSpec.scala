@@ -21,6 +21,24 @@ class TsProbeSpec extends AnyFunSuite {
   private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1").filter(d => new java.io.File(d + "/events.parquet").exists)
 
+  test("events loader yields the ns-long ts contract on every layout") {
+    // the generator has shipped both TIMESTAMP(NANOS) (read as a raw long
+    // under nanosAsLong) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ);
+    // Tables.events must normalize either to ns-since-epoch LONG, in
+    // 2024-range, µs-aligned when the source is µs — every `ts div 1000`
+    // consumer depends on this
+    for (dir <- sfs) {
+      val ev = core.Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType ===
+        org.apache.spark.sql.types.LongType,
+        s"$dir: events.ts must read as ns-long")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val y2024 = 1704067200000000000L // 2024-01-01 UTC in ns
+      assert(r.getLong(0) >= y2024 && r.getLong(1) < y2024 + 400L * 86400e9.toLong,
+        s"$dir: ts range [${r.getLong(0)}, ${r.getLong(1)}] outside 2024")
+    }
+  }
+
   test("events sit well clear of second boundaries (s02 t_start/t_end safety)") {
     for (dir <- sfs) {
       val ns = core.Tables.events(spark, dir).select(col("ts"))
