@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Materialize a synthetic sf1 directory: the sf0.1 fact tables replicated
+k times (default 10) with consistently shifted surrogate keys, dims copied
+verbatim (their keys are semantic and every FK must stay resolvable).
+
+Replicated: lineitem (shift l_orderkey), orders (shift o_orderkey only —
+o_custkey must keep pointing into the verbatim customer dim), events
+(shift event_id; user_id/ts duplicate exactly — every window ordering in
+the suite tie-breaks on event_id, so the plans stay deterministic),
+documents (shift doc_id; text duplicates exactly, so dedup queries see 10x
+duplicate mass — the interesting case), embeddings (shift vec_id; query
+vectors vec_id<8 keep their originals in replica 0).
+
+Schemas are preserved bit-for-bit (whatever timestamp layout the source
+generation used rides through unchanged).
+
+Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1x] [k=10]
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+VERBATIM = ["region", "nation", "customer", "supplier", "part"]
+SHIFT = {  # table -> columns whose key space is replicated
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+import os
+os.makedirs(OUT, exist_ok=True)
+
+for t in VERBATIM:
+    tab = pq.read_table(f"{SRC}/{t}.parquet")
+    pq.write_table(tab, f"{OUT}/{t}.parquet")
+    print(f"{t}: {tab.num_rows} rows (verbatim)")
+
+for t, keys in SHIFT.items():
+    tab = pq.read_table(f"{SRC}/{t}.parquet")
+    shift = {k: pc.max(tab.column(k)).as_py() + 1 for k in keys}
+    parts = []
+    for i in range(K):
+        rep = tab
+        for k in keys:
+            col = pc.add(rep.column(k), i * shift[k])
+            rep = rep.set_column(rep.schema.get_field_index(k), k, col)
+        parts.append(rep)
+    big = pa.concat_tables(parts)
+    pq.write_table(big, f"{OUT}/{t}.parquet")
+    print(f"{t}: {tab.num_rows} -> {big.num_rows} rows (x{K}, shift {shift})")
