@@ -207,6 +207,76 @@ case class BigramFsum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two `array<long>` columns — the codegen'd
+  * replacement for `aggregate(zip_with(a, b, *), 0L, +)`, which Spark can
+  * only evaluate INTERPRETED (higher-order functions have no doGenCode):
+  * per-pair lambda dispatch made the within-cluster cosine scans of the
+  * embedding suite the single-threaded bottleneck of the 10× scale gate.
+  * Same exact long sum, so every hashed surface is unchanged. */
+case class QDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "qdot"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QDot.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.QDot.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QDot {
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
+/** Exact integer squared-L2 distance of two `array<long>` columns — the
+  * codegen'd sibling of [[QDot]] for the centroid-assignment scans. */
+case class QL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ql2"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QL2.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.QL2.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object QL2 {
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+}
+
 object BigramFsum {
   def compute(s: String, terms: org.apache.spark.sql.catalyst.util.ArrayData)
       : Long = {
@@ -309,6 +379,12 @@ object GraftFunctions {
     (FunctionIdentifier("bigram_fsum"),
       new ExpressionInfo(classOf[BigramFsum].getName, "bigram_fsum"),
       (args: Seq[Expression]) => BigramFsum(args.head, args(1))),
+    (FunctionIdentifier("qdot"),
+      new ExpressionInfo(classOf[QDot].getName, "qdot"),
+      (args: Seq[Expression]) => QDot(args.head, args(1))),
+    (FunctionIdentifier("ql2"),
+      new ExpressionInfo(classOf[QL2].getName, "ql2"),
+      (args: Seq[Expression]) => QL2(args.head, args(1))),
     (FunctionIdentifier("kmv_minhash"),
       new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_minhash"),
       (args: Seq[Expression]) => KmvMinHashes(args.head,

@@ -26,10 +26,11 @@ object SemDedup {
     * centroids; ties to the lower k. Input must carry (cid, qv);
     * all other columns are preserved. */
   def assign(corpus: DataFrame, seeds: Seq[(Long, Seq[Long])]): DataFrame = {
+    // literal-array ql2 rides whole-stage codegen; the typedLit zip_with
+    // form would evaluate interpreted per (vector, centroid)
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val cands = seeds.map { case (k, v) =>
-      val d2 = aggregate(
-        zip_with(col("qv"), typedLit(v), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val d2 = expr(s"ql2(qv, array(${v.map(_ + "L").mkString(",")}))")
       struct(d2.as("d2"), lit(k).as("k"))
     }
     corpus.withColumn("k", least(cands: _*).getField("k"))
@@ -41,13 +42,15 @@ object SemDedup {
     * (cid, qv, n2). Output: (cid, cluster, n_near, pruned, max_cos). */
   def prune(corpus: DataFrame, seeds: Seq[(Long, Seq[Long])],
             tau: Column): DataFrame = {
+    // the pair scan is the quadratic-per-cluster hot path — the codegen'd
+    // qdot keeps it out of interpreted higher-order-function eval
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val cell = assign(corpus, seeds)
     val a = cell.select(col("k"), col("cid").as("cid_a"),
       col("qv").as("qv_a"), col("n2").as("n2_a"))
     val b = cell.select(col("k"), col("cid").as("cid_b"),
       col("qv").as("qv_b"), col("n2").as("n2_b"))
-    val dotAb = expr(
-      "aggregate(zip_with(qv_a, qv_b, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+    val dotAb = expr("qdot(qv_a, qv_b)")
     val cos = a.join(b, "k").filter(col("cid_a") < col("cid_b"))
       .select(col("cid_b").as("cid"),
         (dotAb.cast("double") /

@@ -90,7 +90,7 @@ object TrainingData {
     val qCol = expr(
       "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
     val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
-      .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      .withColumn("n2", expr("qdot(qv, qv)"))
       .withColumn("code", expr("lsh_code16(qv)"))
     val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i)
     val maskDf = { import s.implicits._; masks.toDF("mask") }
@@ -101,7 +101,7 @@ object TrainingData {
     val cand = probes.join(bk, col("code") === col("probe")
         && col("cid_a") < col("cid"))
     val dot = expr(
-      "aggregate(zip_with(qv_a, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+      "qdot(qv_a, qv)")
     val cosine = dot.cast("double") /
       (sqrt(col("n2_a").cast("double")) * sqrt(col("n2").cast("double")))
     cand.select(col("cid_a"), col("cid").as("cid_b"),
@@ -534,6 +534,7 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       // Spark side: quantize + dot product as higher-order expressions
       // over the raw array columns — broadcast nested-loop of 8 query
       // vectors against the corpus scan, no 64x explode and no position
@@ -542,14 +543,14 @@ object TrainingData {
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
-      val n2 = expr("aggregate(qv, 0L, (a, x) -> a + x * x)")
+      val n2 = expr("qdot(qv, qv)")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("cid_n2", n2)
       val queries = broadcast(emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), qCol.as("qqv"))
-        .withColumn("qid_n2", expr("aggregate(qqv, 0L, (a, x) -> a + x * x)")))
+        .withColumn("qid_n2", expr("qdot(qqv, qqv)")))
       val dot = expr(
-        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+        "qdot(qqv, qv)")
       val cos = corpus.crossJoin(queries)
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
@@ -615,7 +616,7 @@ object TrainingData {
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
-        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("n2", expr("qdot(qv, qv)"))
         .withColumn("code", expr("lsh_code16(qv)"))
       // Hamming<=2 probe masks: the identity, every single bit, and every
       // bit pair — a STATIC 137-element list, exploded on the (tiny) query
@@ -633,7 +634,7 @@ object TrainingData {
       val cand = bk.join(qb, col("code") === col("probe"))
         .filter(col("qid") =!= col("cid"))
       val dot = expr(
-        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+        "qdot(qqv, qv)")
       val cos = cand.select(col("qid"), col("cid"),
         (dot.cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
@@ -737,13 +738,13 @@ object TrainingData {
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
-        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("n2", expr("qdot(qv, qv)"))
         .withColumn("code", expr("lsh_code16(qv)"))
       val queries = broadcast(bk.filter(col("cid") < 8)
         .select(col("cid").as("qid"), col("qv").as("qqv"),
           col("n2").as("q_n2"), col("code").as("qcode")))
       val dot = expr(
-        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+        "qdot(qqv, qv)")
       val cosine = (dot.cast("double") /
         (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
       val rk = Window.partitionBy("qid")
@@ -869,6 +870,7 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       // centroid training is the one genuine aggregation (explode +
       // groupBy); assignment and search use centroid VECTORS (pos-ordered
       // collect) with higher-order zip_with distances — no position joins
@@ -876,7 +878,7 @@ object TrainingData {
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
-        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("n2", expr("qdot(qv, qv)"))
       val cent = emb.select(col("label"), posexplode(col("embedding")))
         .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
           round(col("col").cast("double") * 1e6).cast("long").as("qv"))
@@ -886,7 +888,7 @@ object TrainingData {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
           .as("cvec"))
       val d2 = expr(
-        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
+        "ql2(qv, cvec)")
       val cell = corpus.crossJoin(broadcast(cent))
         .select(col("cid"), col("label"), col("qv"), col("n2"), d2.as("d2"))
         .withColumn("rk",
@@ -897,7 +899,7 @@ object TrainingData {
           col("qv").as("qqv"), col("n2").as("q_n2")))
       val cand = cell.join(qcell, "label").filter(col("qid") =!= col("cid"))
       val dot = expr(
-        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+        "qdot(qqv, qv)")
       val cos = cand.select(col("qid"), col("cid"),
         (dot.cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
@@ -960,10 +962,12 @@ object TrainingData {
       // instead of the former crossJoin + per-cid min aggregation
       // (2 exchanges per assignment round).
       def assignLit(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+        graft.expr.GraftFunctions.register(s)
         val cands = cents.map { case (k, v) =>
-          val d2 = aggregate(
-            zip_with(col("qv"), typedLit(v), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)
+          // literal-array ql2 stays inside whole-stage codegen — the
+          // typedLit zip_with form evaluated INTERPRETED per (vector,
+          // centroid), the one non-codegen hot loop of the suite
+          val d2 = expr(s"ql2(qv, array(${v.map(_ + "L").mkString(",")}))")
           struct(d2.as("d2"), lit(k).as("k"))
         }
         corpus.select(col("cid"), least(cands: _*).getField("k").as("k"))
@@ -1552,6 +1556,7 @@ object TrainingData {
          |    PARTITION BY qid ORDER BY ad2, cid) AS BIGINT) AS rank
          |  FROM adc) WHERE rank <= 3""".stripMargin
     }) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
@@ -1566,7 +1571,7 @@ object TrainingData {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
           .as("cvec"))
       val d2c = expr(
-        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (a, x) -> a + x)")
+        "ql2(qv, cvec)")
       val cell = corpus.crossJoin(broadcast(cent))
         .select(col("cid"), col("label").as("cell"), d2c.as("d2"))
         .withColumn("rk",
@@ -1779,7 +1784,8 @@ object TrainingData {
     Q("t29_semdedup",
       s"""WITH ce AS (${qExplodeSql("cid", "")}),
          |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
-         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce WHERE cid < 8),
+         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce
+         |  WHERE cid < (SELECT GREATEST(8, COUNT(DISTINCT cid) // 512) FROM ce)),
          |dk AS (
          |  SELECT ce.cid, s.k, SUM((ce.qv - s.cq)*(ce.qv - s.cq)) AS d2
          |  FROM ce JOIN seed s ON ce.pos = s.pos
@@ -1814,13 +1820,19 @@ object TrainingData {
          |  COALESCE(ver.n_near, 0) > 0 AS pruned,
          |  ver.max_cos AS max_cos
          |FROM asg LEFT JOIN ver ON asg.cid = ver.cid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       import graft.operators.SemDedup
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
-        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-      SemDedup.prune(corpus, SemDedup.seedsOf(corpus, 8), lit(45e-2))
+        .withColumn("n2", expr("qdot(qv, qv)"))
+      // SemDeDup's scale contract: cluster count GROWS with the corpus so
+      // the per-cluster pair blowup stays n/k-bounded. k = max(8, n/512)
+      // keeps the sf0.001..sf0.1 gates at the historical k=8 and engages
+      // the growth on larger corpora (the sf1x probe runs k=39).
+      val k = math.max(8L, emb.count() / 512L)
+      SemDedup.prune(corpus, SemDedup.seedsOf(corpus, k), lit(45e-2))
     },
 
     // -- DSIR-style importance weights (Xie et al. 2023: data selection

@@ -346,6 +346,19 @@ class PlanSpec extends AnyFunSuite {
       "t34 must never cross-join the corpus:\n" + p)
   }
 
+  test("embedding hot paths use the codegen dot, never interpreted zip_with") {
+    // aggregate(zip_with(...)) has no doGenCode — per-pair interpreted
+    // lambda dispatch made the quadratic cosine scans the single-threaded
+    // bottleneck of the 10x scale gate. The pair/assignment paths must
+    // ride qdot/ql2.
+    for (q <- Seq("t29_semdedup", "e01_knn_bruteforce", "e05_kmeans_2iter",
+        "t10_embed_neardup", "e08_ivfpq_search")) {
+      val p = planOf(q)
+      assert(!p.contains("zip_with"),
+        s"$q fell back to interpreted zip_with:\n" + p.take(2000))
+    }
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
