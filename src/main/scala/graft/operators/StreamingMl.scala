@@ -114,4 +114,44 @@ object StreamingMl {
           out.iterator
       }
   }
+
+  final case class IngestDoc(docId: Long, source: String, text: String)
+
+  /** The training-data INGEST path as one structured stream: quality
+    * filter (stateless projection) → content-fingerprint dedup (keyed
+    * counter state, first arrival wins) → sequence packing (keyed
+    * running-offset state) — t25's batch pipeline recomposed from the
+    * streaming faces, chained as two stateful operators inside a single
+    * query. When the stream arrives in doc order the emitted pack layout
+    * equals the batch t25 result row for row (StreamingSpec proves it);
+    * at production scale each stage's state is constant per key
+    * (fingerprint counter, shard offset) and the stream never widens —
+    * the same per-key shuffles the batch plan makes, applied
+    * incrementally. */
+  def streamingIngest(ds: Dataset[IngestDoc], minTok: Long = 24L,
+                      capacity: Long = 2048L): Dataset[PackOut] = {
+    import ds.sparkSession.implicits._
+    val scored = ds.map { d =>
+      val nTok = d.text.count(_ == ' ') + 1L
+      ChunkIn(d.docId, 0L, graft.expr.RollingFingerprint.compute(d.text)) ->
+        (d.source, nTok)
+    }.filter(_._2._2 >= minTok)
+    val deduped = scored.groupByKey(_._1.fp)
+      .flatMapGroupsWithState[DedupState, (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(ChunkIn, (String, Long))],
+         state: GroupState[DedupState]) =>
+          val sorted = rows.toSeq.sortBy(_._1.docId)
+          var n = state.getOption.map(_.nSeen).getOrElse(0L)
+          val out = sorted.flatMap { case (c, (src, nTok)) =>
+            n += 1
+            if (n == 1L) Some((c.docId, src, nTok)) else None
+          }
+          state.update(DedupState(n))
+          out.iterator
+      }
+    streamingPacking(
+      deduped.map { case (id, src, nTok) => DocIn(src, id / 8192L, id, nTok) },
+      capacity)
+  }
 }

@@ -424,4 +424,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming ingest (filter -> dedup -> pack) matches the t25 batch pipeline") {
+    // the full ingest path as ONE streaming query with two chained
+    // stateful operators; fed the corpus in doc order over three
+    // micro-batches, the emitted pack layout must equal the batch t25
+    // result row for row, wherever the batch boundaries land
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{IngestDoc, PackOut}
+    implicit val ctx = spark.sqlContext
+    val batch = graft.SparkEntry.queries("t25_pipeline_pack")(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
+         r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"),
+         r.getAs[Long]("n_chunks")))
+      .toMap
+    val docs = core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => IngestDoc(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.docId)
+    val thirds = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val ms = MemoryStream[IngestDoc]
+    val q = StreamingMl.streamingIngest(ms.toDS())
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      thirds.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("ingest").as[PackOut].collect()
+      assert(got.length === batch.size,
+        s"survivor count ${got.length} != batch ${batch.size}")
+      got.foreach { o =>
+        val (src, nTok, packId, off, nChunks) = batch(o.docId)
+        assert(o.source === src && o.nTok === nTok && o.packId === packId &&
+          o.packOffset === off && o.nChunks === nChunks,
+          s"pack layout mismatch at doc ${o.docId}")
+      }
+    } finally q.stop()
+  }
 }
