@@ -66,12 +66,14 @@ object GriddingQ {
       s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)}),
          |$tapsSql, $ptsSql,
          |grid AS ($gridSelect)
-         |SELECT pts.row_id,
-         |  SUM(grid.g_re * ti.tap * tj.tap) AS dg_re,
-         |  SUM(grid.g_im * ti.tap * tj.tap) AS dg_im
-         |FROM pts, taps ti, taps tj, grid
-         |WHERE grid.gu = pts.pu + ti.off AND grid.gv = pts.pv + tj.off
-         |GROUP BY pts.row_id""".stripMargin) { (s, dir) =>
+         |SELECT p.row_id,
+         |  SUM(grid.g_re * p.ti_tap * p.tj_tap) AS dg_re,
+         |  SUM(grid.g_im * p.ti_tap * p.tj_tap) AS dg_im
+         |FROM (SELECT pts.row_id, pts.pu + ti.off AS gu, pts.pv + tj.off AS gv,
+         |        ti.tap AS ti_tap, tj.tap AS tj_tap
+         |      FROM pts, taps ti, taps tj) p
+         |JOIN grid ON grid.gu = p.gu AND grid.gv = p.gv
+         |GROUP BY p.row_id""".stripMargin) { (s, dir) =>
       val p = pts(s, dir)
       Gridder.degrid(p, Gridder.scatter(p, Taps), Taps)
     },
@@ -159,13 +161,16 @@ object GriddingQ {
          |  FROM c, taps ti, taps tj
          |  GROUP BY wplane, pu + ti.off, pv + tj.off),
          |gath AS (
-         |  SELECT rt.row_id, rt.dw,
-         |    ${Det.fsumSql("grid.g_re * ti.tap * tj.tap")} AS s_re,
-         |    ${Det.fsumSql("grid.g_im * ti.tap * tj.tap")} AS s_im
-         |  FROM rt, taps ti, taps tj, grid
-         |  WHERE grid.wplane = rt.wplane
-         |    AND grid.gu = rt.pu + ti.off AND grid.gv = rt.pv + tj.off
-         |  GROUP BY rt.row_id, rt.dw)
+         |  SELECT p.row_id, p.dw,
+         |    ${Det.fsumSql("grid.g_re * p.ti_tap * p.tj_tap")} AS s_re,
+         |    ${Det.fsumSql("grid.g_im * p.ti_tap * p.tj_tap")} AS s_im
+         |  FROM (SELECT rt.row_id, rt.dw, rt.wplane,
+         |          rt.pu + ti.off AS gu, rt.pv + tj.off AS gv,
+         |          ti.tap AS ti_tap, tj.tap AS tj_tap
+         |        FROM rt, taps ti, taps tj) p
+         |  JOIN grid ON grid.wplane = p.wplane
+         |    AND grid.gu = p.gu AND grid.gv = p.gv
+         |  GROUP BY p.row_id, p.dw)
          |SELECT row_id,
          |  s_re*cos($theta) - s_im*(-sin($theta)) AS dg_re,
          |  s_re*(-sin($theta)) + s_im*cos($theta) AS dg_im
