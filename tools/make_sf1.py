@@ -51,6 +51,15 @@ for t, keys in SHIFT.items():
         for k in keys:
             col = pc.add(rep.column(k), i * shift[k])
             rep = rep.set_column(rep.schema.get_field_index(k), k, col)
+        if t == "events":
+            # replica i shifts ts by +i µs: real event streams have no
+            # exact-duplicate (user, ts) pairs, and verbatim copies would
+            # make every as-of/window tie engine-arbitrary (the one red of
+            # the first sf1 gate). +9 µs max is far inside every measured
+            # margin (second boundaries >=2.3 ms, session gaps >=662 s).
+            idx = rep.schema.get_field_index("ts")
+            ts = pc.add(rep.column("ts").cast(pa.int64()), i)
+            rep = rep.set_column(idx, "ts", ts.cast(pa.timestamp("us")))
         parts.append(rep)
     big = pa.concat_tables(parts)
     pq.write_table(big, f"{OUT}/{t}.parquet")
