@@ -2169,6 +2169,67 @@ object TrainingData {
           (rawEpochs > 4000000L).as("capped"))
     },
 
+    // -- prefix-filtered set-similarity join (PPJoin/AllPairs, Xiao 2008
+    //    / Bayardo 2007): order every token set by global rarity, join
+    //    only on each doc's first |d| − ⌈τ·|d|⌉ + 1 tokens, verify the
+    //    candidates exactly. Losslessness is THE claim — two sets with
+    //    Jaccard ≥ τ must share a prefix token under a common total
+    //    order — so the ORACLE computes the naive all-pairs join and the
+    //    hash gate rejects any pruning bug that drops a pair. All
+    //    thresholds are integer cross-multiplications (9c ≥ 4(na+nb) ⟺
+    //    J ≥ 0.8). Scale shape: the prefix join's fan-out is bounded by
+    //    prefix-token posting lists (rarest tokens first — the whole
+    //    point); the verify join touches candidates only. The global
+    //    rarity rank is a vocabulary-sized window (Heaps-law bounded),
+    //    never corpus-sized.
+    Q("t37_prefix_join",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 256),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, CAST(c AS BIGINT) AS c,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE 9 * c >= 4 * (sa.n + sb.n)""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < 256)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // global rarity rank: vocabulary-sized, deterministic (df, tok)
+      val rk = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("grk", row_number().over(
+          Window.orderBy(col("df"), col("tok"))))
+        .select("tok", "grk")
+      val pref = toks.join(rk, "tok").join(sizes, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("grk")))
+        .filter(col("rn") <= col("n") - ceil(col("n") * 8e-1).cast("long") + 1)
+        .select("doc_id", "tok")
+      val cand = pref.select(col("doc_id").as("id_a"), col("tok"))
+        .join(pref.select(col("doc_id").as("id_b"), col("tok").as("tb")),
+          col("tok") === col("tb") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // exact verification on candidates only
+      val c = cand
+        .join(toks.select(col("doc_id").as("id_a"), col("tok")), "id_a")
+        .join(toks.select(col("doc_id").as("idb2"), col("tok").as("tb")),
+          col("id_b") === col("idb2") && col("tok") === col("tb"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      c.join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b")))
+        .select(col("id_a"), col("id_b"), col("c"), col("n_a"), col("n_b"),
+          (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+            .as("jaccard"))
+    },
+
     // -- exact-substring match runs (Lee et al. 2022 "Deduplicating
     //    Training Data Makes Language Models Better": find maximal shared
     //    word-K-gram runs across document pairs — the suffix-array dedup's
