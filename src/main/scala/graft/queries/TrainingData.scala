@@ -2169,6 +2169,65 @@ object TrainingData {
           (rawEpochs > 4000000L).as("capped"))
     },
 
+    // -- winnowing fingerprint selection (Schleimer et al. 2003 — the
+    //    MOSS document-fingerprinting algorithm): per-position char
+    //    5-gram polynomial hashes, and every window of w=4 consecutive
+    //    hashes selects its RIGHTMOST MINIMUM; the distinct selected
+    //    (pos, hash) set is the doc's fingerprint sketch, guaranteeing
+    //    any shared substring of ≥ w+k−1 = 8 chars is caught. The
+    //    selection is stated as a windows×positions join with an integer
+    //    (hash, pos DESC) rank — window functions cannot nest, and the
+    //    4-wide explode is bounded by w, not data. All integer
+    //    arithmetic; the hash is an inline polynomial both engines
+    //    compute identically.
+    Q("t38_winnowing",
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 4)) AS i
+        |  FROM documents WHERE length(text) >= 8),
+        |h AS (
+        |  SELECT doc_id, i,
+        |    (CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 923521
+        |     + CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 29791
+        |     + CAST(ascii(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961
+        |     + CAST(ascii(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 31
+        |     + CAST(ascii(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT))
+        |      % 1048576 AS hv
+        |  FROM idx),
+        |wins AS (
+        |  SELECT doc_id, i AS wi, unnest(generate_series(i - 3, i)) AS j
+        |  FROM h WHERE i >= 4),
+        |sel AS (
+        |  SELECT w.doc_id, w.wi, h.j, h.hv,
+        |    ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.wi
+        |                       ORDER BY h.hv, h.j DESC) AS rk
+        |  FROM wins w JOIN (SELECT doc_id, i AS j, hv FROM h) h
+        |    ON h.doc_id = w.doc_id AND h.j = w.j)
+        |SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos,
+        |  CAST(hv AS BIGINT) AS fp
+        |FROM sel WHERE rk = 1""".stripMargin) { (s, dir) =>
+      def a(off: Int) =
+        ascii(expr(s"substring(text, CAST(i + $off AS INT), 1)")).cast("long")
+      val h = Tables.documents(s, dir).filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text) - 4)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          ((a(0) * 923521L + a(1) * 29791L + a(2) * 961L + a(3) * 31L + a(4))
+            % 1048576L).as("hv"))
+      val wins = h.filter(col("i") >= 4)
+        .select(col("doc_id"), col("i").as("wi"),
+          explode(expr("sequence(i - 3, i)")).as("j"))
+      val sel = wins.join(
+          h.select(col("doc_id"), col("i").as("j"), col("hv")),
+          Seq("doc_id", "j"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id", "wi")
+            .orderBy(col("hv"), col("j").desc)))
+        .filter(col("rk") === 1)
+      sel.select(col("doc_id"), col("j").cast("long").as("pos"),
+        col("hv").cast("long").as("fp")).distinct()
+    },
+
     // -- prefix-filtered set-similarity join (PPJoin/AllPairs, Xiao 2008
     //    / Bayardo 2007): order every token set by global rarity, join
     //    only on each doc's first |d| − ⌈τ·|d|⌉ + 1 tokens, verify the
