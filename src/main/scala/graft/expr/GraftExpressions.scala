@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst extensions — the "custom Expression beats UDF" tier of
   * SURVEY §7.3 — registered through `SparkSessionExtensions` (class
@@ -207,6 +207,73 @@ case class BigramFsum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing fingerprint selection (Schleimer 2003 / MOSS) as ONE codegen
+  * pass per document: char-5-gram polynomial hashes h(i) over 1-based
+  * code-point positions, every w=4 window [i−3, i] selects its rightmost
+  * minimum, and the distinct selected (pos, h) pairs come back as an
+  * `array<struct<pos, fp>>` to explode. Selected positions are
+  * nondecreasing as the window slides (the window min can never move
+  * left of a previously selected in-window position under the rightmost
+  * tie rule), so distinctness is a last-position check. The declarative
+  * windows×positions-join formulation (kept as the DuckDB oracle) carries
+  * the full text through a corpus-chars-sized explode; this is the same
+  * integer arithmetic with zero shuffle. */
+case class WinnowFps(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.WinnowFps.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  private val W = 4 // hashes per window
+  def compute(s: String): ArrayData = {
+    // code points, matching ascii(substr(text, i, 1)) on both engines
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < 8) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val nh = n - 4 // hash positions 1..n-4 (1-based)
+    val hv = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      hv(i) = (cps(i).toLong * 923521L + cps(i + 1).toLong * 29791L +
+        cps(i + 2).toLong * 961L + cps(i + 3).toLong * 31L +
+        cps(i + 4).toLong) % 1048576L
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastPos = -1
+    var wi = W - 1 // window end, 0-based
+    while (wi < nh) {
+      var best = wi // rightmost minimum: scan right-to-left, strict <
+      var j = wi - 1
+      while (j >= wi - (W - 1)) {
+        if (hv(j) < hv(best)) best = j
+        j -= 1
+      }
+      if (best != lastPos) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          (best + 1).toLong, hv(best))
+        lastPos = best
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Exact integer dot product of two `array<long>` columns — the codegen'd
   * replacement for `aggregate(zip_with(a, b, *), 0L, +)`, which Spark can
   * only evaluate INTERPRETED (higher-order functions have no doGenCode):
@@ -379,6 +446,9 @@ object GraftFunctions {
     (FunctionIdentifier("bigram_fsum"),
       new ExpressionInfo(classOf[BigramFsum].getName, "bigram_fsum"),
       (args: Seq[Expression]) => BigramFsum(args.head, args(1))),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) => WinnowFps(args.head)),
     (FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),
       (args: Seq[Expression]) => QDot(args.head, args(1))),

@@ -2175,11 +2175,14 @@ object TrainingData {
     //    hashes selects its RIGHTMOST MINIMUM; the distinct selected
     //    (pos, hash) set is the doc's fingerprint sketch, guaranteeing
     //    any shared substring of ≥ w+k−1 = 8 chars is caught. The
-    //    selection is stated as a windows×positions join with an integer
-    //    (hash, pos DESC) rank — window functions cannot nest, and the
-    //    4-wide explode is bounded by w, not data. All integer
-    //    arithmetic; the hash is an inline polynomial both engines
-    //    compute identically.
+    //    selection is ONE frame window per doc: positions are consecutive
+    //    integers, so ROWS BETWEEN 3 PRECEDING AND CURRENT ROW is exactly
+    //    the w=4 hash window, and min(struct(hv, -pos)) picks the smallest
+    //    hash with the RIGHTMOST position on ties — no windows×positions
+    //    join, no second explode, one doc-keyed shuffle. (The oracle keeps
+    //    the textbook join+rank formulation; the hash gate proves the
+    //    frame-window plan equivalent.) All integer arithmetic; the hash
+    //    is an inline polynomial both engines compute identically.
     Q("t38_winnowing",
       """WITH idx AS (
         |  SELECT doc_id, text,
@@ -2206,26 +2209,10 @@ object TrainingData {
         |SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos,
         |  CAST(hv AS BIGINT) AS fp
         |FROM sel WHERE rk = 1""".stripMargin) { (s, dir) =>
-      def a(off: Int) =
-        ascii(expr(s"substring(text, CAST(i + $off AS INT), 1)")).cast("long")
-      val h = Tables.documents(s, dir).filter(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text) - 4)")).as("i"))
-        .select(col("doc_id"), col("i"),
-          ((a(0) * 923521L + a(1) * 29791L + a(2) * 961L + a(3) * 31L + a(4))
-            % 1048576L).as("hv"))
-      val wins = h.filter(col("i") >= 4)
-        .select(col("doc_id"), col("i").as("wi"),
-          explode(expr("sequence(i - 3, i)")).as("j"))
-      val sel = wins.join(
-          h.select(col("doc_id"), col("i").as("j"), col("hv")),
-          Seq("doc_id", "j"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id", "wi")
-            .orderBy(col("hv"), col("j").desc)))
-        .filter(col("rk") === 1)
-      sel.select(col("doc_id"), col("j").cast("long").as("pos"),
-        col("hv").cast("long").as("fp")).distinct()
+      graft.expr.GraftFunctions.register(s)
+      Tables.documents(s, dir).filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("w"))
+        .select(col("doc_id"), col("w.pos"), col("w.fp"))
     },
 
     // -- prefix-filtered set-similarity join (PPJoin/AllPairs, Xiao 2008

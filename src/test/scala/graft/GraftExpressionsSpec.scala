@@ -133,4 +133,68 @@ class GraftExpressionsSpec extends AnyFunSuite {
     info(s"bloom FP rate at 10 bits/item: $rate ($fp / 20000)")
     assert(rate < 0.03, s"FP rate $rate exceeds 3x the 1% design point")
   }
+
+  test("winnow_fps matches the declarative windows-join formulation") {
+    import spark.implicits._
+    // texts exercising ties (repeats force equal hashes in one window),
+    // the len<8 empty case, and an exact len==8 single-window case
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaa"), // all-equal hashes: rightmost tie everywhere
+      (3L, "abcabcabcabcabc"), // period-3 repeats
+      (4L, "short"), // < 8 chars: no windows
+      (5L, "exactly8"), // one window exactly
+      (6L, "mississippi bells and banana bandanas"))
+    val df = texts.toDF("doc_id", "text")
+    df.createOrReplaceTempView("wtexts")
+    val fast = spark.sql(
+      """SELECT doc_id, w.pos AS pos, w.fp AS fp
+        |FROM wtexts LATERAL VIEW explode(winnow_fps(text)) AS w
+        |WHERE length(text) >= 8""".stripMargin)
+    // the textbook formulation: per-position hashes, 4-wide window
+    // explode, rightmost-min rank — what the DuckDB oracle runs
+    val slow = spark.sql(
+      """WITH h AS (
+        |  SELECT doc_id, i,
+        |    (CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) * 923521
+        |     + CAST(ascii(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 29791
+        |     + CAST(ascii(substring(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961
+        |     + CAST(ascii(substring(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 31
+        |     + CAST(ascii(substring(text, CAST(i + 4 AS INT), 1)) AS BIGINT))
+        |      % 1048576 AS hv
+        |  FROM wtexts LATERAL VIEW
+        |    explode(sequence(1, length(text) - 4)) AS i
+        |  WHERE length(text) >= 8),
+        |wins AS (
+        |  SELECT doc_id, i AS wi, j
+        |  FROM h LATERAL VIEW explode(sequence(i - 3, i)) AS j
+        |  WHERE i >= 4),
+        |sel AS (
+        |  SELECT w.doc_id, w.wi, h.i AS j, h.hv,
+        |    ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.wi
+        |                       ORDER BY h.hv, h.i DESC) AS rk
+        |  FROM wins w JOIN h ON h.doc_id = w.doc_id AND h.i = w.j)
+        |SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos,
+        |  CAST(hv AS BIGINT) AS fp
+        |FROM sel WHERE rk = 1""".stripMargin)
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s = slow.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f === s)
+    assert(f.nonEmpty)
+    // doc 4 (<8 chars) contributes nothing; doc 2's all-tie text selects
+    // exactly the rightmost position of each window (one fp per window)
+    assert(!f.exists(_._1 == 4L))
+    val d2 = f.filter(_._1 == 2L).map(_._2)
+    assert(d2 === (4L to 11L).toSet) // len 15 → hash positions 1..11, windows end 4..11
+    // winnowing guarantee: selected positions within a doc, sorted, have
+    // gaps ≤ w (every window of 4 consecutive hash positions is covered)
+    for (doc <- f.map(_._1)) {
+      val ps = f.filter(_._1 == doc).map(_._2).toSeq.sorted
+      assert(ps.head <= 4L)
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4L, s"gap $a→$b in doc $doc")
+        case _ =>
+      }
+    }
+  }
 }
