@@ -506,5 +506,76 @@ object EventsQ {
         .join(broadcast(ex), col("event_type") === col("ext"))
         .select(col("event_type"), col("idx"), col("reg"), col("est"),
           col("n_exact"))
+    },
+
+    // -- equi-width histogram QUANTILE sketch (the quantile sibling of the
+    //    s13 KMV / s16 HLL distinct sketches — the mergeable bounded-state
+    //    answer to "p50/p90/p99 at 100 TB" where exact per-group sorting
+    //    (q15's order-statistic path) would shuffle the corpus): 256 bins
+    //    of dyadic width 2 over [0, 512) clamped at the edges, per-type
+    //    counts (ONE map-side-combined shuffle bounded at types×256 rows
+    //    at ANY corpus size, and register-wise + merges across shards or
+    //    streams), CDF by a ≤256-row window, quantile q = smallest bin
+    //    whose cumulative count reaches ceil(q·n) — ranks as exact
+    //    integer formulas ((n+1) div 2, (9n+9) div 10, (99n+99) div 100).
+    //    value/2 is a dyadic halving and floor() agrees bit-for-bit on
+    //    both engines, so every hashed column is an integer.
+    Q("s17_quantile_sketch",
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(255, GREATEST(0, CAST(floor(value / 2e0) AS BIGINT)))
+        |      AS bin
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, bin, COUNT(*) AS c
+        |  FROM b GROUP BY event_type, bin),
+        |cum AS (
+        |  SELECT event_type, bin,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |n AS (
+        |  SELECT event_type AS et, COUNT(*) AS n FROM b GROUP BY event_type),
+        |q AS (
+        |  SELECT et, n, (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90,
+        |    (99 * n + 99) // 100 AS k99
+        |  FROM n)
+        |SELECT q.et AS event_type, CAST(q.n AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum.cum >= q.k50 THEN cum.bin END) AS BIGINT)
+        |    AS p50_bin,
+        |  CAST(MIN(CASE WHEN cum.cum >= q.k50 THEN cum.bin END) * 2 AS BIGINT)
+        |    AS p50_edge,
+        |  CAST(MIN(CASE WHEN cum.cum >= q.k90 THEN cum.bin END) AS BIGINT)
+        |    AS p90_bin,
+        |  CAST(MIN(CASE WHEN cum.cum >= q.k90 THEN cum.bin END) * 2 AS BIGINT)
+        |    AS p90_edge,
+        |  CAST(MIN(CASE WHEN cum.cum >= q.k99 THEN cum.bin END) AS BIGINT)
+        |    AS p99_bin,
+        |  CAST(MIN(CASE WHEN cum.cum >= q.k99 THEN cum.bin END) * 2 AS BIGINT)
+        |    AS p99_edge
+        |FROM q JOIN cum ON cum.event_type = q.et
+        |GROUP BY q.et, q.n""".stripMargin) { (s, dir) =>
+      val b = Tables.events(s, dir).select(col("event_type"),
+        least(lit(255L), greatest(lit(0L),
+          floor(col("value") / 2d).cast("long"))).as("bin"))
+      val h = b.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val cum = h.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val q = b.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("et"), col("n"),
+          expr("(n + 1) div 2").as("k50"),
+          expr("(9 * n + 9) div 10").as("k90"),
+          expr("(99 * n + 99) div 100").as("k99"))
+      def qb(k: String) = min(when(col("cum") >= col(k), col("bin")))
+      cum.join(broadcast(q), col("event_type") === col("et"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(qb("k50").as("p50_bin"), qb("k90").as("p90_bin"),
+          qb("k99").as("p99_bin"))
+        .select(col("event_type"), col("n"),
+          col("p50_bin"), (col("p50_bin") * 2).as("p50_edge"),
+          col("p90_bin"), (col("p90_bin") * 2).as("p90_edge"),
+          col("p99_bin"), (col("p99_bin") * 2).as("p99_edge"))
     })
 }

@@ -774,6 +774,90 @@ object TrainingData {
           (col("n_hit") / lit(3)).as("recall"))
     },
 
+    // -- silhouette clustering-quality diagnostic (the "are these labels
+    //    real clusters" measurement run before trusting a partitioned
+    //    corpus): for a pinned 64-vector sample, a(i) = mean squared L2
+    //    distance to its own label, b(i) = min over other labels of the
+    //    mean squared distance, s(i) = (b−a)/max(a,b). The Spark plan
+    //    NEVER forms pairs — Σ_{j∈L}‖x_i−x_j‖² expands exactly to
+    //    cnt_L·‖x_i‖² + Σ_{j∈L}‖x_j‖² − 2·x_i·S_L over the integer-
+    //    quantized vectors (1e3 here, so even sf1x per-label sums sit
+    //    ~6 decades under 2⁶³), so the per-label state is labels×dims
+    //    sums from ONE corpus rollup and the sample side is a broadcast
+    //    join — while the ORACLE computes the naive sample×corpus
+    //    pairwise sums, making the hash gate a proof that the algebraic
+    //    expansion is exact. Means are single IEEE divisions of exact
+    //    integers; min/greatest/subtract stay in class (a).
+    Q("e10_silhouette",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e3) AS BIGINT)
+        |      AS qv
+        |  FROM embeddings),
+        |sm AS (SELECT * FROM e WHERE vec_id < 64),
+        |pair AS (
+        |  SELECT sm.vec_id AS i, e.vec_id AS j, e.label AS lab,
+        |    SUM((sm.qv - e.qv) * (sm.qv - e.qv)) AS d2
+        |  FROM sm JOIN e ON e.pos = sm.pos
+        |  GROUP BY sm.vec_id, e.vec_id, e.label),
+        |agg AS (
+        |  SELECT i, lab, CAST(SUM(d2) AS BIGINT) AS sd2, COUNT(*) AS cnt
+        |  FROM pair GROUP BY i, lab),
+        |own AS (
+        |  SELECT vec_id AS i, label AS own FROM embeddings WHERE vec_id < 64),
+        |ab AS (
+        |  SELECT own.i, own.own,
+        |    MAX(CASE WHEN agg.lab = own.own
+        |        THEN CAST(agg.sd2 AS DOUBLE) / (agg.cnt - 1) END) AS a_mean,
+        |    MIN(CASE WHEN agg.lab <> own.own
+        |        THEN CAST(agg.sd2 AS DOUBLE) / agg.cnt END) AS b_mean
+        |  FROM own JOIN agg ON agg.i = own.i
+        |  GROUP BY own.i, own.own)
+        |SELECT i AS vec_id, CAST(own AS BIGINT) AS label, a_mean, b_mean,
+        |  (b_mean - a_mean) / GREATEST(a_mean, b_mean) AS silhouette
+        |FROM ab""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val e = emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("pos"),
+          round(col("col").cast("double") * 1e3).cast("long").as("qv"))
+      // per-label sketch: counts, Σ‖x‖², and the component sums S_L —
+      // ONE map-side-combined corpus rollup, labels×dims rows
+      val cnts = emb.groupBy(col("label").as("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val n2l = e.groupBy(col("label").as("lab"))
+        .agg(sum(col("qv") * col("qv")).as("n2l"))
+      val sums = e.groupBy(col("label").as("lab"), col("pos"))
+        .agg(sum(col("qv")).as("sv"))
+      // sample side: 64 vectors, broadcast everywhere
+      val sm = e.filter(col("vec_id") < 64)
+      val n2i = sm.groupBy("vec_id").agg(sum(col("qv") * col("qv")).as("n2i"))
+      val dots = sm.join(sums, Seq("pos"))
+        .groupBy("vec_id", "lab").agg(sum(col("qv") * col("sv")).as("dt"))
+      val sd2 = dots.join(broadcast(cnts), Seq("lab"))
+        .join(broadcast(n2l), Seq("lab"))
+        .join(broadcast(n2i), Seq("vec_id"))
+        .select(col("vec_id"), col("lab"), col("cnt"),
+          (col("cnt") * col("n2i") + col("n2l") - lit(2) * col("dt"))
+            .as("sd2"))
+      val own = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("label").as("own"))
+      val ab = sd2.join(broadcast(own), Seq("vec_id"))
+        .groupBy("vec_id", "own")
+        .agg(
+          max(when(col("lab") === col("own"),
+            col("sd2").cast("double") / (col("cnt") - 1))).as("a_mean"),
+          min(when(col("lab") =!= col("own"),
+            col("sd2").cast("double") / col("cnt"))).as("b_mean"))
+      ab.select(col("vec_id"), col("own").cast("long").as("label"),
+        col("a_mean"), col("b_mean"),
+        ((col("b_mean") - col("a_mean")) /
+          greatest(col("a_mean"), col("b_mean"))).as("silhouette"))
+    },
+
     // -- duplicate-CLUSTER assignment: the step between t10's pairs and a
     //    dedup keep-list. Connected components over the near-dup pair
     //    graph via FOUR unrolled rounds of min-label propagation (the

@@ -438,4 +438,43 @@ class DeterminismSpec extends AnyFunSuite {
         "sits within 1e-8 of a round(x*1e6) flip; adjust the fixture")
     }
   }
+
+  test("s17 sketch quantiles bracket the exact percentiles within one bin") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("s17_quantile_sketch")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(5), r.getLong(7))).toMap
+    // the sketch targets the ceil(q·n)-th ORDER STATISTIC (not an
+    // interpolated percentile — interpolation can sit bins lower in a
+    // sparse tail); that value must land inside the selected bin
+    val exact = graft.core.Tables.events(spark, TestSpark.sf)
+      .groupBy("event_type")
+      .agg(expr("sort_array(collect_list(value))").as("vs"))
+      .collect().map { r =>
+        val vs = r.getSeq[Double](1)
+        val n = vs.length
+        def kth(num: Int, den: Int) = vs((num * n + den - 1) / den - 1)
+        r.getString(0) -> (kth(1, 2), kth(9, 10), kth(99, 100))
+      }.toMap
+    assert(df.keySet === exact.keySet)
+    for ((t, (e50, e90, e99)) <- exact) {
+      val (b50, b90, b99) = df(t)
+      for ((edge, ex, nm) <- Seq((b50, e50, "p50"), (b90, e90, "p90"),
+          (b99, e99, "p99"))) {
+        assert(ex >= edge && ex < edge + 2.0,
+          s"$t $nm: order stat $ex outside sketch bin [$edge, ${edge + 2})")
+      }
+    }
+  }
+
+  test("e10 silhouettes are in [-1, 1] and labels separate on average") {
+    val rows = SparkEntry.queries("e10_silhouette")(spark, TestSpark.sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length === 64)
+    for ((a, b, sil) <- rows) {
+      assert(a > 0 && b > 0)
+      assert(sil >= -1.0 && sil <= 1.0, s"silhouette $sil out of range")
+      assert(math.abs(sil - (b - a) / math.max(a, b)) < 1e-12)
+    }
+  }
 }

@@ -359,6 +359,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e10: silhouette never forms sample-corpus pairs; label sketch joins broadcast") {
+    val p = planOf("e10_silhouette")
+    // the sums/cnts/n2 sketch and the 64-row sample join must all
+    // broadcast; a SortMergeJoin would mean the corpus met the corpus
+    assert(!p.contains("SortMergeJoin"),
+      "e10 must join the bounded label sketch by broadcast:\n" + p)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "e10 must not form pairwise products:\n" + p)
+  }
+
+  test("s17: quantile sketch pre-aggregates map-side; no corpus-wide sort") {
+    val p = planOf("s17_quantile_sketch")
+    // the histogram build must partial-aggregate before its exchange —
+    // the whole point of the sketch vs the exact order-statistic path
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "s17 bin counts must combine map-side:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "s17 rank thresholds are types-sized and must broadcast:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "s17 must never globally sort the corpus:\n" + p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
