@@ -269,6 +269,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("histogram quantile sketch accumulates under streaming with batch parity (s17)") {
+    // s17's scale claim is that the (type, bin) counts are mergeable
+    // bounded state — across shards AND streams. Feed values through a
+    // memory stream in two micro-batches; the complete-mode counts must
+    // equal the batch histogram, and the CDF inversion on the streamed
+    // counts must select the same quantile bins.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("t"), least(lit(255L), greatest(lit(0L),
+        floor(col("v") / 2d).cast("long"))).as("bin"))
+      .groupBy("t", "bin").agg(count(lit(1)).as("c"))
+    val vals = (1L to 500L).map(i => (i % 3, (i * 197 % 1000).toDouble / 2))
+    val expect = hist(vals.toDF("t", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ms = MemoryStream[(Long, Double)]
+    val q = hist(ms.toDF().toDF("t", "v"))
+      .writeStream.format("memory").queryName("qsk_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = vals.splitAt(250)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      val got = spark.table("qsk_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expect)
+      // CDF inversion over the streamed registers picks the same p90 bin
+      // as over the batch histogram (per type)
+      def p90(bins: Map[(Long, Long), Long], t: Long): Long = {
+        val h = bins.collect { case ((`t`, b), c) => b -> c }.toSeq.sortBy(_._1)
+        val n = h.map(_._2).sum
+        val k = (9 * n + 9) / 10
+        h.scanLeft(((-1L), 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+          .collectFirst { case (b, cum) if cum >= k => b }.get
+      }
+      for (t <- 0L to 2L) assert(p90(got, t) === p90(expect, t))
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance matches the batch e03 aggregation") {
     // feed the sf0.001 embeddings through a memory stream in TWO
     // micro-batches; after the last batch, each label's most recent
