@@ -577,5 +577,61 @@ object EventsQ {
           col("p50_bin"), (col("p50_bin") * 2).as("p50_edge"),
           col("p90_bin"), (col("p90_bin") * 2).as("p90_edge"),
           col("p99_bin"), (col("p99_bin") * 2).as("p99_edge"))
+    },
+
+    // -- count-min sketch (Cormode 2005 — the frequency sibling of the
+    //    s13/s16/s17 sketches): a depth-4 × width-256 integer counter
+    //    matrix over user_id occurrences, built by ONE map-side-combined
+    //    rollup bounded at 4×256 rows at ANY corpus size and mergeable
+    //    register-wise across shards/streams (counters ADD). Point query
+    //    = min over the 4 rows of the probed counter; CMS guarantees
+    //    est ≥ exact, surfaced per probe as the `over` column the hash
+    //    gate (and a spec) pin to be ≥ 0. Hashes are the s16 Lehmer
+    //    family with per-row multipliers; everything integer.
+    Q("s18_cms_sketch",
+      """WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |h AS (
+        |  SELECT r.r,
+        |    ((e.user_id + 1) * (48271 + r.r * 1009)) % 2147483647 % 256
+        |      AS c
+        |  FROM events e, rows_ r),
+        |cms AS (
+        |  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM h GROUP BY r, c),
+        |probe AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id < 16),
+        |ph AS (
+        |  SELECT p.user_id, r.r,
+        |    ((p.user_id + 1) * (48271 + r.r * 1009)) % 2147483647 % 256
+        |      AS c
+        |  FROM probe p, rows_ r),
+        |est AS (
+        |  SELECT ph.user_id, CAST(MIN(cms.cnt) AS BIGINT) AS est
+        |  FROM ph JOIN cms ON cms.r = ph.r AND cms.c = ph.c
+        |  GROUP BY ph.user_id),
+        |ex AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM events WHERE user_id < 16 GROUP BY user_id)
+        |SELECT ex.user_id, ex.n_exact, est.est,
+        |  est.est - ex.n_exact AS over
+        |FROM ex JOIN est ON est.user_id = ex.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val rows = s.range(0, 4).select(col("id").as("r"))
+      def cOf(uid: org.apache.spark.sql.Column) =
+        ((uid + 1) * (lit(48271L) + col("r") * 1009L)) % 2147483647L % 256
+      val cms = ev.select(col("user_id")).crossJoin(broadcast(rows))
+        .select(col("r"), cOf(col("user_id")).as("c"))
+        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      val probe = ev.filter(col("user_id") < 16)
+        .select("user_id").distinct()
+      val ph = probe.crossJoin(broadcast(rows))
+        .select(col("user_id"), col("r"), cOf(col("user_id")).as("c"))
+      val est = ph.join(broadcast(cms), Seq("r", "c"))
+        .groupBy("user_id").agg(min(col("cnt")).as("est"))
+      val ex = ev.filter(col("user_id") < 16)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      ex.join(broadcast(est), Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("est"),
+          (col("est") - col("n_exact")).as("over"))
     })
 }

@@ -467,6 +467,28 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 count-min estimates dominate exact counts for every user") {
+    import org.apache.spark.sql.functions._
+    // the query surfaces the CMS over-count only for the pinned probe
+    // set; the guarantee est >= exact holds for EVERY key — prove it
+    // over the full user range by probing all of them
+    val ev = graft.core.Tables.events(spark, TestSpark.sf)
+    val rows = spark.range(0, 4).select(col("id").as("r"))
+    def cOf(uid: org.apache.spark.sql.Column) =
+      ((uid + 1) * (lit(48271L) + col("r") * 1009L)) % 2147483647L % 256
+    val cms = ev.select(col("user_id")).crossJoin(broadcast(rows))
+      .select(col("r"), cOf(col("user_id")).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val est = ev.select("user_id").distinct().crossJoin(broadcast(rows))
+      .select(col("user_id"), col("r"), cOf(col("user_id")).as("c"))
+      .join(broadcast(cms), Seq("r", "c"))
+      .groupBy("user_id").agg(min(col("cnt")).as("est"))
+    val bad = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .join(est, Seq("user_id"))
+      .filter(col("est") < col("n")).count()
+    assert(bad === 0L, "count-min under-estimated a key")
+  }
+
   test("e10 silhouettes are in [-1, 1] and labels separate on average") {
     val rows = SparkEntry.queries("e10_silhouette")(spark, TestSpark.sf)
       .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
