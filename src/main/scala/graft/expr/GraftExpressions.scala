@@ -175,6 +175,72 @@ object RollingFingerprint {
   }
 }
 
+/** 8-bit SimHash of a document's DISTINCT space-separated tokens — one
+  * codegen pass per document. Token hash h = (Σᵢ cp(i)·((i·37) mod 64 + 1))
+  * mod 4096 over 1-based code-point positions; each of bits 0..7 votes ±1
+  * per distinct token and the output bit is set iff the vote is positive —
+  * the same exact integer arithmetic as the DuckDB oracle's unnest/
+  * generate_series formulation. The declarative form shuffled a corpus-
+  * tokens-sized relation TWICE (global (doc, tok) distinct, then the vote
+  * re-group by doc) and walked an interpreted `aggregate(sequence…)`
+  * lambda per token; a document's tokens all live in its own row, so the
+  * whole signature is a zero-shuffle projection. */
+case class SimHash8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash8"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash8.compute(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.SimHash8.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash8 =
+    copy(child = newChild)
+}
+
+object SimHash8 {
+  def compute(s: String): Long = {
+    // split(" ", -1) keeps interior/trailing empty tokens, matching both
+    // engines' split semantics (the empty token hashes to 0)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](8)
+    val toks = s.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (seen.add(tok)) {
+        var h = 0L
+        var i = 0L // 1-based code-point index
+        var off = 0
+        while (off < tok.length) {
+          val cp = tok.codePointAt(off)
+          i += 1L
+          h += cp.toLong * ((i * 37L) % 64L + 1L)
+          off += Character.charCount(cp)
+        }
+        h %= 4096L
+        var b = 0
+        while (b < 8) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 8) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Per-document bigram fsum Σᵢ terms[cp(i)·128 + cp(i+1)] over adjacent
   * character pairs — one codegen pass over the string against a
   * 16 384-slot long LUT (the alphabet²-bounded bigram model, built once
@@ -446,6 +512,9 @@ object GraftFunctions {
     (FunctionIdentifier("bigram_fsum"),
       new ExpressionInfo(classOf[BigramFsum].getName, "bigram_fsum"),
       (args: Seq[Expression]) => BigramFsum(args.head, args(1))),
+    (FunctionIdentifier("simhash8"),
+      new ExpressionInfo(classOf[SimHash8].getName, "simhash8"),
+      (args: Seq[Expression]) => SimHash8(args.head)),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => WinnowFps(args.head)),

@@ -633,5 +633,94 @@ object EventsQ {
       ex.join(broadcast(est), Seq("user_id"))
         .select(col("user_id"), col("n_exact"), col("est"),
           (col("est") - col("n_exact")).as("over"))
+    },
+
+    // -- KMV sketch SET OPERATIONS (Beyer et al. 2007): two per-segment
+    //    KMV sketches (click users vs purchase users) are MERGED — union
+    //    sketch = k smallest of the combined signatures (identical to the
+    //    k smallest of the raw union since each side already kept its k
+    //    minima), Jaccard estimate ρ/k where ρ counts union-sketch
+    //    members present in BOTH signatures, intersection estimate
+    //    ρ/k · est(|A∪B|). The whole estimator is integer arithmetic on
+    //    the deterministic Lehmer hash plus IEEE-exact divisions, so the
+    //    estimates hash bit-identically; the exact distinct counts ride
+    //    along and put the estimate-vs-truth gap on the hashed surface.
+    //    Scale shape: two bounded-state aggregates (64 longs each) — the
+    //    sketch algebra itself is driver-sized; nothing user-count-sized
+    //    ever crosses the wire.
+    Q("s19_kmv_setops", {
+      val est = """CASE WHEN agg.nu < 64 THEN CAST(agg.nu AS DOUBLE)
+                  |       ELSE 63e0 * 2147483647e0 / CAST(agg.kth AS DOUBLE) END"""
+        .stripMargin
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ((user_id % 2147483647) * 48271) % 2147483647 AS hv
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |rk AS (
+         |  SELECT event_type, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+         |  FROM h),
+         |sa AS (SELECT hv FROM rk WHERE event_type = 'click' AND rk <= 64),
+         |sb AS (SELECT hv FROM rk WHERE event_type = 'purchase' AND rk <= 64),
+         |mu AS (
+         |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk
+         |  FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)),
+         |uk AS (SELECT hv FROM mu WHERE rk <= 64),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nu, MAX(hv) AS kth,
+         |    CAST(SUM(CASE WHEN hv IN (SELECT hv FROM sa)
+         |               AND hv IN (SELECT hv FROM sb) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rho
+         |  FROM uk),
+         |ex AS (
+         |  SELECT
+         |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+         |      THEN user_id END) AS BIGINT) AS n_a,
+         |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+         |      THEN user_id END) AS BIGINT) AS n_b,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union
+         |  FROM events WHERE event_type IN ('click', 'purchase'))
+         |SELECT ex.n_a, ex.n_b, ex.n_union,
+         |  ex.n_a + ex.n_b - ex.n_union AS n_inter,
+         |  agg.rho,
+         |  $est AS est_union,
+         |  CAST(agg.rho AS DOUBLE) / 64e0 AS est_jaccard,
+         |  (CAST(agg.rho AS DOUBLE) / 64e0) * ($est) AS est_inter,
+         |  CAST(ex.n_a + ex.n_b - ex.n_union AS DOUBLE)
+         |    / CAST(ex.n_union AS DOUBLE) AS true_jaccard
+         |FROM ex, agg""".stripMargin
+    }) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val M = 2147483647L
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val sk = ev
+        .select(col("event_type"), (((col("user_id") % M) * 48271L) % M).as("hv"))
+        .groupBy("event_type").agg(expr("kmv_minhash(hv, 64)").as("arr"))
+      val a = sk.filter(col("event_type") === "click").select(col("arr").as("arr_a"))
+      val b = sk.filter(col("event_type") === "purchase").select(col("arr").as("arr_b"))
+      val ex = ev.select("event_type", "user_id").distinct()
+        .agg(
+          countDistinct(when(col("event_type") === "click", col("user_id"))).as("n_a"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_b"),
+          countDistinct(col("user_id")).as("n_union"))
+      val un = slice(array_sort(array_union(col("arr_a"), col("arr_b"))), 1, 64)
+      val estU = when(col("nu") < 64, col("nu").cast("double"))
+        .otherwise(lit(63e0) * lit(2147483647e0) / col("kth").cast("double"))
+      ex.crossJoin(a).crossJoin(b)
+        .withColumn("un", un)
+        .withColumn("nu", size(col("un")).cast("long"))
+        .withColumn("kth", element_at(col("un"), size(col("un"))))
+        .withColumn("rho", size(filter(col("un"), x =>
+          array_contains(col("arr_a"), x) && array_contains(col("arr_b"), x)))
+          .cast("long"))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+          col("rho"),
+          estU.as("est_union"),
+          (col("rho").cast("double") / 64e0).as("est_jaccard"),
+          ((col("rho").cast("double") / 64e0) * estU).as("est_inter"),
+          ((col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_union").cast("double")).as("true_jaccard"))
     })
 }

@@ -433,26 +433,15 @@ object TrainingData {
               s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")}
          |    AS BIGINT) AS simhash
          |FROM votes""".stripMargin) { (s, dir) =>
-      // token hash as a higher-order aggregate over the token's chars —
-      // one expression per (doc, token), no char explosion
-      val th = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-        .select(col("doc_id"), col("tok"),
-          expr("""aggregate(
-                    sequence(1, length(tok)),
-                    0L,
-                    (acc, i) -> acc + CAST(ascii(substring(tok, i, 1)) AS BIGINT)
-                      * ((CAST(i AS BIGINT) * 37) % 64 + 1)
-                  ) % 4096""").as("h"))
-      val voteCols = (0 until 8).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)).as(s"v$b"))
-      val votes = th.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      votes.select(col("doc_id"),
-        (0 until 8).map(b =>
-          when(col(s"v$b") > 0, 1L << b).otherwise(0L))
-          .reduce(_ + _).cast("long").as("simhash"))
+      // a document's tokens all live in its own row, so the distinct-token
+      // vote is a zero-shuffle projection: one codegen pass per document
+      // (expr/GraftExpressions.SimHash8). The earlier declarative form
+      // shuffled the corpus-tokens relation twice (global (doc, tok)
+      // distinct + vote re-group) and walked an interpreted
+      // aggregate(sequence…) lambda per token.
+      graft.expr.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr("simhash8(text)").as("simhash"))
     },
 
     // -- MinHash signatures: 4 permutations simulated by seeded md5 over
@@ -2251,6 +2240,67 @@ object TrainingData {
           alloc.as("alloc_tok"),
           least(lit(4000000L), rawEpochs).as("epochs_u"),
           (rawEpochs > 4000000L).as("capped"))
+    },
+
+    // -- PII redaction: the scrub pass every production corpus runs
+    //    before training. Synthetic-but-deterministic PII (an email, an
+    //    IPv4, a phone extension derived from doc_id) is appended to each
+    //    document — the corpus itself is lowercase word salad, so every
+    //    match is injected and the counts are exactly 1/1/1 by
+    //    construction, which the hash gate then proves both engines'
+    //    regex semantics agree on. Patterns stay in the common
+    //    Java-regex/RE2 subset (character classes + bounded repetition,
+    //    no alternation/backreferences) so leftmost-greedy matching is
+    //    identical; DuckDB's regexp_replace needs the explicit 'g' flag
+    //    to match Spark's replace-all default. Scale shape: a pure
+    //    projection — zero shuffle, whole-stage codegen over the corpus.
+    Q("t39_pii_redact", {
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val ip = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
+      val phone = "555-[0-9]{4}"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+         |    CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS rtext
+         |  FROM aug)
+         |SELECT doc_id, n_email, n_ip, n_phone,
+         |  CAST(length(rtext) AS BIGINT) AS red_len, md5(rtext) AS red_md5
+         |FROM red""".stripMargin
+    }) { (s, dir) =>
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val ip = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
+      val phone = "555-[0-9]{4}"
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      val rtext = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+      aug.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+          .cast("long").as("n_phone"),
+        length(rtext).cast("long").as("red_len"),
+        md5(rtext).as("red_md5"))
     },
 
     // -- winnowing fingerprint selection (Schleimer et al. 2003 — the

@@ -90,6 +90,39 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(graft.expr.RollingFingerprint.compute("") === 0L)
   }
 
+  test("simhash8 matches the declarative distinct-token vote pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // repeated tokens (distinct semantics), double/trailing spaces (empty
+    // tokens), a vote-tie doc (2 tokens with complementary bits → v=0 →
+    // bit cleared), and unicode-free mixed punctuation
+    val docs = Seq((0L, "the cat sat on the the mat"), (1L, ""),
+      (2L, "a  b c "), (3L, "x y"), (4L, "Zk42! Zk42! qq-7"))
+      .toDF("doc_id", "text")
+    val th = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(1, length(tok)), 0L,
+                (acc, i) -> acc + CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                  * ((CAST(i AS BIGINT) * 37) % 64 + 1)) % 4096""").as("h"))
+    val voteCols = (0 until 8).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val slow = th.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 8).map(b => when(col(s"v$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).cast("long").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.expr.GraftFunctions.register(spark)
+    val fast = docs.select(col("doc_id"), expr("simhash8(text)").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+    // direct object API: interpreted eval path agrees with codegen
+    assert(graft.expr.SimHash8.compute("the cat sat on the the mat")
+      === fast(0L))
+  }
+
   test("kmv_minhash keeps the k smallest distinct values, invariant to partitioning") {
     import spark.implicits._
     // values with duplicates, spread over many partitions so map-side
