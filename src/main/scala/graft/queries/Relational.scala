@@ -400,5 +400,36 @@ object Relational {
         max(when(col("rn") === expr("(n*99 + 99) div 100"), col("cents")))
           .as("p99_cents"),
         max(col("n")).as("n"))
+    },
+
+    // -- set operators INTERSECT / EXCEPT (§2.12): the customers who
+    //    ordered in both 1996 and 1997, and those who ordered in 1996
+    //    only — Dataset.intersect/except are the INTERSECT/EXCEPT
+    //    DISTINCT logical operators (distinct-semantics on both engines),
+    //    planned as null-aware hash joins after AQE. One tagged union
+    //    puts both results under a single hashed surface.
+    Q("q19_set_ops",
+      """WITH y96 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |y97 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT 'both' AS tag, o_custkey
+        |FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT 'only96' AS tag, o_custkey
+        |FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def year(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val y96 = year(1996); val y97 = year(1997)
+      y96.intersect(y97).select(lit("both").as("tag"), col("o_custkey"))
+        .unionAll(
+          y96.except(y97).select(lit("only96").as("tag"), col("o_custkey")))
     })
 }

@@ -900,6 +900,90 @@ object TrainingData {
         (col("cid") === col("lbl")).as("keep"))
     },
 
+    // -- PCA by power iteration over the EXACT integer scatter matrix —
+    //    the dimensionality-reduction step of an embedding pipeline
+    //    (dataset whitening, IVF cell axes, Matryoshka truncation
+    //    diagnostics). n·Cov = n·Σxxᵀ − SSᵀ is computed entirely in
+    //    exact longs (1e4 quantization keeps every entry < 2^49), then
+    //    divided by the dyadic 2^48 so each A entry is an EXACT double;
+    //    two power-iteration steps run as fsum matvecs (terms are exact
+    //    dyadic × shared-rational products, class (a)×(b)), each iterate
+    //    renormalized by its exact max-abs and r6-rounded to a shared
+    //    rational — every hashed value deterministic cross-engine with no
+    //    libm anywhere. Scale shape: the d² scatter aggregates MAP-SIDE
+    //    from a zero-shuffle double-posexplode (nothing corpus-sized is
+    //    exchanged — the only shuffle is the d²-row partial-agg merge),
+    //    and the iteration is two broadcast joins on the d²-row matrix;
+    //    n·Σxxᵀ−SSᵀ adds shards by counter addition, so the same plan
+    //    sharded over 100 TB merges d²-bounded state per shard.
+    Q("e11_pca_power", {
+      val p48 = "281474976710656e0" // 2^48
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    unnest(generate_series(1, len(embedding))) AS pos,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT)
+         |      AS qv
+         |  FROM embeddings),
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |sv AS (SELECT pos AS i, CAST(SUM(qv) AS BIGINT) AS sv
+         |       FROM q GROUP BY pos),
+         |sxx AS (
+         |  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxx
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos),
+         |a2 AS (
+         |  SELECT sxx.i, sxx.j,
+         |    CAST(cnt.n * sxx.sxx - si.sv * sj.sv AS DOUBLE) / $p48 AS a2
+         |  FROM sxx JOIN sv si ON si.i = sxx.i
+         |           JOIN sv sj ON sj.i = sxx.j, cnt),
+         |w1 AS (SELECT i, ${Det.fsumSql("a2 * 125e-3")} AS w
+         |       FROM a2 GROUP BY i),
+         |m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+         |v1 AS (SELECT i AS j, ${Det.r6Sql("w / m")} AS vv FROM w1, m1),
+         |w2 AS (SELECT a2.i, ${Det.fsumSql("a2.a2 * v1.vv")} AS w
+         |       FROM a2 JOIN v1 ON v1.j = a2.j GROUP BY a2.i),
+         |m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+         |v2 AS (SELECT i, ${Det.r6Sql("w / m")} AS v2 FROM w2, m2)
+         |SELECT v1.j AS i, v1.vv AS v1, v2.v2
+         |FROM v1 JOIN v2 ON v2.i = v1.j""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+        .as("qv"))
+      val pr = q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
+        .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
+      val sxx = pr.groupBy((col("p1") + 1).cast("long").as("i"),
+          (col("p2") + 1).cast("long").as("j"))
+        .agg(sum(col("qi") * col("qj")).as("sxx"))
+      val sv = q.select(posexplode(col("qv")).as(Seq("p", "qi")))
+        .groupBy((col("p") + 1).cast("long").as("i"))
+        .agg(sum(col("qi")).as("sv"))
+      val cnt = emb.agg(count(lit(1)).as("n"))
+      val a2 = sxx
+        .join(broadcast(sv.select(col("i"), col("sv").as("svi"))), "i")
+        .join(broadcast(sv.select(col("i").as("j"), col("sv").as("svj"))), "j")
+        .crossJoin(broadcast(cnt))
+        .select(col("i"), col("j"),
+          ((col("n") * col("sxx") - col("svi") * col("svj")).cast("double") /
+            lit(281474976710656e0)).as("a2"))
+        .persist()
+      def matvec(v: DataFrame): DataFrame =
+        a2.join(broadcast(v), "j")
+          .groupBy("i").agg(Det.fsum(col("a2") * col("vv")).as("w"))
+      val v0 = s.range(1, 65)
+        .select(col("id").as("j"), lit(125e-3).as("vv"))
+      val w1 = matvec(v0)
+      val m1 = w1.agg(max(abs(col("w"))).as("m"))
+      val v1 = w1.crossJoin(broadcast(m1))
+        .select(col("i").as("j"), Det.r6(col("w") / col("m")).as("vv"))
+      val w2 = matvec(v1)
+      val m2 = w2.agg(max(abs(col("w"))).as("m"))
+      val v2 = w2.crossJoin(broadcast(m2))
+        .select(col("i"), Det.r6(col("w") / col("m")).as("v2"))
+      v1.select(col("j").as("i"), col("vv").as("v1")).join(v2, "i")
+        .select(col("i"), col("v1"), col("v2"))
+    },
+
     // -- IVF-style ANN: quantized per-label centroids act as the coarse
     //    quantizer; every vector is assigned to its nearest cell by exact
     //    integer L2, and the search probes only the query's cell. The
