@@ -121,6 +121,39 @@ object EventsQ {
         .select("event_id", "user_id", "view_id")
     },
 
+    // -- The same AS-OF semantics through the CUSTOM CATALYST OPERATOR
+    //    (plans/AsOfJoinPlan.scala): AsOfJoinNode → GraftStrategy →
+    //    AsOfJoinExec — EnsureRequirements plans one keyed exchange +
+    //    in-partition sort per side (the sort-merge-join shape), then a
+    //    streaming two-pointer merge with O(1) state matches each left
+    //    row to the latest preceding right row. Same oracle as s11
+    //    (DuckDB's native ASOF LEFT JOIN), so the gate proves the
+    //    dedicated physical operator ≡ the union-sort window plan ≡ the
+    //    native engine, row for row.
+    Q("s20_asof_native",
+      s"""WITH v AS (
+         |  SELECT user_id, $TusSql AS tus, event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (
+         |  SELECT user_id, $TusSql AS tus, event_id
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, v.view_id
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND p.tus >= v.tus""".stripMargin) { (s, dir) =>
+      import graft.plans.AsOfJoinPlan
+      // two separate reads: the custom node takes two INDEPENDENT
+      // analyzed plans (distinct attribute ids), like any physical join
+      val views = Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("event_id"))
+      val purchases = Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      AsOfJoinPlan.asOfNative(purchases, views, "user_id", "tus",
+          Map("event_id" -> "view_id"))
+        .select("event_id", "user_id", "view_id")
+    },
+
     // -- RANGE join scale path: events matched to IRREGULAR value bands.
     //    The oracle states the semantics as a BETWEEN theta-join; the
     //    Spark plan converts it to an EQUI join by exploding each band
