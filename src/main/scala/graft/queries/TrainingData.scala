@@ -57,6 +57,87 @@ object TrainingData {
   private def norms(e: DataFrame, idAs: String): DataFrame =
     e.groupBy(idAs).agg(sum(col("qv") * col("qv")).as(s"${idAs}_n2"))
 
+  // ---- shared PCA power iteration (e11/e12) -----------------------------
+  //
+  // n·Cov = n·Σxxᵀ − SSᵀ in exact longs (1e4 quantization keeps every
+  // entry < 2^49), divided by the dyadic 2^48 so each matrix entry is an
+  // EXACT double; two fsum matvec iterations (terms are exact dyadic ×
+  // shared-rational products), each iterate renormalized by its exact
+  // max-abs and r6-rounded to a shared rational — no libm anywhere.
+
+  /** Oracle CTE chain ending in v1 (j, vv) and v2 (i, v2); also exposes
+    * `q` (vec_id, pos, qv), the 1e4-quantized explode. */
+  private val pcaCtesSql: String = {
+    val p48 = "281474976710656e0" // 2^48
+    s"""q AS (
+       |  SELECT vec_id,
+       |    unnest(generate_series(1, len(embedding))) AS pos,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT)
+       |      AS qv
+       |  FROM embeddings),
+       |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |sv AS (SELECT pos AS i, CAST(SUM(qv) AS BIGINT) AS sv
+       |       FROM q GROUP BY pos),
+       |sxx AS (
+       |  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxx
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos),
+       |a2 AS (
+       |  SELECT sxx.i, sxx.j,
+       |    CAST(cnt.n * sxx.sxx - si.sv * sj.sv AS DOUBLE) / $p48 AS a2
+       |  FROM sxx JOIN sv si ON si.i = sxx.i
+       |           JOIN sv sj ON sj.i = sxx.j, cnt),
+       |w1 AS (SELECT i, ${Det.fsumSql("a2 * 125e-3")} AS w
+       |       FROM a2 GROUP BY i),
+       |m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+       |v1 AS (SELECT i AS j, ${Det.r6Sql("w / m")} AS vv FROM w1, m1),
+       |w2 AS (SELECT a2.i, ${Det.fsumSql("a2.a2 * v1.vv")} AS w
+       |       FROM a2 JOIN v1 ON v1.j = a2.j GROUP BY a2.i),
+       |m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+       |v2 AS (SELECT i, ${Det.r6Sql("w / m")} AS v2 FROM w2, m2)""".stripMargin
+  }
+
+  /** Spark mirror: (v1 as (j, vv), v2 as (i, v2)). The d²-row scatter
+    * aggregates MAP-SIDE from a zero-shuffle double-posexplode — nothing
+    * corpus-sized is exchanged — and each iteration is a broadcast join
+    * on the d²-row matrix. */
+  private def pcaIterates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+      .as("qv"))
+    val pr = q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
+      .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
+    val sxx = pr.groupBy((col("p1") + 1).cast("long").as("i"),
+        (col("p2") + 1).cast("long").as("j"))
+      .agg(sum(col("qi") * col("qj")).as("sxx"))
+    val sv = q.select(posexplode(col("qv")).as(Seq("p", "qi")))
+      .groupBy((col("p") + 1).cast("long").as("i"))
+      .agg(sum(col("qi")).as("sv"))
+    val cnt = emb.agg(count(lit(1)).as("n"))
+    val a2 = sxx
+      .join(broadcast(sv.select(col("i"), col("sv").as("svi"))), "i")
+      .join(broadcast(sv.select(col("i").as("j"), col("sv").as("svj"))), "j")
+      .crossJoin(broadcast(cnt))
+      .select(col("i"), col("j"),
+        ((col("n") * col("sxx") - col("svi") * col("svj")).cast("double") /
+          lit(281474976710656e0)).as("a2"))
+      .persist()
+    def matvec(v: DataFrame): DataFrame =
+      a2.join(broadcast(v), "j")
+        .groupBy("i").agg(Det.fsum(col("a2") * col("vv")).as("w"))
+    val v0 = s.range(1, 65)
+      .select(col("id").as("j"), lit(125e-3).as("vv"))
+    val w1 = matvec(v0)
+    val m1 = w1.agg(max(abs(col("w"))).as("m"))
+    val v1 = w1.crossJoin(broadcast(m1))
+      .select(col("i").as("j"), Det.r6(col("w") / col("m")).as("vv"))
+    val w2 = matvec(v1)
+    val m2 = w2.agg(max(abs(col("w"))).as("m"))
+    val v2 = w2.crossJoin(broadcast(m2))
+      .select(col("i"), Det.r6(col("w") / col("m")).as("v2"))
+    (v1, v2)
+  }
+
   /** Shared CTE prefix for t10/t11: LSH-coded corpus, Hamming≤1
     * candidate pairs, exact integer dot products + norms. */
   private lazy val neardupCtesSql: String =
@@ -917,71 +998,49 @@ object TrainingData {
     //    n·Σxxᵀ−SSᵀ adds shards by counter addition, so the same plan
     //    sharded over 100 TB merges d²-bounded state per shard.
     Q("e11_pca_power", {
-      val p48 = "281474976710656e0" // 2^48
-      s"""WITH q AS (
-         |  SELECT vec_id,
-         |    unnest(generate_series(1, len(embedding))) AS pos,
-         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT)
-         |      AS qv
-         |  FROM embeddings),
-         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-         |sv AS (SELECT pos AS i, CAST(SUM(qv) AS BIGINT) AS sv
-         |       FROM q GROUP BY pos),
-         |sxx AS (
-         |  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxx
-         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos),
-         |a2 AS (
-         |  SELECT sxx.i, sxx.j,
-         |    CAST(cnt.n * sxx.sxx - si.sv * sj.sv AS DOUBLE) / $p48 AS a2
-         |  FROM sxx JOIN sv si ON si.i = sxx.i
-         |           JOIN sv sj ON sj.i = sxx.j, cnt),
-         |w1 AS (SELECT i, ${Det.fsumSql("a2 * 125e-3")} AS w
-         |       FROM a2 GROUP BY i),
-         |m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
-         |v1 AS (SELECT i AS j, ${Det.r6Sql("w / m")} AS vv FROM w1, m1),
-         |w2 AS (SELECT a2.i, ${Det.fsumSql("a2.a2 * v1.vv")} AS w
-         |       FROM a2 JOIN v1 ON v1.j = a2.j GROUP BY a2.i),
-         |m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
-         |v2 AS (SELECT i, ${Det.r6Sql("w / m")} AS v2 FROM w2, m2)
+      s"""WITH $pcaCtesSql
          |SELECT v1.j AS i, v1.vv AS v1, v2.v2
          |FROM v1 JOIN v2 ON v2.i = v1.j""".stripMargin
     }) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
-        .as("qv"))
-      val pr = q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
-        .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
-      val sxx = pr.groupBy((col("p1") + 1).cast("long").as("i"),
-          (col("p2") + 1).cast("long").as("j"))
-        .agg(sum(col("qi") * col("qj")).as("sxx"))
-      val sv = q.select(posexplode(col("qv")).as(Seq("p", "qi")))
-        .groupBy((col("p") + 1).cast("long").as("i"))
-        .agg(sum(col("qi")).as("sv"))
-      val cnt = emb.agg(count(lit(1)).as("n"))
-      val a2 = sxx
-        .join(broadcast(sv.select(col("i"), col("sv").as("svi"))), "i")
-        .join(broadcast(sv.select(col("i").as("j"), col("sv").as("svj"))), "j")
-        .crossJoin(broadcast(cnt))
-        .select(col("i"), col("j"),
-          ((col("n") * col("sxx") - col("svi") * col("svj")).cast("double") /
-            lit(281474976710656e0)).as("a2"))
-        .persist()
-      def matvec(v: DataFrame): DataFrame =
-        a2.join(broadcast(v), "j")
-          .groupBy("i").agg(Det.fsum(col("a2") * col("vv")).as("w"))
-      val v0 = s.range(1, 65)
-        .select(col("id").as("j"), lit(125e-3).as("vv"))
-      val w1 = matvec(v0)
-      val m1 = w1.agg(max(abs(col("w"))).as("m"))
-      val v1 = w1.crossJoin(broadcast(m1))
-        .select(col("i").as("j"), Det.r6(col("w") / col("m")).as("vv"))
-      val w2 = matvec(v1)
-      val m2 = w2.agg(max(abs(col("w"))).as("m"))
-      val v2 = w2.crossJoin(broadcast(m2))
-        .select(col("i"), Det.r6(col("w") / col("m")).as("v2"))
+      val (v1, v2) = pcaIterates(s, dir)
       v1.select(col("j").as("i"), col("vv").as("v1")).join(v2, "i")
         .select(col("i"), col("v1"), col("v2"))
+    },
+
+    // -- PCA PROJECTION: every embedding scored against the e11 principal
+    //    axis (the rank step of whitening / Matryoshka-style truncation
+    //    diagnostics). score = fsum over dims of (qv/1e4)·v2 — exact
+    //    rational × shared rational terms, class (a)×(b); top-16 by
+    //    |score| with vec_id tiebreak, both exact comparisons. Scale
+    //    shape: the component is a broadcast d-row table, the scoring is
+    //    one corpus-keyed agg over the posexplode, and the top-k is a
+    //    WindowGroupLimit-style rank over an already-bounded surface.
+    Q("e12_pca_project", {
+      s"""WITH $pcaCtesSql,
+         |sc AS (
+         |  SELECT q.vec_id,
+         |    ${Det.fsumSql("(CAST(q.qv AS DOUBLE) / 1e4) * v2.v2")} AS score
+         |  FROM q JOIN v2 ON v2.i = q.pos GROUP BY q.vec_id),
+         |rk AS (
+         |  SELECT vec_id, score,
+         |    ROW_NUMBER() OVER (ORDER BY ABS(score) DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT vec_id, score, CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 16""".stripMargin
+    }) { (s, dir) =>
+      val (_, v2) = pcaIterates(s, dir)
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(expr(
+          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))"))
+          .as(Seq("p", "qv")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("qv"))
+      val sc = q.join(broadcast(v2.select(col("i").as("pos"), col("v2"))), "pos")
+        .groupBy("vec_id")
+        .agg(Det.fsum((col("qv").cast("double") / 1e4) * col("v2")).as("score"))
+      sc.withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("score")).desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 16)
+        .select("vec_id", "score", "rk")
     },
 
     // -- IVF-style ANN: quantized per-label centroids act as the coarse
@@ -2385,6 +2444,47 @@ object TrainingData {
           .cast("long").as("n_phone"),
         length(rtext).cast("long").as("red_len"),
         md5(rtext).as("red_md5"))
+    },
+
+    // -- BPE ENCODE: applying a TRAINED tokenizer's merge table to the
+    //    corpus — the missing third step of the tokenizer family (t21
+    //    scores pairs, t24 learns merges, this encodes with them). Every
+    //    symbol is wrapped in parens ('(h)(e)(l)…'), so one literal
+    //    `replace('(x)(y)' → '(xy)')` pass IS one BPE merge round:
+    //    left-to-right non-overlapping application over unambiguous token
+    //    boundaries, identical semantics on both engines, with multi-level
+    //    merges ((t,h) → (th,e)) chaining through the fixed 6-rule table
+    //    exactly as a real encoder does. Zero shuffle — a pure
+    //    whole-stage-codegen string projection over the corpus; the merge
+    //    table is a compile-time artifact (tokenizers are frozen at
+    //    encode time), so scale-out is embarrassing.
+    Q("t40_bpe_encode", {
+      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n",
+        "an" -> "d", "i" -> "n", "in" -> "g")
+      val applied = merges.foldLeft("e") { case (acc, (x, y)) =>
+        s"replace($acc, '($x)($y)', '($x$y)')"
+      }
+      s"""WITH enc0 AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    regexp_replace(text, '(.)', '(\\1)', 'g') AS e
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars, $applied AS e FROM enc0)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(length(e) - length(replace(e, '(', '')) AS BIGINT) AS n_tok,
+         |  md5(e) AS enc_md5
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n",
+        "an" -> "d", "i" -> "n", "in" -> "g")
+      val applied = merges.foldLeft(
+        "regexp_replace(text, '(.)', '($1)')") { case (acc, (x, y)) =>
+        s"replace($acc, '($x)($y)', '($x$y)')"
+      }
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(s"CAST(length($applied) - length(replace($applied, '(', '')) AS BIGINT)")
+          .as("n_tok"),
+        expr(s"md5($applied)").as("enc_md5"))
     },
 
     // -- winnowing fingerprint selection (Schleimer et al. 2003 — the
