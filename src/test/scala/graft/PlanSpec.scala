@@ -382,6 +382,34 @@ class PlanSpec extends AnyFunSuite {
       "s17 must never globally sort the corpus:\n" + p)
   }
 
+  test("t06/t39/t40: per-document text ops are zero-shuffle codegen projections") {
+    for (q <- Seq("t06_simhash", "t39_pii_redact", "t40_bpe_encode")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(p.contains("*(1)"), s"$q must stay in one whole-stage codegen span")
+    }
+  }
+
+  test("e11: the PCA scatter never shuffles the corpus — only d²-row partials") {
+    val p = planOf("e11_pca_power")
+    // every exchange is either a hash partial-agg merge of the d²/d-row
+    // aggregates or a broadcast of those bounded tables/iterates — no
+    // round-robin or range repartition of embedding-sized data
+    assert(!p.contains("RoundRobinPartitioning") && !p.contains("rangepartitioning"))
+    // generate→generate→partial-agg: the double posexplode feeds a
+    // HashAggregate BELOW the first exchange (map-side bound)
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0)
+  }
+
+  test("s20: the custom as-of exec plans one keyed exchange + sort per side") {
+    val p = planOf("s20_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
