@@ -668,6 +668,68 @@ object EventsQ {
           (col("est") - col("n_exact")).as("over"))
     },
 
+    // -- HEAVY HITTERS through the count-min sketch (the top-k face of
+    //    s18): the exact top-8 users by event count (TakeOrderedAndProject
+    //    — sort+limit never materializes the full ordering) are re-ranked
+    //    by their CMS estimates, putting BOTH orderings and the per-key
+    //    overestimate on one hashed surface — the est ≥ exact guarantee
+    //    and how far sketch rank can drift from true rank. All integers;
+    //    windows run over the 8-row top set only, the sketch stays the
+    //    4×256-bounded rollup.
+    Q("s21_heavy_hitters",
+      """WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |h AS (
+        |  SELECT r.r,
+        |    ((e.user_id + 1) * (48271 + r.r * 1009)) % 2147483647 % 256
+        |      AS c
+        |  FROM events e, rows_ r),
+        |cms AS (
+        |  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM h GROUP BY r, c),
+        |ex AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY user_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, n_exact,
+        |      ROW_NUMBER() OVER (ORDER BY n_exact DESC, user_id) AS rk_exact
+        |    FROM ex) WHERE rk_exact <= 8),
+        |ph AS (
+        |  SELECT t.user_id, r.r,
+        |    ((t.user_id + 1) * (48271 + r.r * 1009)) % 2147483647 % 256
+        |      AS c
+        |  FROM top t, rows_ r),
+        |est AS (
+        |  SELECT ph.user_id, CAST(MIN(cms.cnt) AS BIGINT) AS est
+        |  FROM ph JOIN cms ON cms.r = ph.r AND cms.c = ph.c
+        |  GROUP BY ph.user_id)
+        |SELECT t.user_id, t.n_exact, CAST(t.rk_exact AS BIGINT) AS rk_exact,
+        |  est.est, est.est - t.n_exact AS over,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY est.est DESC, t.user_id)
+        |    AS BIGINT) AS rk_est
+        |FROM top t JOIN est ON est.user_id = t.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val rows = s.range(0, 4).select(col("id").as("r"))
+      def cOf(uid: org.apache.spark.sql.Column) =
+        ((uid + 1) * (lit(48271L) + col("r") * 1009L)) % 2147483647L % 256
+      val cms = ev.select(col("user_id")).crossJoin(broadcast(rows))
+        .select(col("r"), cOf(col("user_id")).as("c"))
+        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      val ex = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      val top = ex.orderBy(col("n_exact").desc, col("user_id")).limit(8)
+        .withColumn("rk_exact", row_number().over(
+          Window.orderBy(col("n_exact").desc, col("user_id"))).cast("long"))
+      val ph = top.select("user_id").crossJoin(broadcast(rows))
+        .select(col("user_id"), col("r"), cOf(col("user_id")).as("c"))
+      val est = ph.join(broadcast(cms), Seq("r", "c"))
+        .groupBy("user_id").agg(min(col("cnt")).as("est"))
+      top.join(broadcast(est), Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("rk_exact"), col("est"),
+          (col("est") - col("n_exact")).as("over"),
+          row_number().over(Window.orderBy(col("est").desc, col("user_id")))
+            .cast("long").as("rk_est"))
+    },
+
     // -- KMV sketch SET OPERATIONS (Beyer et al. 2007): two per-segment
     //    KMV sketches (click users vs purchase users) are MERGED — union
     //    sketch = k smallest of the combined signatures (identical to the
