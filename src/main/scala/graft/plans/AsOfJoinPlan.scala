@@ -112,6 +112,32 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule restoring pushdown through the custom node: Catalyst
+  * cannot see through an unknown LogicalPlan, so a Filter sitting on an
+  * [[AsOfJoinNode]] would otherwise evaluate AFTER the keyed shuffle.
+  * Conjuncts referencing only LEFT columns are semantics-preserving to
+  * push (each left row's match depends only on the right side, never on
+  * other left rows) and migrate below the node — from there the stock
+  * rules carry them into the scan. RIGHT-side conjuncts are NOT pushed:
+  * filtering the right side changes which row is "latest" and would
+  * alter matches. Registered per session via the public
+  * `spark.experimental.extraOptimizations` hook. */
+object AsOfJoinPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner strategy for the graft logical nodes, attachable to a live
   * session through `spark.experimental.extraStrategies` (the public
   * hook) or a SparkSessionExtensions injection. */
@@ -135,6 +161,9 @@ object AsOfJoinPlan {
     if (!spark.experimental.extraStrategies.contains(GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPushdown
     val aliases = rightCols.values.toSeq
     require(aliases.toSet.intersect(left.columns.toSet).isEmpty,
       "right payload aliases collide with left columns")

@@ -71,6 +71,33 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(n400 === w400) // ambiguous tie resolved identically by both plans
   }
 
+  test("left-only filters push through the custom node into the scan") {
+    import graft.core.Tables
+    val ev = Tables.events(spark, TestSpark.sf).withColumn("tus", expr("ts div 1000"))
+    val l = Tables.events(spark, TestSpark.sf).withColumn("tus", expr("ts div 1000"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val r = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"))
+    val joined = AsOfJoinPlan.asOfNative(l, r, "user_id", "tus",
+      Map("event_id" -> "view_id"))
+    val filtered = joined.filter(col("user_id") < 100L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the left-only predicate must reach the left parquet scan, BELOW the
+    // as-of node — without AsOfJoinPushdown it evaluates after the shuffle
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(user_id,100)"), plan)
+    // and the rewrite is semantics-preserving
+    val viaFilter = filtered.select("event_id", "view_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val prefiltered = AsOfJoinPlan.asOfNative(
+      l.filter(col("user_id") < 100L), r, "user_id", "tus",
+      Map("event_id" -> "view_id"))
+      .select("event_id", "view_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(viaFilter === prefiltered)
+  }
+
   test("plan: AsOfJoinExec with a keyed exchange and sort per side") {
     val (l, r) = frames
     val df = AsOfJoinPlan.asOfNative(l, r, "k", "ts", Map("pay" -> "p"))
