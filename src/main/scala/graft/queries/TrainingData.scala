@@ -99,7 +99,14 @@ object TrainingData {
   /** Spark mirror: (v1 as (j, vv), v2 as (i, v2)). The d²-row scatter
     * aggregates MAP-SIDE from a zero-shuffle double-posexplode — nothing
     * corpus-sized is exchanged — and each iteration is a broadcast join
-    * on the d²-row matrix. */
+    * on the d²-row matrix.
+    *
+    * Measured negative result (this round): a mapPartitions long[d²]
+    * scatter combiner (the TextCombiner idiom) was ~30% SLOWER than this
+    * all-codegen generate→partial-agg chain at sf0.1 (A/B 3.2–3.6 s vs
+    * 2.4–2.7 s isolated) — the object-encoder deserialization per vector
+    * costs more than the n·d² generated rows save, and the exchange is
+    * already d²-bounded either way. Keep the declarative shape. */
   private def pcaIterates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.select(col("vec_id"), expr(
