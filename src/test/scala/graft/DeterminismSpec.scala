@@ -355,6 +355,35 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("e11 scatter entries are exact integers inside 2^53") {
+    // The PCA matrix A = n·Σxxᵀ − SSᵀ is CAST to double and divided by
+    // 2^48; both steps are exact ONLY while every entry stays inside
+    // 2^53. Compute the true max |A| entry per SF and assert headroom.
+    // (At 1e4 quantization: |qv| ≤ ~6e3, so |A| ≲ n²·3.6e7 — the bound
+    // grows with n², which is why the quantization is 1e4 here and not
+    // the e-family's 1e6.)
+    for (d <- dirs) {
+      val q = graft.core.Tables.embeddings(spark, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+          round(col("col").cast("double") * 1e4).cast("long").as("qv"))
+      val n = q.select("vec_id").distinct().count()
+      val sxx = q.as("a").join(q.as("b"), "vec_id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.qv") * col("b.qv")).as("sxx"))
+      val sv = q.groupBy("i").agg(sum(col("qv")).as("sv"))
+      val m = sxx
+        .join(sv.select(col("i"), col("sv").as("svi")), "i")
+        .join(sv.select(col("i").as("j"), col("sv").as("svj")), "j")
+        .select(abs(lit(n) * col("sxx") - col("svi") * col("svj")).as("a"))
+        .agg(max(col("a"))).head.getLong(0)
+      info(s"$d: max |A| entry = $m (2^53 = ${1L << 53})")
+      assert(m < (1L << 53) / 16L,
+        s"PCA scatter at $d leaves <16x headroom under 2^53 — lower the " +
+          "quantization scale or subsample the scatter pass")
+    }
+  }
+
   test("a17 spline knot sums are exact integers inside 2^53") {
     // a17's oracle mirrors the unrolled Thomas algorithm op-for-op, so
     // the hash match rests solely on the knot inputs being bit-identical
