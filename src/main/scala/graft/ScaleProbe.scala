@@ -17,6 +17,7 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -365,6 +366,56 @@ object ScaleProbe {
           .write.mode("overwrite").format("noop").save()
       }
       println(f"f11_image_size,$npix,$tDft%.2f,$tFft%.2f")
+    }
+
+    // s20 custom as-of exec: one keyed exchange per side + a linear
+    // two-pointer merge. Replicas duplicate user_id/ts exactly (event_id
+    // shifted), so per-key density grows k× — the skew direction — and
+    // wall-clock must still track ~k (the merge is linear in partition
+    // rows; there is no per-key quadratic term).
+    println("probe,k,rows,matches,secs")
+    // two INDEPENDENT reads per side — the custom node takes two distinct
+    // analyzed plans, like any physical join
+    def evRead(): DataFrame = graft.core.Tables.events(spark, sf)
+      .withColumn("tus", expr("ts div 1000"))
+      .select("event_id", "user_id", "tus", "event_type")
+    val nEv0 = evRead().count()
+    val maxEv = evRead().agg(max("event_id")).head.getLong(0) + 1
+    for (k <- Seq(1, 2, 4, 10)) {
+      def ev = (0 until k).map(i =>
+        evRead().withColumn("event_id", col("event_id") + lit(i * maxEv)))
+        .reduce(_ unionAll _)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tus")
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("event_id"))
+      var n = 0L
+      val t = time {
+        n = graft.plans.AsOfJoinPlan.asOfNative(l, r, "user_id", "tus",
+          Map("event_id" -> "view_id")).count()
+      }
+      println(f"s20_asof_native,$k,${nEv0 * k},$n,$t%.2f")
+    }
+
+    // e11 PCA scatter: the d²-bounded partial aggregation over the
+    // double-posexplode must scale ~linearly in the corpus (the exchange
+    // is constant-size; only the map-side scan grows).
+    println("probe,k,vectors,secs")
+    for (k <- Seq(1, 2, 4, 10)) {
+      val emb = (0 until k).map(i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+        .reduce(_ unionAll _)
+      val q = emb.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+        .as("qv"))
+      val t = time {
+        q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
+          .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
+          .groupBy(col("p1").as("i"), col("p2").as("j"))
+          .agg(sum(col("qi") * col("qj")).as("sxx"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"e11_scatter,$k,${k * maxVec},$t%.2f")
     }
     spark.stop()
   }
