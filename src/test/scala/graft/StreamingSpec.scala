@@ -308,6 +308,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("count-min counters accumulate under streaming with batch parity (s18/s21)") {
+    // The CMS scale claim is that the 4×256 counter matrix is mergeable
+    // bounded state across shards AND streams: counters ADD. Feed ids
+    // through a memory stream in two micro-batches; the complete-mode
+    // counter matrix must equal the batch rollup, and the point query
+    // (min over rows) must give the same estimate for every probe key.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def cms(df: org.apache.spark.sql.DataFrame) = df
+      .crossJoin(broadcast(spark.range(0, 4).select(col("id").as("r"))))
+      .select(col("r"),
+        (((col("uid") + 1) * (lit(48271L) + col("r") * 1009L)) %
+          2147483647L % 256).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val ids = (1L to 600L).map(i => (i * 7919) % 37) // skewed key space
+    val expect = cms(ids.toDF("uid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ms = MemoryStream[Long]
+    val q = cms(ms.toDF().toDF("uid"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = ids.splitAt(300)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      val got = spark.table("cms_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expect)
+      // the point query over the streamed counters = batch estimate
+      def est(m: Map[(Long, Long), Long], uid: Long): Long =
+        (0L to 3L).map(r => m.getOrElse(
+          (r, ((uid + 1) * (48271L + r * 1009L)) % 2147483647L % 256), 0L)).min
+      for (uid <- 0L until 37L) assert(est(got, uid) === est(expect, uid))
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance matches the batch e03 aggregation") {
     // feed the sf0.001 embeddings through a memory stream in TWO
     // micro-batches; after the last batch, each label's most recent
