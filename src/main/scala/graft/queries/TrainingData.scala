@@ -2165,6 +2165,57 @@ object TrainingData {
         z.as("z"), prob.as("prob"), (prob >= 5e-1).as("keep"))
     },
 
+    // -- Canonical-document selection ("keep best"): the terminal step of
+    //    a dedup pass — inside each exact-duplicate group (md5(text)),
+    //    keep the member with the highest t31 quality score, doc_id as
+    //    the tiebreak. At the base SFs most groups are singletons; the
+    //    10× sf1x replica gives every document a 10-clone group, which is
+    //    exactly where the gate exercises the ranked selection. One
+    //    fingerprint-keyed window — the same single-shuffle shape as
+    //    t01/t28; prob is the r6 shared rational, so the ordering is
+    //    bit-identical cross-engine.
+    Q("t41_keep_best", {
+      val zSql = "((CAST(n_tok AS DOUBLE) / 1024e0 " +
+        "+ 2e0 * (CAST(n_typ AS DOUBLE) / CAST(n_tok AS DOUBLE))) " +
+        "- 15e-1 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))) - 1e0"
+      val zr = Det.r6Sql(zSql)
+      s"""WITH f AS (
+         |  SELECT doc_id, md5(text) AS grp,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      AS n_typ,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t = 'a' OR t = 'the')) AS BIGINT) AS n_stop
+         |  FROM documents WHERE length(text) > 0),
+         |p AS (
+         |  SELECT doc_id, grp,
+         |    ${Det.r6Sql(s"1e0 / (1e0 + exp(-($zr)))")} AS prob
+         |  FROM f)
+         |SELECT doc_id, grp, prob,
+         |  CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_size,
+         |  ROW_NUMBER() OVER (PARTITION BY grp
+         |                     ORDER BY prob DESC, doc_id) = 1 AS keep
+         |FROM p""".stripMargin
+    }) { (s, dir) =>
+      val f = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), md5(col("text")).as("grp"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)")
+            .as("n_typ"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "t -> t = 'a' OR t = 'the')) AS BIGINT)").as("n_stop"))
+      val z = ((col("n_tok").cast("double") / 1024e0
+        + lit(2e0) * (col("n_typ").cast("double") / col("n_tok").cast("double")))
+        - lit(15e-1) * (col("n_stop").cast("double") / col("n_tok").cast("double"))) - 1e0
+      val prob = Det.r6(lit(1e0) / (lit(1e0) + exp(-Det.r6(z))))
+      val w = Window.partitionBy("grp")
+      val p = f.select(col("doc_id"), col("grp"), prob.as("prob"))
+      p.select(col("doc_id"), col("grp"), col("prob"),
+        count(lit(1)).over(w).as("grp_size"),
+        (row_number().over(w.orderBy(col("prob").desc, col("doc_id"))) === 1)
+          .as("keep"))
+    },
+
     // -- Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 adapted
     //    to the corpus: word-count bounds, mean-word-length bounds,
     //    stopword floor, duplicate-word ceiling, most-common-word
