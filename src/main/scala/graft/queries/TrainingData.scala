@@ -454,6 +454,10 @@ object TrainingData {
         .select(col("doc_id"), col("source"), explode(expr(
           "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))"))
           .as("gram"))
+        // the gram relation feeds FOUR consumers (eval join side, train
+        // join side, bloom build, per-doc totals) — materialize the
+        // explode once instead of re-tokenizing the corpus per consumer
+        .persist()
       val isEval = col("source").isin("src0", "src1")
       val ev = g.filter(isEval).select("doc_id", "gram").distinct()
       val tr = g.filter(!isEval).select("gram").distinct()
