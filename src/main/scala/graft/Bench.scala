@@ -77,7 +77,9 @@ object Bench {
     // goes first (and to bench_results.json), and a SHORT headline object
     // is the very LAST stdout line — it survives truncation and parses.
     println(full)
-    try {
+    // only FULL runs update the committed record — a SPARK_GRAFT_ONLY
+    // filtered iteration run must not clobber the 170+-query baseline
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_results.json")
       w.println(full); w.close()
     } catch { case _: Throwable => }
