@@ -992,6 +992,56 @@ object TrainingData {
         (col("cid") === col("lbl")).as("keep"))
     },
 
+    // -- TRIANGLE COUNT on the near-dup graph — the clustering-coefficient
+    //    diagnostic that separates clique-like duplicate clusters (high
+    //    triangle density → true dup groups) from chain artifacts of LSH
+    //    banding. Edges are the t10 candidate pairs at the looser
+    //    SIMILARITY-GRAPH threshold cos >= 0.1 (the dup verdict's 0.5
+    //    leaves the graph nearly empty at these SFs; the diagnostic wants
+    //    the neighborhood structure), cid_a < cid_b already oriented;
+    //    triangles are the canonical a<b<c three-way self-join
+    //    on the BOUNDED edge set (dup pairs, orders of magnitude smaller
+    //    than the corpus — the join never touches raw vectors). Output:
+    //    total triangles, edges, and wedge count (paths of length 2) as
+    //    one hashed integer row; global clustering = 3·tri/wedges stays
+    //    derivable and exact.
+    Q("t43_dup_triangles", {
+      s"""WITH $neardupCtesSql,
+         |dup AS (
+         |  SELECT dot.cid_a AS u, dot.cid_b AS v
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid
+         |  WHERE CAST(dot.d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 1e-1),
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+         |  FROM dup e1 JOIN dup e2 ON e2.u = e1.v
+         |              JOIN dup e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sym AS (SELECT u, v FROM dup UNION ALL SELECT v AS u, u AS v FROM dup),
+         |wed AS (
+         |  SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedge
+         |  FROM (SELECT u, COUNT(*) AS d FROM sym GROUP BY u))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dup) AS n_edges,
+         |  tri.n_tri, wed.n_wedge
+         |FROM tri, wed""".stripMargin
+    }) { (s, dir) =>
+      val dup = neardupPairs(s, dir).filter(col("cosine") >= 1e-1)
+        .select(col("cid_a").as("u"), col("cid_b").as("v")).persist()
+      val e1 = dup
+      val e2 = dup.select(col("u").as("b"), col("v").as("c"))
+      val e3 = dup.select(col("u").as("a2"), col("v").as("c2"))
+      val tri = e1.join(e2, col("v") === col("b"))
+        .join(e3, col("u") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("n_tri"))
+      val sym = dup.unionAll(dup.select(col("v").as("u"), col("u").as("v")))
+      val wed = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+          .cast("long").as("n_wedge"))
+      val ne = dup.agg(count(lit(1)).as("n_edges"))
+      ne.crossJoin(tri).crossJoin(wed)
+        .select(col("n_edges"), col("n_tri"), col("n_wedge"))
+    },
+
     // -- PCA by power iteration over the EXACT integer scatter matrix —
     //    the dimensionality-reduction step of an embedding pipeline
     //    (dataset whitening, IVF cell axes, Matryoshka truncation
@@ -2167,6 +2217,39 @@ object TrainingData {
       val prob = Det.r6(lit(1e0) / (lit(1e0) + exp(-zr)))
       f.select(col("doc_id"), col("n_tok"), col("n_typ"), col("n_stop"),
         z.as("z"), prob.as("prob"), (prob >= 5e-1).as("keep"))
+    },
+
+    // -- FEATURE HASHING (the hashing trick, Weinberger et al. 2009): every
+    //    token lands in one of 32 buckets of a fixed-dimension signed
+    //    count vector — the classic cheap featurizer feeding a linear
+    //    quality classifier without a vocabulary. Token hash = the t04
+    //    rolling fingerprint (codegen `rolling_fp`, stated declaratively
+    //    by the oracle); bucket = h mod 32, sign from bit 5 (the
+    //    collision-unbiasing sign trick). ONE explode + doc-keyed
+    //    aggregation, output bounded at 32 rows per document.
+    Q("t42_feature_hash",
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE length(text) > 0),
+        |th AS (
+        |  SELECT doc_id, tok,
+        |    COALESCE((SELECT CAST(SUM(CAST(ascii(substr(tok, CAST(i AS INT), 1))
+        |        AS BIGINT) * ((i * 2654435761) % 1048576 + 1)) % 1073741824
+        |      AS BIGINT)
+        |      FROM unnest(generate_series(1, length(tok))) AS t(i)), 0)
+        |      AS h
+        |  FROM tk)
+        |SELECT doc_id, h % 32 AS bucket,
+        |  CAST(SUM(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS val
+        |FROM th GROUP BY doc_id, h % 32""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr("rolling_fp(tok)").as("h"))
+        .groupBy(col("doc_id"), (col("h") % 32).as("bucket"))
+        .agg(sum(when(expr("(h div 32) % 2") === 0, 1L).otherwise(-1L))
+          .as("val"))
     },
 
     // -- Canonical-document selection ("keep best"): the terminal step of
