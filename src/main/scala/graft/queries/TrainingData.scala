@@ -855,6 +855,87 @@ object TrainingData {
           (col("n_hit") / lit(3)).as("recall"))
     },
 
+    // -- MATRYOSHKA TRUNCATION RECALL (Kusupati et al. 2022): rank the
+    //    corpus by the PREFIX-16-dim dot product and measure recall@3
+    //    against the full-64-dim exact ranking — the measurement run
+    //    before truncating an MRL-style embedding column to cut storage
+    //    and ANN cost 4×. Same exact-integer machinery as e09 (qdot,
+    //    deterministic tiebreaks); the truncated scan reads only the
+    //    sliced prefix, which is the point at 100 TB.
+    Q("e13_matryoshka_recall",
+      s"""WITH qe AS (${qExplodeSql("qid", "WHERE vec_id < 8")}),
+         |ce AS (${qExplodeSql("cid", "")}),
+         |qn AS (SELECT qid, SUM(qv*qv) AS qid_n2 FROM qe GROUP BY qid),
+         |cn AS (SELECT cid, SUM(qv*qv) AS cid_n2 FROM ce GROUP BY cid),
+         |qn16 AS (SELECT qid, SUM(qv*qv) AS q16_n2 FROM qe WHERE pos <= 16 GROUP BY qid),
+         |cn16 AS (SELECT cid, SUM(qv*qv) AS c16_n2 FROM ce WHERE pos <= 16 GROUP BY cid),
+         |dote AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  GROUP BY qe.qid, ce.cid),
+         |ex3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT dote.qid, dote.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY dote.qid ORDER BY CAST(dote.d AS DOUBLE)
+         |        / (sqrt(CAST(qn.qid_n2 AS DOUBLE)) * sqrt(CAST(cn.cid_n2 AS DOUBLE)))
+         |        DESC, dote.cid) AS rank
+         |    FROM dote JOIN qn ON dote.qid = qn.qid JOIN cn ON dote.cid = cn.cid
+         |    WHERE dote.qid <> dote.cid) WHERE rank <= 3),
+         |dot16 AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  WHERE qe.pos <= 16 AND ce.pos <= 16
+         |  GROUP BY qe.qid, ce.cid),
+         |tr3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT dot16.qid, dot16.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY dot16.qid ORDER BY CAST(dot16.d AS DOUBLE)
+         |        / (sqrt(CAST(qn16.q16_n2 AS DOUBLE)) * sqrt(CAST(cn16.c16_n2 AS DOUBLE)))
+         |        DESC, dot16.cid) AS rank
+         |    FROM dot16 JOIN qn16 ON dot16.qid = qn16.qid
+         |               JOIN cn16 ON dot16.cid = cn16.cid
+         |    WHERE dot16.qid <> dot16.cid) WHERE rank <= 3)
+         |SELECT ex3.qid, CAST(COUNT(tr3.cid) AS BIGINT) AS n_hit,
+         |  COUNT(tr3.cid) / 3 AS recall
+         |FROM ex3 LEFT JOIN tr3
+         |  ON ex3.qid = tr3.qid AND ex3.cid = tr3.cid
+         |GROUP BY ex3.qid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("tv", expr("slice(qv, 1, 16)"))
+        .withColumn("n2", expr("qdot(qv, qv)"))
+        .withColumn("n2_16", expr("qdot(tv, tv)"))
+      val queries = broadcast(bk.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("qv").as("qqv"), col("tv").as("qtv"),
+          col("n2").as("q_n2"), col("n2_16").as("q_n2_16")))
+      val rkF = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      val joined = bk.crossJoin(queries).filter(col("qid") =!= col("cid"))
+      val ex3 = joined
+        .select(col("qid"), col("cid"),
+          (expr("qdot(qqv, qv)").cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(rkF))
+        .filter(col("rank") <= 3).select("qid", "cid")
+      val tr3 = joined
+        .select(col("qid"), col("cid"),
+          (expr("qdot(qtv, tv)").cast("double") /
+            (sqrt(col("q_n2_16").cast("double")) * sqrt(col("n2_16").cast("double"))))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(rkF))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("tq"), col("cid").as("tc"), lit(1L).as("hit"))
+      ex3.join(tr3,
+          col("qid") === col("tq") && col("cid") === col("tc"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit") / lit(3)).as("recall"))
+    },
+
     // -- silhouette clustering-quality diagnostic (the "are these labels
     //    real clusters" measurement run before trusting a partitioned
     //    corpus): for a pinned 64-vector sample, a(i) = mean squared L2
