@@ -410,6 +410,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("t42: feature hashing is one doc-keyed aggregation — no extra exchange") {
+    val p = planOf("t42_feature_hash")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t43: triangle joins read the persisted edge set, never raw vectors") {
+    val p = planOf("t43_dup_triangles")
+    // the scalar 1-row×1-row result crosses plan as BNLJ — benign; the
+    // guard is that the edge relation is pinned (InMemoryRelation) and no
+    // unkeyed CartesianProduct of data-sized inputs appears
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e13: the truncated re-rank keeps the query side broadcast") {
+    val p = planOf("e13_matryoshka_recall")
+    // corpus × 8-query cross joins must build on the broadcast query side;
+    // the final 24-row top-3 reconciliation join is unconstrained
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
