@@ -553,8 +553,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.expr.GraftExtensions` entry point. */
+/** `spark.sql.extensions=graft.expr.GraftExtensions` entry point:
+  * functions, the custom-operator planner strategy (as-of join), and the
+  * pushdown rule that restores filter migration through it. Sessions
+  * built without the config get the same wiring lazily through
+  * `AsOfJoinPlan.asOfNative` via the experimental hooks. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectInto(ext)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
+  }
 }
