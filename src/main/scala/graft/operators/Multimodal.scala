@@ -112,15 +112,57 @@ object Multimodal {
       }(enc)
   }
 
-  /** REAL audio decode — RIFF/WAVE, PCM s16le mono: 12-byte RIFF header,
-    * then tagged chunks; `fmt ` fixes the sample format, `data` carries
-    * little-endian 16-bit samples; unknown chunks are skipped by size (the
-    * spec allows e.g. LIST metadata between them). Same placement contract
-    * as decodePgm: batch-wise mapPartitions where an mp3/flac codec would
-    * slot in. Output per clip: sample rate, sample count, per-frame
-    * absolute energies (nFrames fixed frames of ceil(n/nFrames) samples —
-    * the frame-sample feature a downstream model consumes), the peak
-    * amplitude, and the mean absolute amplitude. Malformed payloads throw. */
+  /** RIFF/WAVE PCM s16le mono chunk walk shared by the decode faces:
+    * 12-byte RIFF header, then tagged chunks; `fmt ` fixes the sample
+    * format, `data` carries little-endian 16-bit samples; unknown chunks
+    * are skipped by size (the spec allows e.g. LIST metadata between
+    * them). Malformed payloads throw. */
+  private def parseWav(bytes: Array[Byte], id: Long): (Long, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"not a RIFF payload (id $id)")
+    bb.getInt // container size; payload length is the authority below
+    require(fourcc() == "WAVE", s"not a WAVE container (id $id)")
+    var rate = -1L
+    var samples: Array[Short] = null
+    while (bb.remaining >= 8) {
+      val cid = fourcc()
+      val sz = bb.getInt
+      require(sz >= 0 && sz <= bb.remaining,
+        s"chunk '$cid' size $sz overruns payload (id $id)")
+      cid match {
+        case "fmt " =>
+          require(sz >= 16, s"fmt chunk too short (id $id)")
+          val fmt = bb.getShort; val ch = bb.getShort
+          rate = bb.getInt.toLong
+          bb.getInt; bb.getShort // byte rate, block align: derived
+          val bits = bb.getShort
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"only PCM s16 mono supported (id $id)")
+          bb.position(bb.position() + (sz - 16))
+        case "data" =>
+          require(sz % 2 == 0, s"odd data chunk size (id $id)")
+          samples = new Array[Short](sz / 2)
+          var k = 0
+          while (k < samples.length) { samples(k) = bb.getShort; k += 1 }
+        case _ => bb.position(bb.position() + sz)
+      }
+    }
+    require(rate > 0 && samples != null && samples.length > 0,
+      s"missing fmt/data chunk (id $id)")
+    (rate, samples)
+  }
+
+  /** REAL audio decode — the feature face over [[parseWav]]. Same
+    * placement contract as decodePgm: batch-wise mapPartitions where an
+    * mp3/flac codec would slot in. Output per clip: sample rate, sample
+    * count, per-frame absolute energies (nFrames fixed frames of
+    * ceil(n/nFrames) samples — the frame-sample feature a downstream
+    * model consumes), the peak amplitude, and the mean absolute
+    * amplitude. */
   def decodeWav(df: DataFrame, idCol: String, binCol: String,
                 nFrames: Int = 4): DataFrame = {
     val schema = StructType(
@@ -133,42 +175,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          def fourcc(): String = {
-            val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
-          }
-          require(fourcc() == "RIFF", s"not a RIFF payload (id $id)")
-          bb.getInt // container size; payload length is the authority below
-          require(fourcc() == "WAVE", s"not a WAVE container (id $id)")
-          var rate = -1L
-          var samples: Array[Short] = null
-          while (bb.remaining >= 8) {
-            val cid = fourcc()
-            val sz = bb.getInt
-            require(sz >= 0 && sz <= bb.remaining,
-              s"chunk '$cid' size $sz overruns payload (id $id)")
-            cid match {
-              case "fmt " =>
-                require(sz >= 16, s"fmt chunk too short (id $id)")
-                val fmt = bb.getShort; val ch = bb.getShort
-                rate = bb.getInt.toLong
-                bb.getInt; bb.getShort // byte rate, block align: derived
-                val bits = bb.getShort
-                require(fmt == 1 && ch == 1 && bits == 16,
-                  s"only PCM s16 mono supported (id $id)")
-                bb.position(bb.position() + (sz - 16))
-              case "data" =>
-                require(sz % 2 == 0, s"odd data chunk size (id $id)")
-                samples = new Array[Short](sz / 2)
-                var k = 0
-                while (k < samples.length) { samples(k) = bb.getShort; k += 1 }
-              case _ => bb.position(bb.position() + sz)
-            }
-          }
-          require(rate > 0 && samples != null && samples.length > 0,
-            s"missing fmt/data chunk (id $id)")
+          val (rate, samples) = parseWav(r.getAs[Array[Byte]](1), id)
           val n = samples.length
           val flen = (n + nFrames - 1) / nFrames
           val e = new Array[Long](nFrames)
@@ -184,6 +191,26 @@ object Multimodal {
           }
           Row.fromSeq((id +: rate +: n.toLong +: e.toSeq) ++
             Seq[Any](peak, tot.toDouble / n))
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode, sample-preserving face — the same [[parseWav]]
+    * walk, but the recovered PCM comes back as an `array<long>` column so
+    * downstream DSP (framing, windowed transforms, spectral features)
+    * runs DECLARATIVELY in the engine instead of inside the codec stub.
+    * Output: (idCol, sample_rate: long, samples: array<long>). */
+  def decodeWavSamples(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("sample_rate", LongType),
+      StructField("samples", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (rate, samples) = parseWav(r.getAs[Array[Byte]](1), id)
+          Row(id, rate, samples.map(_.toLong).toSeq)
         }
       }(enc)
   }

@@ -13,6 +13,41 @@ import graft.operators.Multimodal
   */
 object MediaQ {
 
+  /** 8-point DFT twiddle tables for m16, by angle index (k·n mod 8):
+    * cos ∈ {1, √2/2, 0, −√2/2, −1, …}, sin likewise. Coefficient codes:
+    * ±2 = ±1, ±1 = ±√2/2, 0 = drop the term. Every twiddle is either an
+    * exact dyadic or sqrt(1/2) — an IEEE-exact value both engines compute
+    * bit-identically from the literal, so the whole spectrum stays in
+    * CLAUDE.md class (a)/(b): one SHARED expression string evaluated
+    * left-associatively by both engines. */
+  private val CosCode = Array(2, 1, 0, -1, -2, -1, 0, 1)
+  private val SinCode = Array(0, 1, 2, 1, 0, -1, -2, -1)
+
+  private def dftSum(codeOf: Int => Int, k: Int): String = {
+    val terms = (0 until 8).flatMap { n =>
+      codeOf((k * n) % 8) match {
+        case 2  => Some(s"s$n")
+        case 1  => Some(s"s$n * sqc")
+        case -1 => Some(s"-s$n * sqc")
+        case -2 => Some(s"-s$n")
+        case _  => None
+      }
+    }
+    terms.mkString(" + ")
+  }
+
+  /** (name, expression) pairs for the re/im layer — shared verbatim by the
+    * Spark plan and the DuckDB oracle so the float op ORDER is identical. */
+  private val reimExprs: Seq[(String, String)] =
+    (0 to 4).map(k => s"re$k" -> dftSum(CosCode(_), k)) ++
+      (1 to 3).map(k => s"im$k" -> dftSum(SinCode(_), k))
+
+  /** (name, expression) pairs for the power layer (im0 = im4 = 0). */
+  private val powerExprs: Seq[(String, String)] =
+    Seq("p0" -> "re0 * re0") ++
+      (1 to 3).map(k => s"p$k" -> s"re$k * re$k + im$k * im$k") ++
+      Seq("p4" -> "re4 * re4")
+
   val qs: Seq[Q] = Seq(
     Q("m10_multimodal_stub",
       s"""WITH cp AS (
@@ -236,5 +271,78 @@ object MediaQ {
           }
         }(enc)
       Multimodal.resizePgm(synth, "doc_id", "payload", factor = 2)
+    },
+
+    // -- SPECTRAL features after decode: the m12 clips re-decoded through
+    //    the sample-preserving face, framed (8 frames x 8 samples) and
+    //    pushed through an 8-point DFT power spectrum — the framed
+    //    spectrogram slice an audio-embedding model consumes. The DFT is
+    //    DECLARATIVE: re/im are explicit sums with twiddles in
+    //    {0, +-1, +-sqrt(1/2)} (IEEE-exact class), and the exact same
+    //    expression strings run on both engines so every float op happens
+    //    in the same order — the full double-precision spectrum sits on
+    //    the hashed surface with no rounding. The oracle restates the
+    //    samples from the closed-form synth formula; Spark recovers them
+    //    from the real RIFF/WAVE walk.
+    Q("m16_audio_spectrum", {
+      val sCols = (0 until 8).map(n =>
+        s"CAST(((doc_id*31 + (f*8 + $n)*17) % 4096) - 2048 AS DOUBLE) AS s$n")
+        .mkString(",\n    ")
+      val riCols = reimExprs.map { case (nm, e) => s"$e AS $nm" }
+        .mkString(",\n    ")
+      val pCols = powerExprs.map { case (nm, e) => s"$e AS $nm" }
+        .mkString(",\n  ")
+      s"""WITH fr0 AS (
+         |  SELECT doc_id, unnest(generate_series(0, 7)) AS f FROM documents),
+         |fr AS (
+         |  SELECT doc_id, f, sqrt(5e-1) AS sqc,
+         |    $sCols
+         |  FROM fr0),
+         |ri AS (
+         |  SELECT doc_id, f,
+         |    $riCols
+         |  FROM fr)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+         |  $pCols
+         |FROM ri""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val synth = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = 64
+            val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+            bb.put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+            bb.putShort(1); bb.putShort(1)          // PCM, mono
+            bb.putInt(8000); bb.putInt(16000)       // rate, byte rate
+            bb.putShort(2); bb.putShort(16)         // block align, bits
+            bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+            var i = 0
+            while (i < n) {
+              bb.putShort((((id * 31 + i * 17) % 4096) - 2048).toShort)
+              i += 1
+            }
+            Row(id, bb.array())
+          }
+        }(enc)
+      val dec = Multimodal.decodeWavSamples(synth, "doc_id", "payload")
+      val fr = dec
+        .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("f"),
+          col("samples"))
+        .select(Seq(col("doc_id"), col("f"), expr("sqrt(5e-1)").as("sqc")) ++
+          (0 until 8).map(n =>
+            expr(s"CAST(element_at(samples, f*8 + ${n + 1}) AS DOUBLE)")
+              .as(s"s$n")): _*)
+      val ri = fr.select(Seq(col("doc_id"), col("f")) ++
+        reimExprs.map { case (nm, e) => expr(e).as(nm) }: _*)
+      ri.select(Seq(col("doc_id"), col("f").cast("long").as("frame")) ++
+        powerExprs.map { case (nm, e) => expr(e).as(nm) }: _*)
     })
 }

@@ -2880,5 +2880,109 @@ object TrainingData {
         .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
           (count(lit(1)) + lit(K - 1).cast("long")).as("match_words"))
         .drop("i")
+    },
+
+    // -- edit-distance verification of near-dup candidates: the exact
+    //    confirm step a production dedup pipeline runs AFTER blocking —
+    //    candidates come from t08's (h1, h2) minhash band buckets (never
+    //    all pairs), then each pair pays one Levenshtein DP on the two
+    //    texts. Both engines implement classic unit-cost Levenshtein and
+    //    the corpus is ASCII (the corpus contract), so the distance is an
+    //    exact integer on the hashed surface; the near_dup verdict is the
+    //    integer cross-multiplied <=25%-edits rule. At 100 TB the DP cost
+    //    rides the blocked candidate volume (band-width-bounded), and the
+    //    two text gathers are keyed equi-joins.
+    Q("t44_edit_distance",
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id < $T08MaxDoc),
+         |sig AS (
+         |  SELECT doc_id,
+         |    MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2
+         |  FROM toks GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  CAST(length(da.text) AS BIGINT) AS len_a,
+         |  CAST(length(db.text) AS BIGINT) AS len_b,
+         |  CAST(CASE WHEN 4 * levenshtein(da.text, db.text)
+         |            <= GREATEST(length(da.text), length(db.text))
+         |       THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.id_a
+         |JOIN documents db ON db.doc_id = c.id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.filter(col("doc_id") < T08MaxDoc)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sig = toks.groupBy("doc_id").agg(
+        min(md5(concat(lit("a"), col("tok")))).as("h1"),
+        min(md5(concat(lit("b"), col("tok")))).as("h2"))
+      val a = sig.select(col("doc_id").as("id_a"),
+        col("h1"), col("h2"))
+      val b = sig.select(col("doc_id").as("id_b"),
+        col("h1").as("b1"), col("h2").as("b2"))
+      val cand = a.join(b, col("h1") === col("b1") && col("h2") === col("b2")
+          && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val txt = docs.select(col("doc_id"), col("text"))
+      val ld = levenshtein(col("ta"), col("tb")).cast("long")
+      cand
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          ld.as("edit_dist"),
+          length(col("ta")).cast("long").as("len_a"),
+          length(col("tb")).cast("long").as("len_b"),
+          when(lit(4) * ld <= greatest(length(col("ta")).cast("long"),
+            length(col("tb")).cast("long")), 1L).otherwise(0L).as("near_dup"))
+    },
+
+    // -- deterministic train/val/test assignment: split membership is a
+    //    pure function of doc_id through the Lehmer hash (the t26 idiom,
+    //    proven cross-engine), so ANY shard of a 100 TB corpus computes
+    //    its own split locally with zero coordination — the property that
+    //    makes hash-splits the production standard over random ones.
+    //    90/5/5 by hash bucket; one map-side-combined 3-group rollup.
+    Q("t45_hash_split",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    (((doc_id % 2147483647) * 48271) % 2147483647) % 100 AS bucket
+        |  FROM documents),
+        |sp AS (
+        |  SELECT CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    doc_id, n_chars
+        |  FROM h),
+        |g AS (
+        |  SELECT split, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |    CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |    CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |  FROM sp GROUP BY split),
+        |t AS (SELECT SUM(docs) AS tot FROM g)
+        |SELECT split, docs, chars, min_id, max_id,
+        |  CAST((docs * 10000) // t.tot AS BIGINT) AS share_bp
+        |FROM g, t""".stripMargin) { (s, dir) =>
+      val h = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          expr("(((doc_id % 2147483647) * 48271) % 2147483647) % 100")
+            .as("bucket"))
+      val sp = h.select(
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test").as("split"),
+        col("doc_id"), col("n_chars"))
+      val g = sp.groupBy("split").agg(
+        count(lit(1)).as("docs"), sum("n_chars").as("chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      val t = g.agg(sum("docs").as("tot"))
+      g.crossJoin(broadcast(t))
+        .select(col("split"), col("docs"), col("chars"),
+          col("min_id"), col("max_id"),
+          expr("(docs * 10000) div tot").as("share_bp"))
     })
 }

@@ -54,6 +54,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeWavSamples round-trips exact PCM through the chunk walk") {
+    val samples = Array[Short](100, -200, 300, -400, 500, -600, 700, -800)
+    for (extra <- Seq(false, true)) {
+      val out = Multimodal.decodeWavSamples(df(wav(samples, extra)),
+        "id", "payload").collect()
+      assert(out.length === 1)
+      assert(out.head.getLong(1) === 8000L)
+      assert(out.head.getSeq[Long](2) === samples.map(_.toLong).toSeq)
+    }
+  }
+
+  test("m16 DFT satisfies Parseval: p0 + 2(p1+p2+p3) + p4 = 8*sum(s^2)") {
+    // the m16 power columns cover bins 0..4 of the real-input 8-point
+    // DFT; conjugate symmetry doubles bins 1..3 in the energy identity.
+    // Proves the shared twiddle expressions state a REAL DFT, not just a
+    // cross-engine-agreeing formula.
+    val q = graft.queries.MediaQ.qs.find(_.name == "m16_audio_spectrum").get
+    // run the Spark side against a 1-doc frame and check the identity
+    val row = q.fn(spark, TestSpark.sf).filter("doc_id = 7 AND frame = 0")
+      .collect().head
+    val ps = (2 to 6).map(row.getDouble)
+    val energy = ps(0) + 2 * (ps(1) + ps(2) + ps(3)) + ps(4)
+    val s = (0 until 8).map(i => (((7L * 31 + i * 17) % 4096) - 2048).toDouble)
+    val expected = 8.0 * s.map(v => v * v).sum
+    assert(math.abs(energy - expected) / expected < 1e-12)
+  }
+
   test("decodeWav rejects malformed payloads") {
     // not RIFF
     assertThrows[Exception](
