@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints the formatted physical plan of one registered
+  * query, plus the generated-code statistics (`debugCodegen`) that show
+  * whether the hot path stays inside whole-stage codegen and how large
+  * each generated method is (methods past the 8 KB JIT threshold or the
+  * 64 KB javac limit fall out of compilation and run interpreted).
+  *
+  * Usage: runMain graft.Explain <queryName> [sfDir] [codegen]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE wraps the plan in AdaptiveSparkPlan whose codegen subtrees
+      // only materialize at execution; disable it so debugCodegen sees
+      // the static plan the stages will compile to.
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (name == "audit") { audit(spark, sfDir); spark.stop(); return }
+    val q = SparkEntry.registry.find(_.name == name)
+      .getOrElse(sys.error(s"no such query: $name"))
+    val df = q.fn(spark, sfDir)
+    df.explain("formatted")
+    if (args.length > 2 && args(2) == "codegen") {
+      import org.apache.spark.sql.execution.debug._
+      df.debugCodegen()
+    }
+    spark.stop()
+  }
+
+  /** Registry-wide codegen audit: flags queries whose plans leave compute
+    * nodes outside whole-stage codegen (interpreted row-at-a-time
+    * evaluation in the hot path) or whose generated methods exceed the
+    * 8 KB JIT compilation threshold. Planning-only — nothing executes. */
+  private def audit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.execution.debug.codegenString
+    val MethodLimit = 8000
+    SparkEntry.registry.foreach { q =>
+      try {
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+        val lines = plan.toString.split("\n")
+        // in a non-AQE executed plan, codegen'd nodes carry a "*(id)"
+        // marker; a compute node without one runs interpreted. Window,
+        // WindowGroupLimit, ObjectHashAggregate and Sort never join
+        // whole-stage codegen in Spark, so only the node types that
+        // SHOULD codegen are actionable findings.
+        val fallback = lines.filter { l =>
+          val t = l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-')
+          t.matches("^(Project|Filter|HashAggregate|SortAggregate|Expand|Generate) .*") &&
+            !l.contains("*(")
+        }
+        val big = "maxMethodCodeSize:(\\d+)".r
+          .findAllMatchIn(codegenString(plan)).map(_.group(1).toInt)
+          .filter(_ > MethodLimit).toSeq
+        if (fallback.nonEmpty || big.nonEmpty) {
+          println(s"AUDIT ${q.name}: ${fallback.length} interpreted compute node(s)" +
+            (if (big.nonEmpty) s", oversized methods: ${big.mkString(",")}" else ""))
+          fallback.take(4).foreach(l => println(s"    $l"))
+        }
+      } catch {
+        case e: Throwable => println(s"AUDIT ${q.name}: plan failed: ${e.getMessage}")
+      }
+    }
+    println("AUDIT done")
+  }
+}

@@ -83,7 +83,7 @@ object ScaleProbe {
       .select("doc_id", "text")
     val maxDoc = doc0.agg(max("doc_id")).collect()(0).getLong(0) + 1
     val qCol = expr(
-      "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      "qquant(embedding, 1e6)")
     graft.expr.GraftFunctions.register(spark)
     val code = expr("lsh_code16(qv)")
     val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i) ++:
@@ -406,7 +406,7 @@ object ScaleProbe {
         emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
         .reduce(_ unionAll _)
       val q = emb.select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+        "qquant(embedding, 1e4)")
         .as("qv"))
       val t = time {
         q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))

@@ -340,6 +340,150 @@ object WinnowFps {
   }
 }
 
+/** Character k-gram shingles `string -> array<string>` — the codegen'd
+  * replacement for `transform(sequence(1, length(text) - k + 1), i ->
+  * substring(text, i, k))`, whose HOF lambda kept every shingling
+  * Generate out of whole-stage codegen and paid interpreted expression
+  * dispatch per position. Same strings, one substring walk per document.
+  * Inputs shorter than k yield an empty array (callers guard length
+  * anyway; the transform form would have produced a descending sequence
+  * there, which every call site filters out beforehand). */
+case class CharGrams(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, org.apache.spark.sql.types.IntegerType)
+
+  override protected def nullSafeEval(text: Any, k: Any): Any =
+    CharGrams.compute(text.toString, k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.expr.CharGrams.compute($t.toString(), $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharGrams {
+  def compute(s: String, k: Int): ArrayData = {
+    val n = s.length - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s.substring(i, i + k))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Word k-gram shingles `array<string> -> array<string>` (space-joined) —
+  * the codegen'd replacement for `transform(sequence(1, size(tk) - k +
+  * 1), i -> concat_ws(' ', slice(tk, i, k)))`, same HOF rationale as
+  * [[CharGrams]]. */
+case class WordGrams(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), org.apache.spark.sql.types.IntegerType)
+
+  override protected def nullSafeEval(arr: Any, k: Any): Any =
+    WordGrams.compute(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.expr.WordGrams.compute($a, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordGrams {
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): ArrayData = {
+    val n = a.numElements() - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(a.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Embedding quantization `array<float> -> array<long>` — the codegen'd
+  * replacement for `transform(embedding, x -> CAST(ROUND(CAST(x AS
+  * DOUBLE) * scale) AS BIGINT))`. Higher-order functions have no
+  * doGenCode, so that transform kept every quantizing Project/Filter out
+  * of whole-stage codegen AND was re-evaluated per reference inside
+  * interpreted Filters (the t43 candidate filter computed it three times
+  * per row). Element semantics mirror Spark's exactly: widen float to
+  * double, one double multiply, Round(HALF_UP through
+  * BigDecimal.valueOf — the decimal-string path, NOT Math.round or RTE),
+  * then the double→long truncating cast. `QuantSpec` pins equality with
+  * the transform expression over the real corpus and the .5/negative
+  * edge grid. */
+case class QQuant(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "qquant"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.FloatType), DoubleType)
+
+  override protected def nullSafeEval(arr: Any, scale: Any): Any =
+    QQuant.compute(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      scale.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) =>
+      s"${ev.value} = graft.expr.QQuant.compute($a, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QQuant =
+    copy(left = newLeft, right = newRight)
+}
+
+object QQuant {
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble * scale
+      // ANSI Spark (the default) throws on CAST(non-finite AS BIGINT);
+      // fail the same contract fast instead of silently clamping
+      require(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d),
+        s"qquant: non-finite embedding value at position $i")
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Exact integer dot product of two `array<long>` columns — the codegen'd
   * replacement for `aggregate(zip_with(a, b, *), 0L, +)`, which Spark can
   * only evaluate INTERPRETED (higher-order functions have no doGenCode):
@@ -518,6 +662,15 @@ object GraftFunctions {
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => WinnowFps(args.head)),
+    (FunctionIdentifier("char_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+      (args: Seq[Expression]) => CharGrams(args.head, args(1))),
+    (FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (args: Seq[Expression]) => WordGrams(args.head, args(1))),
+    (FunctionIdentifier("qquant"),
+      new ExpressionInfo(classOf[QQuant].getName, "qquant"),
+      (args: Seq[Expression]) => QQuant(args.head, args(1))),
     (FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),
       (args: Seq[Expression]) => QDot(args.head, args(1))),

@@ -108,9 +108,10 @@ object TrainingData {
     * costs more than the n·d² generated rows save, and the exchange is
     * already d²-bounded either way. Keep the declarative shape. */
   private def pcaIterates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.expr.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val q = emb.select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+      "qquant(embedding, 1e4)")
       .as("qv"))
     val pr = q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
       .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
@@ -176,7 +177,7 @@ object TrainingData {
     graft.expr.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val qCol = expr(
-      "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      "qquant(embedding, 1e6)")
     val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
       .withColumn("n2", expr("qdot(qv, qv)"))
       .withColumn("code", expr("lsh_code16(qv)"))
@@ -394,11 +395,11 @@ object TrainingData {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE c >= 10 AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 1e-1""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val sh0 = Tables.documents(s, dir)
         .filter(col("doc_id") < T05MaxDoc && length(col("text")) >= 5)
         .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+          explode(expr("char_grams(text, 5)"))
             .as("sh"))
         .distinct()
       val dfS = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -448,11 +449,11 @@ object TrainingData {
         |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  COALESCE(ov.n_overlap, 0) >= 3 AS contaminated
         |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val g = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))"))
+        .select(col("doc_id"), col("source"), explode(expr("word_grams(tk, 5)"))
           .as("gram"))
         // the gram relation feeds FOUR consumers (eval join side, train
         // join side, bloom build, per-doc totals) — materialize the
@@ -623,7 +624,7 @@ object TrainingData {
       // order-free so they agree exactly)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val n2 = expr("qdot(qv, qv)")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("cid_n2", n2)
@@ -695,7 +696,7 @@ object TrainingData {
       graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("qdot(qv, qv)"))
         .withColumn("code", expr("lsh_code16(qv)"))
@@ -817,7 +818,7 @@ object TrainingData {
       graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("qdot(qv, qv)"))
         .withColumn("code", expr("lsh_code16(qv)"))
@@ -903,7 +904,7 @@ object TrainingData {
       graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("tv", expr("slice(qv, 1, 16)"))
         .withColumn("n2", expr("qdot(qv, qv)"))
@@ -1173,7 +1174,7 @@ object TrainingData {
       val (_, v2) = pcaIterates(s, dir)
       val q = Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(expr(
-          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))"))
+          "qquant(embedding, 1e4)"))
           .as(Seq("p", "qv")))
         .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("qv"))
       val sc = q.join(broadcast(v2.select(col("i").as("pos"), col("v2"))), "pos")
@@ -1234,7 +1235,7 @@ object TrainingData {
       // collect) with higher-order zip_with distances — no position joins
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("qdot(qv, qv)"))
       val cent = emb.select(col("label"), posexplode(col("embedding")))
@@ -1307,9 +1308,10 @@ object TrainingData {
          |FROM a2 JOIN ce ON a2.cid = ce.cid
          |GROUP BY a2.k, ce.pos""".stripMargin
     }) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
       val ceExpl = qExplode(emb, "cid")
       // centroids are MODEL-sized (k × dim = 8 × dim longs) at any corpus
@@ -1406,12 +1408,12 @@ object TrainingData {
         |       ELSE 1e0 - CAST(ag.n_unique AS DOUBLE) / CAST(ag.n_grams AS DOUBLE)
         |  END AS rep_ratio
         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       val grams = docs
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+        .select(col("doc_id"), explode(expr("word_grams(tk, 3)"))
           .as("gram"))
       val ag = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum(col("c")).as("n_grams"),
@@ -1917,7 +1919,7 @@ object TrainingData {
       graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
       // coarse quantizer: per-label centroid VECTORS, broadcast (e04 shape)
       val cent = emb.select(col("label"), posexplode(col("embedding")))
@@ -2182,7 +2184,7 @@ object TrainingData {
       import graft.operators.SemDedup
       val emb = Tables.embeddings(s, dir)
       val qCol = expr(
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        "qquant(embedding, 1e6)")
       val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("qdot(qv, qv)"))
       // SemDeDup's scale contract: cluster count GROWS with the corpus so

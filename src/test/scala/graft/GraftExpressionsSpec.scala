@@ -167,6 +167,57 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(rate < 0.03, s"FP rate $rate exceeds 3x the 1% design point")
   }
 
+  test("qquant is bit-identical to the transform-ROUND-cast quantizer") {
+    // the hashed embedding surfaces all flow through the quantizer; this
+    // pins the codegen expression to the declarative HOF it replaces over
+    // the REAL corpus at both scales in use, so swapping it in cannot
+    // move a single value under the gate.
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    for (scale <- Seq("1e4", "1e6")) {
+      val n = emb.selectExpr(
+        s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS a",
+        s"qquant(embedding, $scale) AS b")
+        .filter("a <> b").count()
+      assert(n === 0, s"qquant diverges from transform at scale $scale")
+    }
+    // .5-exact and negative edge grid (scale 2 makes the halves exact in
+    // binary): HALF_UP = away from zero on both paths. Non-finite input
+    // throws on BOTH paths (ANSI cast vs the qquant require).
+    val edge = spark.sql(
+      """SELECT transform(v, x -> CAST(ROUND(CAST(x AS DOUBLE) * 2e0) AS BIGINT)) AS a,
+        |       qquant(v, 2e0) AS b
+        |FROM VALUES (array(1.25f, -1.25f, 0.75f, -0.75f, 0.0f)) AS t(v)
+        |""".stripMargin).collect().head
+    assert(edge.getSeq[Long](0) === edge.getSeq[Long](1))
+    assert(edge.getSeq[Long](0) === Seq(3L, -3L, 2L, -2L, 0L))
+    assertThrows[Exception](spark.sql(
+      "SELECT qquant(array(float('nan')), 2e0)").collect())
+  }
+
+  test("char_grams and word_grams match the transform-sequence shingling") {
+    // the gram strings feed hashed join keys and counts; pin both codegen
+    // expressions to the HOFs they replace over the real corpus at the
+    // k values in use (5-char shingles, 3- and 5-word grams)
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+    val nc = docs.filter("length(text) >= 5").selectExpr(
+      "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) AS a",
+      "char_grams(text, 5) AS b").filter("a <> b").count()
+    assert(nc === 0)
+    for (k <- Seq(3, 5)) {
+      val nw = docs.selectExpr("split(text, ' ') AS tk")
+        .filter(s"size(tk) >= $k").selectExpr(
+        s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k))) AS a",
+        s"word_grams(tk, $k) AS b").filter("a <> b").count()
+      assert(nw === 0, s"word_grams diverges at k=$k")
+    }
+    // short inputs yield empty (call sites filter these out before the
+    // explode; empty-array explode = no rows either way)
+    val short = spark.sql(
+      "SELECT char_grams('abc', 5) AS c, word_grams(array('a','b'), 3) AS w")
+      .collect().head
+    assert(short.getSeq[String](0).isEmpty && short.getSeq[String](1).isEmpty)
+  }
+
   test("winnow_fps matches the declarative windows-join formulation") {
     import spark.implicits._
     // texts exercising ties (repeats force equal hashes in one window),
