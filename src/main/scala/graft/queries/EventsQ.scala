@@ -817,5 +817,50 @@ object EventsQ {
           ((col("rho").cast("double") / 64e0) * estU).as("est_inter"),
           ((col("n_a") + col("n_b") - col("n_union")).cast("double") /
             col("n_union").cast("double")).as("true_jaccard"))
+    },
+
+    // -- conversion ATTRIBUTION (first-touch / last-touch): every purchase
+    //    credits the most recent and the earliest preceding click/view by
+    //    the same user, plus the µs gap to the last touch — the marketing
+    //    analytics sibling of the s10 funnel. One user-keyed window over
+    //    the proven (tus, event_id) ordering: conditional
+    //    FIRST/LAST_VALUE ... IGNORE NULLS over the strictly-preceding
+    //    frame, so at 100 TB the cost is ONE keyed shuffle of the events,
+    //    no self-join and no per-user explosion. All hashed columns are
+    //    exact integers (ids + a µs difference).
+    Q("s22_attribution",
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, $TusSql AS tus
+         |  FROM events),
+         |a AS (
+         |  SELECT event_id, user_id, event_type, tus,
+         |    LAST_VALUE(CASE WHEN event_type IN ('click','view')
+         |        THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_id,
+         |    LAST_VALUE(CASE WHEN event_type IN ('click','view')
+         |        THEN tus END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_tus,
+         |    FIRST_VALUE(CASE WHEN event_type IN ('click','view')
+         |        THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft_id
+         |  FROM e)
+         |SELECT event_id, user_id, lt_id, ft_id, tus - lt_tus AS gap_us
+         |FROM a WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touchId = when(col("event_type").isin("click", "view"), col("event_id"))
+      val touchTus = when(col("event_type").isin("click", "view"), col("tus"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("lt_id", last(touchId, ignoreNulls = true).over(w))
+        .withColumn("lt_tus", last(touchTus, ignoreNulls = true).over(w))
+        .withColumn("ft_id", first(touchId, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("lt_id"), col("ft_id"),
+          (col("tus") - col("lt_tus")).as("gap_us"))
     })
 }

@@ -2986,5 +2986,69 @@ object TrainingData {
         .select(col("split"), col("docs"), col("chars"),
           col("min_id"), col("max_id"),
           expr("(docs * 10000) div tot").as("share_bp"))
+    },
+
+    // -- URL canonicalization + exact URL dedup (the first stage of every
+    //    web-crawl pipeline): strip the fragment, lowercase scheme+host,
+    //    drop the default :443 port, and remove utm_* tracking params —
+    //    then count how many raw URLs collapse onto each canonical form.
+    //    Docs synthesize their URL from a closed form (the multimodal
+    //    synth idiom: doc_id//3 triples share everything but tracking
+    //    noise, so canon dedup finds 3-groups the raw strings hide). The
+    //    parse is pure string surgery — a zero-shuffle projection — and
+    //    the only shuffle is the canon-keyed dedup count window.
+    Q("t46_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    'WWW.Example' || ((doc_id // 3) % 7) || '.COM' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+        |    '/item/' || (doc_id // 3) ||
+        |    '?utm_source=feed&utm_id=' || doc_id || '&ref=' || ((doc_id // 3) % 5) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    string_split(string_split(url, '#')[1], '?')[1] AS base,
+        |    string_split(string_split(url, '#')[1], '?')[2] AS q
+        |  FROM u),
+        |cp AS (
+        |  SELECT doc_id,
+        |    replace(lower(string_split(base, '/')[3]), ':443', '') AS host,
+        |    lower(string_split(base, '/')[1]) || '//' ||
+        |    replace(lower(string_split(base, '/')[3]), ':443', '') ||
+        |    '/' || string_split(base, '/')[4] || '/' || string_split(base, '/')[5] ||
+        |    '?' || array_to_string(
+        |      list_filter(string_split(q, '&'), x -> x NOT LIKE 'utm_%'), '&') AS canon
+        |  FROM p)
+        |SELECT doc_id, canon, host,
+        |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_same
+        |FROM cp""".stripMargin) { (s, dir) =>
+      val u = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, "HTTPS").otherwise("https"),
+          lit("://WWW.Example"), expr("(doc_id div 3) % 7").cast("string"),
+          lit(".COM"),
+          when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+          lit("/item/"), expr("doc_id div 3").cast("string"),
+          lit("?utm_source=feed&utm_id="), col("doc_id").cast("string"),
+          lit("&ref="), expr("(doc_id div 3) % 5").cast("string"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("#sec"), (col("doc_id") % 3).cast("string")))
+            .otherwise("")).as("url"))
+      val p = u.select(col("doc_id"),
+        expr("element_at(split(element_at(split(url, '#'), 1), '\\\\?'), 1)").as("base"),
+        expr("element_at(split(element_at(split(url, '#'), 1), '\\\\?'), 2)").as("q"))
+      val cp = p.select(col("doc_id"),
+        expr("replace(lower(element_at(split(base, '/'), 3)), ':443', '')").as("host"),
+        concat(
+          expr("lower(element_at(split(base, '/'), 1))"), lit("//"),
+          expr("replace(lower(element_at(split(base, '/'), 3)), ':443', '')"),
+          lit("/"), expr("element_at(split(base, '/'), 4)"),
+          lit("/"), expr("element_at(split(base, '/'), 5)"), lit("?"),
+          expr("array_join(filter(split(q, '&'), x -> NOT (x LIKE 'utm_%')), '&')"))
+          .as("canon"))
+      cp.select(col("doc_id"), col("canon"), col("host"),
+        count(lit(1)).over(Window.partitionBy("canon")).as("n_same"))
     })
 }
