@@ -432,6 +432,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("s22: attribution is one user-keyed window — no self-join") {
+    val p = planOf("s22_attribution")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), "attribution must not self-join the events")
+  }
+
+  test("t46: URL parse is a projection; only the canon dedup window shuffles") {
+    val p = planOf("t46_url_canonical")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"))
+  }
+
+  test("t44: edit-distance verify joins band candidates + two keyed text gathers, never cross") {
+    val p = planOf("t44_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m16: the DFT spectrum never shuffles — decode, frame, and power are one pass") {
+    val p = planOf("m16_audio_spectrum")
+    assert(!p.contains("Exchange"), "per-clip spectral features must not shuffle")
+  }
+
+  test("gram generators and the quantizer stay inside whole-stage codegen") {
+    // the round-6 codegen sweep: the shingle/quantize projections must
+    // not regress to interpreted HOF lambdas (transform has no codegen)
+    for (q <- Seq("t12_ngram_jaccard", "t14_repetition", "t19_decontamination",
+        "t10_embed_neardup", "e11_pca_power", "t29_semdedup")) {
+      val p = planOf(q)
+      assert(!p.contains("lambdafunction"),
+        s"$q reintroduced an interpreted HOF lambda into the hot path")
+    }
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
