@@ -1,0 +1,134 @@
+package graft.io
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 face of the FITS reader — the `spark.read.format`
+  * integration a user of the reference's file-based entry points
+  * (beam cubes `util/beams.py`, model images `dft/examples/
+  * predict_from_fits.py`) expects from a Spark-native engine:
+  *
+  * {{{
+  *   spark.read.format("fits").load("/path/beam.fits")
+  *   // => (path string, plane long, y long, x long, value double)
+  * }}}
+  *
+  * Each file becomes ONE input partition (FITS primary HDUs are
+  * monolithic big-endian arrays; parallelism comes from the file set —
+  * e.g. the 8 per-corr/reim cube files of a beam schema — not intra-file
+  * splits). Axes 1/2 map to x/y and all higher axes are linearized into
+  * `plane`, matching `Fits.BeamCube`'s layout. Column pruning is pushed
+  * into the reader (`SupportsPushDownRequiredColumns`): a query that
+  * never touches `path` or `plane` materializes only what it reads.
+  * Multiple files: `.load(p1, p2, ...)` (Spark passes a JSON "paths"
+  * array) or a comma-free single "path" option.
+  */
+class FitsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fits"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FitsSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FitsTable(FitsSource.paths(properties))
+}
+
+object FitsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("plane", LongType, nullable = false),
+    StructField("y", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Spark encodes `.load(p…)` as a JSON array under "paths" (single
+    * path: a bare "path" entry). The fixture paths carry no quotes or
+    * escapes, so a quoted-string scan is a faithful parse. */
+  private[io] def paths(properties: util.Map[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).toSeq.flatMap { js =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(js).map(_.group(1)).toSeq
+    }
+    val single = Option(properties.get("path")).toSeq
+    val all = (multi ++ single).distinct
+    require(all.nonEmpty, "fits source: no path given — use .load(path)")
+    all
+  }
+}
+
+private[io] class FitsTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"fits(${paths.mkString(",")})"
+  override def schema(): StructType = FitsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FitsScanBuilder(paths)
+}
+
+private[io] class FitsScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = FitsSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new FitsScan(paths, required)
+}
+
+private[io] class FitsScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(FitsInputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsReaderFactory(required)
+}
+
+private[io] case class FitsInputPartition(path: String) extends InputPartition
+
+private[io] class FitsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FitsPartitionReader(
+      partition.asInstanceOf[FitsInputPartition].path, required)
+}
+
+private[io] class FitsPartitionReader(path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  // the HDU loads lazily on the executor at first next(), not at planning
+  private var hdu: Fits.Hdu = _
+  private var nx = 0
+  private var ny = 0
+  private var i = -1
+  private val fields = required.fieldNames
+
+  override def next(): Boolean = {
+    if (hdu == null) {
+      hdu = Fits.read(path)
+      nx = if (hdu.naxis.nonEmpty) hdu.naxis.head else 1
+      ny = if (hdu.naxis.length > 1) hdu.naxis(1) else 1
+    }
+    i += 1
+    i < hdu.data.length
+  }
+
+  override def get(): InternalRow = {
+    val vals = fields.map {
+      case "path"  => UTF8String.fromString(path)
+      case "plane" => (i / (nx * ny)).toLong
+      case "y"     => ((i / nx) % ny).toLong
+      case "x"     => (i % nx).toLong
+      case "value" => hdu.data(i)
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

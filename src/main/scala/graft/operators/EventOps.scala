@@ -95,6 +95,42 @@ object EventOps {
       }
   }
 
+  final case class AttrState(ftId: Long, ltId: Long, ltTus: Long)
+  final case class AttrOut(eventId: Long, userId: Long, ltId: Option[Long],
+                           ftId: Option[Long], gapUs: Option[Long])
+
+  /** Streaming face of s22 first/last-touch attribution: per-user keyed
+    * state carries exactly three longs (first touch id, last touch id +
+    * its µs timestamp), so a user of any history length streams with
+    * constant state. Purchases emit their attribution row immediately;
+    * touches (click/view) update the state. Rows inside a micro-batch are
+    * (tus, event_id)-sorted to the batch query's proven ordering; across
+    * batches the state carries the prefix. */
+  def streamingAttribution(ds: Dataset[TypedEv]): Dataset[AttrOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[TypedEv], state: GroupState[AttrState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tus, e.eventId))
+          var st = state.getOption.getOrElse(AttrState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[AttrOut]
+          for (e <- sorted) {
+            if (e.eventType == "purchase")
+              out += AttrOut(e.eventId, user,
+                if (st.ltId >= 0) Some(st.ltId) else None,
+                if (st.ftId >= 0) Some(st.ftId) else None,
+                if (st.ltTus >= 0) Some(e.tus - st.ltTus) else None)
+            else if (e.eventType == "click" || e.eventType == "view") {
+              st = AttrState(if (st.ftId >= 0) st.ftId else e.eventId,
+                e.eventId, e.tus)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class BdaRow(rowId: Long, ant1: Long, ant2: Long, time: Double,
                           ivl: Double, u: Double, v: Double, w: Double)
   final case class BdaState(bin: Long, tsLow: Double,

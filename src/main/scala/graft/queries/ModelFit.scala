@@ -531,5 +531,39 @@ object ModelFit {
       rows.toDF("x", "y", "f", "l", "m", "freq", "beam_raw")
         .select(col("x"), col("y"), col("f"), col("l"), col("m"), col("freq"),
           Det.r4(col("beam_raw")).as("beam"))
+    },
+
+    // -- the same cube through the DataSource V2 FITS source
+    //    (`spark.read.format("fits")`): where r16 parses on the driver and
+    //    parallelizes rows, this reads pixels EXECUTOR-side through the
+    //    connector — the path a 1000-file beam library takes, one
+    //    partition per file, pruning pushed into the reader
+    //    (FitsSourceSpec). Same fixture, same r4 surface as r16.
+    Q("f15_fits_source", {
+      import graft.core.Det.r4Sql
+      s"""WITH px AS (SELECT CAST(n_nationkey AS BIGINT) AS x
+         |            FROM nation WHERE n_nationkey < 9),
+         |py AS (SELECT CAST(n_nationkey AS BIGINT) AS y
+         |       FROM nation WHERE n_nationkey < 9),
+         |pf AS (SELECT CAST(n_nationkey AS BIGINT) AS f
+         |       FROM nation WHERE n_nationkey < 5),
+         |g AS (
+         |  SELECT x, y, f,
+         |    ((CAST(x AS DOUBLE) - 4e0) * 375e-3) * (pi() / 180e0) AS l,
+         |    ((CAST(y AS DOUBLE) - 4e0) * 375e-3) * (pi() / 180e0) AS m,
+         |    856e6 + f * 214e6 + (CASE WHEN f = 0 OR f = 4 THEN 0e0
+         |      ELSE ((f*3) % 5 - 2) * 1e5 END) AS freq
+         |  FROM px, py, pf),
+         |b AS (
+         |  SELECT x, y, f, cos(LEAST(65e0 * (freq * 1e-9) * sqrt(l*l + m*m),
+         |                      10881e-4)) AS bc
+         |  FROM g)
+         |SELECT x, y, f, ${r4Sql("bc * bc * bc")} AS beam
+         |FROM b""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.BeamFixture
+      s.read.format("fits").load(BeamFixture.ensure(BeamFixture.defaultPath))
+        .select(col("x"), col("y"), col("plane").as("f"),
+          Det.r4(col("value")).as("beam"))
     })
 }

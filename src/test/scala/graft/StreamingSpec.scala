@@ -460,6 +460,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution matches the s22 batch window across batches") {
+    // per-user (first, last, last_tus) keyed state: purchases must credit
+    // the same first/last touch the batch FIRST/LAST_VALUE window finds,
+    // wherever the micro-batch split lands
+    import spark.implicits._
+    import graft.operators.EventOps
+    import graft.operators.EventOps.{TypedEv, AttrOut}
+    implicit val ctx = spark.sqlContext
+    val evs = graft.core.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => TypedEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(e => (e.tus, e.eventId))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[TypedEv]
+    val q = EventOps.streamingAttribution(ms.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("attr").as[AttrOut].collect()
+        .map(a => a.eventId -> ((a.ltId, a.ftId, a.gapUs))).toMap
+      val batch = graft.SparkEntry.queries("s22_attribution")(
+          spark, TestSpark.sf).collect()
+        .map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> ((opt(2), opt(3), opt(4)))
+        }.toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming chunk dedup matches the t28 batch keep rule") {
     // feed the t28 chunk fingerprints through two micro-batches in
     // (doc_id, chunk_idx) order — dedup-on-ingest must keep exactly the
