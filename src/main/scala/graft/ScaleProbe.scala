@@ -397,6 +397,37 @@ object ScaleProbe {
       println(f"s20_asof_native,$k,${nEv0 * k},$n,$t%.2f")
     }
 
+    // round-6 session additions against k x the written fact parquet:
+    // t44 edit-distance verify (DP cost must ride the band-bounded
+    // candidate volume, NOT corpus pairs — the doc_id cap keeps the band
+    // population fixed so seconds should stay ~flat while the corpus
+    // grows), m16 audio spectrum (zero-shuffle projection, ~linear),
+    // t46 URL canonicalization (projection + one window, ~linear), and
+    // s22 attribution (one user-keyed window over replicated events —
+    // per-user history grows k x, seconds must track ~k, no quadratic
+    // per-key term).
+    println("probe,k,t44_s,m16_s,t46_s,s22_s")
+    for (k <- Seq(1, 2, 4)) {
+      val d = s"/tmp/graft_scaleprobe_r6_k$k"
+      (0 until k).map(i => docAll.withColumn("doc_id",
+          col("doc_id") + lit(i * maxDocAll)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      spark.read.parquet(s"$sf/events.parquet")
+        .transform(df => (0 until k).map(i =>
+          df.withColumn("event_id", col("event_id") + lit(i * 1000000L)))
+          .reduce(_ unionAll _))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      def tq(n: String): Double = time {
+        SparkEntry.queries(n)(spark, d)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val (t44, m16, t46, s22) = (tq("t44_edit_distance"),
+        tq("m16_audio_spectrum"), tq("t46_url_canonical"),
+        tq("s22_attribution"))
+      println(f"session6,$k,$t44%.2f,$m16%.2f,$t46%.2f,$s22%.2f")
+    }
+
     // e11 PCA scatter: the d²-bounded partial aggregation over the
     // double-posexplode must scale ~linearly in the corpus (the exchange
     // is constant-size; only the map-side scan grows).

@@ -3,9 +3,10 @@ package graft.io
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,9 +38,14 @@ class FitsSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FitsSource.Schema
 
+  // writes carry their own (plane, y, x, value) schema — without this,
+  // Spark validates the written frame against the READ schema and demands
+  // a `path` column the writer synthesizes itself
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new FitsTable(FitsSource.paths(properties))
+    new FitsTable(FitsSource.paths(properties), schema)
 }
 
 object FitsSource {
@@ -64,13 +70,94 @@ object FitsSource {
   }
 }
 
-private[io] class FitsTable(paths: Seq[String]) extends Table with SupportsRead {
+private[io] class FitsTable(paths: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"fits(${paths.mkString(",")})"
-  override def schema(): StructType = FitsSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FitsScanBuilder(paths)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FitsWriteBuilder(paths.head, info.schema())
+}
+
+/** Write face: `df.write.format("fits").save(dir)` — every input
+  * PARTITION becomes one `part-<pid>.fits` primary HDU under `dir`.
+  * Rows must carry (plane, y, x, value); the caller repartitions so each
+  * partition holds exactly one complete image (the imaging pipeline's
+  * per-plane / per-facet layout). Dims are inferred from the max indices
+  * at commit, so the writer buffers one image — images are grid-sized by
+  * design, never data-sized. Truncate (mode Overwrite) is accepted: part
+  * files are rewritten by name. */
+private[io] class FitsWriteBuilder(dir: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FitsBatchWrite(dir, schema)
+  }
+}
+
+private[io] class FitsBatchWrite(dir: String, schema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(dir).mkdirs()
+    new FitsWriterFactory(dir, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[io] class FitsWriterFactory(dir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FitsDataWriter(s"$dir/part-$partitionId.fits", schema)
+}
+
+private[io] case class FitsCommit(path: String, pixels: Long)
+    extends WriterCommitMessage
+
+private[io] class FitsDataWriter(path: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val iPlane = schema.fieldIndex("plane")
+  private val iY = schema.fieldIndex("y")
+  private val iX = schema.fieldIndex("x")
+  private val iV = schema.fieldIndex("value")
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+  private var nx = 0L
+  private var ny = 0L
+  private var np = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val p = record.getLong(iPlane); val y = record.getLong(iY)
+    val x = record.getLong(iX); val v = record.getDouble(iV)
+    require(p < (1L << 23) && y < (1L << 20) && x < (1L << 20),
+      s"fits sink: index out of packing range (plane=$p y=$y x=$x)")
+    nx = math.max(nx, x + 1); ny = math.max(ny, y + 1)
+    np = math.max(np, p + 1)
+    // dims are unknown until the last row, so buffer (packed index, value)
+    // and linearize at commit
+    buf += (((p << 40) | (y << 20) | x, v))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val n = (np * ny * nx).toInt
+    val data = new Array[Double](n)
+    for ((key, v) <- buf) {
+      val p = key >> 40; val y = (key >> 20) & 0xfffff; val x = key & 0xfffff
+      data(((p * ny + y) * nx + x).toInt) = v
+    }
+    Fits.write(path, Seq(
+      "SIMPLE" -> "T", "BITPIX" -> "-64",
+      "NAXIS" -> (if (np > 1) "3" else "2"),
+      "NAXIS1" -> nx.toString, "NAXIS2" -> ny.toString) ++
+      (if (np > 1) Seq("NAXIS3" -> np.toString) else Nil), data)
+    FitsCommit(path, buf.length.toLong)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 private[io] class FitsScanBuilder(paths: Seq[String])

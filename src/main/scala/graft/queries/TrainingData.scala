@@ -2927,9 +2927,17 @@ object TrainingData {
         col("h1"), col("h2"))
       val b = sig.select(col("doc_id").as("id_b"),
         col("h1").as("b1"), col("h2").as("b2"))
+      // the band-bucket join streams a few hundred signature rows, which
+      // AQE coalesces to ONE partition — and with it every downstream
+      // Levenshtein DP (measured 18 s single-core at sf0.1). Spreading
+      // the candidate PAIRS across the executors costs one tiny shuffle
+      // of (id_a, id_b) rows and parallelizes the quadratic-per-pair DP,
+      // which dominates this operator at any scale.
       val cand = a.join(b, col("h1") === col("b1") && col("h2") === col("b2")
           && col("id_a") < col("id_b"))
         .select("id_a", "id_b")
+        .repartition(s.sparkContext.defaultParallelism,
+          col("id_a"), col("id_b"))
       val txt = docs.select(col("doc_id"), col("text"))
       val ld = levenshtein(col("ta"), col("tb")).cast("long")
       cand

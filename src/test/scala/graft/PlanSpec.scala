@@ -447,6 +447,10 @@ class PlanSpec extends AnyFunSuite {
   test("t44: edit-distance verify joins band candidates + two keyed text gathers, never cross") {
     val p = planOf("t44_edit_distance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair list must be spread before the per-pair DP — without this
+    // AQE coalesces the few-hundred-row signature stream to one partition
+    // and every Levenshtein runs on a single core (measured 18 s -> 1.7 s)
+    assert(p.contains("REPARTITION"), "candidate pairs must repartition before the DP")
   }
 
   test("m16: the DFT spectrum never shuffles — decode, frame, and power are one pass") {
