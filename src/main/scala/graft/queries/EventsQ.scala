@@ -862,5 +862,56 @@ object EventsQ {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("lt_id"), col("ft_id"),
           (col("tus") - col("lt_tus")).as("gap_us"))
+    },
+
+    // -- SCD TYPE-2 history build (the warehouse dimension-versioning
+    //    primitive): each user's event_type acts as a mutable attribute;
+    //    consecutive runs of the same value collapse into one validity
+    //    interval [valid_from, valid_to) with an open (NULL) end on the
+    //    current version. Run heads are LAG <> current over the proven
+    //    ordering; interval ends come from the NEXT head's timestamp via
+    //    LEAD. Two window passes over ONE user-keyed shuffle (both windows
+    //    share the partitioning), pure integer surface.
+    Q("s23_scd2_history",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, $TusSql AS tus
+         |  FROM events),
+         |h AS (
+         |  SELECT *,
+         |    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+         |         THEN 1 ELSE 0 END AS head
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |hh AS (
+         |  SELECT user_id, event_type, tus, event_id,
+         |    CAST(SUM(head) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+         |  FROM h),
+         |iv AS (
+         |  SELECT user_id, event_type, ver,
+         |    MIN(tus) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM hh GROUP BY user_id, event_type, ver)
+         |SELECT user_id, event_type, ver, valid_from,
+         |  LEAD(valid_from) OVER (
+         |    PARTITION BY user_id ORDER BY valid_from, ver) AS valid_to,
+         |  n_events
+         |FROM iv""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("head",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("head")).over(run))
+        .groupBy("user_id", "event_type", "ver")
+        .agg(min(col("tus")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      iv.withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy("user_id").orderBy("valid_from", "ver")))
+        .select("user_id", "event_type", "ver", "valid_from", "valid_to",
+          "n_events")
     })
 }

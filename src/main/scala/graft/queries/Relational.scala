@@ -431,5 +431,54 @@ object Relational {
       y96.intersect(y97).select(lit("both").as("tag"), col("o_custkey"))
         .unionAll(
           y96.except(y97).select(lit("only96").as("tag"), col("o_custkey")))
+    },
+
+    // -- MERGE / upsert (the incremental-refresh primitive Spark SQL has
+    //    no built-in for without a table format): an update batch lands on
+    //    the document corpus as FULL OUTER JOIN + COALESCE — matched rows
+    //    take the new text, unmatched-left stay, unmatched-right insert.
+    //    The batch is synthesized from the corpus (every doc_id % 7 = 3
+    //    revised, 20 fresh ids appended) so both engines state it exactly.
+    //    One keyed shuffle per side at any scale; the action tag makes the
+    //    merge decision itself part of the hashed surface.
+    Q("q20_upsert",
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |upd AS (
+        |  SELECT doc_id, 'REV:' || CAST(doc_id AS VARCHAR) AS new_text
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT m + 1 + x.x AS doc_id,
+        |    'NEW:' || CAST(m + 1 + x.x AS VARCHAR) AS new_text
+        |  FROM mx, (SELECT unnest(generate_series(0, 19)) AS x) x),
+        |mg AS (
+        |  SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+        |    COALESCE(u.new_text, b.text) AS text,
+        |    CASE WHEN b.doc_id IS NULL THEN 'insert'
+        |         WHEN u.doc_id IS NULL THEN 'keep'
+        |         ELSE 'update' END AS action
+        |  FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
+        |SELECT doc_id, action, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM mg""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mx = base.agg(max("doc_id").as("m"))
+      val revised = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          concat(lit("REV:"), col("doc_id").cast("string")).as("new_text"))
+      val fresh = s.range(0, 20).crossJoin(broadcast(mx))
+        .select((col("m") + 1 + col("id")).as("doc_id"),
+          concat(lit("NEW:"), (col("m") + 1 + col("id")).cast("string"))
+            .as("new_text"))
+      val upd = revised.unionAll(fresh)
+        .select(col("doc_id").as("u_id"), col("new_text"))
+      base.join(upd, col("doc_id") === col("u_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("u_id")).as("doc_id"),
+          coalesce(col("new_text"), col("text")).as("text"),
+          when(col("doc_id").isNull, "insert")
+            .when(col("u_id").isNull, "keep")
+            .otherwise("update").as("action"))
+        .select(col("doc_id"), col("action"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
     })
 }

@@ -469,6 +469,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q20: the upsert is one full-outer SMJ, one keyed exchange per side") {
+    val p = planOf("q20_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s23: the SCD2 history rides ONE user-keyed shuffle — windows and agg share it") {
+    // hashpartitioning(user) satisfies the (user, type, ver) clustering,
+    // so the run-collapse aggregation and both window passes reuse the
+    // same exchange; a regression to per-stage reshuffles triples the
+    // events-sized shuffle volume at scale
+    val p = planOf("s23_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
