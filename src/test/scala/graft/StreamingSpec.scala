@@ -34,6 +34,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked STREAM-STREAM interval join matches the batch theta join") {
+    // the two-stream case none of the other faces cover: clicks joined to
+    // the same user's purchases within the following hour, both sides
+    // watermarked so Spark can bound the join state. Parity vs the batch
+    // theta join on identical data, split across two micro-batches.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = graft.core.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._2, e._3))
+    val clicks = evs.filter(_._4 == "click")
+    val purchases = evs.filter(_._4 == "purchase")
+    val msC = MemoryStream[(Long, Long, Long, String)]
+    val msP = MemoryStream[(Long, Long, Long, String)]
+    def side(ms: MemoryStream[(Long, Long, Long, String)], tag: String) =
+      ms.toDF().toDF(s"${tag}_user", s"${tag}_tus", s"${tag}_id", s"${tag}_type")
+        .withColumn(s"${tag}_tts", timestamp_micros(col(s"${tag}_tus")))
+        .withWatermark(s"${tag}_tts", "2 hours")
+    val joined = side(msC, "c").join(side(msP, "p"),
+      expr("""c_user = p_user AND
+              p_tts >= c_tts AND p_tts <= c_tts + interval 1 hour"""))
+      .select(col("c_id"), col("p_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      msC.addData(c1.toSeq); msP.addData(p1.toSeq); q.processAllAvailable()
+      msC.addData(c2.toSeq); msP.addData(p2.toSeq); q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val h = 3600L * 1000000L
+      val batch = for {
+        c <- clicks; p <- purchases
+        if c._1 == p._1 && p._2 >= c._2 && p._2 <= c._2 + h
+      } yield (c._3, p._3)
+      assert(got === batch.toSet)
+      assert(got.nonEmpty, "fixture must produce at least one join pair")
+    } finally q.stop()
+  }
+
   test("file-source streaming over the events table matches the batch result") {
     // file-source streams need a directory; stage the table into one
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
