@@ -428,9 +428,10 @@ object ScaleProbe {
       println(f"session6,$k,$t44%.2f,$m16%.2f,$t46%.2f,$s22%.2f")
     }
 
-    // e11 PCA scatter: the d²-bounded partial aggregation over the
-    // double-posexplode must scale ~linearly in the corpus (the exchange
-    // is constant-size; only the map-side scan grows).
+    // e11 PCA scatter: the scatter_moments typed aggregate accumulates
+    // (Σxxᵀ, Σx, n) inside the d²-long buffer — the exchange carries one
+    // buffer per partition at any corpus size, so seconds must scale with
+    // the map-side SCAN only (~linear, shallow slope).
     println("probe,k,vectors,secs")
     for (k <- Seq(1, 2, 4, 10)) {
       val emb = (0 until k).map(i =>
@@ -440,10 +441,7 @@ object ScaleProbe {
         "qquant(embedding, 1e4)")
         .as("qv"))
       val t = time {
-        q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
-          .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
-          .groupBy(col("p1").as("i"), col("p2").as("j"))
-          .agg(sum(col("qi") * col("qj")).as("sxx"))
+        q.agg(expr("scatter_moments(qv)").as("m"))
           .write.mode("overwrite").format("noop").save()
       }
       println(f"e11_scatter,$k,${k * maxVec},$t%.2f")

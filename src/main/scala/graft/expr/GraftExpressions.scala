@@ -639,6 +639,96 @@ case class KmvMinHashes(
     copy(child = newChild)
 }
 
+/** One-pass scatter moments for the PCA pipeline: per group, the exact
+  * integer (Σ x xᵀ flattened row-major, Σ x, n) of `array<long>` vectors.
+  * Replaces the double-posexplode + groupBy scatter, whose generate
+  * stage materializes n·d² rows before the (d²-bounded) aggregation —
+  * here the d² accumulation happens INSIDE the aggregate buffer, so the
+  * scan emits nothing per row and the exchange carries one ~(d²+d)-long
+  * buffer per partition. Sums are exact longs (order-free), so the
+  * hashed PCA surfaces are unchanged. Buffer layout: [d, n, sv(d),
+  * sxx(d²)]. */
+case class ScatterMoments(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sv", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sxx", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "scatter_moments"
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  private def ensure(b: Array[Long], d: Int): Array[Long] =
+    if (b.nonEmpty) { require(b(0) == d, s"scatter_moments: dim ${b(0)} vs $d"); b }
+    else { val nb = new Array[Long](2 + d + d * d); nb(0) = d; nb }
+
+  override def update(b0: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return b0
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = a.numElements()
+    val b = ensure(b0, d)
+    b(1) += 1
+    var i = 0
+    while (i < d) {
+      val xi = a.getLong(i)
+      b(2 + i) += xi
+      val row = 2 + d + i * d
+      var j = 0
+      while (j < d) { b(row + j) += xi * a.getLong(j); j += 1 }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    if (o.isEmpty) return b
+    if (b.isEmpty) return o
+    require(b(0) == o(0), "scatter_moments: merging different dims")
+    var i = 1
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = {
+    val d = if (b.isEmpty) 0 else b(0).toInt
+    org.apache.spark.sql.catalyst.InternalRow(
+      if (b.isEmpty) 0L else b(1),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        if (b.isEmpty) Array.empty[Long] else b.slice(2, 2 + d)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        if (b.isEmpty) Array.empty[Long] else b.slice(2 + d, 2 + d + d * d)))
+  }
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.length)
+    bb.putInt(b.length); b.foreach(bb.putLong); bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { b(i) = bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ScatterMoments =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ScatterMoments =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): ScatterMoments =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("sinc"),
@@ -677,6 +767,9 @@ object GraftFunctions {
     (FunctionIdentifier("ql2"),
       new ExpressionInfo(classOf[QL2].getName, "ql2"),
       (args: Seq[Expression]) => QL2(args.head, args(1))),
+    (FunctionIdentifier("scatter_moments"),
+      new ExpressionInfo(classOf[ScatterMoments].getName, "scatter_moments"),
+      (args: Seq[Expression]) => ScatterMoments(args.head).toAggregateExpression()),
     (FunctionIdentifier("kmv_minhash"),
       new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_minhash"),
       (args: Seq[Expression]) => KmvMinHashes(args.head,

@@ -96,38 +96,37 @@ object TrainingData {
        |v2 AS (SELECT i, ${Det.r6Sql("w / m")} AS v2 FROM w2, m2)""".stripMargin
   }
 
-  /** Spark mirror: (v1 as (j, vv), v2 as (i, v2)). The d²-row scatter
-    * aggregates MAP-SIDE from a zero-shuffle double-posexplode — nothing
-    * corpus-sized is exchanged — and each iteration is a broadcast join
-    * on the d²-row matrix.
-    *
-    * Measured negative result (this round): a mapPartitions long[d²]
-    * scatter combiner (the TextCombiner idiom) was ~30% SLOWER than this
-    * all-codegen generate→partial-agg chain at sf0.1 (A/B 3.2–3.6 s vs
-    * 2.4–2.7 s isolated) — the object-encoder deserialization per vector
-    * costs more than the n·d² generated rows save, and the exchange is
-    * already d²-bounded either way. Keep the declarative shape. */
+  /** Spark mirror: (v1 as (j, vv), v2 as (i, v2)). The scatter is ONE
+    * `scatter_moments` typed aggregate — (Σxxᵀ, Σx, n) accumulate inside
+    * the d²-long aggregation buffer, so the corpus scan emits NOTHING per
+    * row and the exchange carries one buffer per partition. The previous
+    * double-posexplode shape materialized n·d² generated rows before the
+    * same d²-bounded aggregation (A/B at sf0.1: e11 1.59 → 0.83 s,
+    * e12 1.92 → 0.97 s; the gap widens with the corpus — at sf1x the
+    * generate was 820M rows). Two earlier data points
+    * for the record: a mapPartitions long[d²] combiner with object
+    * encoders measured ~30% SLOWER than the generate chain (encoder
+    * deserialization per vector), and the generate chain itself was the
+    * round-5 baseline — the typed aggregate beats both because the
+    * accumulation runs inside codegen'd HashAggregate with primitive
+    * buffers. Sums are exact longs either way; hashed surfaces unchanged.
+    * Each iteration is a broadcast join on the d²-row matrix. */
   private def pcaIterates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.expr.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val q = emb.select(col("vec_id"), expr(
       "qquant(embedding, 1e4)")
       .as("qv"))
-    val pr = q.select(col("qv"), posexplode(col("qv")).as(Seq("p1", "qi")))
-      .select(col("p1"), col("qi"), posexplode(col("qv")).as(Seq("p2", "qj")))
-    val sxx = pr.groupBy((col("p1") + 1).cast("long").as("i"),
-        (col("p2") + 1).cast("long").as("j"))
-      .agg(sum(col("qi") * col("qj")).as("sxx"))
-    val sv = q.select(posexplode(col("qv")).as(Seq("p", "qi")))
-      .groupBy((col("p") + 1).cast("long").as("i"))
-      .agg(sum(col("qi")).as("sv"))
-    val cnt = emb.agg(count(lit(1)).as("n"))
-    val a2 = sxx
-      .join(broadcast(sv.select(col("i"), col("sv").as("svi"))), "i")
-      .join(broadcast(sv.select(col("i").as("j"), col("sv").as("svj"))), "j")
-      .crossJoin(broadcast(cnt))
-      .select(col("i"), col("j"),
-        ((col("n") * col("sxx") - col("svi") * col("svj")).cast("double") /
+    val mom = q.agg(expr("scatter_moments(qv)").as("m"))
+      .select(col("m.n").as("n"), col("m.sv").as("sv"),
+        posexplode(col("m.sxx")).as(Seq("p", "sxx")))
+    val a2 = mom
+      .select(
+        (expr("p div 64") + 1).cast("long").as("i"),
+        (col("p") % 64 + 1).cast("long").as("j"),
+        ((col("n") * col("sxx") -
+          element_at(col("sv"), (expr("p div 64") + 1).cast("int")) *
+          element_at(col("sv"), (col("p") % 64 + 1).cast("int"))).cast("double") /
           lit(281474976710656e0)).as("a2"))
       .persist()
     def matvec(v: DataFrame): DataFrame =

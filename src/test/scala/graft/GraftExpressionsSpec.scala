@@ -218,6 +218,33 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(short.getSeq[String](0).isEmpty && short.getSeq[String](1).isEmpty)
   }
 
+  test("scatter_moments equals the posexplode scatter, invariant to partitioning") {
+    // the PCA scatter's typed aggregate must produce the exact same
+    // integer (n, sv, sxx) as the declarative double-posexplode chain it
+    // replaced, whatever the partition layout (merge path exercised)
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.selectExpr("qquant(embedding, 1e4) AS qv")
+    def moments(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("scatter_moments(qv) AS m")
+        .selectExpr("m.n", "m.sv", "m.sxx").collect().head
+    val m1 = moments(q.repartition(1))
+    val m7 = moments(q.repartition(7))
+    assert(m1.getLong(0) === m7.getLong(0))
+    assert(m1.getSeq[Long](1) === m7.getSeq[Long](1))
+    assert(m1.getSeq[Long](2) === m7.getSeq[Long](2))
+    // declarative restate of one sxx cell and one sv entry
+    import org.apache.spark.sql.functions._
+    val decl = q
+      .select(posexplode(col("qv")).as(Seq("p1", "qi")), col("qv"))
+      .filter(col("p1") === 0)
+      .select(col("qi"), expr("element_at(qv, 3)").as("qj"))
+      .agg(sum(col("qi")).as("sv1"), sum(col("qi") * col("qj")).as("sxx13"),
+        count(lit(1)).as("n")).collect().head
+    assert(m1.getLong(0) === decl.getLong(2))
+    assert(m1.getSeq[Long](1).head === decl.getLong(0))
+    assert(m1.getSeq[Long](2)(2) === decl.getLong(1)) // row 0, col 2 (0-based)
+  }
+
   test("winnow_fps matches the declarative windows-join formulation") {
     import spark.implicits._
     // texts exercising ties (repeats force equal hashes in one window),

@@ -390,17 +390,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("e11: the PCA scatter never shuffles the corpus — only d²-row partials") {
+  test("e11: the PCA scatter never shuffles the corpus — one moments buffer per partition") {
     val p = planOf("e11_pca_power")
-    // every exchange is either a hash partial-agg merge of the d²/d-row
-    // aggregates or a broadcast of those bounded tables/iterates — no
-    // round-robin or range repartition of embedding-sized data
+    // every exchange is either the single-row scatter_moments merge or a
+    // broadcast of the d²-bounded matrix/iterates — no round-robin or
+    // range repartition of embedding-sized data
     assert(!p.contains("RoundRobinPartitioning") && !p.contains("rangepartitioning"))
-    // generate→generate→partial-agg: the double posexplode feeds a
-    // HashAggregate BELOW the first exchange (map-side bound)
-    val gen = p.indexOf("Generate")
-    val agg = p.indexOf("HashAggregate")
-    assert(gen >= 0 && agg >= 0)
+    // the scatter is ONE typed aggregate over the corpus scan — the old
+    // n·d² double-posexplode generate must NOT reappear below it
+    assert(p.contains("scatter_moments"), p)
+    assert(!p.contains("posexplode(qv"), "the n·d² generate chain is back")
   }
 
   test("s20: the custom as-of exec plans one keyed exchange + sort per side") {
