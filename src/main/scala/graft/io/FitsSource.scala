@@ -185,6 +185,73 @@ private[io] class FitsReaderFactory(required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FitsPartitionReader(
       partition.asInstanceOf[FitsInputPartition].path, required)
+
+  // vectorized path: FITS pixels are a dense primitive array, the
+  // natural shape for ColumnarBatch — Spark then runs the scan through
+  // the same columnar pipeline as parquet (ColumnarToRow only where a
+  // row consumer needs it)
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new FitsColumnarReader(
+      partition.asInstanceOf[FitsInputPartition].path, required)
+}
+
+private[io] class FitsColumnarReader(path: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val BatchRows = 4096
+  private var hdu: Fits.Hdu = _
+  private var nx = 0
+  private var ny = 0
+  private var offset = 0
+  private val pathBytes = path.getBytes("UTF-8")
+  private var batch: ColumnarBatch = _
+  private var vectors: Array[OnHeapColumnVector] = _
+
+  override def next(): Boolean = {
+    if (hdu == null) {
+      hdu = Fits.read(path)
+      nx = if (hdu.naxis.nonEmpty) hdu.naxis.head else 1
+      ny = if (hdu.naxis.length > 1) hdu.naxis(1) else 1
+      vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
+      batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+    }
+    if (offset >= hdu.data.length) return false
+    val n = math.min(BatchRows, hdu.data.length - offset)
+    var c = 0
+    while (c < required.fields.length) {
+      val v = vectors(c)
+      v.reset()
+      required.fields(c).name match {
+        case "path" =>
+          var r = 0
+          while (r < n) { v.putByteArray(r, pathBytes); r += 1 }
+        case "plane" =>
+          var r = 0
+          while (r < n) { v.putLong(r, ((offset + r) / (nx * ny)).toLong); r += 1 }
+        case "y" =>
+          var r = 0
+          while (r < n) { v.putLong(r, (((offset + r) / nx) % ny).toLong); r += 1 }
+        case "x" =>
+          var r = 0
+          while (r < n) { v.putLong(r, ((offset + r) % nx).toLong); r += 1 }
+        case "value" =>
+          var r = 0
+          while (r < n) { v.putDouble(r, hdu.data(offset + r)); r += 1 }
+      }
+      c += 1
+    }
+    batch.setNumRows(n)
+    offset += n
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 private[io] class FitsPartitionReader(path: String, required: StructType)

@@ -27,6 +27,19 @@ class FitsSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("the scan runs COLUMNAR: batches feed the pipeline, values unchanged") {
+    val path = BeamFixture.ensure(BeamFixture.defaultPath)
+    val df = spark.read.format("fits").load(path)
+    val plan = df.queryExecution.executedPlan.toString
+    // vectorized reader engaged: Spark inserts ColumnarToRow above the
+    // BatchScan exactly as it does for parquet
+    assert(plan.contains("ColumnarToRow"), plan)
+    val s = df.agg(org.apache.spark.sql.functions.sum("value")).collect()
+      .head.getDouble(0)
+    val direct = Fits.read(path).data.sum
+    assert(s === direct)
+  }
+
   test("column pruning reaches the FITS reader") {
     val path = BeamFixture.ensure(BeamFixture.defaultPath)
     val leaf = spark.read.format("fits").load(path).select("value")
