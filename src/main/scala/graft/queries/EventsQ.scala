@@ -913,5 +913,59 @@ object EventsQ {
           Window.partitionBy("user_id").orderBy("valid_from", "ver")))
         .select("user_id", "event_type", "ver", "valid_from", "valid_to",
           "n_events")
+    },
+
+    // -- sessionized PATH analysis (the product-analytics "top user
+    //    journeys" query): 4-hour-gap sessions, each session reduced to
+    //    its first three event types joined 'a>b>c' ('-' pads short
+    //    sessions), counted corpus-wide. Gap tests are exact integer µs
+    //    comparisons (no float margin needed); the pivot is
+    //    MAX(CASE rn=k) so the path string is order-deterministic without
+    //    relying on collect_list ordering. One user-keyed shuffle for the
+    //    session windows, one (user, sid) rollup, one path-keyed count.
+    Q("s24_session_paths",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, $TusSql AS tus
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CASE WHEN tus - LAG(tus) OVER w > 14400000000
+         |       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |ss AS (
+         |  SELECT user_id, event_type, tus, event_id,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM s),
+         |rk AS (
+         |  SELECT user_id, sid, event_type,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY user_id, sid ORDER BY tus, event_id) AS rn
+         |  FROM ss),
+         |p AS (
+         |  SELECT user_id, sid,
+         |    MAX(CASE WHEN rn=1 THEN event_type END) || '>' ||
+         |    COALESCE(MAX(CASE WHEN rn=2 THEN event_type END), '-') || '>' ||
+         |    COALESCE(MAX(CASE WHEN rn=3 THEN event_type END), '-') AS path
+         |  FROM rk WHERE rn <= 3 GROUP BY user_id, sid)
+         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY path""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ss = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("new_s",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > 14400000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(run))
+      val rk = ss.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")))
+        .filter(col("rn") <= 3)
+      def at(k: Int) = max(when(col("rn") === k, col("event_type")))
+      rk.groupBy("user_id", "sid")
+        .agg(concat(at(1), lit(">"), coalesce(at(2), lit("-")),
+          lit(">"), coalesce(at(3), lit("-"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
     })
 }

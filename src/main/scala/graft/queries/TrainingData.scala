@@ -3057,5 +3057,35 @@ object TrainingData {
           .as("canon"))
       cp.select(col("doc_id"), col("canon"), col("host"),
         count(lit(1)).over(Window.partitionBy("canon")).as("n_same"))
+    },
+
+    // -- Zipf rank-frequency diagnostic (the corpus-statistics sanity
+    //    check run before trusting token counts: rank·freq ≈ const under
+    //    Zipf's law, and deviations flag synthetic/boilerplate corpora):
+    //    corpus token frequencies, rank by (freq desc, token), top 32
+    //    with the rank x freq product on the hashed surface. One
+    //    map-side-combined token rollup; the rank window sees only the
+    //    vocabulary, never the corpus.
+    Q("t47_zipf_check",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM tok WHERE tok <> '' GROUP BY tok),
+        |r AS (
+        |  SELECT tok, freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+        |  FROM f)
+        |SELECT tok, rank, freq, rank * freq AS rank_freq
+        |FROM r WHERE rank <= 32""".stripMargin) { (s, dir) =>
+      val f = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      f.withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 32)
+        .select(col("tok"), col("rank"), col("freq"),
+          (col("rank") * col("freq")).as("rank_freq"))
     })
 }
