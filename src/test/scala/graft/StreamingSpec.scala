@@ -157,6 +157,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keyed state survives a checkpointed query RESTART") {
+    // the recovery contract a production ingest depends on: stop the
+    // attribution stream mid-history, start a NEW query from the same
+    // checkpoint, and the per-user (first, last) touch state must carry —
+    // the post-restart purchases credit the same touches the batch
+    // window computes over the full history.
+    import spark.implicits._
+    import graft.operators.EventOps
+    import graft.operators.EventOps.{TypedEv, AttrOut}
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val evs = graft.core.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => TypedEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(e => (e.tus, e.eventId))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_attr_out").toString
+    val ms = MemoryStream[TypedEv]
+    // the memory sink cannot recover from a checkpoint; the FILE sink can
+    // — which is also the realistic production shape (stream -> parquet)
+    def start() = EventOps.streamingAttribution(ms.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try { ms.addData(first.toSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start() // NEW query, same checkpoint: state must restore
+    try {
+      ms.addData(second.toSeq); q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[AttrOut].collect()
+        .map(a => a.eventId -> ((a.ltId, a.ftId, a.gapUs))).toMap
+      val batch = graft.SparkEntry.queries("s22_attribution")(
+          spark, TestSpark.sf).collect()
+        .map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> ((opt(2), opt(3), opt(4)))
+        }.toMap
+      assert(got === batch)
+    } finally q2.stop()
+  }
+
   test("streaming BDA binner matches the batch mapper across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
