@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+
+/** Property-based checks (ScalaCheck driven directly, no bridge artifact)
+  * for the pure-JVM kernels whose contracts hold for ALL inputs, not just
+  * the fixture corpus: codec round-trips, shingle definitions, aggregate
+  * buffer algebra, and the winnowing guarantee.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private def wav(samples: Array[Short], extraChunk: Boolean): Array[Byte] = {
+    val extra = if (extraChunk) 12 else 0
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + extra + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    if (extraChunk) {
+      bb.put("LIST".getBytes("US-ASCII")); bb.putInt(4)
+      bb.put("INFO".getBytes("US-ASCII"))
+    }
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WAV synth -> parse is the identity for arbitrary PCM payloads") {
+    val gen = for {
+      n <- Gen.choose(1, 512)
+      s <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+      extra <- Gen.oneOf(true, false)
+    } yield (s.map(_.toShort).toArray, extra)
+    check("wav-roundtrip", Prop.forAll(gen) { case (samples, extra) =>
+      // parseWav is private; the public sample-preserving face runs it
+      val dec = decodeOne(wav(samples, extra))
+      dec._1 == 8000L && dec._2.sameElements(samples.map(_.toLong))
+    })
+  }
+
+  private def decodeOne(bytes: Array[Byte]): (Long, Array[Long]) = {
+    // drive the decoder through its DataFrame face on a 1-row frame
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType))))
+    val df = spark.createDataset(Seq(Row(1L, bytes)))(enc)
+    val r = graft.operators.Multimodal
+      .decodeWavSamples(df, "id", "payload").collect().head
+    (r.getLong(1), r.getSeq[Long](2).toArray)
+  }
+
+  test("char/word gram expressions equal the sliding-window definition") {
+    val asciiWord = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    check("char-grams", Prop.forAll(
+      Gen.listOf(Gen.alphaNumChar).map(_.mkString), Gen.choose(1, 8)) { (s, k) =>
+      val got = graft.expr.CharGrams.compute(s, k)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want = if (s.length < k) Seq.empty
+        else (0 to s.length - k).map(i => s.substring(i, i + k))
+      got == want
+    })
+    check("word-grams", Prop.forAll(
+      Gen.listOf(asciiWord), Gen.choose(1, 5)) { (ws, k) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.expr.WordGrams.compute(arr, k)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want = if (ws.length < k) Seq.empty
+        else ws.sliding(k).map(_.mkString(" ")).toSeq
+      got == want
+    })
+  }
+
+  test("scatter_moments buffer algebra: any merge grouping equals one pass") {
+    val vec = Gen.listOfN(4, Gen.choose(-1000L, 1000L))
+    check("scatter-merge", Prop.forAll(
+      Gen.nonEmptyListOf(vec), Gen.choose(1, 5)) { (vecs, parts) =>
+      val agg = graft.expr.ScatterMoments(null)
+      def run(vs: Seq[Seq[Long]]): Array[Long] =
+        vs.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+          // exercise update through the same arithmetic as the expression
+          val d = v.length
+          val nb = if (b.nonEmpty) b else {
+            val x = new Array[Long](2 + d + d * d); x(0) = d; x
+          }
+          nb(1) += 1
+          for (i <- 0 until d) {
+            nb(2 + i) += v(i)
+            for (j <- 0 until d) nb(2 + d + i * d + j) += v(i) * v(j)
+          }
+          nb
+        }
+      val whole = run(vecs)
+      val grouped = vecs.grouped(math.max(1, vecs.length / parts)).toSeq
+        .map(run).reduce(agg.merge)
+      whole.sameElements(grouped)
+    })
+  }
+
+  test("winnowing guarantee: consecutive selected positions within w of each other") {
+    val asciiText = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+    check("winnow-gap", Prop.forAll(asciiText) { s =>
+      val sel = graft.expr.WinnowFps.compute(s)
+      val n = sel.numElements()
+      val pos = (0 until n).map(i => sel.getStruct(i, 2).getLong(0))
+      // positions strictly increase and neighbouring gaps stay <= w = 4,
+      // the property that guarantees shared substrings >= 8 chars collide
+      pos.sliding(2).forall {
+        case Seq(a, b) => b > a && b - a <= 4
+        case _ => true
+      }
+    })
+  }
+}
