@@ -62,9 +62,20 @@ object Explain {
         val big = "maxMethodCodeSize:(\\d+)".r
           .findAllMatchIn(codegenString(plan)).map(_.group(1).toInt)
           .filter(_ > MethodLimit).toSeq
-        if (fallback.nonEmpty || big.nonEmpty) {
+        // the t44 bug class: a SinglePartition exchange (or a
+        // single-partition window: "Window ... AS ..., []" with an empty
+        // partition spec) whose downstream does real per-row compute
+        // serializes the operator on one core. Legit for tiny final
+        // aggregates — review hits manually.
+        val funnels = lines.zipWithIndex.collect {
+          case (l, i) if l.contains("SinglePartition") &&
+            lines.take(i).exists(_.matches(
+              ".*(Project|Filter|Generate).*[a-z]+\\(.*")) => l.trim.take(80)
+        }
+        if (fallback.nonEmpty || big.nonEmpty || funnels.nonEmpty) {
           println(s"AUDIT ${q.name}: ${fallback.length} interpreted compute node(s)" +
-            (if (big.nonEmpty) s", oversized methods: ${big.mkString(",")}" else ""))
+            (if (big.nonEmpty) s", oversized methods: ${big.mkString(",")}" else "") +
+            (if (funnels.nonEmpty) s", ${funnels.length} single-partition exchange(s)" else ""))
           fallback.take(4).foreach(l => println(s"    $l"))
         }
       } catch {
