@@ -157,6 +157,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window equals the gap-session operator's spans") {
+    // Spark's native session_window (usable batch AND streaming) merges
+    // events within the gap exactly like EventOps.gapSessions' LAG
+    // formulation — per-user session (start, end, count) sets must match.
+    import graft.operators.EventOps
+    val gapUs = 1800L * 1000000L
+    val ev = graft.core.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+    val native = ev
+      .withColumn("tts", timestamp_micros(col("tus")))
+      .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), min("tus").as("t0"), max("tus").as("t1"))
+      .select("user_id", "n", "t0", "t1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ours = EventOps.gapSessions(
+        ev.withColumnRenamed("tus", "ts"), gapUs)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"))
+      .select("user_id", "n", "t0", "t1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native === ours)
+  }
+
   test("keyed state survives a checkpointed query RESTART") {
     // the recovery contract a production ingest depends on: stop the
     // attribution stream mid-history, start a NEW query from the same
