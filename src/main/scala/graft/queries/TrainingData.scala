@@ -3087,5 +3087,48 @@ object TrainingData {
         .filter(col("rank") <= 32)
         .select(col("tok"), col("rank"), col("freq"),
           (col("rank") * col("freq")).as("rank_freq"))
+    },
+
+    // -- the CORPUS CARD (per-source reporting rollup a dataset release
+    //    ships): docs, chars, token totals, language mix, and the
+    //    exact-dup rate — every per-doc signal from ONE scan, one
+    //    md5-keyed window for dup flags, one source-keyed rollup. Shares
+    //    and rates as integer basis points (exact division both engines).
+    Q("t48_corpus_card",
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CASE WHEN ROW_NUMBER() OVER (
+        |        PARTITION BY md5(text) ORDER BY doc_id) > 1
+        |      THEN 1 ELSE 0 END AS is_dup
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |    CAST(SUM(is_dup) AS BIGINT) AS dups,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs
+        |  FROM d GROUP BY source)
+        |SELECT source, docs, chars, tokens, dups,
+        |  (dups * 10000) // docs AS dup_bp,
+        |  (en_docs * 10000) // docs AS en_bp,
+        |  chars // docs AS chars_per_doc
+        |FROM g""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          when(row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy("doc_id")) > 1, 1L)
+            .otherwise(0L).as("is_dup"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("docs"), sum("n_chars").as("chars"),
+          sum("n_tok").as("tokens"), sum("is_dup").as("dups"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"))
+        .select(col("source"), col("docs"), col("chars"), col("tokens"),
+          col("dups"),
+          expr("(dups * 10000) div docs").as("dup_bp"),
+          expr("(en_docs * 10000) div docs").as("en_bp"),
+          expr("chars div docs").as("chars_per_doc"))
     })
 }
