@@ -3089,6 +3089,84 @@ object TrainingData {
           (col("rank") * col("freq")).as("rank_freq"))
     },
 
+    // -- MIPS vs cosine ranking divergence (the retrieval-metric subtlety
+    //    every vector store documents: max-inner-product and cosine
+    //    rankings differ when corpus norms vary, so an index built for
+    //    one silently mis-serves the other). Per query vector: top-1
+    //    under each metric, top-3 overlap count, same-top1 flag — all
+    //    exact integers; cosine is used only for ORDERING and both
+    //    engines compute the identical IEEE double (the e01-proven
+    //    class). Scale shape: 8 broadcast queries against the corpus
+    //    scan, per-query top-k via the rank windows.
+    Q("e14_mips_vs_cosine",
+      s"""WITH qe AS (${qExplodeSql("qid", "WHERE vec_id < 8")}),
+         |ce AS (${qExplodeSql("cid", "")}),
+         |qn AS (SELECT qid, SUM(qv*qv) AS qid_n2 FROM qe GROUP BY qid),
+         |cn AS (SELECT cid, SUM(qv*qv) AS cid_n2 FROM ce GROUP BY cid),
+         |dote AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  GROUP BY qe.qid, ce.cid),
+         |sc AS (
+         |  SELECT dote.qid, dote.cid, dote.d,
+         |    CAST(dote.d AS DOUBLE)
+         |      / (sqrt(CAST(qn.qid_n2 AS DOUBLE)) * sqrt(CAST(cn.cid_n2 AS DOUBLE))) AS cosine
+         |  FROM dote JOIN qn ON dote.qid = qn.qid JOIN cn ON dote.cid = cn.cid
+         |  WHERE dote.qid <> dote.cid),
+         |rk AS (
+         |  SELECT qid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rdot,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rcos
+         |  FROM sc),
+         |ag AS (
+         |  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS agree3
+         |  FROM rk a JOIN rk b ON a.qid = b.qid AND a.cid = b.cid
+         |    AND a.rdot <= 3 AND b.rcos <= 3
+         |  GROUP BY a.qid)
+         |SELECT t1d.qid,
+         |  t1d.cid AS top1_dot, t1c.cid AS top1_cos,
+         |  COALESCE(ag.agree3, 0) AS agree3,
+         |  CAST(CASE WHEN t1d.cid = t1c.cid THEN 1 ELSE 0 END AS BIGINT) AS same_top1
+         |FROM (SELECT qid, cid FROM rk WHERE rdot = 1) t1d
+         |JOIN (SELECT qid, cid FROM rk WHERE rcos = 1) t1c ON t1d.qid = t1c.qid
+         |LEFT JOIN ag ON ag.qid = t1d.qid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr("qquant(embedding, 1e6)")
+      val corpus = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("cid_n2", expr("qdot(qv, qv)"))
+      val queries = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), qCol.as("qqv"))
+        .withColumn("qid_n2", expr("qdot(qqv, qqv)")))
+      val sc = corpus.crossJoin(queries)
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr("qdot(qqv, qv)").as("d"),
+          (expr("qdot(qqv, qv)").cast("double") /
+            (sqrt(col("qid_n2").cast("double")) *
+              sqrt(col("cid_n2").cast("double")))).as("cosine"))
+      val rk = sc
+        .withColumn("rdot", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))))
+        .withColumn("rcos", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))))
+      val ag = rk.filter(col("rdot") <= 3).select(col("qid"), col("cid"))
+        .join(rk.filter(col("rcos") <= 3)
+          .select(col("qid").as("q2"), col("cid").as("c2")),
+          col("qid") === col("q2") && col("cid") === col("c2"))
+        .groupBy("qid").agg(count(lit(1)).as("agree3"))
+      val t1d = rk.filter(col("rdot") === 1)
+        .select(col("qid"), col("cid").as("top1_dot"))
+      val t1c = rk.filter(col("rcos") === 1)
+        .select(col("qid").as("qc"), col("cid").as("top1_cos"))
+      t1d.join(t1c, col("qid") === col("qc"))
+        .join(ag.select(col("qid").as("qa"), col("agree3")),
+          col("qid") === col("qa"), "left")
+        .select(col("qid"), col("top1_dot"), col("top1_cos"),
+          coalesce(col("agree3"), lit(0L)).as("agree3"),
+          when(col("top1_dot") === col("top1_cos"), 1L).otherwise(0L)
+            .as("same_top1"))
+    },
+
     // -- the CORPUS CARD (per-source reporting rollup a dataset release
     //    ships): docs, chars, token totals, language mix, and the
     //    exact-dup rate — every per-doc signal from ONE scan, one
