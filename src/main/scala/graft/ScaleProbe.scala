@@ -238,8 +238,9 @@ object ScaleProbe {
       }.reduce(_ unionAll _)
       val corpus = emb.select(col("vec_id").as("cid"), col("qv"))
         .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-      val seeds = graft.operators.SemDedup.collectSeeds(
+      val seeds = graft.operators.SemDedup.seedsFrom(
         corpus.filter(col("cid") % maxVec < 8))
+      val nSeeds = seeds.count()
       var pairs = 0L
       val t = time {
         val cell = graft.operators.SemDedup.assign(corpus, seeds)
@@ -247,7 +248,27 @@ object ScaleProbe {
           .join(cell.select(col("k"), col("cid").as("b")), "k")
           .filter(col("a") < col("b")).count()
       }
-      println(f"t29_semdedup_pairs,$k,${k * maxVec},${seeds.size},$pairs,$t%.2f")
+      println(f"t29_semdedup_pairs,$k,${k * maxVec},$nSeeds,$pairs,$t%.2f")
+    }
+    // t29 assignment codegen contract: with the broadcast-centroid
+    // map-side argmin the PLAN is k-independent — no per-centroid
+    // literal, no generated-method growth, no driver-side expression
+    // build. Fixed corpus, k = 8 → 512: wall time may grow with the
+    // unavoidable k·d per-row argmin arithmetic, but the per-(row ×
+    // centroid) unit cost must stay FLAT (the round-6 literal-least()
+    // chain blew up superlinearly here via codegen size, and died
+    // entirely past a few thousand centroids).
+    println("probe,nseeds,corpus,secs,ns_per_rowcent")
+    for (nc <- Seq(8, 64, 512)) {
+      val corpus = emb0.select(col("vec_id").as("cid"), qCol.as("qv"))
+      val seeds = graft.operators.SemDedup.seedsOf(corpus, nc.toLong)
+      val t = time {
+        graft.operators.SemDedup.assign(corpus, seeds)
+          .select(col("cid"), col("k"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      val unit = t * 1e9 / (maxVec.toDouble * nc)
+      println(f"t29_assign_flat,$nc,$maxVec,$t%.2f,$unit%.1f")
     }
     // t14 repetition: per-doc gram explosion is linear in token count;
     // the two-level agg keeps the shuffle keyed by (doc, gram) then doc.

@@ -89,20 +89,30 @@ private[io] class FitsTable(paths: Seq[String], tableSchema: StructType)
   * partition holds exactly one complete image (the imaging pipeline's
   * per-plane / per-facet layout). Dims are inferred from the max indices
   * at commit, so the writer buffers one image — images are grid-sized by
-  * design, never data-sized. Truncate (mode Overwrite) is accepted: part
-  * files are rewritten by name. */
+  * design, never data-sized. Truncate (mode Overwrite) deletes every
+  * existing part-*.fits under the target before the new write starts, so
+  * a rewrite with FEWER partitions leaves no stale images behind for a
+  * directory-listing consumer. */
 private[io] class FitsWriteBuilder(dir: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new FitsBatchWrite(dir, schema)
+    override def toBatch: BatchWrite = new FitsBatchWrite(dir, schema, doTruncate)
   }
 }
 
-private[io] class FitsBatchWrite(dir: String, schema: StructType)
+private[io] class FitsBatchWrite(dir: String, schema: StructType,
+                                 truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    if (truncate) {
+      val stale = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".fits"))
+      stale.foreach(_.delete())
+    }
     new FitsWriterFactory(dir, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et al.
   * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -16,32 +17,67 @@ import org.apache.spark.sql.functions._
   * is one sqrt/division chain of exact integers — bit-identical
   * cross-engine — and assignment ties go to the lower centroid id.
   *
-  * Scale shape: assignment is a ZERO-shuffle projection against literal
-  * centroids (model-sized — the e05 centroids-on-driver idiom); the pair
-  * search is ONE cluster-keyed shuffle of two linear relations.
+  * Scale shape: assignment is a ZERO-shuffle map-side argmin against a
+  * TORRENT-BROADCAST centroid matrix — the centroid count k never appears
+  * in any expression tree or generated method, so k = n/512 survives a
+  * corpus of any size (the round-6 literal-`least()` chain hit 64 KB
+  * codegen limits and linear driver collects at exactly this point). The
+  * pair search is ONE cluster-keyed shuffle of two linear relations.
+  * Beyond driver-broadcastable k (~10⁷ × dim longs) the same operator
+  * chains: assign against √k coarse seeds, then per-coarse-cell fine
+  * seeds — the IVF two-level idiom (e04/e08).
   */
 object SemDedup {
 
-  /** Nearest-centroid assignment by exact integer L2 against literal
-    * centroids; ties to the lower k. Input must carry (cid, qv);
-    * all other columns are preserved. */
-  def assign(corpus: DataFrame, seeds: Seq[(Long, Seq[Long])]): DataFrame = {
-    // literal-array ql2 rides whole-stage codegen; the typedLit zip_with
-    // form would evaluate interpreted per (vector, centroid)
-    graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val cands = seeds.map { case (k, v) =>
-      val d2 = expr(s"ql2(qv, array(${v.map(_ + "L").mkString(",")}))")
-      struct(d2.as("d2"), lit(k).as("k"))
+  /** Nearest-centroid assignment by exact integer L2; ties to the lower
+    * centroid id. `seeds` is a (k, qv) DataFrame — model-sized, collected
+    * ONCE into a spark broadcast (executors fetch it torrent-style), never
+    * into a literal expression, so the generated code is k-independent.
+    * Input must carry `qv`; all other columns are preserved and an
+    * assignment column `k` is appended. The per-row cost is the
+    * unavoidable k·d integer ops of a flat argmin; the JVM loop runs on
+    * primitive arrays (no per-centroid boxing, no HOF interpretation). */
+  def assign(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents: Array[(Long, Array[Long])] = seeds
+      .select(col("k"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "semdedup: empty seed set")
+    val bc = spark.sparkContext.broadcast(cents)
+    val qvIdx = corpus.schema.fieldIndex("qv")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      corpus.schema.fields :+ StructField("k", LongType, nullable = false))
+    val rdd = corpus.rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.map { row =>
+        val qv = row.getSeq[Long](qvIdx).toArray
+        var bestK = cs(0)._1
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val cq = cs(i)._2
+          var d = 0L
+          var j = 0
+          while (j < qv.length) {
+            val t = qv(j) - cq(j); d += t * t; j += 1
+          }
+          // cs is k-sorted and the comparison strict, so ties keep the
+          // lowest centroid id — the deterministic e05 tie rule
+          if (d < bestD) { bestD = d; bestK = cs(i)._1 }
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestK)
+      }
     }
-    corpus.withColumn("k", least(cands: _*).getField("k"))
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Per-vector prune verdicts: a vector is pruned iff some lower-id
     * member of its cluster sits at cosine ≥ tau (the one-pass greedy
     * keep-lowest rule — deterministic, no iteration). Input must carry
     * (cid, qv, n2). Output: (cid, cluster, n_near, pruned, max_cos). */
-  def prune(corpus: DataFrame, seeds: Seq[(Long, Seq[Long])],
-            tau: Column): DataFrame = {
+  def prune(corpus: DataFrame, seeds: DataFrame, tau: Column): DataFrame = {
     // the pair scan is the quadratic-per-cluster hot path — the codegen'd
     // qdot keeps it out of interpreted higher-order-function eval
     graft.expr.GraftFunctions.register(corpus.sparkSession)
@@ -67,14 +103,13 @@ object SemDedup {
         col("mc").as("max_cos"))
   }
 
-  /** Collect (cid, qv) rows as seed centroids — model-sized (n × dim
-    * longs), the e05 centroids-on-driver idiom. The caller bounds the
-    * seed set; this is never a data-sized collect. */
-  def collectSeeds(seedRows: DataFrame): Seq[(Long, Seq[Long])] =
-    seedRows.select("cid", "qv").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+  /** Seed-centroid relation from designated corpus rows: (k, qv), where
+    * k is the centroid id. Stays a DataFrame end to end — `assign`
+    * broadcasts it; nothing model-sized rides the expression tree. */
+  def seedsFrom(seedRows: DataFrame): DataFrame =
+    seedRows.select(col("cid").as("k"), col("qv"))
 
   /** The first n vectors (by cid) as seeds. */
-  def seedsOf(corpus: DataFrame, n: Long): Seq[(Long, Seq[Long])] =
-    collectSeeds(corpus.filter(col("cid") < n))
+  def seedsOf(corpus: DataFrame, n: Long): DataFrame =
+    seedsFrom(corpus.filter(col("cid") < n))
 }

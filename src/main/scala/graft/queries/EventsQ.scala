@@ -821,13 +821,15 @@ object EventsQ {
 
     // -- conversion ATTRIBUTION (first-touch / last-touch): every purchase
     //    credits the most recent and the earliest preceding click/view by
-    //    the same user, plus the µs gap to the last touch — the marketing
-    //    analytics sibling of the s10 funnel. One user-keyed window over
-    //    the proven (tus, event_id) ordering: conditional
-    //    FIRST/LAST_VALUE ... IGNORE NULLS over the strictly-preceding
-    //    frame, so at 100 TB the cost is ONE keyed shuffle of the events,
-    //    no self-join and no per-user explosion. All hashed columns are
-    //    exact integers (ids + a µs difference).
+    //    the same user — the marketing analytics sibling of the s10
+    //    funnel. One user-keyed window over the proven (tus, event_id)
+    //    ordering: conditional FIRST/LAST_VALUE ... IGNORE NULLS over the
+    //    strictly-preceding frame, so at 100 TB the cost is ONE keyed
+    //    shuffle of the events, no self-join and no per-user explosion.
+    //    Hashed surface carries row IDENTITIES only (the s11 discipline):
+    //    a µs gap would shift by ±1 µs per endpoint under the driver's
+    //    unresolved round-vs-truncate ns→µs read, so times stay off the
+    //    hash; the µs gap lives in the spec-checked streaming face.
     Q("s22_attribution",
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, $TusSql AS tus
@@ -838,30 +840,23 @@ object EventsQ {
          |        THEN event_id END IGNORE NULLS)
          |      OVER (PARTITION BY user_id ORDER BY tus, event_id
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_id,
-         |    LAST_VALUE(CASE WHEN event_type IN ('click','view')
-         |        THEN tus END IGNORE NULLS)
-         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_tus,
          |    FIRST_VALUE(CASE WHEN event_type IN ('click','view')
          |        THEN event_id END IGNORE NULLS)
          |      OVER (PARTITION BY user_id ORDER BY tus, event_id
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft_id
          |  FROM e)
-         |SELECT event_id, user_id, lt_id, ft_id, tus - lt_tus AS gap_us
+         |SELECT event_id, user_id, lt_id, ft_id
          |FROM a WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val touchId = when(col("event_type").isin("click", "view"), col("event_id"))
-      val touchTus = when(col("event_type").isin("click", "view"), col("tus"))
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("tus"))
         .withColumn("lt_id", last(touchId, ignoreNulls = true).over(w))
-        .withColumn("lt_tus", last(touchTus, ignoreNulls = true).over(w))
         .withColumn("ft_id", first(touchId, ignoreNulls = true).over(w))
         .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("lt_id"), col("ft_id"),
-          (col("tus") - col("lt_tus")).as("gap_us"))
+        .select(col("event_id"), col("user_id"), col("lt_id"), col("ft_id"))
     },
 
     // -- SCD TYPE-2 history build (the warehouse dimension-versioning
@@ -871,7 +866,12 @@ object EventsQ {
     //    current version. Run heads are LAG <> current over the proven
     //    ordering; interval ends come from the NEXT head's timestamp via
     //    LEAD. Two window passes over ONE user-keyed shuffle (both windows
-    //    share the partitioning), pure integer surface.
+    //    share the partitioning), pure integer surface. Hashed validity
+    //    endpoints are truncated to SECONDS (the project timestamp rule:
+    //    TsProbeSpec's ≥2.3 ms second-boundary margin makes the
+    //    truncation immune to the driver's ±1 µs ns→µs read ambiguity);
+    //    the LEAD orders by the integer run counter `ver` (unique per
+    //    user by construction), which no read perturbation can reorder.
     Q("s23_scd2_history",
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id, $TusSql AS tus
@@ -890,9 +890,9 @@ object EventsQ {
          |  SELECT user_id, event_type, ver,
          |    MIN(tus) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
          |  FROM hh GROUP BY user_id, event_type, ver)
-         |SELECT user_id, event_type, ver, valid_from,
+         |SELECT user_id, event_type, ver, valid_from // 1000000 AS valid_from_s,
          |  LEAD(valid_from) OVER (
-         |    PARTITION BY user_id ORDER BY valid_from, ver) AS valid_to,
+         |    PARTITION BY user_id ORDER BY ver) // 1000000 AS valid_to_s,
          |  n_events
          |FROM iv""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
@@ -910,9 +910,11 @@ object EventsQ {
         .agg(min(col("tus")).as("valid_from"),
           count(lit(1)).as("n_events"))
       iv.withColumn("valid_to", lead(col("valid_from"), 1).over(
-          Window.partitionBy("user_id").orderBy("valid_from", "ver")))
-        .select("user_id", "event_type", "ver", "valid_from", "valid_to",
-          "n_events")
+          Window.partitionBy("user_id").orderBy("ver")))
+        .select(col("user_id"), col("event_type"), col("ver"),
+          expr("valid_from div 1000000").as("valid_from_s"),
+          expr("valid_to div 1000000").as("valid_to_s"),
+          col("n_events"))
     },
 
     // -- sessionized PATH analysis (the product-analytics "top user

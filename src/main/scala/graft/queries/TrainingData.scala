@@ -114,6 +114,10 @@ object TrainingData {
   private def pcaIterates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.expr.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
+    // the (i, j) unflattening of the d²-long scatter buffer must use the
+    // ACTUAL embedding width, not a literal — one first-row probe (limit-1
+    // parquet read, negligible) keeps it in lockstep with ScatterMoments
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
     val q = emb.select(col("vec_id"), expr(
       "qquant(embedding, 1e4)")
       .as("qv"))
@@ -122,17 +126,19 @@ object TrainingData {
         posexplode(col("m.sxx")).as(Seq("p", "sxx")))
     val a2 = mom
       .select(
-        (expr("p div 64") + 1).cast("long").as("i"),
-        (col("p") % 64 + 1).cast("long").as("j"),
+        (expr(s"p div $d") + 1).cast("long").as("i"),
+        (col("p") % d + 1).cast("long").as("j"),
         ((col("n") * col("sxx") -
-          element_at(col("sv"), (expr("p div 64") + 1).cast("int")) *
-          element_at(col("sv"), (col("p") % 64 + 1).cast("int"))).cast("double") /
+          element_at(col("sv"), (expr(s"p div $d") + 1).cast("int")) *
+          element_at(col("sv"), (col("p") % d + 1).cast("int"))).cast("double") /
           lit(281474976710656e0)).as("a2"))
       .persist()
     def matvec(v: DataFrame): DataFrame =
       a2.join(broadcast(v), "j")
         .groupBy("i").agg(Det.fsum(col("a2") * col("vv")).as("w"))
-    val v0 = s.range(1, 65)
+    // any dyadic non-degenerate start vector works (normalization is by
+    // max-abs each iteration), so the 1/8 literal is dim-independent
+    val v0 = s.range(1, d + 1L)
       .select(col("id").as("j"), lit(125e-3).as("vv"))
     val w1 = matvec(v0)
     val m1 = w1.agg(max(abs(col("w"))).as("m"))
@@ -1319,7 +1325,11 @@ object TrainingData {
       // shuffle projection: exact integer L2 against each literal
       // centroid, argmin via least(struct(d2, k)) (ties to the lower k),
       // instead of the former crossJoin + per-cid min aggregation
-      // (2 exchanges per assignment round).
+      // (2 exchanges per assignment round). The literal form is valid
+      // ONLY because e05's k is FIXED at 8 — a corpus-proportional
+      // cluster count (t29's k = n/512) must use SemDedup.assign's
+      // broadcast-centroid map-side argmin instead, which keeps k out of
+      // the expression tree and the generated code.
       def assignLit(cents: Seq[(Long, Seq[Long])]): DataFrame = {
         graft.expr.GraftFunctions.register(s)
         val cands = cents.map { case (k, v) =>
@@ -2129,8 +2139,10 @@ object TrainingData {
 
     // -- SemDeDup (semantic dedup: cluster-then-prune — Abbas et al.
     //    2023): assign every embedding to its nearest seed centroid by
-    //    exact integer L2 (a ZERO-shuffle literal projection, the e05
-    //    assignment idiom), then compare pairs ONLY within a cluster and
+    //    exact integer L2 (a ZERO-shuffle map-side argmin over the
+    //    broadcast centroid matrix — k never enters the expression tree,
+    //    so k = n/512 survives any corpus), then compare pairs ONLY
+    //    within a cluster and
     //    prune any vector with a lower-id neighbour at cosine ≥ 0.45 (the
     //    one-pass greedy keep-lowest rule — deterministic, no iteration).
     //    Cosines are exact-integer dots over one sqrt/division chain, so

@@ -293,13 +293,20 @@ class PlanSpec extends AnyFunSuite {
       "i01 sort-merges against a 1-row/9-row relation:\n" + p)
   }
 
-  test("t29: centroid assignment is literal (no join); pairs move in cluster-keyed shuffles") {
-    // The scale contract: assignment must be a zero-join projection
-    // against literal centroids (never a centroid join), and the only
+  test("t29: centroid assignment is a broadcast map-side argmin — k-independent plan") {
+    // The scale contract: assignment rides a spark-broadcast centroid
+    // matrix inside an RDD mapPartitions (surfacing as Scan ExistingRDD
+    // with the `k` column already attached), so the PLAN carries no
+    // per-centroid literal and no least() chain — k = n/512 can grow to
+    // millions without codegen or driver-expression blowup. The only
     // wide moves are the cluster-keyed pair join + per-vector rollup —
     // no single-partition exchange anywhere.
     val p = planOf("t29_semdedup")
-    assert(!p.contains("SortMergeJoin") || p.contains("Exchange hashpartitioning"),
+    assert(p.contains("Scan ExistingRDD"),
+      "t29 assignment no longer feeds from the broadcast argmin RDD:\n" + p)
+    assert(!p.contains("least("),
+      "t29 regressed to a per-centroid literal least() chain:\n" + p)
+    assert(p.contains("Exchange hashpartitioning"),
       "t29 lost its keyed shuffles:\n" + p)
     assert(!p.contains("Exchange SinglePartition"),
       "t29 funnels through one partition:\n" + p)

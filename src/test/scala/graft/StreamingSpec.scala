@@ -11,6 +11,34 @@ import graft.operators.EventOps.Ev
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Expected attribution per purchase, INCLUDING the µs gap to the last
+    * touch. The hashed s22 surface carries ids only (the driver's ns→µs
+    * read could shift each endpoint by ±1 µs), so the gap's correctness
+    * lives here: a direct batch-window recomputation both streaming
+    * attribution tests compare against. */
+  private def attrExpected(sf: String)
+      : Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchId = when(col("event_type").isin("click", "view"), col("event_id"))
+    val touchTus = when(col("event_type").isin("click", "view"), col("tus"))
+    graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("lt_id", last(touchId, ignoreNulls = true).over(w))
+      .withColumn("lt_tus", last(touchTus, ignoreNulls = true).over(w))
+      .withColumn("ft_id", first(touchId, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("lt_id"), col("ft_id"),
+        (col("tus") - col("lt_tus")).as("gap_us"))
+      .collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+      }.toMap
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -215,13 +243,7 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(second.toSeq); q2.processAllAvailable()
       val got = spark.read.parquet(out).as[AttrOut].collect()
         .map(a => a.eventId -> ((a.ltId, a.ftId, a.gapUs))).toMap
-      val batch = graft.SparkEntry.queries("s22_attribution")(
-          spark, TestSpark.sf).collect()
-        .map { r =>
-          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-          r.getLong(0) -> ((opt(2), opt(3), opt(4)))
-        }.toMap
-      assert(got === batch)
+      assert(got === attrExpected(TestSpark.sf))
     } finally q2.stop()
   }
 
@@ -598,13 +620,7 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(second.toSeq); q.processAllAvailable()
       val got = spark.table("attr").as[AttrOut].collect()
         .map(a => a.eventId -> ((a.ltId, a.ftId, a.gapUs))).toMap
-      val batch = graft.SparkEntry.queries("s22_attribution")(
-          spark, TestSpark.sf).collect()
-        .map { r =>
-          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-          r.getLong(0) -> ((opt(2), opt(3), opt(4)))
-        }.toMap
-      assert(got === batch)
+      assert(got === attrExpected(TestSpark.sf))
     } finally q.stop()
   }
 
