@@ -38,14 +38,29 @@ object Explain {
     spark.stop()
   }
 
+  /** One query's audit result. `interpreted` lists compute nodes outside
+    * whole-stage codegen; `oversized` the generated-method sizes past the
+    * 8 KB JIT threshold; `funnels` SinglePartition exchanges fed by
+    * per-row compute (the t44 bug class). */
+  final case class Finding(query: String, interpreted: Seq[String],
+                           oversized: Seq[Int], funnels: Seq[String],
+                           error: Option[String]) {
+    def isEmpty: Boolean =
+      interpreted.isEmpty && oversized.isEmpty && funnels.isEmpty && error.isEmpty
+  }
+
   /** Registry-wide codegen audit: flags queries whose plans leave compute
     * nodes outside whole-stage codegen (interpreted row-at-a-time
     * evaluation in the hot path) or whose generated methods exceed the
-    * 8 KB JIT compilation threshold. Planning-only — nothing executes. */
-  private def audit(spark: SparkSession, sfDir: String): Unit = {
+    * 8 KB JIT compilation threshold. Planning-only — nothing executes.
+    * Requires a session with AQE DISABLED (AdaptiveSparkPlan hides the
+    * codegen markers until execution). AuditSpec runs this in CI against
+    * a frozen allowlist, so a regression fails `sbt test` instead of
+    * waiting for a bench diff. */
+  def auditFindings(spark: SparkSession, sfDir: String): Seq[Finding] = {
     import org.apache.spark.sql.execution.debug.codegenString
     val MethodLimit = 8000
-    SparkEntry.registry.foreach { q =>
+    SparkEntry.registry.map { q =>
       try {
         val plan = q.fn(spark, sfDir).queryExecution.executedPlan
         val lines = plan.toString.split("\n")
@@ -72,14 +87,25 @@ object Explain {
             lines.take(i).exists(_.matches(
               ".*(Project|Filter|Generate).*[a-z]+\\(.*")) => l.trim.take(80)
         }
-        if (fallback.nonEmpty || big.nonEmpty || funnels.nonEmpty) {
-          println(s"AUDIT ${q.name}: ${fallback.length} interpreted compute node(s)" +
-            (if (big.nonEmpty) s", oversized methods: ${big.mkString(",")}" else "") +
-            (if (funnels.nonEmpty) s", ${funnels.length} single-partition exchange(s)" else ""))
-          fallback.take(4).foreach(l => println(s"    $l"))
-        }
+        Finding(q.name, fallback.toSeq, big, funnels.toSeq, None)
       } catch {
-        case e: Throwable => println(s"AUDIT ${q.name}: plan failed: ${e.getMessage}")
+        case e: Throwable =>
+          Finding(q.name, Nil, Nil, Nil, Some(e.getMessage))
+      }
+    }
+  }
+
+  private def audit(spark: SparkSession, sfDir: String): Unit = {
+    auditFindings(spark, sfDir).filterNot(_.isEmpty).foreach { f =>
+      f.error match {
+        case Some(e) => println(s"AUDIT ${f.query}: plan failed: $e")
+        case None =>
+          println(s"AUDIT ${f.query}: ${f.interpreted.length} interpreted compute node(s)" +
+            (if (f.oversized.nonEmpty)
+              s", oversized methods: ${f.oversized.mkString(",")}" else "") +
+            (if (f.funnels.nonEmpty)
+              s", ${f.funnels.length} single-partition exchange(s)" else ""))
+          f.interpreted.take(4).foreach(l => println(s"    $l"))
       }
     }
     println("AUDIT done")

@@ -133,6 +133,43 @@ object ScaleProbe {
       }
       println(f"neardup_full_corpus,$k,${k * maxVec},$cands,$t%.2f")
     }
+    // corpus-scaled code width (the t10/e02/e09 rule): with a FIXED
+    // width, organic growth fills buckets (occupancy ∝ n) and the
+    // Hamming≤1 candidate volume PER DOC grows linearly — the quadratic
+    // total the fixed-16 code hid until n ≫ 65 536. Deriving the width
+    // from the corpus count (2^nbits ≥ 8n) pins expected occupancy, so
+    // per-doc candidates stay bounded by ~(nbits+1)/8 plus the TRUE
+    // near-dup mass — logarithmic growth (the probe list), never linear.
+    // Measured on PERTURBED (non-clone) replicas at a width small enough
+    // to be non-degenerate at probe scale: fixed 8 bits (256 buckets) vs
+    // the scaled ceil(log2 n)+3 rule (per-doc 36→146 fixed vs 1.1→3.0
+    // scaled over a 4× growth); production floors the same rule at 16.
+    println("probe,k,corpus,nbits,per_doc_fixed8,per_doc_scaled,secs")
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map { i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("qv", expr(
+            s"transform(embedding, (x, p) -> " +
+              s"CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) + " +
+              s"((vec_id % 97) * 131 + p * 17 + $i * 53) % 401 - 200)"))
+      }.reduce(_ unionAll _)
+      val bk0 = emb.select(col("vec_id").as("cid"), col("qv"))
+      val n = k * maxVec
+      val nbScaled = 64 - java.lang.Long.numberOfLeadingZeros(n - 1) + 3
+      def candPerDoc(bits: Int): Double = {
+        val bk = bk0.withColumn("code", expr(s"lsh_code(qv, $bits)")).drop("qv")
+        val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"))
+          .crossJoin(broadcast((0L +: (0 until bits).map(i => 1L << i).toSeq)
+            .toDF("mask")))
+          .withColumn("probe", expr("code_a ^ mask")).drop("mask", "code_a")
+        val c = probes.join(bk, col("code") === col("probe")
+          && col("cid_a") < col("cid")).count()
+        c.toDouble / n
+      }
+      var pdF = 0.0; var pdS = 0.0
+      val t = time { pdF = candPerDoc(8); pdS = candPerDoc(nbScaled.toInt) }
+      println(f"lsh_width_scaling,$k,$n,$nbScaled,$pdF%.2f,$pdS%.3f,$t%.2f")
+    }
     // organic corpus growth (doc slice, not replication): the UNBLOCKED
     // postings join grows quadratically through the hot tokens while the
     // df-blocked join stays bounded — the contrast IS the t05 scale claim.

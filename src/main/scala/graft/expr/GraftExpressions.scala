@@ -77,27 +77,36 @@ case class KahanSum(child: Expression)
     copy(child = newChild)
 }
 
-/** 16-bit hyperplane LSH code over a quantized (long) embedding array:
-  * bit j is set iff Σ_i qv[i] · h(i, j) > 0 with the deterministic
-  * integer hyperplane h(i, j) = ((i+1)(2654435761 + 40503 j)) mod 2048
-  * − 1024. ONE codegen pass over the array computes all 16 projections —
-  * the declarative formulation (aggregate over sequence(0,15) of an inner
-  * transform+aggregate) walks the array 16 times through interpreted
-  * lambdas and dominated e02's bench time. Exact integer arithmetic, so
-  * the DuckDB oracle (same formula via generate_series) is unchanged. */
-case class LshCode16(child: Expression) extends UnaryExpression {
+/** nbits-wide hyperplane LSH code over a quantized (long) embedding
+  * array: bit j is set iff Σ_i qv[i] · h(i, j) > 0 with the
+  * deterministic integer hyperplane h(i, j) = ((i+1)(2654435761 +
+  * 40503 j)) mod 2048 − 1024. ONE codegen pass over the array computes
+  * all nbits projections — the declarative formulation (aggregate over
+  * sequence of an inner transform+aggregate) walks the array nbits times
+  * through interpreted lambdas and dominated e02's bench time. Exact
+  * integer arithmetic, so the DuckDB oracle (same formula via
+  * generate_series) mirrors bit-exactly at any width.
+  *
+  * The width is a CONSTRUCTOR constant (compile-time literal in the
+  * generated code, loop-unrollable), not a literal chain: t10/e02/e09
+  * derive nbits from a corpus count so bucket occupancy stays bounded as
+  * the corpus grows — the fixed-16 form capped the table at 65 536
+  * buckets, which degrades the bucketed pair join quadratically once
+  * n ≫ 65 536 × target occupancy. */
+case class LshCode(child: Expression, nbits: Int) extends UnaryExpression {
+  require(nbits >= 1 && nbits <= 63, s"lsh_code width out of range: $nbits")
   override def dataType: DataType = LongType
-  override def prettyName: String = "lsh_code16"
+  override def prettyName: String = "lsh_code"
 
   override protected def nullSafeEval(arr: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val acc = new Array[Long](16)
+    val acc = new Array[Long](nbits)
     var i = 0
     while (i < n) {
       val x = a.getLong(i)
       var j = 0
-      while (j < 16) {
+      while (j < nbits) {
         acc(j) += x * (((i + 1L) * (2654435761L + j * 40503L)) % 2048L - 1024L)
         j += 1
       }
@@ -105,7 +114,7 @@ case class LshCode16(child: Expression) extends UnaryExpression {
     }
     var code = 0L
     var j = 0
-    while (j < 16) { if (acc(j) > 0L) code |= (1L << j); j += 1 }
+    while (j < nbits) { if (acc(j) > 0L) code |= (1L << j); j += 1 }
     code
   }
 
@@ -118,23 +127,23 @@ case class LshCode16(child: Expression) extends UnaryExpression {
       val x = ctx.freshName("x")
       val code = ctx.freshName("code")
       s"""
-         |long[] $acc = new long[16];
+         |long[] $acc = new long[$nbits];
          |int $n = $c.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  long $x = $c.getLong($i);
-         |  for (int $j = 0; $j < 16; $j++) {
+         |  for (int $j = 0; $j < $nbits; $j++) {
          |    $acc[$j] += $x * ((($i + 1L) * (2654435761L + $j * 40503L)) % 2048L - 1024L);
          |  }
          |}
          |long $code = 0L;
-         |for (int $j = 0; $j < 16; $j++) {
+         |for (int $j = 0; $j < $nbits; $j++) {
          |  if ($acc[$j] > 0L) $code |= (1L << $j);
          |}
          |${ev.value} = $code;
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): LshCode16 =
+  override protected def withNewChildInternal(newChild: Expression): LshCode =
     copy(child = newChild)
 }
 
@@ -738,8 +747,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[KahanSum].getName, "kahan_sum"),
       (args: Seq[Expression]) => KahanSum(Cast(args.head, DoubleType)).toAggregateExpression()),
     (FunctionIdentifier("lsh_code16"),
-      new ExpressionInfo(classOf[LshCode16].getName, "lsh_code16"),
-      (args: Seq[Expression]) => LshCode16(args.head)),
+      new ExpressionInfo(classOf[LshCode].getName, "lsh_code16"),
+      (args: Seq[Expression]) => LshCode(args.head, 16)),
+    (FunctionIdentifier("lsh_code"),
+      new ExpressionInfo(classOf[LshCode].getName, "lsh_code"),
+      (args: Seq[Expression]) => LshCode(args.head,
+        args(1).eval().asInstanceOf[Number].intValue)),
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (args: Seq[Expression]) => RollingFingerprint(args.head)),

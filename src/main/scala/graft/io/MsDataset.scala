@@ -1,0 +1,113 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CASA Measurement Set as an on-disk dataset of tables — the dask-ms
+  * `xds_from_ms` analogue the reference's flagship example is built on
+  * (rime/examples/predict.py:548-586 opens MAIN + FIELD +
+  * SPECTRAL_WINDOW + ANTENNA + POLARIZATION through dask-ms and predicts
+  * MODEL_DATA). The reference reads casacore tables directly; the Spark
+  * engine reads the same RELATIONAL content from a parquet dataset
+  * directory (`<name>.ms.pq/<TABLE>.parquet`), produced from a real MS
+  * by `tools/ms2parquet.py` (python-casacore, one `getcol` pass per
+  * column, row order preserved, MAIN gets an explicit `row_id`).
+  *
+  * Column names follow the MSv2 definition (MAIN: TIME, ANTENNA1,
+  * ANTENNA2, UVW[3], FIELD_ID, DATA_DESC_ID, …; SPECTRAL_WINDOW:
+  * CHAN_FREQ[nchan]; FIELD: PHASE_DIR[2]; ANTENNA: POSITION[3], NAME),
+  * so a user coming from dask-ms sees the schema they know — SURVEY
+  * §1.1. Subtables are dimension-sized (broadcast class); MAIN is the
+  * only large relation and arrives as ordinary parquet, so partition
+  * pruning / predicate pushdown / column pruning all apply unchanged.
+  */
+object MsDataset {
+
+  /** The opened dataset: MAIN + the subtables the predict path needs.
+    * Missing optional subtables surface as None, like dask-ms. */
+  final case class Ms(main: DataFrame, antenna: DataFrame,
+                      spectralWindow: DataFrame, field: DataFrame,
+                      polarization: Option[DataFrame])
+
+  private def sub(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def read(spark: SparkSession, dir: String): Ms = Ms(
+    main = sub(spark, dir, "MAIN"),
+    antenna = sub(spark, dir, "ANTENNA"),
+    spectralWindow = sub(spark, dir, "SPECTRAL_WINDOW"),
+    field = sub(spark, dir, "FIELD"),
+    polarization =
+      if (new java.io.File(s"$dir/POLARIZATION.parquet").exists)
+        Some(sub(spark, dir, "POLARIZATION")) else None)
+
+  /** (row_id, u, v, w) from MAIN's UVW[3] — the large relation of every
+    * RIME query; one zero-shuffle projection. */
+  def uvw(ms: Ms): DataFrame =
+    ms.main.select(col("row_id"),
+      element_at(col("UVW"), 1).as("u"),
+      element_at(col("UVW"), 2).as("v"),
+      element_at(col("UVW"), 3).as("w"))
+
+  /** (chan, freq) from SPECTRAL_WINDOW's CHAN_FREQ array for one spw —
+    * dimension-sized, posexplode preserves channel order. */
+  def chans(ms: Ms, spwId: Int = 0): DataFrame =
+    ms.spectralWindow.filter(col("spw_id") === spwId)
+      .select(posexplode(col("CHAN_FREQ")).as(Seq("chan", "freq")))
+      .select(col("chan").cast("long").as("chan"), col("freq"))
+
+  /** The J2000 phase centre (ra0, dec0) of a field — a driver-side
+    * 2-double lookup (model-sized, the e05 idiom). */
+  def phaseCentre(spark: SparkSession, ms: Ms, fieldId: Int = 0): (Double, Double) = {
+    val r = ms.field.filter(col("field_id") === fieldId)
+      .select(element_at(col("PHASE_DIR"), 1), element_at(col("PHASE_DIR"), 2))
+      .head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** The reference example end to end from the MS-format input: open the
+    * dataset, take uvw/chans/phase-centre from its tables, run the
+    * WSClean-component predict (pipelines.PredictPipeline.modelData) and
+    * return (row_id, chan, vre, vim) ready to write back as MODEL_DATA
+    * (rime/examples/predict.py:548-586). */
+  def predictModelData(spark: SparkSession, msDir: String,
+                       skyModelPath: String): DataFrame = {
+    val ms = read(spark, msDir)
+    val (ra0, dec0) = phaseCentre(spark, ms)
+    graft.pipelines.PredictPipeline.modelData(
+      spark, skyModelPath, uvw(ms), chans(ms), ra0, dec0)
+  }
+
+  /** Synthetic MS dataset writer — the JVM twin of
+    * `tools/ms2parquet.py --synthetic` (identical layout and schema), so
+    * the spec can exercise file→MODEL_DATA without casacore. Baselines
+    * cycle over antenna pairs; uvw is a deterministic dyadic spread. */
+  def writeSynthetic(spark: SparkSession, dir: String, nrow: Int,
+                     nchan: Int, nant: Int,
+                     ra0: Double, dec0: Double): Unit = {
+    import spark.implicits._
+    val ants = (0 until nant)
+      .map(a => (a, s"ST-$a", Array(-1601710.0 + a * 64, -5042006.0 + a * 128,
+        3554880.0 + a * 32)))
+      .toDF("antenna_id", "NAME", "POSITION")
+    val main = (0 until nrow).map { r =>
+      val a1 = r % nant
+      val a2 = (r / nant) % nant
+      (r.toLong, 5084553600.0 + (r / (nant * nant)) * 8.0, a1, a2,
+        Array(((r * 7) % 2001 - 1000) / 2.0, ((r * 3) % 2001 - 1000) / 2.0,
+          ((r * 11) % 201 - 100) / 20.0), 0, 0)
+    }.toDF("row_id", "TIME", "ANTENNA1", "ANTENNA2", "UVW",
+      "FIELD_ID", "DATA_DESC_ID")
+    val spw = Seq((0, nchan, (0 until nchan).map(k => 856e6 + k * 107e6).toArray))
+      .toDF("spw_id", "NUM_CHAN", "CHAN_FREQ")
+    val field = Seq((0, "FIELD0", Array(ra0, dec0)))
+      .toDF("field_id", "NAME", "PHASE_DIR")
+    val pol = Seq((0, Array(9, 10, 11, 12))) // XX XY YX YY (MSv2 codes)
+      .toDF("pol_id", "CORR_TYPE")
+    main.coalesce(1).write.mode("overwrite").parquet(s"$dir/MAIN.parquet")
+    ants.coalesce(1).write.mode("overwrite").parquet(s"$dir/ANTENNA.parquet")
+    spw.coalesce(1).write.mode("overwrite").parquet(s"$dir/SPECTRAL_WINDOW.parquet")
+    field.coalesce(1).write.mode("overwrite").parquet(s"$dir/FIELD.parquet")
+    pol.coalesce(1).write.mode("overwrite").parquet(s"$dir/POLARIZATION.parquet")
+  }
+}

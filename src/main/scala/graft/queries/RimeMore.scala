@@ -122,6 +122,72 @@ object RimeMore {
        |FROM g5""".stripMargin
   }
 
+  /** Exact integer Hermite coefficient rows: H_n(x) = Σ_k c(n)(k)·x^k for
+    * the physicists' polynomials H0 = 1, H1 = 2x,
+    * H_n = 2x·H_{n−1} − 2(n−1)·H_{n−2} — the recursion the reference
+    * evaluates per call (model/shape/shapelets.py:10-16). Computing the
+    * COEFFICIENTS once (exact longs, |c| < 2^53 through n = 15) and
+    * emitting one Horner form per order is the Zernike-generator idiom
+    * (functions/Zernike.scala:71): arbitrary order with a fixed, shared
+    * expression text both engines evaluate bit-identically. */
+  def hermiteCoeffs(nmax: Int): IndexedSeq[IndexedSeq[Long]] = {
+    require(nmax <= 15, s"Hermite coefficients exceed exact-long range: $nmax")
+    val h = scala.collection.mutable.ArrayBuffer[IndexedSeq[Long]](
+      IndexedSeq(1L), IndexedSeq(0L, 2L))
+    for (n <- 2 to nmax) {
+      val c = Array.fill[Long](n + 1)(0L)
+      for (k <- h(n - 1).indices) c(k + 1) += 2L * h(n - 1)(k)
+      for (k <- h(n - 2).indices) c(k) -= 2L * (n - 1) * h(n - 2)(k)
+      h += c.toIndexedSeq
+    }
+    h.take(nmax + 1).toIndexedSeq
+  }
+
+  /** H_n(x) as SQL text: Horner in x² (H_n shares n's parity, so only
+    * every other coefficient is nonzero), integer coefficients as
+    * e-notation double literals. The same text feeds Spark and the
+    * DuckDB oracle, so both engines run the identical IEEE op sequence. */
+  def hermiteSql(n: Int, x: String): String = {
+    val c = hermiteCoeffs(n)(n)
+    val p = (n % 2 to n by 2).map(c(_)).reverse // leading coefficient first
+    val x2 = s"($x * $x)"
+    val horner = p.tail.foldLeft(s"${p.head}e0") { (acc, co) =>
+      s"($acc * $x2 + ${co}e0)"
+    }
+    if (n % 2 == 1) s"($horner * $x)" else horner
+  }
+
+  /** Shared Spark-expr/oracle text for r17: the GENERAL-order 2-D
+    * shapelet basis sum Σ_{n1<nmax1, n2<nmax2} c_{n1,n2} ·
+    * φ_{n1}(u/βu) · φ_{n2}(v/βv) with the reference's real basis
+    * normalization 1/√(2^n √π n! β) (model/shape/shapelets.py:29-33,
+    * 2-D driver at 155-235) — upgrading r13's hard-coded order-≤2 table
+    * to arbitrary (nmax1, nmax2) via the Hermite coefficient generator.
+    * Coefficients are dyadic rationals of src_id (some exactly zero —
+    * the reference's coeffs==0 skip path); βu, βv are the r13 per-source
+    * scales. Determinism class: identical expression text both sides —
+    * IEEE-exact rational arguments into exp (class b), polynomial/
+    * product arithmetic bit-identical, r6-rounded output with the
+    * DeterminismSpec-measured flip margin (class d, the r13 contract). */
+  def shapeletGeneralSql(nmax1: Int, nmax2: Int): String = {
+    val tu = "(u / (5e1 * (src_id + 1)))"
+    val tv = "(v / (4e1 * (src_id + 2)))"
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    // 1/√(2^n √π n! β): per-order constant × per-source dyadic β — the
+    // sqrt/pi() chain is literal-rooted, so both engines agree bitwise
+    def norm(n: Int, beta: String) =
+      s"(1e0 / sqrt(${1L << n}e0 * sqrt(pi()) * ${fact(n)}e0 * $beta))"
+    val terms = for (n1 <- 0 until nmax1; n2 <- 0 until nmax2) yield {
+      val cNum = s"((src_id + ${3 * n1} + ${5 * n2}) % 9 - 4)"
+      s"($cNum / 8e0) * ${norm(n1, "(5e1 * (src_id + 1))")} * " +
+        s"${norm(n2, "(4e1 * (src_id + 2))")} * " +
+        s"${hermiteSql(n1, tu)} * ${hermiteSql(n2, tv)}"
+    }
+    val envU = s"exp(-($tu*$tu) / 2e0)"
+    val envV = s"exp(-($tv*$tv) / 2e0)"
+    terms.mkString("(", " + ", s") * $envU * $envV")
+  }
+
   /** Shared Spark-expr/oracle text for r13: 2-D Hermite-Gaussian shapelet
     * sum over orders (0,0),(1,0),(0,1),(1,1),(2,0),(0,2). */
   val shapelet2dSql: String = {
@@ -286,6 +352,26 @@ object RimeMore {
         .select(col("src_id"), col("row_id"), col("chan"),
           ph.as("phase"),
           Det.r6(basis).as("sval"))
+    },
+
+    // -- R11 general order: the arbitrary-(nmax1, nmax2) shapelet basis
+    //    via the iterative Hermite coefficient generator
+    //    (model/shape/shapelets.py:10-55 recursion; 2-D evaluation at
+    //    155-235) — orders up to (5, 4) here, far past r13's hard-coded
+    //    ≤2 table, including the reference's real-basis normalization
+    //    1/√(2^n √π n! β). One zero-shuffle projection over the src×row
+    //    grid; the polynomial text is generated ONCE and shared with the
+    //    oracle, so order growth never touches plan shape.
+    Q("r17_shapelet_general", {
+      val sql = RimeMore.shapeletGeneralSql(5, 4)
+      s"""WITH src AS (${sourcesSql(5)}), rws AS (${uvwRowsSql(64)})
+         |SELECT src_id, row_id, ${r6Sql(sql)} AS sval
+         |FROM src, rws""".stripMargin
+    }) { (s, dir) =>
+      sources(s, dir, 5).select("src_id")
+        .crossJoin(uvwRows(s, dir, 64).select("row_id", "u", "v"))
+        .select(col("src_id"), col("row_id"),
+          Det.r6(expr(RimeMore.shapeletGeneralSql(5, 4))).as("sval"))
     },
 
     // -- R6: transform_sources (africanus/rime/transform.py:12-99):

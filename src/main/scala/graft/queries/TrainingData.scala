@@ -151,6 +151,44 @@ object TrainingData {
     (v1, v2)
   }
 
+  /** Corpus-scaled LSH code width: the smallest width keeping expected
+    * bucket occupancy ≤ 1/8 (2^nbits ≥ 8n), floored at the historical 16
+    * — so the sf0.001..sf0.1 gates stay at 16 and growth engages on
+    * larger corpora (sf1x runs 18). A FIXED width caps the bucket table:
+    * occupancy then grows ∝ n and the bucketed pair join degrades
+    * quadratically once n ≫ 2^nbits × target occupancy. ceil(log2 n) is
+    * exact here (bit length); the oracle mirrors it as
+    * GREATEST(16, CEIL(LOG2(n)) + 3), which agrees cross-engine because
+    * log2 of an integer is exact at powers of two and otherwise at least
+    * ~1/(n·ln2) ≫ double-ulp away from any integer. */
+  private def lshBits(n: Long): Int =
+    math.max(16,
+      (if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 3)
+
+  /** SQL mirror of [[lshBits]] over the embeddings corpus, as a 1-row
+    * relation usable in a cross join. */
+  private val lshBitsSql: String =
+    """(SELECT GREATEST(16, CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) + 3)
+      |   AS nbits FROM embeddings)""".stripMargin
+
+  /** The hyperplane-index relation 0..nbits-1 for the oracle's projection
+    * sum, width derived from the corpus count exactly like the engine. */
+  private val lshJsSql: String =
+    s"""(SELECT unnest(generate_series(0,
+       |  (SELECT nbits FROM $lshBitsSql nb) - 1)) AS j)""".stripMargin
+
+  /** Multiprobe masks: the identity, every single-bit flip, and (for
+    * Hamming radius 2) every bit pair — 1 + nbits (+ nbits(nbits−1)/2)
+    * masks, exploded on the tiny probe side only. */
+  private def hammingMasks(nbits: Int, radius: Int): Seq[Long] = {
+    val singles = (0 until nbits).map(i => 1L << i)
+    val pairs =
+      if (radius < 2) Seq.empty
+      else for (i <- 0 until nbits; j <- i + 1 until nbits)
+        yield (1L << i) | (1L << j)
+    0L +: singles ++: pairs
+  }
+
   /** Shared CTE prefix for t10/t11: LSH-coded corpus, Hamming≤1
     * candidate pairs, exact integer dot products + norms. */
   private lazy val neardupCtesSql: String =
@@ -158,7 +196,7 @@ object TrainingData {
        |proj AS (
        |  SELECT cid, j,
        |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
-       |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+       |  FROM ce, $lshJsSql
        |  GROUP BY cid, j),
        |bk AS (
        |  SELECT cid, CAST(SUM(CASE WHEN s > 0
@@ -181,13 +219,13 @@ object TrainingData {
   private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
+    val nbits = lshBits(emb.count())
     val qCol = expr(
       "qquant(embedding, 1e6)")
     val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
       .withColumn("n2", expr("qdot(qv, qv)"))
-      .withColumn("code", expr("lsh_code16(qv)"))
-    val masks: Seq[Long] = 0L +: (0 until 16).map(i => 1L << i)
-    val maskDf = { import s.implicits._; masks.toDF("mask") }
+      .withColumn("code", expr(s"lsh_code(qv, $nbits)"))
+    val maskDf = { import s.implicits._; hammingMasks(nbits, 1).toDF("mask") }
     val probes = bk.select(col("cid").as("cid_a"), col("code").as("code_a"),
         col("n2").as("n2_a"), col("qv").as("qv_a"))
       .crossJoin(broadcast(maskDf))
@@ -651,19 +689,23 @@ object TrainingData {
         .select("qid", "cid", "cosine", "rank")
     },
 
-    // -- LSH-bucketed ANN (the scale path): 16 deterministic integer
-    //    hyperplanes -> a 16-bit bucket code (65536 buckets, so bucket
-    //    cardinality stays bounded as the corpus grows), plus MULTIPROBE
-    //    for recall: each query probes every bucket within Hamming
-    //    distance 2 of its own code (1 + 16 + 120 = 137 probes). The
-    //    corpus side is a single equi-join against the broadcast probe
-    //    list — never an in-bucket cross product over a fat bucket.
+    // -- LSH-bucketed ANN (the scale path): nbits deterministic integer
+    //    hyperplanes -> an nbits-wide bucket code, with nbits derived
+    //    from the corpus count (2^nbits ≥ 8n, floored at 16) so bucket
+    //    occupancy stays bounded at ANY corpus size — a fixed width would
+    //    degrade the bucketed join quadratically past ~65k vectors. Plus
+    //    MULTIPROBE for recall: each query probes every bucket within
+    //    Hamming distance 2 of its own code (1 + nbits + C(nbits,2)
+    //    probes — 137 at the width-16 floor; probe count grows only
+    //    ~log²n). The corpus side is a single equi-join against the
+    //    broadcast probe list — never an in-bucket cross product over a
+    //    fat bucket.
     Q("e02_lsh_ann",
       s"""WITH ce AS (${qExplodeSql("cid", "")}),
          |proj AS (
          |  SELECT cid, j,
          |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
-         |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+         |  FROM ce, $lshJsSql
          |  GROUP BY cid, j),
          |bk AS (
          |  SELECT cid, CAST(SUM(CASE WHEN s > 0
@@ -690,8 +732,8 @@ object TrainingData {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
          |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
-      // signatures via the one-pass codegen `lsh_code16` expression (all
-      // 16 hyperplane projections in a single array walk inside
+      // signatures via the one-pass codegen `lsh_code` expression (all
+      // nbits hyperplane projections in a single array walk inside
       // whole-stage codegen — the former declarative 16-pass nested
       // aggregate was interpreted per row and dominated the bench); dots
       // as higher-order expressions over the raw array columns — no
@@ -700,19 +742,15 @@ object TrainingData {
       // the oracle is unchanged)
       graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
+      val nbits = lshBits(emb.count())
       val qCol = expr(
         "qquant(embedding, 1e6)")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("qdot(qv, qv)"))
-        .withColumn("code", expr("lsh_code16(qv)"))
-      // Hamming<=2 probe masks: the identity, every single bit, and every
-      // bit pair — a STATIC 137-element list, exploded on the (tiny) query
-      // side only
-      val masks: Seq[Long] = 0L +:
-        (0 until 16).map(i => 1L << i) ++:
-        (for (i <- 0 until 16; j <- i + 1 until 16)
-          yield (1L << i) | (1L << j))
-      val maskDf = { import s.implicits._; masks.toDF("mask") }
+        .withColumn("code", expr(s"lsh_code(qv, $nbits)"))
+      // Hamming<=2 probe masks: 1 + nbits + nbits(nbits-1)/2 (137 at the
+      // width-16 floor), exploded on the (tiny) query side only
+      val maskDf = { import s.implicits._; hammingMasks(nbits, 2).toDF("mask") }
       val qb = broadcast(bk.filter(col("cid") < 8)
         .select(col("cid").as("qid"), col("code").as("qcode"),
           col("n2").as("q_n2"), col("qv").as("qqv"))
@@ -735,12 +773,14 @@ object TrainingData {
 
     // -- embedding-cosine near-duplicate detection over the FULL corpus
     //    (the dedup face of e02's ANN): every vector LSH-codes once, each
-    //    emits 17 Hamming≤1 probes, and the probe→code equi-join yields
-    //    every candidate pair exactly once (the a<b ordering kills the
-    //    mirror match); candidates then get the EXACT integer cosine and
-    //    a duplicate verdict at τ = 0.5. At 100 TB the probe explosion is
-    //    a bounded ×17 and the probe→code join keys on the 65 536-bucket
-    //    code — ONE code-keyed shuffle of two linear relations (at test
+    //    emits nbits+1 Hamming≤1 probes, and the probe→code equi-join
+    //    yields every candidate pair exactly once (the a<b ordering kills
+    //    the mirror match); candidates then get the EXACT integer cosine
+    //    and a duplicate verdict at τ = 0.5. At 100 TB the probe
+    //    explosion is a bounded ×(nbits+1) ~ log n, the code width grows
+    //    with the corpus (2^nbits ≥ 8n keeps per-bucket occupancy, hence
+    //    candidate pairs per doc, bounded), and the probe→code join keys
+    //    on the code — ONE code-keyed shuffle of two linear relations (at test
     //    scale the smaller side broadcasts instead; both plans keep
     //    candidate volume linear in the corpus, ScaleProbe's e02 evidence
     //    covers the same bucket geometry).
@@ -788,7 +828,7 @@ object TrainingData {
          |proj AS (
          |  SELECT cid, j,
          |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
-         |  FROM ce, (SELECT unnest(generate_series(0, 15)) AS j)
+         |  FROM ce, $lshJsSql
          |  GROUP BY cid, j),
          |bk AS (
          |  SELECT cid, CAST(SUM(CASE WHEN s > 0
@@ -822,11 +862,12 @@ object TrainingData {
          |GROUP BY ex3.qid""".stripMargin) { (s, dir) =>
       graft.expr.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
+      val nbits = lshBits(emb.count())
       val qCol = expr(
         "qquant(embedding, 1e6)")
       val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
         .withColumn("n2", expr("qdot(qv, qv)"))
-        .withColumn("code", expr("lsh_code16(qv)"))
+        .withColumn("code", expr(s"lsh_code(qv, $nbits)"))
       val queries = broadcast(bk.filter(col("cid") < 8)
         .select(col("cid").as("qid"), col("qv").as("qqv"),
           col("n2").as("q_n2"), col("code").as("qcode")))
@@ -840,11 +881,7 @@ object TrainingData {
         .select(col("qid"), col("cid"), cosine.as("cosine"))
         .withColumn("rank", row_number().over(rk))
         .filter(col("rank") <= 3).select("qid", "cid")
-      val masks: Seq[Long] = 0L +:
-        (0 until 16).map(i => 1L << i) ++:
-        (for (i <- 0 until 16; j <- i + 1 until 16)
-          yield (1L << i) | (1L << j))
-      val maskDf = { import s.implicits._; masks.toDF("mask") }
+      val maskDf = { import s.implicits._; hammingMasks(nbits, 2).toDF("mask") }
       val qb = broadcast(queries.crossJoin(maskDf)
         .withColumn("probe", expr("qcode ^ mask")).drop("mask", "qcode"))
       val lsh3 = bk.join(qb, col("code") === col("probe"))

@@ -71,6 +71,15 @@ class DeterminismSpec extends AnyFunSuite {
           .select(b.as("a"))
       }
       val mBasis = minBoundaryDist(basis, Seq("a"), 1e6)
+      val basisGen = {
+        // r17's general-order surface rides the same r6 class — measure
+        // its flip margin with the identical boundary probe
+        val b = expr(graft.queries.RimeMore.shapeletGeneralSql(5, 4))
+        SyntheticMs.sources(spark, d, 5)
+          .crossJoin(SyntheticMs.uvwRows(spark, d, 64).select("row_id", "u", "v"))
+          .select(b.as("a"))
+      }
+      val mBasisGen = minBoundaryDist(basisGen, Seq("a"), 1e6)
       val paX09 = {
         // the 16×7 (time_index, ant) grid x09's transformer derives over
         val t = spark.range(16).select(col("id").as("time_index"))
@@ -85,9 +94,12 @@ class DeterminismSpec extends AnyFunSuite {
           yield BeamFixture.beamValue(x, y, f))
           .map(v => math.abs(math.abs(v * 1e4 - math.floor(v * 1e4)) - 0.5)).min
       }
-      info(s"$d: r15 basis min |frac(x·1e6)−.5| = $mBasis, x09 pa = $mPa, " +
+      info(s"$d: r15 basis min |frac(x·1e6)−.5| = $mBasis, " +
+        s"r17 general basis = $mBasisGen, x09 pa = $mPa, " +
         s"r16 = $r16 (flip window ~1e-12)")
       assert(mBasis > 1e-7, s"r15 basis value within 1e-7 of an r6 boundary at $d")
+      assert(mBasisGen > 1e-7,
+        s"r17 general basis value within 1e-7 of an r6 boundary at $d")
       assert(mPa > 1e-7, "x09 derived PA within 1e-7 of an r6 boundary")
       assert(r16 > 1e-7, "r16 beam value within 1e-7 of an r4 boundary")
     }

@@ -53,18 +53,43 @@ class GraftExpressionsSpec extends AnyFunSuite {
         |       0L, (a, x) -> a + x) > 0
         |  THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin
     val rows = spark.sql(
-      s"SELECT id, lsh_code16(qv) AS fast, $declarative AS slow FROM lsh_in")
+      s"SELECT id, lsh_code16(qv) AS fast, $declarative AS slow, " +
+        "lsh_code(qv, 16) AS gen FROM lsh_in")
       .collect()
-    for (r <- rows)
+    for (r <- rows) {
       assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}")
+      // the general-width form at 16 IS the lsh_code16 alias
+      assert(r.getLong(1) === r.getLong(3), s"id ${r.getLong(0)} width-16")
+    }
     assert(rows.find(_.getLong(0) == 2L).get.getLong(1) === 0L)
     // interpreted (non-codegen) eval path agrees with the codegen result
-    val direct = graft.expr.LshCode16(
+    val direct = graft.expr.LshCode(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         vecs.head._2.toArray,
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      16)
       .eval(null).asInstanceOf[Long]
     assert(direct === rows.find(_.getLong(0) == 0L).get.getLong(1))
+  }
+
+  test("lsh_code widths nest: a wider code's low bits are the narrower code") {
+    // the hyperplane family is indexed by j independent of the width, so
+    // code(nbits=w)[0..15] == code(nbits=16) — widening the table only
+    // SPLITS buckets (no membership churn), the property that makes the
+    // corpus-scaled width a pure refinement of the 16-bit floor
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, (1 to 64).map(i => ((i * 7) % 23 - 11).toLong)),
+      (1L, (1 to 64).map(i => ((i * 13) % 17 - 8).toLong)),
+      (2L, (1 to 32).map(i => ((i * 31) % 41 - 20).toLong)))
+    vecs.toDF("id", "qv").createOrReplaceTempView("lsh_nest")
+    val rows = spark.sql(
+      "SELECT lsh_code(qv, 16) AS c16, lsh_code(qv, 18) AS c18, " +
+        "lsh_code(qv, 24) AS c24 FROM lsh_nest").collect()
+    for (r <- rows) {
+      assert((r.getLong(1) & 0xffffL) === r.getLong(0))
+      assert((r.getLong(2) & 0x3ffffL) === r.getLong(1))
+    }
   }
 
   test("rolling_fp matches the declarative per-character aggregate") {
