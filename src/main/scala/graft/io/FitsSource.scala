@@ -45,7 +45,8 @@ class FitsSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new FitsTable(FitsSource.paths(properties), schema)
+    new FitsTable(FitsSource.paths(properties), schema,
+      FitsSource.extraCards(properties))
 }
 
 object FitsSource {
@@ -68,9 +69,24 @@ object FitsSource {
     require(all.nonEmpty, "fits source: no path given — use .load(path)")
     all
   }
+
+  /** Write option `cards`: newline-separated `KEY=VALUE` header cards
+    * appended after the geometry cards the sink derives itself — how a
+    * writer carries WCS/metadata (CTYPE/CRPIX/CDELT/GFREQn/...) into the
+    * file, e.g. the MeqTrees-compliant cubes [[BeamFactory]] emits.
+    * String values must arrive pre-quoted FITS-style (`'X'`). */
+  private[io] def extraCards(properties: util.Map[String, String]): Seq[(String, String)] =
+    Option(properties.get("cards")).toSeq.flatMap(_.split("\n").toSeq)
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"fits sink: malformed card '$line' (KEY=VALUE)")
+        (line.take(i).trim, line.drop(i + 1).trim)
+      }
 }
 
-private[io] class FitsTable(paths: Seq[String], tableSchema: StructType)
+private[io] class FitsTable(paths: Seq[String], tableSchema: StructType,
+                            extraCards: Seq[(String, String)])
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"fits(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
@@ -80,7 +96,7 @@ private[io] class FitsTable(paths: Seq[String], tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FitsScanBuilder(paths)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FitsWriteBuilder(paths.head, info.schema())
+    new FitsWriteBuilder(paths.head, info.schema(), extraCards)
 }
 
 /** Write face: `df.write.format("fits").save(dir)` — every input
@@ -93,17 +109,20 @@ private[io] class FitsTable(paths: Seq[String], tableSchema: StructType)
   * existing part-*.fits under the target before the new write starts, so
   * a rewrite with FEWER partitions leaves no stale images behind for a
   * directory-listing consumer. */
-private[io] class FitsWriteBuilder(dir: String, schema: StructType)
+private[io] class FitsWriteBuilder(dir: String, schema: StructType,
+                                   extraCards: Seq[(String, String)])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new FitsBatchWrite(dir, schema, doTruncate)
+    override def toBatch: BatchWrite =
+      new FitsBatchWrite(dir, schema, doTruncate, extraCards)
   }
 }
 
 private[io] class FitsBatchWrite(dir: String, schema: StructType,
-                                 truncate: Boolean)
+                                 truncate: Boolean,
+                                 extraCards: Seq[(String, String)])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val d = new java.io.File(dir)
@@ -113,22 +132,24 @@ private[io] class FitsBatchWrite(dir: String, schema: StructType,
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".fits"))
       stale.foreach(_.delete())
     }
-    new FitsWriterFactory(dir, schema)
+    new FitsWriterFactory(dir, schema, extraCards)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[io] class FitsWriterFactory(dir: String, schema: StructType)
+private[io] class FitsWriterFactory(dir: String, schema: StructType,
+                                    extraCards: Seq[(String, String)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FitsDataWriter(s"$dir/part-$partitionId.fits", schema)
+    new FitsDataWriter(s"$dir/part-$partitionId.fits", schema, extraCards)
 }
 
 private[io] case class FitsCommit(path: String, pixels: Long)
     extends WriterCommitMessage
 
-private[io] class FitsDataWriter(path: String, schema: StructType)
+private[io] class FitsDataWriter(path: String, schema: StructType,
+                                 extraCards: Seq[(String, String)])
     extends DataWriter[InternalRow] {
   private val iPlane = schema.fieldIndex("plane")
   private val iY = schema.fieldIndex("y")
@@ -162,7 +183,8 @@ private[io] class FitsDataWriter(path: String, schema: StructType)
       "SIMPLE" -> "T", "BITPIX" -> "-64",
       "NAXIS" -> (if (np > 1) "3" else "2"),
       "NAXIS1" -> nx.toString, "NAXIS2" -> ny.toString) ++
-      (if (np > 1) Seq("NAXIS3" -> np.toString) else Nil), data)
+      (if (np > 1) Seq("NAXIS3" -> np.toString) else Nil) ++
+      extraCards, data)
     FitsCommit(path, buf.length.toLong)
   }
 

@@ -43,12 +43,22 @@ import graft.io.{BeamFixture, Fits}
   * `lmZoom` maps the source direction-cosines onto the beam extent (the
   * reference's beam_lm_extents scaling).
   */
-final case class BeamCubeTerm(schema: String, lmZoom: Double)
+final case class BeamCubeTerm(schema: String, lmZoom: Double,
+                              regenerate: Boolean = true)
     extends RimeCompiler.DdeTerm {
 
   override def stage(df: DataFrame, side: String): DataFrame = {
     if (df.columns.contains("bce_re")) return df // one beam, both sides
-    val (reP, imP) = BeamFixture.ensurePair(schema)
+    // regenerate=true is the oracle-fixture discipline (never trust a
+    // stale /tmp cube); regenerate=false consumes EXISTING cubes — e.g.
+    // a BeamFactory-written MeqTrees pair — exactly as the reference's
+    // loader reads whatever the schema names
+    val (reP, imP) =
+      if (regenerate) BeamFixture.ensurePair(schema)
+      else {
+        val Seq((_, pair)) = Fits.beamFilenames(schema, Seq(9))
+        pair
+      }
     val hdu = Fits.read(reP)
     val reCube = Fits.beamCube(reP)
     val imCube = Fits.beamCube(imP)

@@ -132,4 +132,67 @@ class FitsIoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Fits.beamFilenames("beam_$(corr)_$(reim).fits", Seq(99)))
   }
+
+  test("BeamFactory writes MeqTrees-compliant cubes through the fits sink; BeamCubeTerm consumes them") {
+    // the beam_factory.py port (testing/beam_factory.py:37-165): 8 files
+    // (4 linear corrs x re/im) via the DataFrame write path with the
+    // `cards` metadata option, then the staged-term loader reads the pair
+    // back WITHOUT regeneration — file -> term -> sampled Jones
+    val spark = TestSpark.spark
+    import graft.io.BeamFactory
+    val dir = Files.createTempDirectory("beam_factory").toString
+    val schema = s"$dir/test_beam_$$(corr)_$$(reim).fits"
+    val names = BeamFactory.write(spark, schema, "linear", npix = 9, nfreq = 5)
+    assert(names.map(_._1) === Seq("xx", "xy", "yx", "yy"))
+    val g = BeamFactory.Geometry(9, 5)
+    // every file exists, parses, and carries the factory metadata + model
+    for ((_, (reP, imP)) <- names; f <- Seq(reP, imP)) {
+      val hdu = Fits.read(f)
+      assert(hdu.naxis === Seq(9, 9, 5))
+      assert(hdu.str("CTYPE1").contains("X") && hdu.str("CUNIT1").contains("DEG"))
+      assert(hdu.num("EQUINOX").contains(2000.0))
+      assert(hdu.num("CRPIX1").contains(5.0))
+      for (k <- 1 to 5)
+        assert(hdu.num(s"GFREQ$k").contains(g.gfreq(k - 1)), s"GFREQ$k")
+      // the Westerbork model round-trips bit-exactly through the sink
+      for (fp <- 0 until 5; y <- 0 until 9; x <- 0 until 9)
+        assert(hdu.data((fp * 9 + y) * 9 + x) === g.beamValue(x, y, fp))
+    }
+    // npix must be odd, as the reference's ValueError demands
+    intercept[IllegalArgumentException] {
+      BeamFactory.Geometry(8, 5)
+    }
+    // spark.read.format("fits") sees the same voxels
+    val (reP, _) = names.head._2
+    val viaDs = spark.read.format("fits").load(reP)
+    assert(viaDs.count() === 5L * 9 * 9)
+    import org.apache.spark.sql.functions._
+    val centre = viaDs.filter(col("plane") === 0 && col("y") === 4 && col("x") === 4)
+      .select("value").head.getDouble(0)
+    assert(centre === 1.0) // r = 0 -> cos(0)^3
+    // BeamCubeTerm round-trip: regenerate=false consumes the factory pair
+    import graft.rime.BeamCubeTerm
+    val term = BeamCubeTerm(schema, lmZoom = 1.0, regenerate = false)
+    import spark.implicits._
+    val probes = Seq(
+      (0.0, 0.0, g.gfreq(0)),                       // centre voxel, first plane
+      (0.0, 0.0, (g.gfreq(1) + g.gfreq(2)) / 2.0),  // centre, between planes
+      (math.toRadians(g.lDeg(6)), 0.0, g.gfreq(0))) // off-centre pixel
+      .toDF("l", "m", "freq")
+    val staged = term.stage(probes, "p").select("l", "freq", "bce_re", "bce_im")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // centre of the beam is exactly 1 at every frequency (r = 0), and the
+    // factory writes the SAME cube to re and im, so both components are 1
+    val (cRe, cIm) = staged((0.0, g.gfreq(0)))
+    assert(math.abs(cRe - 1.0) < 1e-12 && math.abs(cIm - 1.0) < 1e-12)
+    val (bRe, bIm) = staged((0.0, (g.gfreq(1) + g.gfreq(2)) / 2.0))
+    assert(math.abs(bRe - 1.0) < 1e-12 && math.abs(bIm - 1.0) < 1e-12)
+    // off-centre: the staged blend lands on (within fp-division slack of)
+    // the voxel value of pixel x=6 on the first plane
+    val expect = math.rint(g.beamValue(6, 4, 0) * 1e4) / 1e4 // the r4 voxel
+    val (oRe, _) = staged.collect {
+      case ((l, f), v) if l != 0.0 && f == g.gfreq(0) => v }.head
+    assert(math.abs(oRe - expect) < 1e-6, s"$oRe vs $expect")
+  }
 }
