@@ -44,6 +44,46 @@ object BeamFixture {
     c * c * math.sin(a) * 25e-2
   }
 
+  /** Per-correlation closed-form models for the FULL-Jones quad fixture:
+    * all four E-matrix elements are distinct functions of the same
+    * clamped Westerbork argument (off-diagonals leakage-small, as real
+    * beams have), each restatable in the DuckDB oracle. corr ∈
+    * {xx, xy, yx, yy}. */
+  def beamValueCorr(corr: String, im: Boolean, x: Int, y: Int, f: Int): Double = {
+    val l = rad(lDeg(x)); val m = rad(lDeg(y))
+    val r = math.sqrt(l * l + m * m)
+    val a = math.min(65e0 * (freq(f) * 1e-9) * r, 1.0881)
+    val c = math.cos(a); val s = math.sin(a)
+    (corr, im) match {
+      case ("xx", false) => c * c * c
+      case ("xx", true)  => c * c * s * 25e-2
+      case ("xy", false) => c * c * s * 125e-3
+      case ("xy", true)  => c * s * s * 625e-4
+      case ("yx", false) => c * s * s * 625e-4
+      case ("yx", true)  => -(c * c * s) * 125e-3
+      case ("yy", false) => c * c * c * 75e-2 + c * 25e-2
+      case ("yy", true)  => c * c * s * 125e-3
+      case other => throw new IllegalArgumentException(s"corr $other")
+    }
+  }
+
+  /** Write the full 4-correlation complex fixture (8 files) through the
+    * filename schema — the E-Jones ELEMENT cubes a MeqTrees beamset
+    * carries (xx/xy/yx/yy × re/im), consumed by the full-Jones beam
+    * term. Same always-regenerate discipline as [[ensure]]. */
+  def ensureQuad(schema: String): Seq[(String, (String, String))] = {
+    val names = Fits.beamFilenames(schema, Seq(9, 10, 11, 12))
+    for ((corr, (reP, imP)) <- names; (path, im) <- Seq((reP, false), (imP, true))) {
+      val a = new Array[Double](NFreq * NPix * NPix)
+      var i = 0
+      for (f <- 0 until NFreq; y <- 0 until NPix; x <- 0 until NPix) {
+        a(i) = beamValueCorr(corr, im, x, y, f); i += 1
+      }
+      writeCube(path, a)
+    }
+    names
+  }
+
   /** Write the COMPLEX fixture pair through the beam filename schema
     * (util/beams.py:212-313): `schema` contains `$(corr)`/`$(reim)`
     * placeholders, expanded for the XX correlation into a (re, im) file
@@ -127,5 +167,11 @@ object BeamFixture {
   def defaultSchema: String =
     new File(System.getProperty("java.io.tmpdir"),
       s"graft_beam_cx_${NPix}x${NPix}x${NFreq}_$$(corr)_$$(reim).fits")
+      .getAbsolutePath
+
+  /** Default filename schema for the full-Jones quad (8 files). */
+  def defaultQuadSchema: String =
+    new File(System.getProperty("java.io.tmpdir"),
+      s"graft_beam_quad_${NPix}x${NPix}x${NFreq}_$$(corr)_$$(reim).fits")
       .getAbsolutePath
 }

@@ -59,11 +59,79 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double,
         val Seq((_, pair)) = Fits.beamFilenames(schema, Seq(9))
         pair
       }
+    val out = BeamCubeTerm.stageCoords(df, reP, lmZoom)
+    BeamCubeTerm.gatherBlend(out, reP, imP, "bce")
+  }
+
+  def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 = {
+    val e = CxCol(col("bce_re"), col("bce_im"))
+    Jones2x2(e, Cx.zero, Cx.zero, e)
+  }
+}
+
+/** FULL-Jones beam term: the four E-matrix ELEMENT cubes of a MeqTrees
+  * beamset (xx/xy/yx/yy, each a re/im file pair via the filename schema)
+  * sampled independently with the same trilinear-gather + per-element
+  * amplitude renormalization as [[BeamCubeTerm]], assembled into the
+  * full 2×2 Jones the compiler sandwiches as E·B·Eᴴ — off-diagonal
+  * leakage included, where the single-pair term was diagonal. Geometry
+  * staging is shared; the only addition is three more gather/blend
+  * passes over three more broadcast-constant voxel arrays (all
+  * model-sized at any data scale). */
+final case class FullBeamCubeTerm(schema: String, lmZoom: Double,
+                                  regenerate: Boolean = true)
+    extends RimeCompiler.DdeTerm {
+
+  override def stage(df: DataFrame, side: String): DataFrame = {
+    if (df.columns.contains("bce_xx_re")) return df // one beam, both sides
+    val quad =
+      if (regenerate) BeamFixture.ensureQuad(schema)
+      else Fits.beamFilenames(schema, Seq(9, 10, 11, 12))
+    // the beam E depends on (source, chan) ONLY — stage the four
+    // renormalized blends on the DIMENSION frame (nsrc × nchan rows, a
+    // partial-agg-collapsed distinct) and broadcast-join them back, so
+    // the expensive gather/renorm expressions evaluate 45 times instead
+    // of once per expanded (row × src × chan) row AND the sandwich
+    // downstream references plain join ATTRIBUTES — without this,
+    // CollapseProject inlines each blend ~6× into the 2×2 E·B·Eᴴ and the
+    // generated method passes the 8 KB JIT threshold (measured 16.1 s vs
+    // 1.9 s at sf0.1; the AuditSpec catch that motivated this shape)
+    val dim = df.select("src_id", "l", "m", "chan", "freq").distinct()
+    var blends = BeamCubeTerm.stageCoords(dim, quad.head._2._1, lmZoom)
+    for ((corr, (reP, imP)) <- quad)
+      blends = BeamCubeTerm.gatherBlend(blends, reP, imP, s"bce_$corr")
+    val cols = Seq("src_id", "chan") ++ quad.flatMap { case (c, _) =>
+      Seq(s"bce_${c}_re", s"bce_${c}_im") }
+    // pin the 45-row blend table (the t11 localCheckpoint idiom): the
+    // four gather/renorm chains would otherwise still form one >8 KB
+    // generated method on the dimension side — materializing the tiny
+    // table leaves only plain attributes in the final plan
+    val pinned = blends.select(cols.map(col): _*).localCheckpoint()
+    df.join(broadcast(pinned), Seq("src_id", "chan"))
+  }
+
+  def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 =
+    Jones2x2(
+      CxCol(col("bce_xx_re"), col("bce_xx_im")),
+      CxCol(col("bce_xy_re"), col("bce_xy_im")),
+      CxCol(col("bce_yx_re"), col("bce_yx_im")),
+      CxCol(col("bce_yy_re"), col("bce_yy_im")))
+}
+
+object BeamCubeTerm {
+  /** Corner enumeration shared with the oracle-SQL generator — the order
+    * fixes the blend's expression tree on both engines. */
+  val corners: Seq[(String, Int, Int, Int)] =
+    for (a <- 0 to 1; b <- 0 to 1; c <- 0 to 1) yield (s"bc$a$b$c", a, b, c)
+
+  /** Shared geometry staging: derive the per-(source, chan) sampling
+    * coordinates (frequency bracket + weight, snap-clamped pixel cells +
+    * fractions) from the cube header — freq_grid_interp
+    * (fast_beam_cubes.py:10-54) plus the reference's edge handling. */
+  private[rime] def stageCoords(df: DataFrame, reP: String,
+                                lmZoom: Double): DataFrame = {
     val hdu = Fits.read(reP)
     val reCube = Fits.beamCube(reP)
-    val imCube = Fits.beamCube(imP)
-    require(reCube.nFreq == imCube.nFreq && reCube.npixX == imCube.npixX &&
-      reCube.npixY == imCube.npixY, "re/im cube geometry mismatch")
     require(hdu.num("CRVAL1").getOrElse(0.0) == 0.0 &&
       hdu.num("CRVAL2").getOrElse(0.0) == 0.0,
       "beam term assumes a zero-centred CRVAL (fixture layout)")
@@ -74,19 +142,6 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double,
     val nx = reCube.npixX; val ny = reCube.npixY
     val freqs = reCube.freqs
 
-    val spark = df.sparkSession
-    import spark.implicits._
-    val voxels = for {
-      f <- 0 until reCube.nFreq; y <- 0 until ny; x <- 0 until nx
-    } yield (x.toLong, y.toLong, f.toLong,
-      reCube.value(x, y, f), imCube.value(x, y, f))
-    // r4 shared rationals — the r16-proven bucket for file-vs-closed-form
-    val cube = voxels.toDF("li", "mi", "fi", "raw_re", "raw_im")
-      .select(col("li"), col("mi"), col("fi"),
-        Det.r4(col("raw_re")).as("b_re"), Det.r4(col("raw_im")).as("b_im"))
-
-    // freq_grid_interp (fast_beam_cubes.py:10-54): boundary clamp+scale,
-    // bracketing plane by interior-bound indicator sum, linear weight
     val fmin = freqs.head; val fmax = freqs.last
     val fscale = when(col("freq") < fmin, col("freq") / fmin)
       .when(col("freq") > fmax, col("freq") / fmax).otherwise(lit(1e0))
@@ -122,16 +177,37 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double,
         (planeAt(col("bcf0"), 1) - planeAt(col("bcf0"), 0)))
     out = pixCols(col("l"), crpix1, cdelt1, nx, "l")(out)
     out = pixCols(col("m"), crpix2, cdelt2, ny, "m")(out)
+    out
+  }
 
-    // 8-corner gather. The voxel table is a dense (nx, ny, nFreq) grid,
-    // so each corner is a direct flat-index lookup — ship the cube as two
-    // literal arrays (executor-constant, like the reference's in-memory
-    // beam) and gather with codegen'd element_at instead of 8 broadcast
-    // hash joins. The values are COLLECTED from the same Spark-side
-    // r4-rounding pipeline the join version read, so every double on the
-    // hashed surface is bit-identical to the join plan; only the plan
-    // shape changes (8 joins -> 16 array loads inside one projection).
-    // The collect is 405 rows — dimension-table bounded at any data scale.
+  /** Shared 8-corner gather + trilinear blend + amplitude
+    * renormalization for ONE complex cube pair, appending
+    * `<prefix>_re`/`<prefix>_im`. The voxel table is a dense
+    * (nx, ny, nFreq) grid, so each corner is a direct flat-index
+    * lookup — ship the cube as two literal arrays (executor-constant,
+    * like the reference's in-memory beam) and gather with codegen'd
+    * element_at instead of 8 broadcast hash joins. The values are
+    * COLLECTED from the same Spark-side r4-rounding pipeline the join
+    * version read, so every double on the hashed surface is
+    * bit-identical to the join plan; the collect is cube-sized (405
+    * voxels per file) — dimension-table bounded at any data scale. */
+  private[rime] def gatherBlend(df: DataFrame, reP: String, imP: String,
+                                prefix: String): DataFrame = {
+    val reCube = Fits.beamCube(reP)
+    val imCube = Fits.beamCube(imP)
+    require(reCube.nFreq == imCube.nFreq && reCube.npixX == imCube.npixX &&
+      reCube.npixY == imCube.npixY, "re/im cube geometry mismatch")
+    val nx = reCube.npixX; val ny = reCube.npixY
+    val spark = df.sparkSession
+    import spark.implicits._
+    val voxels = for {
+      f <- 0 until reCube.nFreq; y <- 0 until ny; x <- 0 until nx
+    } yield (x.toLong, y.toLong, f.toLong,
+      reCube.value(x, y, f), imCube.value(x, y, f))
+    // r4 shared rationals — the r16-proven bucket for file-vs-closed-form
+    val cube = voxels.toDF("li", "mi", "fi", "raw_re", "raw_im")
+      .select(col("li"), col("mi"), col("fi"),
+        Det.r4(col("raw_re")).as("b_re"), Det.r4(col("raw_im")).as("b_im"))
     val flat = cube.select("li", "mi", "fi", "b_re", "b_im").collect()
     val reArr = Array.ofDim[Double](nx * ny * reCube.nFreq)
     val imArr = Array.ofDim[Double](nx * ny * reCube.nFreq)
@@ -140,41 +216,32 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double,
       reArr(i) = r.getDouble(3); imArr(i) = r.getDouble(4)
     }
     val (reLit, imLit) = (typedLit(reArr.toSeq), typedLit(imArr.toSeq))
-    for ((nm, a, b, c) <- BeamCubeTerm.corners) {
+    var out = df
+    for ((nm, a, b, c) <- corners) {
       val idx = (((col("bcf0") + c) * ny + (col("bcm0") + b)) * nx +
         (col("bcl0") + a)).cast("int") + 1
-      out = out.withColumn(s"${nm}_re", element_at(reLit, idx))
-        .withColumn(s"${nm}_im", element_at(imLit, idx))
+      out = out.withColumn(s"${prefix}_${nm}_re", element_at(reLit, idx))
+        .withColumn(s"${prefix}_${nm}_im", element_at(imLit, idx))
     }
-
     def w(a: Int, b: Int, c: Int): Column =
       (if (a == 0) lit(1e0) - col("bcdl") else col("bcdl")) *
         (if (b == 0) lit(1e0) - col("bcdm") else col("bcdm")) *
         (if (c == 0) lit(1e0) - col("bcfw") else col("bcfw"))
     def blend(f: String => Column): Column =
-      BeamCubeTerm.corners.map { case (nm, a, b, c) => w(a, b, c) * f(nm) }
+      corners.map { case (nm, a, b, c) => w(a, b, c) * f(nm) }
         .reduce(_ + _)
-    val wre = blend(nm => col(s"${nm}_re"))
-    val wim = blend(nm => col(s"${nm}_im"))
-    val wabs = blend(nm => sqrt(col(s"${nm}_re") * col(s"${nm}_re") +
-      col(s"${nm}_im") * col(s"${nm}_im")))
+    val wre = blend(nm => col(s"${prefix}_${nm}_re"))
+    val wim = blend(nm => col(s"${prefix}_${nm}_im"))
+    val wabs = blend(nm => sqrt(
+      col(s"${prefix}_${nm}_re") * col(s"${prefix}_${nm}_re") +
+        col(s"${prefix}_${nm}_im") * col(s"${prefix}_${nm}_im")))
     val den = sqrt(wre * wre + wim * wim)
     out
-      .withColumn("bce_re",
+      .withColumn(s"${prefix}_re",
         when(den === 0e0, wre).otherwise(wre * (wabs / den)))
-      .withColumn("bce_im",
+      .withColumn(s"${prefix}_im",
         when(den === 0e0, wim).otherwise(wim * (wabs / den)))
+      .drop(corners.flatMap { case (nm, _, _, _) =>
+        Seq(s"${prefix}_${nm}_re", s"${prefix}_${nm}_im") }: _*)
   }
-
-  def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 = {
-    val e = CxCol(col("bce_re"), col("bce_im"))
-    Jones2x2(e, Cx.zero, Cx.zero, e)
-  }
-}
-
-object BeamCubeTerm {
-  /** Corner enumeration shared with the oracle-SQL generator — the order
-    * fixes the blend's expression tree on both engines. */
-  val corners: Seq[(String, Int, Int, Int)] =
-    for (a <- 0 to 1; b <- 0 to 1; c <- 0 to 1) yield (s"bc$a$b$c", a, b, c)
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Det
+import graft.queries.SyntheticMs._
+
+/** Measures and DOCUMENTS the accuracy envelope of the w-stack gridder
+  * against the exact per-visibility DFT — the honesty contract for
+  * VERDICT's "ducc0-accuracy" gap: the reference wraps ducc0's
+  * kernel-corrected w-gridder (gridding/wgridder/vis2im.py:15-196),
+  * which guarantees a user-specified epsilon; our `WStack` is the
+  * w-stacked educational class, whose error is the w-plane residual.
+  * This spec pins that envelope with numbers instead of hand-waving:
+  *
+  *  - the taps+detaper round trip is EXACT for snapped coordinates
+  *    (Σ_off tap·e^{2πi(pu+off)l} = e^{2πi·pu·l}·taper(l) identically),
+  *    so (dirty_dt − exactSnapped) isolates the w-term error alone;
+  *  - that error must CONVERGE as nPlanes grows (the ducc0 accuracy
+  *    knob's analogue), measured here at 4/8/16 planes;
+  *  - the pixel-snap error (exactSnapped − exactContinuous) is the
+  *    fixed floor a finer uv grid (smaller cell) would shrink — reported
+  *    for the record, not asserted against nPlanes.
+  *
+  * Production guidance encoded by these numbers (see SURVEY §8): for
+  * ducc0-matching accuracy use the exact-DFT path (d01/d02, f12/f13) or
+  * raise nPlanes/grid resolution; the w-stack path trades accuracy for
+  * the FFT-shaped plan.
+  */
+class WGridderAccuracySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.queries.GriddingQ.Taps
+
+  test("w-stack dirty image: w-term error converges in nPlanes; snap floor on record") {
+    val dir = TestSpark.sf
+    val rows = uvwRows(spark, dir, 32)
+      .join(corrVis(spark, dir, 32), "row_id")
+      .select(col("row_id"), col("u"), col("v"), col("w"),
+        col("xx_re"), col("xx_im"))
+      .collect()
+      .map(r => (r.getDouble(1) * 25e-2, r.getDouble(2) * 25e-2,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val pix = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x, y, (x - 4) / 1024.0, (y - 4) / 1024.0)
+
+    def exact(snap: Boolean): Map[(Int, Int), Double] =
+      pix.map { case (x, y, lx, my) =>
+        val eta = -(lx * lx + my * my) / 2.0
+        var s = 0.0
+        for ((uu, vv, w, re, im) <- rows) {
+          val u = if (snap) math.rint(uu) else uu
+          val v = if (snap) math.rint(vv) else vv
+          val arg = 2.0 * math.Pi * (u * lx + v * my + w * eta)
+          s += re * math.cos(arg) - im * math.sin(arg)
+        }
+        (x, y) -> s
+      }.toMap
+
+    val exSnap = exact(snap = true)
+    val exCont = exact(snap = false)
+    val scale = exCont.values.map(math.abs).max
+
+    def wstack(nPlanes: Int): Map[(Int, Int), Double] = {
+      val p = uvwRows(spark, dir, 32)
+        .join(corrVis(spark, dir, 32), "row_id")
+        .select(col("row_id"), col("w"),
+          round(col("u") * 25e-2).cast("long").as("pu"),
+          round(col("v") * 25e-2).cast("long").as("pv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      val grids = graft.operators.WStack.planeGrids(p, Taps,
+        nPlanes = nPlanes, wMax = 5.0, eta = 0.0,
+        fsum = c => Det.fsum(c, 1e9)).drop("n_hits")
+      val px = spark.createDataFrame(pix.map { case (x, y, lx, my) =>
+        (x.toLong, y.toLong, lx, my) })
+        .toDF("x", "y", "lx", "my")
+      graft.operators.WStack.dirtyImageDft(grids, px, Taps,
+        nPlanes = nPlanes, wMax = 5.0,
+        fsum = c => Det.fsum(c, 1e9), r6 = c => c)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          r.getAs[Double]("dirty_dt")).toMap
+    }
+
+    val errs = Seq(4, 8, 16).map { np =>
+      val ws = wstack(np)
+      val e = pix.map { case (x, y, _, _) =>
+        math.abs(ws((x, y)) - exSnap((x, y))) }.max / scale
+      np -> e
+    }
+    val snapFloor = pix.map { case (x, y, _, _) =>
+      math.abs(exSnap((x, y)) - exCont((x, y))) }.max / scale
+    info(f"w-term relative error: " +
+      errs.map { case (np, e) => f"$np planes → $e%.2e" }.mkString(", ") +
+      f"; pixel-snap floor (uv-cell artifact, nPlanes-independent) = $snapFloor%.2e")
+    // the envelope: small at the f11 operating point, and the nPlanes
+    // knob must actually converge (each doubling strictly reduces error)
+    // measured 6.7e-5 at 4 planes (deterministic inputs/ops) — 3x slack
+    assert(errs.head._2 < 2e-4,
+      s"4-plane w-term error ${errs.head._2} above the documented envelope")
+    assert(errs(1)._2 < errs.head._2 && errs(2)._2 < errs(1)._2,
+      s"w-term error must shrink with nPlanes: $errs")
+  }
+}
