@@ -63,7 +63,29 @@ object Explain {
     SparkEntry.registry.map { q =>
       try {
         val plan = q.fn(spark, sfDir).queryExecution.executedPlan
-        val lines = plan.toString.split("\n")
+        val allLines = plan.toString.split("\n")
+        // a MATERIALIZED cache entry (another session persisted the same
+        // canonical subtree) prints its stored child plan nested under
+        // InMemoryRelation — that subtree executed once at caching time
+        // and is NOT this query's live shape, so drop everything indented
+        // under it (the parallel-suite audit flake this guards against:
+        // e11's a2 cache made 12 stored-plan Projects look interpreted)
+        val lines = {
+          val out = Seq.newBuilder[String]
+          var skipBelow = -1
+          def indentOf(l: String): Int = {
+            val i = l.indexWhere(c => !" :+-".contains(c)); if (i < 0) l.length else i
+          }
+          for (l <- allLines) {
+            val ind = indentOf(l)
+            if (skipBelow >= 0 && ind > skipBelow) () // inside cached subtree
+            else {
+              skipBelow = if (l.contains("InMemoryRelation")) ind else -1
+              if (skipBelow < 0) out += l
+            }
+          }
+          out.result()
+        }
         // in a non-AQE executed plan, codegen'd nodes carry a "*(id)"
         // marker; a compute node without one runs interpreted. Window,
         // WindowGroupLimit, ObjectHashAggregate and Sort never join

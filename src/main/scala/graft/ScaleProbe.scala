@@ -383,6 +383,14 @@ object ScaleProbe {
         tq("a09_bda_average"), tq("f11_wstack_dirty"),
         tq("t19_decontamination"), tq("t25_pipeline_pack"))
       println(f"e2e_queries,$k,$a8%.2f,$a9%.2f,$f11%.2f,$t19%.2f,$t25%.2f")
+      // round-7 additions: r17's general-order basis is a pure
+      // projection over src×rows (must scale with the uvw row count
+      // alone); x14's full-Jones sandwich is the new heaviest fused
+      // term — its beam staging is dimension-sized, so growth must
+      // track the expanded row count linearly
+      val (r17, x14) = (tq("r17_shapelet_general"),
+        tq("x14_fused_rime_beam_full"))
+      println(f"e2e_queries_r7,$k,$r17%.2f,$x14%.2f")
     }
 
     // f11 vs IMAGE size: the DFT-dirty stage is (grid cells x pixels) —

@@ -56,6 +56,44 @@ object TextCombiner {
       .groupBy("code").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Keyed variant: adjacent-pair counts PER GROUP —
+    * (key: string, code: long, cnt: long). The per-partition state is
+    * one long[16384] per DISTINCT key seen in the partition, so the
+    * bound becomes keys-per-partition × alphabet² — the right shape for
+    * low-cardinality grouping columns (source, lang: tens of values).
+    * High-cardinality keys would make this the explode plan with extra
+    * steps; callers own that judgement. */
+  def pairCodeCountsBy(docs: DataFrame, keyCol: String,
+                       textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(keyCol).cast("string"), col(textCol))
+      .as[(String, String)].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        it.foreach { case (k, t) =>
+          if (t != null && k != null) {
+            val c = m.getOrElseUpdate(k, new Array[Long](16384))
+            var i = 0
+            val n = t.length
+            while (i + 1 < n) {
+              val a = t.charAt(i).toInt
+              val b = t.charAt(i + 1).toInt
+              if (a >= 128 || b >= 128)
+                throw new IllegalArgumentException(
+                  s"pairCodeCountsBy: non-ASCII code point (corpus contract)")
+              c(a * 128 + b) += 1L
+              i += 1
+            }
+          }
+        }
+        m.iterator.flatMap { case (k, c) =>
+          Iterator.range(0, 16384).filter(c(_) != 0L)
+            .map(i => (k, i.toLong, c(i)))
+        }
+      }.toDF(keyCol, "code", "cnt")
+      .groupBy(keyCol, "code").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** The pair string for a pair code — `char` is ASCII-safe under the
     * corpus contract; matches `substr(text, i, 2)` byte for byte. */
   def pairString(codeCol: String): org.apache.spark.sql.Column =

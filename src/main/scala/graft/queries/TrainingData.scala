@@ -3257,5 +3257,133 @@ object TrainingData {
           expr("(dups * 10000) div docs").as("dup_bp"),
           expr("(en_docs * 10000) div docs").as("en_bp"),
           expr("chars div docs").as("chars_per_doc"))
+    },
+
+    // -- per-source DISTRIBUTION DRIFT: KL(source ‖ corpus) over the
+    //    char-bigram feature space with add-one smoothing, restricted to
+    //    the corpus support (every corpus-observed code contributes,
+    //    including codes the source never emits) — the corpus-mixture
+    //    diagnostic run before reweighting sources (the measurement side
+    //    of t30's DSIR). Scale shape: the per-source models come from the
+    //    keyed LUT combiner (keys-per-partition × 16 384 bound — the
+    //    corpus never shuffles per-occurrence rows), the scoring grid is
+    //    sources × support ≤ 20 × 16 384 rows. Determinism class (c):
+    //    every ln sees a bit-identical quotient of exact integers, terms
+    //    fsum at 1e-9.
+    Q("t49_source_kl", {
+      val ps = "(CAST(COALESCE(bs.cs, 0) + 1 AS DOUBLE) " +
+        "/ CAST(st.ts + 16384 AS DOUBLE))"
+      val pc = "(CAST(bc.cc + 1 AS DOUBLE) / CAST(tc.tc + 16384 AS DOUBLE))"
+      s"""WITH idx AS (
+         |  SELECT source, text,
+         |    unnest(generate_series(1, length(text) - 1)) AS i
+         |  FROM documents WHERE length(text) >= 2),
+         |pr AS (
+         |  SELECT source, substr(text, CAST(i AS INTEGER), 2) AS pair
+         |  FROM idx),
+         |bs AS (SELECT source, pair, CAST(COUNT(*) AS BIGINT) AS cs
+         |       FROM pr GROUP BY source, pair),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ts
+         |       FROM pr GROUP BY source),
+         |bc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cc
+         |       FROM pr GROUP BY pair),
+         |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS tc FROM pr)
+         |SELECT st.source, st.ts AS n_pairs,
+         |  ${Det.fsumSql(s"$ps * ln($ps / $pc)", "1e9")} AS kl
+         |FROM st CROSS JOIN bc CROSS JOIN tc
+         |  LEFT JOIN bs ON bs.source = st.source AND bs.pair = bc.pair
+         |GROUP BY st.source, st.ts""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextCombiner
+      val docs2 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+      val bySrc = TextCombiner.pairCodeCountsBy(docs2, "source", "text")
+      val corpus = bySrc.groupBy("code").agg(sum(col("cnt")).as("cc"))
+      val srcTot = bySrc.groupBy("source").agg(sum(col("cnt")).as("ts"))
+      val tc = corpus.agg(sum(col("cc"))).head.getLong(0)
+      val grid = srcTot.crossJoin(broadcast(corpus))
+        .join(bySrc, Seq("source", "code"), "left")
+        .withColumn("cs", coalesce(col("cnt"), lit(0L)))
+      val ps = (col("cs") + 1).cast("double") /
+        (col("ts") + 16384L).cast("double")
+      val pc = (col("cc") + 1).cast("double") /
+        lit((tc + 16384L).toDouble)
+      grid.groupBy("source")
+        .agg(max(col("ts")).as("n_pairs"),
+          Det.fsum(ps * log(ps / pc), 1e9).as("kl"))
+        .select(col("source"), col("n_pairs"), col("kl"))
+    },
+
+    // -- INCREMENTAL cross-snapshot dedup (the ingest-time shape: a new
+    //    batch checked against the EXISTING corpus, never against
+    //    itself): the corpus splits at the median id into base|delta;
+    //    every delta doc reports its exact-dup owner in the base
+    //    (md5-keyed MIN) and its count of base near-dup candidates
+    //    sharing the 2-hash minhash band (the t08 banding). At 100 TB
+    //    both probes are fingerprint-keyed joins of the (small) delta
+    //    against the base index — no delta-internal pairs, no corpus
+    //    self-join; a production ingest keeps the base (fp, band) index
+    //    materialized and this query IS the per-batch plan.
+    Q("t50_incremental_dedup",
+      """WITH sp AS (SELECT (MAX(doc_id) + 1) // 2 AS split FROM documents),
+        |h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2
+        |  FROM toks GROUP BY doc_id),
+        |base AS (
+        |  SELECT h.doc_id, fp, h1, h2
+        |  FROM h JOIN sig ON h.doc_id = sig.doc_id CROSS JOIN sp
+        |  WHERE h.doc_id < sp.split),
+        |delta AS (
+        |  SELECT h.doc_id, fp, h1, h2
+        |  FROM h JOIN sig ON h.doc_id = sig.doc_id CROSS JOIN sp
+        |  WHERE h.doc_id >= sp.split),
+        |ex AS (
+        |  SELECT d.doc_id, MIN(b.doc_id) AS base_exact
+        |  FROM delta d JOIN base b ON d.fp = b.fp GROUP BY d.doc_id),
+        |bh AS (
+        |  SELECT d.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT)
+        |    AS n_band_hits
+        |  FROM delta d JOIN base b ON d.h1 = b.h1 AND d.h2 = b.h2
+        |  GROUP BY d.doc_id)
+        |SELECT delta.doc_id, ex.base_exact,
+        |  ex.base_exact IS NOT NULL AS is_exact_dup,
+        |  COALESCE(bh.n_band_hits, 0) AS n_band_hits
+        |FROM delta
+        |  LEFT JOIN ex ON delta.doc_id = ex.doc_id
+        |  LEFT JOIN bh ON delta.doc_id = bh.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val split = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
+      val h = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val sig = docs
+        .select(col("doc_id"), explode(split_part_tokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("doc_id").agg(
+          min(md5(concat(lit("a"), col("tok")))).as("h1"),
+          min(md5(concat(lit("b"), col("tok")))).as("h2"))
+      val withSig = h.join(sig, "doc_id")
+      val base = withSig.filter(col("doc_id") < split)
+      val delta = withSig.filter(col("doc_id") >= split)
+      val ex = delta.select(col("doc_id"), col("fp"))
+        .join(base.select(col("fp"), col("doc_id").as("bid")), "fp")
+        .groupBy("doc_id").agg(min(col("bid")).as("base_exact"))
+      val bh = delta.select(col("doc_id"), col("h1"), col("h2"))
+        .join(base.select(col("h1"), col("h2"), col("doc_id").as("bid")),
+          Seq("h1", "h2"))
+        .groupBy("doc_id").agg(countDistinct(col("bid")).as("n_band_hits"))
+      delta.select("doc_id")
+        .join(ex, Seq("doc_id"), "left")
+        .join(bh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("base_exact"),
+          col("base_exact").isNotNull.as("is_exact_dup"),
+          coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"))
     })
+
+  /** `split(text, " ")` — named so the t50 body reads next to its oracle
+    * (`string_split`) without shadowing the median-id `split` value. */
+  private def split_part_tokens(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.split(c, " ")
 }

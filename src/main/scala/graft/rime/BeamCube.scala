@@ -59,6 +59,11 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double,
         val Seq((_, pair)) = Fits.beamFilenames(schema, Seq(9))
         pair
       }
+    // measured NOTE: the full-Jones term's dimension-staging shape was
+    // A/B'd here too and LOST (2.5 → 2.9 s at sf0.1) — the diagonal
+    // blend is one cheap codegen'd element_at chain per row and its
+    // sandwich references it only twice, so the distinct + checkpoint +
+    // join overhead exceeds the saving. Inline per-row staging stays.
     val out = BeamCubeTerm.stageCoords(df, reP, lmZoom)
     BeamCubeTerm.gatherBlend(out, reP, imP, "bce")
   }

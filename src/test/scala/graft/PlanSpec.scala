@@ -475,6 +475,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x14: full-Jones beam blends ride a broadcast of the pinned dimension table") {
+    // the round-7 inlining lesson: the four gather/renorm chains must
+    // NOT evaluate per expanded row — they live in a localCheckpoint'd
+    // (src × chan) table (Scan ExistingRDD) that broadcast-joins onto
+    // the stream, and no single-partition funnel may appear
+    val p = planOf("x14_fused_rime_beam_full")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "x14 beam table must broadcast-join:\n" + p.take(3000))
+    assert(p.contains("Scan ExistingRDD"),
+      "x14 blends must come from the pinned dimension table:\n" + p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "x14 funnels through one partition:\n" + p.take(3000))
+    assert(!p.contains("element_at"),
+      "x14 regressed to per-row voxel gathers in the expanded frame:\n" +
+        p.take(3000))
+  }
+
   test("q20: the upsert is one full-outer SMJ, one keyed exchange per side") {
     val p = planOf("q20_upsert")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)

@@ -71,11 +71,17 @@ def cell_bad(a, b):
     return None
 
 def main():
+    # usage: strictcheck.py <outdir> <sfdir> [q1,q2,...]
+    # the optional comma-separated filter enables parallel sweeps:
+    #   ls out | xargs -n20 -P8 sh -c 'python3 strictcheck.py out sf "$(echo $@|tr " " ,)"' _
     out, sf = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out}/{name}/*.parquet")
