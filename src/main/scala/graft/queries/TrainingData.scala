@@ -3327,7 +3327,7 @@ object TrainingData {
       """WITH sp AS (SELECT (MAX(doc_id) + 1) // 2 AS split FROM documents),
         |h AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |toks AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
         |sig AS (
         |  SELECT doc_id,
@@ -3358,9 +3358,11 @@ object TrainingData {
       val docs = Tables.documents(s, dir)
       val split = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
       val h = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      // NO distinct before the min-hash: MIN is duplicate-insensitive, so
+      // deduplicating tokens first would only add a (doc, tok)-keyed
+      // shuffle of the whole token stream for identical signatures
       val sig = docs
         .select(col("doc_id"), explode(split_part_tokens(col("text"))).as("tok"))
-        .distinct()
         .groupBy("doc_id").agg(
           min(md5(concat(lit("a"), col("tok")))).as("h1"),
           min(md5(concat(lit("b"), col("tok")))).as("h2"))

@@ -475,6 +475,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t49: per-source models come from the keyed combiner, never an explode") {
+    // the corpus must not shuffle per-occurrence pair rows: the models
+    // arrive via mapPartitions LUTs (object pipeline nodes), the scoring
+    // grid is a bounded broadcast expansion
+    val p = planOf("t49_source_kl")
+    assert(p.contains("MapPartitions"),
+      "t49 lost the keyed LUT combiner:\n" + p.take(2000))
+    assert(!p.contains("Generate explode"),
+      "t49 regressed to a per-occurrence explode plan:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "t49 grid must broadcast, never cartesian-shuffle:\n" + p.take(2000))
+  }
+
+  test("t50: incremental dedup is keyed joins only — no delta-internal pairs") {
+    val p = planOf("t50_incremental_dedup")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "t50 must probe the base by fingerprint/band keys:\n" + p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "t50 funnels through one partition:\n" + p.take(2000))
+  }
+
   test("x14: full-Jones beam blends ride a broadcast of the pinned dimension table") {
     // the round-7 inlining lesson: the four gather/renorm chains must
     // NOT evaluate per expanded row — they live in a localCheckpoint'd
