@@ -78,6 +78,22 @@ object MsDataset {
       spark, skyModelPath, uvw(ms), chans(ms), ra0, dec0)
   }
 
+  /** Write a predicted MODEL_DATA relation back INTO the dataset — the
+    * example's closing step (rime/examples/predict.py:580-586 assigns
+    * vis to the MS MODEL_DATA column and dask-ms writes it). The
+    * relational face is a `MODEL_DATA.parquet` member table keyed by
+    * (row_id, chan), partitioned by chan so per-channel consumers prune;
+    * `readModelData` joins it back against MAIN by row_id. */
+  def writeModelData(modelData: DataFrame, msDir: String): Unit =
+    modelData.write.mode("overwrite").partitionBy("chan")
+      .parquet(s"$msDir/MODEL_DATA.parquet")
+
+  def readModelData(spark: SparkSession, msDir: String): DataFrame =
+    // chan is a partition DIRECTORY on disk; partition-column inference
+    // reads it as int — restore the long contract
+    spark.read.parquet(s"$msDir/MODEL_DATA.parquet")
+      .withColumn("chan", col("chan").cast("long"))
+
   /** Synthetic MS dataset writer — the JVM twin of
     * `tools/ms2parquet.py --synthetic` (identical layout and schema), so
     * the spec can exercise file→MODEL_DATA without casacore. Baselines

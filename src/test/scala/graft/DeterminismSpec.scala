@@ -245,6 +245,34 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("t49 KL terms stay far from their fsum 1e-9 round boundaries") {
+    // t49 fsums ps·ln(ps/pc) per (source, corpus-support code) at 1e-9:
+    // ps, pc are IEEE quotients of exact integers (bit-identical), so
+    // the exposure is again the ln() ulp — measure the minimum distance
+    // of every term from its .5 round boundary at the 1e9 scale.
+    import graft.operators.TextCombiner
+    for (d <- dirs) {
+      val docs2 = graft.core.Tables.documents(spark, d)
+        .filter(length(col("text")) >= 2)
+      val bySrc = TextCombiner.pairCodeCountsBy(docs2, "source", "text")
+      val corpus = bySrc.groupBy("code").agg(sum(col("cnt")).as("cc"))
+      val srcTot = bySrc.groupBy("source").agg(sum(col("cnt")).as("ts"))
+      val tc = corpus.agg(sum(col("cc"))).head.getLong(0)
+      val grid = srcTot.crossJoin(broadcast(corpus))
+        .join(bySrc, Seq("source", "code"), "left")
+        .withColumn("cs", coalesce(col("cnt"), lit(0L)))
+      val ps = (col("cs") + 1).cast("double") /
+        (col("ts") + 16384L).cast("double")
+      val pc = (col("cc") + 1).cast("double") / lit((tc + 16384L).toDouble)
+      val term = ps * log(ps / pc)
+      val m = grid
+        .select(abs(abs(term * 1e9 - floor(term * 1e9)) - 0.5).as("m"))
+        .agg(min(col("m"))).head.getDouble(0)
+      info(s"$d: t49 KL-term min |frac(x·1e9)−.5| = $m over the grid")
+      assert(m > 1e-6, s"a t49 KL term sits within 1e-6 of its round boundary at $d")
+    }
+  }
+
   test("t30 DSIR ln-ratio terms stay far from their fsum 1e-6 round boundaries") {
     // t30 fsums ln of a ratio of two smoothed IEEE quotients of exact
     // integer counts — the argument is bit-identical cross-engine, so as

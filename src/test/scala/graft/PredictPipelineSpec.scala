@@ -138,6 +138,15 @@ class PredictPipelineSpec extends AnyFunSuite {
     assert(MsDataset.chans(ms).collect().map(_.getDouble(1)).toSeq ===
       (0 until 4).map(k => 856e6 + k * 107e6))
     assert(MsDataset.phaseCentre(spark, ms) === ((math.Pi / 4, 0.0)))
+    // the closing write-back (predict.py:580-586): MODEL_DATA joins the
+    // dataset as a member table and reads back exactly
+    MsDataset.writeModelData(
+      MsDataset.predictModelData(spark, msDir, model), msDir)
+    val back = MsDataset.readModelData(spark, msDir)
+      .collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("chan")) ->
+        (r.getAs[Double]("vre"), r.getAs[Double]("vim"))).toMap
+    assert(back === got)
   }
 
   test("ms2parquet.py --synthetic produces the layout MsDataset reads (schema pin)") {
