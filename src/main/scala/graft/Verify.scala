@@ -22,7 +22,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .zipWithIndex
+      .foreach { case ((name, fn), i) =>
+      // same periodic hygiene as Bench: localCheckpoint graphs and
+      // pending shuffle cleanup accumulate across a long sequential run
+      // (ContextCleaner only fires on driver GC); at 10-20x data the
+      // backlog measurably taxed later queries' single write task
+      if (i % 16 == 15) { spark.catalog.clearCache(); System.gc() }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -154,4 +154,58 @@ object StreamingMl {
       deduped.map { case (id, src, nTok) => DocIn(src, id / 8192L, id, nTok) },
       capacity)
   }
+
+  final case class SnapDoc(docId: Long, fp: String, h1: String, h2: String,
+                           isBase: Boolean)
+  final case class BandState(nBase: Long)
+  final case class BandHit(docId: Long, nBandHits: Long)
+  final case class OwnerState(minBase: Long)
+  final case class OwnerHit(docId: Long, baseExact: Option[Long])
+
+  /** Streaming face of t50's incremental cross-snapshot dedup, band
+    * half: per-(h1, h2) minhash band the keyed state carries ONE long —
+    * how many BASE docs the band holds. Base docs build the index and
+    * emit nothing; delta docs emit their base-candidate count at
+    * arrival. Constant state per band at any history length; the
+    * production ingest keeps exactly this index warm between batches. */
+  def streamingBandHits(ds: Dataset[SnapDoc]): Dataset[BandHit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(d => (d.h1, d.h2))
+      .flatMapGroupsWithState[BandState, BandHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, String), rows: Iterator[SnapDoc],
+         state: GroupState[BandState]) =>
+          val sorted = rows.toSeq.sortBy(_.docId)
+          var n = state.getOption.map(_.nBase).getOrElse(0L)
+          val out = Seq.newBuilder[BandHit]
+          for (d <- sorted) {
+            if (d.isBase) n += 1
+            else out += BandHit(d.docId, n)
+          }
+          state.update(BandState(n))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming face of t50's exact half: per-fingerprint state is the
+    * MINIMUM base doc id; delta docs emit their exact-dup owner (None
+    * when the base has no copy). */
+  def streamingExactOwner(ds: Dataset[SnapDoc]): Dataset[OwnerHit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[OwnerState, OwnerHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SnapDoc], state: GroupState[OwnerState]) =>
+          val sorted = rows.toSeq.sortBy(_.docId)
+          var min = state.getOption.map(_.minBase).getOrElse(Long.MaxValue)
+          val out = Seq.newBuilder[OwnerHit]
+          for (d <- sorted) {
+            if (d.isBase) { if (d.docId < min) min = d.docId }
+            else out += OwnerHit(d.docId,
+              if (min == Long.MaxValue) None else Some(min))
+          }
+          state.update(OwnerState(min))
+          out.result().iterator
+      }
+  }
 }

@@ -3318,28 +3318,38 @@ object TrainingData {
     //    itself): the corpus splits at the median id into base|delta;
     //    every delta doc reports its exact-dup owner in the base
     //    (md5-keyed MIN) and its count of base near-dup candidates
-    //    sharing the 2-hash minhash band (the t08 banding). At 100 TB
-    //    both probes are fingerprint-keyed joins of the (small) delta
-    //    against the base index — no delta-internal pairs, no corpus
-    //    self-join; a production ingest keeps the base (fp, band) index
-    //    materialized and this query IS the per-batch plan.
+    //    sharing the 2-hash minhash band over word-3-gram SHINGLES.
+    //    Shingles, NOT unigram tokens, are load-bearing at scale: a
+    //    unigram minhash is hub-dominated — the globally-minimal common
+    //    token puts most of the corpus in ONE band (measured 62% of
+    //    sf0.1; 59 052-doc band and 3.7e9 candidate pairs at 20x, a
+    //    wedged single task), while the 3-gram space keeps bands
+    //    clone-family-sized (max 217 at 20x, 1800x less pair volume,
+    //    the Lee et al. shingling convention). At 100 TB both probes
+    //    are fingerprint-keyed joins of the (small) delta against the
+    //    base index — no delta-internal pairs, no corpus self-join; a
+    //    production ingest keeps the base (fp, band) index materialized
+    //    and this query IS the per-batch plan.
     Q("t50_incremental_dedup",
       """WITH sp AS (SELECT (MAX(doc_id) + 1) // 2 AS split FROM documents),
         |h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+        |  FROM tk WHERE len(tk) >= 3),
         |sig AS (
         |  SELECT doc_id,
         |    MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2
         |  FROM toks GROUP BY doc_id),
         |base AS (
         |  SELECT h.doc_id, fp, h1, h2
-        |  FROM h JOIN sig ON h.doc_id = sig.doc_id CROSS JOIN sp
+        |  FROM h LEFT JOIN sig ON h.doc_id = sig.doc_id CROSS JOIN sp
         |  WHERE h.doc_id < sp.split),
         |delta AS (
         |  SELECT h.doc_id, fp, h1, h2
-        |  FROM h JOIN sig ON h.doc_id = sig.doc_id CROSS JOIN sp
+        |  FROM h LEFT JOIN sig ON h.doc_id = sig.doc_id CROSS JOIN sp
         |  WHERE h.doc_id >= sp.split),
         |ex AS (
         |  SELECT d.doc_id, MIN(b.doc_id) AS base_exact
@@ -3358,15 +3368,20 @@ object TrainingData {
       val docs = Tables.documents(s, dir)
       val split = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
       val h = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-      // NO distinct before the min-hash: MIN is duplicate-insensitive, so
-      // deduplicating tokens first would only add a (doc, tok)-keyed
-      // shuffle of the whole token stream for identical signatures
+      // word-3-gram shingles (hub-immune, see the header note); NO
+      // distinct before the min-hash: MIN is duplicate-insensitive, so
+      // deduplicating shingles first would only add a (doc, gram)-keyed
+      // shuffle of the whole gram stream for identical signatures
       val sig = docs
-        .select(col("doc_id"), explode(split_part_tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), split_part_tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+          .as("tok"))
         .groupBy("doc_id").agg(
           min(md5(concat(lit("a"), col("tok")))).as("h1"),
           min(md5(concat(lit("b"), col("tok")))).as("h2"))
-      val withSig = h.join(sig, "doc_id")
+      val withSig = h.join(sig, Seq("doc_id"), "left")
       val base = withSig.filter(col("doc_id") < split)
       val delta = withSig.filter(col("doc_id") >= split)
       val ex = delta.select(col("doc_id"), col("fp"))

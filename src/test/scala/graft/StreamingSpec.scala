@@ -624,6 +624,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup matches the t50 batch verdicts across batches") {
+    // base snapshot ingested first (building the band/fingerprint index),
+    // delta docs streamed after with the split landing mid-delta: every
+    // delta doc's (base_exact, n_band_hits) must equal the batch t50
+    // verdict, and base docs must emit nothing
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{SnapDoc, BandHit, OwnerHit}
+    implicit val ctx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+    val splitId = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
+    val sig = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("fp"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+        .as("tok"))
+      .groupBy("doc_id", "fp").agg(
+        min(md5(concat(lit("a"), col("tok")))).as("h1"),
+        min(md5(concat(lit("b"), col("tok")))).as("h2"))
+      .collect()
+      .map(r => SnapDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(0) < splitId))
+      .sortBy(_.docId)
+    val (first, second) = sig.splitAt(sig.length * 3 / 4) // mid-delta split
+    val msB = MemoryStream[SnapDoc]
+    val msE = MemoryStream[SnapDoc]
+    val qb = StreamingMl.streamingBandHits(msB.toDS())
+      .writeStream.format("memory").queryName("t50_band")
+      .outputMode("append").start()
+    val qe = StreamingMl.streamingExactOwner(msE.toDS())
+      .writeStream.format("memory").queryName("t50_owner")
+      .outputMode("append").start()
+    try {
+      msB.addData(first.toSeq); msE.addData(first.toSeq)
+      qb.processAllAvailable(); qe.processAllAvailable()
+      msB.addData(second.toSeq); msE.addData(second.toSeq)
+      qb.processAllAvailable(); qe.processAllAvailable()
+      val bands = spark.table("t50_band").as[BandHit].collect()
+        .map(b => b.docId -> b.nBandHits).toMap
+      val owners = spark.table("t50_owner").as[OwnerHit].collect()
+        .map(o => o.docId -> o.baseExact).toMap
+      val batch = graft.SparkEntry.queries("t50_incremental_dedup")(
+          spark, TestSpark.sf).collect()
+        .map { r =>
+          r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(3)))
+        }.toMap
+      assert(bands.keySet === batch.keySet, "delta doc sets diverge")
+      for ((id, (ex, nb)) <- batch) {
+        assert(owners(id) === ex, s"doc $id exact owner")
+        assert(bands(id) === nb, s"doc $id band hits")
+      }
+    } finally { qb.stop(); qe.stop() }
+  }
+
   test("streaming chunk dedup matches the t28 batch keep rule") {
     // feed the t28 chunk fingerprints through two micro-batches in
     // (doc_id, chunk_idx) order — dedup-on-ingest must keep exactly the
