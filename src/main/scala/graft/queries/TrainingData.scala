@@ -3372,12 +3372,12 @@ object TrainingData {
       // distinct before the min-hash: MIN is duplicate-insensitive, so
       // deduplicating shingles first would only add a (doc, gram)-keyed
       // shuffle of the whole gram stream for identical signatures
+      graft.expr.GraftFunctions.register(s)
       val sig = docs
         .select(col("doc_id"), split_part_tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
-          .as("tok"))
+        .select(col("doc_id"),
+          explode(expr("word_grams(tk, 3)")).as("tok"))
         .groupBy("doc_id").agg(
           min(md5(concat(lit("a"), col("tok")))).as("h1"),
           min(md5(concat(lit("b"), col("tok")))).as("h2"))
