@@ -126,4 +126,99 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("Hermite coefficient table satisfies the defining identities") {
+    import graft.queries.RimeMore.hermiteCoeffs
+    val h = hermiteCoeffs(12)
+    // recurrence H_n = 2x·H_{n−1} − 2(n−1)·H_{n−2}, checked coefficientwise
+    for (n <- 2 to 12; k <- 0 to n) {
+      val shifted = if (k >= 1 && k - 1 < h(n - 1).length) 2L * h(n - 1)(k - 1) else 0L
+      val lower = if (k < h(n - 2).length) -2L * (n - 1) * h(n - 2)(k) else 0L
+      assert(h(n)(k) === shifted + lower, s"H_$n coeff x^$k")
+    }
+    // parity: only every other coefficient nonzero
+    for (n <- 0 to 12; k <- 0 to n if (k % 2) != (n % 2))
+      assert(h(n)(k) === 0L, s"H_$n parity at x^$k")
+    // derivative identity H_n' = 2n·H_{n−1}, coefficientwise
+    for (n <- 1 to 12; k <- 0 until n)
+      assert((k + 1).toLong * h(n)(k + 1) === 2L * n * h(n - 1)(k),
+        s"H_$n' at x^$k")
+    // leading coefficient 2^n
+    for (n <- 0 to 12) assert(h(n)(n) === (1L << n))
+    // the SQL Horner form evaluates to the same value as the raw poly
+    import graft.queries.RimeMore.hermiteSql
+    for (n <- 0 to 8; xi <- Seq(-2.5, -1.0, -0.25, 0.0, 0.5, 1.75)) {
+      val direct = h(n).zipWithIndex.map { case (c, k) =>
+        c.toDouble * math.pow(xi, k) }.sum
+      val viaSql = TestSpark.spark.sql(
+        s"SELECT ${hermiteSql(n, xi.toString)} AS v").head.getDouble(0)
+      assert(math.abs(viaSql - direct) <= 1e-9 * math.max(1.0, math.abs(direct)),
+        s"H_$n($xi): $viaSql vs $direct")
+    }
+  }
+
+  test("UVFITS random-groups write -> read is the identity for arbitrary layouts") {
+    import graft.io.UvFits
+    val gen = for {
+      gcount <- Gen.choose(1, 12)
+      pcount <- Gen.choose(1, 6)
+      nc <- Gen.choose(1, 4); ns <- Gen.choose(1, 3)
+      vals <- Gen.listOfN(gcount * (pcount + 3 * ns * nc),
+        Gen.choose(-4096, 4096).map(_ / 16.0))
+    } yield (gcount, pcount, nc, ns, vals.toArray)
+    check("uvfits roundtrip", Prop.forAll(gen) {
+      case (gcount, pcount, nc, ns, vals) =>
+        val gsize = 3 * ns * nc
+        val params = Array.tabulate(gcount)(g =>
+          Array.tabulate(pcount)(p => vals(g * (pcount + gsize) + p)))
+        val data = Array.tabulate(gcount * gsize) { i =>
+          val g = i / gsize
+          vals(g * (pcount + gsize) + pcount + i % gsize)
+        }
+        val f = java.io.File.createTempFile("uvprop", ".uvfits")
+        val cards = Seq(
+          "SIMPLE" -> "T", "BITPIX" -> "-64",
+          "NAXIS" -> "4", "NAXIS1" -> "0",
+          "NAXIS2" -> "3", "NAXIS3" -> ns.toString, "NAXIS4" -> nc.toString,
+          "CTYPE2" -> "'COMPLEX'", "CTYPE3" -> "'STOKES'",
+          "CTYPE4" -> "'FREQ'",
+          "GROUPS" -> "T", "PCOUNT" -> pcount.toString,
+          "GCOUNT" -> gcount.toString) ++
+          (1 to pcount).map(i => s"PTYPE$i" -> s"'P$i'")
+        UvFits.writeGroups(f.getAbsolutePath, cards, pcount, params, data, gsize)
+        val g = UvFits.readGroups(f.getAbsolutePath)
+        f.delete()
+        g.gcount == gcount && g.shape == Seq(3, ns, nc) &&
+          (0 until gcount).forall(i => g.params(i).sameElements(params(i))) &&
+          g.data.sameElements(data)
+    })
+  }
+
+  test("SemDedup.assign equals brute-force argmin with lowest-id ties") {
+    import graft.operators.SemDedup
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      dim <- Gen.choose(1, 8)
+      nv <- Gen.choose(1, 24)
+      nc <- Gen.choose(1, 6)
+      vecs <- Gen.listOfN(nv * dim, Gen.choose(-8L, 8L))
+      cents <- Gen.listOfN(nc * dim, Gen.choose(-8L, 8L))
+    } yield (dim, vecs.grouped(dim).toSeq, cents.grouped(dim).toSeq)
+    check("semdedup argmin", Prop.forAll(gen) { case (dim, vecs, cents) =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cid", "qv")
+      val seeds = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("k", "qv")
+      val got = SemDedup.assign(corpus, seeds)
+        .select("cid", "k").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val best = cents.zipWithIndex.map { case (c, k) =>
+          (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, k)
+        }.min // (d2, k) lexicographic = lowest id on ties
+        got(i.toLong) == best._2.toLong
+      }
+    })
+  }
 }
