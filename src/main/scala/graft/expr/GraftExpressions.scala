@@ -493,6 +493,54 @@ object QQuant {
   }
 }
 
+/** Per-vector symmetric int8 scalar quantization over a quantized long
+  * array: code_i = round(qv_i · 127 / denom) with denom the vector's
+  * max-abs — SQ8, the codebook-free ANN compression next to PQ (e07).
+  * One codegen pass; rounding goes through the same BigDecimal HALF_UP
+  * route as Spark's round(), which agrees with DuckDB ROUND on the
+  * bit-identical IEEE quotient (the qquant-proven class). A zero
+  * denominator (all-zero vector) maps to all-zero codes. */
+case class Sq8Quant(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sq8"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), LongType)
+
+  override protected def nullSafeEval(arr: Any, denom: Any): Any =
+    Sq8Quant.compute(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      denom.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, d) =>
+      s"${ev.value} = graft.expr.Sq8Quant.compute($a, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Quant =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Quant {
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              denom: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    if (denom != 0L) {
+      var i = 0
+      while (i < n) {
+        // (x·127) is exact in double range here (|qv| ≲ 2e6), so the
+        // quotient is the same IEEE double the oracle divides
+        val d = a.getLong(i).toDouble * 127.0 / denom.toDouble
+        out(i) = java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Exact integer dot product of two `array<long>` columns — the codegen'd
   * replacement for `aggregate(zip_with(a, b, *), 0L, +)`, which Spark can
   * only evaluate INTERPRETED (higher-order functions have no doGenCode):
@@ -774,6 +822,9 @@ object GraftFunctions {
     (FunctionIdentifier("qquant"),
       new ExpressionInfo(classOf[QQuant].getName, "qquant"),
       (args: Seq[Expression]) => QQuant(args.head, args(1))),
+    (FunctionIdentifier("sq8"),
+      new ExpressionInfo(classOf[Sq8Quant].getName, "sq8"),
+      (args: Seq[Expression]) => Sq8Quant(args.head, args(1))),
     (FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),
       (args: Seq[Expression]) => QDot(args.head, args(1))),

@@ -979,6 +979,100 @@ object TrainingData {
           (col("n_hit") / lit(3)).as("recall"))
     },
 
+    // -- SQ8 scalar-quantization recall (the codebook-free compression
+    //    next to PQ/e07: each vector stores int8 codes + one max-abs
+    //    scale — 4x smaller than float32; per-vector scales CANCEL in
+    //    cosine, so the approximate ranking is the cosine of quantized
+    //    directions): recall@3 of SQ8 ranking vs the exact top-3 — the
+    //    measurement run before trading memory for recall. Determinism:
+    //    codes are round() of bit-identical IEEE quotients of exact
+    //    integers (the qquant class), dots/norms exact ints, one
+    //    sqrt/division chain for ordering, hashed surface pure counts.
+    //    Scale shape identical to e01/e13: 8 broadcast query vectors
+    //    against the corpus scan, one per-query top-k window.
+    Q("e15_sq8_recall",
+      s"""WITH qe AS (${qExplodeSql("qid", "WHERE vec_id < 8")}),
+         |ce AS (${qExplodeSql("cid", "")}),
+         |qn AS (SELECT qid, SUM(qv*qv) AS qid_n2 FROM qe GROUP BY qid),
+         |cn AS (SELECT cid, SUM(qv*qv) AS cid_n2 FROM ce GROUP BY cid),
+         |dote AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  GROUP BY qe.qid, ce.cid),
+         |ex3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT dote.qid, dote.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY dote.qid ORDER BY CAST(dote.d AS DOUBLE)
+         |        / (sqrt(CAST(qn.qid_n2 AS DOUBLE)) * sqrt(CAST(cn.cid_n2 AS DOUBLE)))
+         |        DESC, dote.cid) AS rank
+         |    FROM dote JOIN qn ON dote.qid = qn.qid JOIN cn ON dote.cid = cn.cid
+         |    WHERE dote.qid <> dote.cid) WHERE rank <= 3),
+         |cmx AS (SELECT cid, MAX(ABS(qv)) AS mx FROM ce GROUP BY cid),
+         |cq AS (
+         |  SELECT ce.cid, ce.pos,
+         |    CASE WHEN cmx.mx = 0 THEN 0
+         |         ELSE CAST(ROUND(CAST(ce.qv * 127 AS DOUBLE)
+         |                         / CAST(cmx.mx AS DOUBLE)) AS BIGINT)
+         |    END AS cv
+         |  FROM ce JOIN cmx ON ce.cid = cmx.cid),
+         |cns AS (SELECT cid, SUM(cv*cv) AS s_n2 FROM cq GROUP BY cid),
+         |dots AS (
+         |  SELECT a.cid AS qid, b.cid AS cid, CAST(SUM(a.cv * b.cv) AS BIGINT) AS d
+         |  FROM cq a JOIN cq b ON a.pos = b.pos
+         |  WHERE a.cid < 8
+         |  GROUP BY a.cid, b.cid),
+         |sq3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT dots.qid, dots.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY dots.qid ORDER BY CAST(dots.d AS DOUBLE)
+         |        / (sqrt(CAST(na.s_n2 AS DOUBLE)) * sqrt(CAST(nb.s_n2 AS DOUBLE)))
+         |        DESC, dots.cid) AS rank
+         |    FROM dots JOIN cns na ON dots.qid = na.cid
+         |              JOIN cns nb ON dots.cid = nb.cid
+         |    WHERE dots.qid <> dots.cid) WHERE rank <= 3)
+         |SELECT ex3.qid, CAST(COUNT(sq3.cid) AS BIGINT) AS n_hit,
+         |  COUNT(sq3.cid) / 3 AS recall
+         |FROM ex3 LEFT JOIN sq3
+         |  ON ex3.qid = sq3.qid AND ex3.cid = sq3.cid
+         |GROUP BY ex3.qid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qCol = expr(
+        "qquant(embedding, 1e6)")
+      val bk = emb.select(col("vec_id").as("cid"), qCol.as("qv"))
+        .withColumn("mx", greatest(expr("array_max(qv)"),
+          -expr("array_min(qv)")))
+        .withColumn("sq", expr("sq8(qv, mx)"))
+        .withColumn("n2", expr("qdot(qv, qv)"))
+        .withColumn("s_n2", expr("qdot(sq, sq)"))
+      val queries = broadcast(bk.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("qv").as("qqv"), col("sq").as("qsq"),
+          col("n2").as("q_n2"), col("s_n2").as("q_s_n2")))
+      val rkF = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      val joined = bk.crossJoin(queries).filter(col("qid") =!= col("cid"))
+      val ex3 = joined
+        .select(col("qid"), col("cid"),
+          (expr("qdot(qqv, qv)").cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(rkF))
+        .filter(col("rank") <= 3).select("qid", "cid")
+      val sq3 = joined
+        .select(col("qid"), col("cid"),
+          (expr("qdot(qsq, sq)").cast("double") /
+            (sqrt(col("q_s_n2").cast("double")) * sqrt(col("s_n2").cast("double"))))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(rkF))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("tq"), col("cid").as("tc"), lit(1L).as("hit"))
+      ex3.join(sq3,
+          col("qid") === col("tq") && col("cid") === col("tc"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit") / lit(3)).as("recall"))
+    },
+
     // -- silhouette clustering-quality diagnostic (the "are these labels
     //    real clusters" measurement run before trusting a partitioned
     //    corpus): for a pinned 64-vector sample, a(i) = mean squared L2
