@@ -799,8 +799,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => LshCode(args.head, 16)),
     (FunctionIdentifier("lsh_code"),
       new ExpressionInfo(classOf[LshCode].getName, "lsh_code"),
-      (args: Seq[Expression]) => LshCode(args.head,
-        args(1).eval().asInstanceOf[Number].intValue)),
+      (args: Seq[Expression]) => {
+        // clear analysis error instead of a ClassCast/NPE at eval time
+        require(args.length == 2 && args(1).foldable,
+          "lsh_code(vec, width) requires a literal integer width")
+        args(1).eval() match {
+          case n: Number => LshCode(args.head, n.intValue)
+          case other => throw new IllegalArgumentException(
+            s"lsh_code width must be a literal integer, got $other")
+        }
+      }),
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (args: Seq[Expression]) => RollingFingerprint(args.head)),

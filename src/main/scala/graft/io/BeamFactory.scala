@@ -101,17 +101,23 @@ object BeamFactory {
       .coalesce(1)
     val cards = g.headerCards.map { case (k, v) => s"$k=$v" }.mkString("\n")
     val names = Fits.beamFilenames(schema, corrs)
-    for ((corr, (reP, imP)) <- names; target <- Seq(reP, imP)) {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_beam_factory").toString
+    // the reference writes ONE beam array to all correlations and both
+    // re/im — so run the Spark write job once and copy the part file to
+    // each schema target, then clean the staging directory up
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_beam_factory").toFile
+    try {
       cube.write.mode("overwrite").option("cards", cards)
-        .format("fits").save(stage)
-      val parts = new File(stage).listFiles()
-        .filter(_.getName.endsWith(".fits"))
+        .format("fits").save(stage.toString)
+      val parts = stage.listFiles().filter(_.getName.endsWith(".fits"))
       require(parts.length == 1,
         s"factory cube must land in ONE part file, got ${parts.length}")
-      java.nio.file.Files.move(parts.head.toPath, new File(target).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      for ((_, (reP, imP)) <- names; target <- Seq(reP, imP))
+        java.nio.file.Files.copy(parts.head.toPath, new File(target).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
     }
     names
   }

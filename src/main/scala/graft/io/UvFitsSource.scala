@@ -124,30 +124,68 @@ private[io] class UvFitsPartitionReader(path: String, required: StructType)
   private var i = -1L
   override def next(): Boolean = { i += 1; i < total }
 
+  // A monolithic archive HDU expands to (group × chan × stokes) ~1e8 rows,
+  // so nothing per-row may re-scan PTYPEs, re-match column-name strings, or
+  // allocate: parameter indices and one extractor per REQUIRED column are
+  // resolved once here, the BASELINE decode is cached per group (it is
+  // chan/stokes-invariant), and get() refills a single reused row buffer.
+  private def paramIdx(name: String): Array[Int] = {
+    val idxs = g.ptypes.zipWithIndex.collect {
+      case (t, k) if t.equalsIgnoreCase(name) => k
+    }.toArray
+    require(idxs.nonEmpty, s"uvfits: no group parameter '$name' in ${g.ptypes}")
+    idxs
+  }
+  // repeated PTYPEs (the split-DATE convention) sum their occurrences
+  private def sumParams(idxs: Array[Int], grp: Int): Double = {
+    val p = g.params(grp)
+    var s = 0.0; var k = 0
+    while (k < idxs.length) { s += p(idxs(k)); k += 1 }
+    s
+  }
+  private val pathStr = UTF8String.fromString(path)
+  private lazy val blIdx = paramIdx("BASELINE")
+  private var blGrp = -1
+  private var blA1 = 0L
+  private var blA2 = 0L
+  private def decodeAnts(grp: Int): Unit = if (grp != blGrp) {
+    val (a1, a2) = UvFits.decodeBaseline(sumParams(blIdx, grp))
+    blA1 = a1.toLong; blA2 = a2.toLong; blGrp = grp
+  }
+
+  private val extractors: Array[(Int, Int, Int) => Any] =
+    required.fields.map(_.name).map[(Int, Int, Int) => Any] {
+      case "path" => (_, _, _) => pathStr
+      case "row_id" => (grp, _, _) => grp.toLong
+      case "chan" => (_, ch, _) => ch.toLong
+      case "stokes" => (_, _, st) => st.toLong
+      case "u" => val ix = paramIdx("UU"); (grp, _, _) => sumParams(ix, grp)
+      case "v" => val ix = paramIdx("VV"); (grp, _, _) => sumParams(ix, grp)
+      case "w" => val ix = paramIdx("WW"); (grp, _, _) => sumParams(ix, grp)
+      case "ant1" => (grp, _, _) => { decodeAnts(grp); blA1 }
+      case "ant2" => (grp, _, _) => { decodeAnts(grp); blA2 }
+      case "jd" => val ix = paramIdx("DATE"); (grp, _, _) => sumParams(ix, grp)
+      case "re" => (grp, ch, st) => g.datum(grp, flat(0, st, ch))
+      case "im" => (grp, ch, st) => g.datum(grp, flat(1, st, ch))
+      case "weight" =>
+        if (hasWeight) (grp, ch, st) => g.datum(grp, flat(2, st, ch))
+        else (_, _, _) => 1.0
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+  private val rowVals = new Array[Any](extractors.length)
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rowVals)
+
   override def get(): InternalRow = {
     val grp = (i / (nChan * nStokes)).toInt
     val rem = (i % (nChan * nStokes)).toInt
     val ch = rem / nStokes
     val st = rem % nStokes
-    val (a1, a2) = UvFits.decodeBaseline(g.param(grp, "BASELINE"))
-    val vals = required.fields.map(_.name).map {
-      case "path" => UTF8String.fromString(path)
-      case "row_id" => grp.toLong
-      case "chan" => ch.toLong
-      case "stokes" => st.toLong
-      case "u" => g.param(grp, "UU")
-      case "v" => g.param(grp, "VV")
-      case "w" => g.param(grp, "WW")
-      case "ant1" => a1.toLong
-      case "ant2" => a2.toLong
-      case "jd" => g.param(grp, "DATE")
-      case "re" => g.datum(grp, flat(0, st, ch))
-      case "im" => g.datum(grp, flat(1, st, ch))
-      case "weight" =>
-        if (hasWeight) g.datum(grp, flat(2, st, ch)) else 1.0
-      case other => throw new IllegalArgumentException(s"unknown column $other")
+    var k = 0
+    while (k < extractors.length) {
+      rowVals(k) = extractors(k)(grp, ch, st); k += 1
     }
-    InternalRow.fromSeq(vals.toIndexedSeq)
+    row
   }
 
   override def close(): Unit = ()

@@ -44,6 +44,13 @@ object SemDedup {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
     require(cents.nonEmpty, "semdedup: empty seed set")
+    // dimensionality must agree or the argmin silently truncates (longer
+    // centroid) or throws mid-task (shorter centroid) — fail fast instead
+    val dim = cents.head._2.length
+    cents.find(_._2.length != dim).foreach { case (k, v) =>
+      throw new IllegalArgumentException(
+        s"semdedup: centroid $k has dim ${v.length}, expected $dim")
+    }
     val bc = spark.sparkContext.broadcast(cents)
     val qvIdx = corpus.schema.fieldIndex("qv")
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -52,6 +59,8 @@ object SemDedup {
       val cs = bc.value
       it.map { row =>
         val qv = row.getSeq[Long](qvIdx).toArray
+        require(qv.length == cs(0)._2.length,
+          s"semdedup: vector dim ${qv.length} != centroid dim ${cs(0)._2.length}")
         var bestK = cs(0)._1
         var bestD = Long.MaxValue
         var i = 0

@@ -539,7 +539,7 @@ object ModelFit {
     //    connector — the path a 1000-file beam library takes, one
     //    partition per file, pruning pushed into the reader
     //    (FitsSourceSpec). Same fixture, same r4 surface as r16.
-    Q("f15_fits_source", {
+    Q("f16_fits_source", {
       import graft.core.Det.r4Sql
       s"""WITH px AS (SELECT CAST(n_nationkey AS BIGINT) AS x
          |            FROM nation WHERE n_nationkey < 9),

@@ -168,9 +168,16 @@ class PredictPipelineSpec extends AnyFunSuite {
       ra0 = math.Pi / 4, dec0 = 0.0)
     val a = MsDataset.read(spark, pyDir)
     val b = MsDataset.read(spark, jvmDir)
+    // dtype-exact pin: the integer width per MSv2 column is part of the
+    // contract (int32 antenna/field/ddid ids, int64 row_id) — no casts
+    // here, so a future width divergence between the twins fails loudly
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+    assert(shape(a.main) === shape(b.main),
+      s"MAIN schema diverges: ${shape(a.main)} vs ${shape(b.main)}")
     def key(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("row_id"), col("TIME"), col("ANTENNA1").cast("long"),
-          col("ANTENNA2").cast("long"),
+      df.select(col("row_id"), col("TIME"), col("ANTENNA1"),
+          col("ANTENNA2"),
           element_at(col("UVW"), 1), element_at(col("UVW"), 2),
           element_at(col("UVW"), 3))
         .collect().map(_.toSeq).toSeq

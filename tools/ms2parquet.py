@@ -75,7 +75,9 @@ def convert(ms_path, out_dir, rows_per_chunk=1_000_000):
     for sub in SUBTABLES:
         try:
             with table(f"{ms_path}::{sub}", ack=False) as t:
-                arrays = {SUB_KEY[sub]: pa.array(np.arange(t.nrows()))}
+                # subtable ids pinned int32 (matches --synthetic and the JVM twin)
+                arrays = {SUB_KEY[sub]:
+                          pa.array(np.arange(t.nrows(), dtype=np.int32))}
                 for c in t.colnames():
                     try:
                         arrays[c] = _col_to_arrow(c, t.getcol(c))
@@ -93,12 +95,15 @@ def synthetic(nrow, out_dir, nchan=8, nant=7,
     twin of graft.io.MsDataset.writeSynthetic."""
     import os
     os.makedirs(out_dir, exist_ok=True)
+    # Integer widths are PINNED per MSv2 column (and asserted dtype-exact
+    # by PredictPipelineSpec's schema-pin test): antenna/field/ddid/spw/pol
+    # ids are int32 (casacore MS Int), row_id is int64 (casacore rownumber).
     r = np.arange(nrow)
     main = pa.table({
-        "row_id": pa.array(r),
+        "row_id": pa.array(r),  # int64
         "TIME": pa.array(5084553600.0 + (r // (nant * nant)) * 8.0),
-        "ANTENNA1": pa.array(r % nant),
-        "ANTENNA2": pa.array((r // nant) % nant),
+        "ANTENNA1": pa.array((r % nant).astype(np.int32)),
+        "ANTENNA2": pa.array(((r // nant) % nant).astype(np.int32)),
         "UVW": pa.array(list(np.stack([
             ((r * 7) % 2001 - 1000) / 2.0,
             ((r * 3) % 2001 - 1000) / 2.0,
@@ -109,25 +114,25 @@ def synthetic(nrow, out_dir, nchan=8, nant=7,
     pq.write_table(main, f"{out_dir}/MAIN.parquet")
     a = np.arange(nant)
     pq.write_table(pa.table({
-        "antenna_id": pa.array(a),
+        "antenna_id": pa.array(a.astype(np.int32)),
         "NAME": pa.array([f"ST-{i}" for i in a]),
         "POSITION": pa.array(list(np.stack([
             -1601710.0 + a * 64, -5042006.0 + a * 128,
             3554880.0 + a * 32], axis=1))),
     }), f"{out_dir}/ANTENNA.parquet")
     pq.write_table(pa.table({
-        "spw_id": pa.array([0]),
-        "NUM_CHAN": pa.array([nchan]),
+        "spw_id": pa.array(np.array([0], dtype=np.int32)),
+        "NUM_CHAN": pa.array(np.array([nchan], dtype=np.int32)),
         "CHAN_FREQ": pa.array([856e6 + np.arange(nchan) * 107e6]),
     }), f"{out_dir}/SPECTRAL_WINDOW.parquet")
     pq.write_table(pa.table({
-        "field_id": pa.array([0]),
+        "field_id": pa.array(np.array([0], dtype=np.int32)),
         "NAME": pa.array(["FIELD0"]),
         "PHASE_DIR": pa.array([np.array([ra0, dec0])]),
     }), f"{out_dir}/FIELD.parquet")
     pq.write_table(pa.table({
-        "pol_id": pa.array([0]),
-        "CORR_TYPE": pa.array([np.array([9, 10, 11, 12])]),  # XX XY YX YY
+        "pol_id": pa.array(np.array([0], dtype=np.int32)),
+        "CORR_TYPE": pa.array([np.array([9, 10, 11, 12], dtype=np.int32)]),
     }), f"{out_dir}/POLARIZATION.parquet")
     print(f"synthetic MS dataset: {nrow} rows -> {out_dir}")
 
