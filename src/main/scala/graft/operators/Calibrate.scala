@@ -1,37 +1,51 @@
 package graft.operators
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.CxCol
+import graft.core.{CxCol, Det}
 
 /** Phase-only gain calibration — SURVEY §2.6 G5/G6
   * (africanus/calibration/phase_only/phase_only.py:30-308).
   *
-  * G5 building blocks: each visibility row contributes to the (time, ant)
-  * gain grid of BOTH its antennas — implemented as a 2-way union (row
-  * exploded into p- and q-keyed contributions) followed by one
-  * groupBy(time_index, ant) partial+final aggregation:
+  * G5 building blocks: each visibility row contributes to the gain grid of
+  * BOTH its antennas — implemented as a 2-way union (row exploded into p-
+  * and q-keyed contributions) followed by one groupBy(gridKeys)
+  * partial+final aggregation:
   *   jhr_p = Σ w·Im(conj(v_model)·r),  jhr_q = −jhr_p's term,
   *   jhj   = Σ w·|v_model|²,           r = v − v_model.
   *
-  * G6 driver loop: iterate jhr/jhj → φ += ½·jhr/jhj → re-predict, until
+  * Gain shape: the reference's jones grid is (time, ant, chan, dir)
+  * (phase_only.py:30-241) — `extraKeys` carries the chan/dir axes, so the
+  * grid keys are (time_index, extraKeys..., ant). jhj is computed ONCE
+  * before the loop from the model alone — the reference's DIAG_DIAG fast
+  * path ("can avoid recomputing JHJ in DIAG_DIAG mode",
+  * phase_only.py:264-270) — and rides the grid thereafter.
+  *
+  * G6 driver loop: iterate jhr → φ += ½·jhr/jhj → re-predict, until
   * max|Δφ| < tol or maxIter. The phase grid lives as a DataFrame for the
-  * whole solve — the ONLY driver-side value is the scalar max|Δφ|; at the
-  * reference's real gain shape (time × ant × chan × dir,
-  * phase_only.py:30-241) the grid never fits on the driver, and nothing
-  * here requires it to.
+  * whole solve — the ONLY driver-side value is the scalar max|Δφ|.
+  *
+  * Grid-size-aware gather join: a (time, ant) phase-only grid is tiny and
+  * broadcasts, but the reference's full chan/dir-resolved grid can exceed
+  * driver memory — `broadcast()` COLLECTS the build side to the driver, so
+  * forcing it would OOM exactly the case the grid shape exists for. The
+  * grid row count is known exactly (counted when the initial checkpoint
+  * materializes), so each iteration hints broadcast ONLY while the
+  * estimated grid bytes fit under spark.sql.autoBroadcastJoinThreshold and
+  * degrades to a shuffle join (both sides exchanged on the grid keys)
+  * beyond it — the same plan Catalyst would pick for a fact-fact join.
   *
   * Iteration constants (the local-latency side of the distributed design):
-  *  - ONE broadcast of the grid per iteration serves BOTH gather sides —
-  *    the p- and q-joins reference the same broadcast plan through two
-  *    aliases, and exchange reuse ships it once;
+  *  - ONE broadcast (or one exchange) of the grid per iteration serves
+  *    BOTH gather sides — the p- and q-joins reference the same plan
+  *    through two aliases, and exchange reuse ships it once;
   *  - grid materialization (RDD localCheckpoint) and the max|Δφ|
   *    convergence scalar happen in the SAME job (the reduce runs as the
   *    checkpoint caches), halving the per-iteration job count.
   *    `checkEvery` > 1 would skip intermediate checkpoints, but the
-  *    update plan contains the data-sized jhr/jhj aggregation — letting
-  *    it stack makes every broadcast re-execute the stacked aggs, which
+  *    update plan contains the data-sized jhr aggregation — letting it
+  *    stack makes every broadcast re-execute the stacked aggs, which
   *    measured 6× SLOWER than checkpointing each iteration; keep 1;
   *  - each materialized checkpoint is unpersisted as soon as its
   *    successor exists, so executor block storage holds ≤2 grid copies
@@ -39,23 +53,81 @@ import graft.core.CxCol
   */
 object Calibrate {
 
-  /** Input df columns: time_index, ant1, ant2, m_re, m_im (model), v_re,
-    * v_im (observed), w (weight). Returns (time_index, ant, phase). */
+  /** Parse spark.sql.autoBroadcastJoinThreshold ("10485760", "10MB", "-1");
+    * ≤0 disables broadcasting. */
+  private[operators] def broadcastThreshold(spark: SparkSession): Long = {
+    val s = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    if (s.startsWith("-")) -1L
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+  }
+
+  /** True iff a gain grid of `gridRows` × `nCols` (longs/doubles) rows is
+    * safe to collect-and-broadcast under the session threshold. Exposed
+    * for PlanSpec. */
+  private[graft] def gridBroadcastable(spark: SparkSession, gridRows: Long,
+                                       nCols: Int): Boolean = {
+    val thr = broadcastThreshold(spark)
+    // 8 bytes per numeric field + UnsafeRow header/null-bitmap overhead
+    thr > 0 && gridRows * (8L * nCols + 16L) <= thr
+  }
+
+  /** The per-iteration gather: `in` (aliased x) joined against the gain
+    * grid twice — p-side on ant1, q-side on ant2 — through ONE broadcast
+    * (or one exchange) of the grid. Extracted so PlanSpec can assert the
+    * physical join shape the solver builds under either hint decision. */
+  private[graft] def gatherJoin(in: DataFrame, grid: DataFrame,
+                                keyCols: Seq[String],
+                                bcast: Boolean): DataFrame = {
+    val b = if (bcast) broadcast(grid) else grid
+    val pCond = keyCols.map(k => col(s"x.$k") === col(s"gp.$k"))
+      .reduce(_ && _) && col("x.ant1") === col("gp.ant")
+    val qCond = keyCols.map(k => col(s"x.$k") === col(s"gq.$k"))
+      .reduce(_ && _) && col("x.ant2") === col("gq.ant")
+    in.as("x").join(b.as("gp"), pCond).join(b.as("gq"), qCond)
+  }
+
+  /** Input df columns: time_index, ant1, ant2, extraKeys..., m_re, m_im
+    * (model), v_re, v_im (observed), w (weight). Returns
+    * (time_index, extraKeys..., ant, phase).
+    *
+    * `extraKeys` resolves the gain grid beyond (time, ant) — pass
+    * Seq("chan") (or Seq("chan", "dir")) for the reference's full jones
+    * shape; the keys must be columns of `df` shared by both antennas of a
+    * row. `detSum` switches the jhr aggregation to Det.fsum (terms rounded
+    * to 1e-6, summed as longs) — the order-free deterministic mode hashed
+    * oracle surfaces require (g09); the performance path keeps plain double
+    * sums. jhj is always a plain sum: it is computed once from the model,
+    * and the registered inputs are dyadic rationals whose products/sums are
+    * IEEE-exact in any order. */
   def gaussNewtonPhaseOnly(df: DataFrame, maxIter: Int = 20,
                            tol: Double = 1e-10,
-                           checkEvery: Int = 1): DataFrame = {
+                           checkEvery: Int = 1,
+                           extraKeys: Seq[String] = Nil,
+                           detSum: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val in = df.select("time_index", "ant1", "ant2",
-      "m_re", "m_im", "v_re", "v_im", "w").cache()
+    val keyCols = Seq("time_index") ++ extraKeys
+    val gridKeys = keyCols :+ "ant"
+    val in = df.select((keyCols ++
+      Seq("ant1", "ant2", "m_re", "m_im", "v_re", "v_im", "w")).map(col): _*)
+      .cache()
+    val jhrAgg: Column => Column =
+      if (detSum) c => Det.fsum(c) else c => sum(c)
 
-    // phase grid: every (time, ant) appearing on either side — a
-    // checkpointed RDD-backed DataFrame, never collected
-    val grid0 = in.select(col("time_index"), col("ant1").as("ant"))
-      .union(in.select(col("time_index"), col("ant2").as("ant")))
-      .distinct()
+    // initial grid: every (keys, ant) on either side, φ = 0, with the
+    // model-only jhj (DIAG_DIAG fast path) aggregated in the same pass
+    val jhjTerm = col("w") * (col("m_re") * col("m_re")
+      + col("m_im") * col("m_im"))
+    val scatter0 = in.select((keyCols.map(col) :+ col("ant1").as("ant")
+        :+ jhjTerm.as("jhj_c")): _*)
+      .unionByName(in.select((keyCols.map(col) :+ col("ant2").as("ant")
+        :+ jhjTerm.as("jhj_c")): _*))
+    val grid0 = scatter0.groupBy(gridKeys.map(col): _*)
+      .agg(sum(col("jhj_c")).as("jhj"))
       .withColumn("phase", lit(0.0))
+      .select((gridKeys.map(col) :+ col("phase") :+ col("jhj")): _*)
     var ckptRdd: RDD[Row] = grid0.rdd.localCheckpoint()
-    ckptRdd.count() // eager: downstream iterations read blocks, not lineage
+    val gridRows = ckptRdd.count() // eager + exact size for the join hint
     var prevRdd: RDD[Row] = null
     // fresh LogicalRDD wrap: localCheckpoint alone keeps the child plan's
     // STATISTICS, and this loop joins the grid against a broadcast of
@@ -63,15 +135,13 @@ object Calibrate {
     // BigInt stats arithmetic becomes the (exponential) bottleneck
     var phases: DataFrame = spark.createDataFrame(ckptRdd, grid0.schema)
 
+    val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 2)
+    val dIdx = gridKeys.size + 2      // field layout: keys..., phase, jhj, d
+
     var it = 0
     var maxDelta = Double.MaxValue
     while (it < maxIter && maxDelta > tol) {
-      val b = broadcast(phases)
-      val withG = in.as("x")
-        .join(b.as("gp"), col("x.time_index") === col("gp.time_index")
-          && col("x.ant1") === col("gp.ant"))
-        .join(b.as("gq"), col("x.time_index") === col("gq.time_index")
-          && col("x.ant2") === col("gq.ant"))
+      val withG = gatherJoin(in, phases, keyCols, bcastGrid)
       val gp = CxCol(cos(col("gp.phase")), sin(col("gp.phase")))
       val gq = CxCol(cos(col("gq.phase")), sin(col("gq.phase")))
       val m = CxCol(col("m_re"), col("m_im"))
@@ -79,25 +149,25 @@ object Calibrate {
       val vm = gp * m * gq.conj
       val r = v - vm
       val jhrTerm = col("w") * (vm.re * r.im - vm.im * r.re)
-      val jhjTerm = col("w") * vm.abs2
-      val p = withG.select(col("x.time_index").as("time_index"),
-        col("x.ant1").as("ant"), jhrTerm.as("jhr_c"), jhjTerm.as("jhj_c"))
-      val q = withG.select(col("x.time_index").as("time_index"),
-        col("x.ant2").as("ant"), (-jhrTerm).as("jhr_c"), jhjTerm.as("jhj_c"))
+      val xKeys = keyCols.map(k => col(s"x.$k").as(k))
+      val p = withG.select((xKeys :+ col("x.ant1").as("ant")
+        :+ jhrTerm.as("jhr_c")): _*)
+      val q = withG.select((xKeys :+ col("x.ant2").as("ant")
+        :+ (-jhrTerm).as("jhr_c")): _*)
       val step = p.unionByName(q)
-        .groupBy("time_index", "ant")
-        .agg((lit(0.5) * sum(col("jhr_c")) / sum(col("jhj_c"))).as("d"))
-      val updated = phases.join(step, Seq("time_index", "ant"), "left")
-        .select(col("time_index"), col("ant"),
-          (col("phase") + coalesce(col("d"), lit(0.0))).as("phase"),
-          coalesce(col("d"), lit(0.0)).as("d"))
+        .groupBy(gridKeys.map(col): _*)
+        .agg(jhrAgg(col("jhr_c")).as("jhr"))
+      val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
+      val updated = phases.join(step, gridKeys, "left")
+        .select((gridKeys.map(col) :+ (col("phase") + d).as("phase")
+          :+ col("jhj") :+ d.as("d")): _*)
       it += 1
       if (it % checkEvery == 0 || it >= maxIter) {
         // materialize the grid AND compute the convergence scalar in one
         // job: localCheckpoint caches the partitions as this reduce runs
         val rdd = updated.rdd.localCheckpoint()
         maxDelta = rdd
-          .map(row => math.abs(row.getDouble(3)))
+          .map(row => math.abs(row.getDouble(dIdx)))
           .fold(0.0)(math.max)
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = ckptRdd
@@ -115,6 +185,9 @@ object Calibrate {
       }
     }
     in.unpersist()
-    phases.orderBy("time_index", "ant")
+    // output axis order mirrors the reference jones shape: time, ant, chan/dir
+    val outKeys = Seq("time_index", "ant") ++ extraKeys
+    phases.select((outKeys.map(col) :+ col("phase")): _*)
+      .orderBy(outKeys.map(col): _*)
   }
 }

@@ -199,6 +199,97 @@ object CalibrationQ {
           (col("p1") + lit(5e-1) * (col("jhr2") / col("jhj"))).as("p2"))
     },
 
+    // -- G9: the SOLVER ITSELF (operators/Calibrate.scala) under the hash
+    //    gate at the reference's chan-resolved gain shape (time, ant, chan)
+    //    — phase_only.py:30-241 — run for 2 iterations in detSum mode and
+    //    mirrored by 2 unrolled CTE iterations (the g08 pattern, but here
+    //    the oracle restates what Calibrate.gaussNewtonPhaseOnly computes,
+    //    not an inline re-derivation). Float determinism:
+    //    * observed v = gp·m·gq* from trig of BIT-IDENTICAL arguments
+    //      ((t·7+a·3+c·5)%11 · 5e-2, exact int × literal) — class (b);
+    //    * the solver runs detSum=true: jhr is fsum'd each iteration
+    //      (terms are class (a)×(b) products — the g08-proven class (c)),
+    //      jhj is the once-computed dyadic-exact model sum;
+    //    * p1 and the output phase are IEEE-exact arithmetic on the
+    //      resulting bit-identical rationals — hashed RAW.
+    Q("g09_gauss_newton_chan",
+      s"""WITH rws AS (${uvwRowsSql(16)}),
+         |ch AS (SELECT CAST(n_nationkey AS BIGINT) AS chan
+         |       FROM nation WHERE n_nationkey < 4),
+         |rc AS (
+         |  SELECT rws.time_index, rws.ant1, rws.ant2, ch.chan,
+         |    ((rws.row_id * 13 + ch.chan * 5) % 19 - 9) / 16e0 AS m_re,
+         |    ((rws.row_id * 17 + ch.chan * 7) % 11 - 5) / 16e0 AS m_im,
+         |    ((rws.row_id + ch.chan) % 4 + 1) / 4e0 AS wt,
+         |    (rws.time_index * 7 + rws.ant1 * 3 + ch.chan * 5) % 11 * 5e-2 AS tp,
+         |    (rws.time_index * 7 + rws.ant2 * 3 + ch.chan * 5) % 11 * 5e-2 AS tq
+         |  FROM rws, ch),
+         |vv AS (
+         |  SELECT *,
+         |    (cos(tp)*m_re - sin(tp)*m_im)*cos(tq)
+         |      + (cos(tp)*m_im + sin(tp)*m_re)*sin(tq) AS v_re,
+         |    (cos(tp)*m_im + sin(tp)*m_re)*cos(tq)
+         |      - (cos(tp)*m_re - sin(tp)*m_im)*sin(tq) AS v_im
+         |  FROM rc),
+         |u1 AS (
+         |  SELECT time_index, ant1 AS ant, chan,
+         |    wt * (m_re*(v_im - m_im) - m_im*(v_re - m_re)) AS jhr_c,
+         |    wt * (m_re*m_re + m_im*m_im) AS jhj_c
+         |  FROM vv
+         |  UNION ALL
+         |  SELECT time_index, ant2 AS ant, chan,
+         |    -(wt * (m_re*(v_im - m_im) - m_im*(v_re - m_re))) AS jhr_c,
+         |    wt * (m_re*m_re + m_im*m_im) AS jhj_c
+         |  FROM vv),
+         |p1t AS (
+         |  SELECT time_index, ant, chan,
+         |    5e-1 * ${graft.core.Det.fsumSql("jhr_c")} / SUM(jhj_c) AS p1,
+         |    SUM(jhj_c) AS jhj
+         |  FROM u1 GROUP BY time_index, ant, chan),
+         |t2 AS (
+         |  SELECT vv.*, pp.p1 AS php, qq.p1 AS phq
+         |  FROM vv
+         |    JOIN p1t pp ON pp.time_index = vv.time_index
+         |      AND pp.ant = vv.ant1 AND pp.chan = vv.chan
+         |    JOIN p1t qq ON qq.time_index = vv.time_index
+         |      AND qq.ant = vv.ant2 AND qq.chan = vv.chan),
+         |v2 AS (
+         |  SELECT *,
+         |    (cos(php)*m_re - sin(php)*m_im)*cos(phq)
+         |      + (cos(php)*m_im + sin(php)*m_re)*sin(phq) AS vm_re,
+         |    (cos(php)*m_im + sin(php)*m_re)*cos(phq)
+         |      - (cos(php)*m_re - sin(php)*m_im)*sin(phq) AS vm_im
+         |  FROM t2),
+         |u2 AS (
+         |  SELECT time_index, ant1 AS ant, chan,
+         |    wt * (vm_re*(v_im - vm_im) - vm_im*(v_re - vm_re)) AS jhr_c
+         |  FROM v2
+         |  UNION ALL
+         |  SELECT time_index, ant2 AS ant, chan,
+         |    -(wt * (vm_re*(v_im - vm_im) - vm_im*(v_re - vm_re))) AS jhr_c
+         |  FROM v2),
+         |jh2 AS (
+         |  SELECT time_index, ant, chan,
+         |    ${graft.core.Det.fsumSql("jhr_c")} AS jhr2
+         |  FROM u2 GROUP BY time_index, ant, chan)
+         |SELECT p1t.time_index, p1t.ant, p1t.chan,
+         |  p1t.p1 + 5e-1 * jh2.jhr2 / p1t.jhj AS phase
+         |FROM p1t JOIN jh2 ON jh2.time_index = p1t.time_index
+         |  AND jh2.ant = p1t.ant AND jh2.chan = p1t.chan""".stripMargin) { (s, dir) =>
+      val base = calRows(s, dir)
+      val tp = (col("time_index") * 7 + col("ant1") * 3 + col("chan") * 5) % 11 * 5e-2
+      val tq = (col("time_index") * 7 + col("ant2") * 3 + col("chan") * 5) % 11 * 5e-2
+      val gp = CxCol(cos(tp), sin(tp))
+      val gq = CxCol(cos(tq), sin(tq))
+      val m = CxCol(col("m_re"), col("m_im"))
+      val vm = gp * m * gq.conj
+      val in = base.select(col("time_index"), col("ant1"), col("ant2"),
+        col("chan"), col("m_re"), col("m_im"),
+        vm.re.as("v_re"), vm.im.as("v_im"), col("wt").as("w"))
+      Calibrate.gaussNewtonPhaseOnly(in, maxIter = 2, tol = 1e-12,
+        extraKeys = Seq("chan"), detSum = true)
+    },
+
     // -- G6: Gauss-Newton phase solver (iterative driver loop; no SQL
     //    oracle — convergence is asserted in CalibrateSpec; the driver
     //    records a rows-only check).

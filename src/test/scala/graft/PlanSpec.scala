@@ -530,6 +530,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("g06/g09: the gain-grid gather is size-aware — no driver-sized broadcast build past the threshold") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Calibrate
+    // decision function: a (time, ant) phase grid broadcasts; the
+    // reference's full (time, ant, chan, dir) grid at survey scale (e.g.
+    // 4e3 times x 64 ants x 4e3 chans x 8 dirs ~ 8e9 rows) must NOT be
+    // collected to the driver
+    assert(Calibrate.gridBroadcastable(spark, gridRows = 1000L, nCols = 5))
+    assert(!Calibrate.gridBroadcastable(spark, gridRows = 8L * 1000 * 1000 * 1000,
+      nCols = 6))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Calibrate.gridBroadcastable(spark, gridRows = 10L, nCols = 5))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    // physical shape of the gather join the solver builds: with the hint
+    // the grid broadcasts; without it (grid past the threshold) BOTH sides
+    // exchange on the grid keys — no BroadcastExchange of the grid at all.
+    // The grid is wrapped stats-less (LogicalRDD), exactly as in the loop.
+    import spark.implicits._
+    // both sides stats-less, as in the loop: the fact side is data-sized
+    // (a LocalTableScan here would itself auto-broadcast and muddy the
+    // assertion) and the grid is the checkpointed LogicalRDD
+    val in0 = Seq((0L, 0L, 1L, 0L, 1.0, 0.5, 1.0, 0.5, 1.0))
+      .toDF("time_index", "ant1", "ant2", "chan",
+        "m_re", "m_im", "v_re", "v_im", "w")
+    val in = spark.createDataFrame(in0.rdd, in0.schema)
+    val g = Seq((0L, 0L, 0L, 0.0, 1.0), (0L, 1L, 0L, 0.0, 1.0))
+      .toDF("time_index", "ant", "chan", "phase", "jhj")
+    val grid = spark.createDataFrame(g.rdd, g.schema) // stats-less wrap
+    val keys = Seq("time_index", "chan")
+    val pb = Calibrate.gatherJoin(in, grid, keys, bcast = true)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(pb).size === 2, pb)
+    val ps = Calibrate.gatherJoin(in, grid, keys, bcast = false)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("BroadcastExchange"),
+      "grid still collected to the driver without the hint:\n" + ps)
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
