@@ -253,5 +253,85 @@ object BdaQ {
           (sum(col("exposure") * col("time")) / sum(col("exposure")))
             .as("time_centroid"),
           count(lit(1)).as("n_samples"))
+    },
+
+    // -- A9 at FULL 2×2 correlation with WEIGHT_SPECTRUM and per-element
+    //    flags (africanus/averaging/bda_avg.py:269-654 row_chan_average):
+    //    the corr axis (2×2 Jones flattened to 4) rides the ragged channel
+    //    map — each output (bin, ochan, corr) cell averages its
+    //    flag-matching samples with the per-(chan, corr) WEIGHT_SPECTRUM,
+    //    a cell is flagged only when ALL its samples are flagged, and a
+    //    flagged cell still averages its (flagged) samples — the same
+    //    two-tier consensus as time_and_channel. The ant-keyed flag term
+    //    flags whole (baseline, corr) cells so the fallback branch executes
+    //    across merged rows; the row term scatters partials. Spark shape:
+    //    the corr expansion joins the mapper's ONE baseline shuffle output
+    //    before the single (bin, ochan, corr) aggregation — no extra pass.
+    Q("a19_bda_full_corr",
+      s"""WITH $bdaCte,
+         |cx AS (
+         |  SELECT b.*, c.chan, k.corr, c.chan // (4 // b.nchan_out) AS ochan,
+         |    ((b.row_id * 5 + c.chan * 3 + k.corr * 7) % 17 - 8) / 16e0 AS vre,
+         |    ((b.row_id * 7 + c.chan * 5 + k.corr * 3) % 13 - 6) / 16e0 AS vim,
+         |    ((b.row_id * 3 + c.chan * 5 + k.corr) % 9 + 1) / 8e0 AS ws,
+         |    ((b.ant1 * 3 + b.ant2 * 5 + k.corr) % 11 < 2)
+         |      OR ((b.row_id + c.chan + k.corr) % 23 = 0) AS flg
+         |  FROM bda b,
+         |    (SELECT CAST(n_nationkey AS BIGINT) AS chan
+         |     FROM nation WHERE n_nationkey < 4) c,
+         |    (SELECT CAST(n_nationkey AS BIGINT) AS corr
+         |     FROM nation WHERE n_nationkey < 4) k),
+         |g AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN flg THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY ant1, ant2, bin, ochan, corr) AS n_ok
+         |  FROM cx)
+         |SELECT ant1, ant2, bin, ochan, corr,
+         |  CAST(SUM(CASE WHEN flg = (n_ok = 0) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_used,
+         |  (n_ok = 0) AS oflag,
+         |  SUM(CASE WHEN flg = (n_ok = 0) THEN ws ELSE 0e0 END) AS ws_sum,
+         |  SUM(CASE WHEN flg = (n_ok = 0) THEN ws * vre ELSE 0e0 END)
+         |    / SUM(CASE WHEN flg = (n_ok = 0) THEN ws ELSE 0e0 END) AS vre_avg,
+         |  SUM(CASE WHEN flg = (n_ok = 0) THEN ws * vim ELSE 0e0 END)
+         |    / SUM(CASE WHEN flg = (n_ok = 0) THEN ws ELSE 0e0 END) AS vim_avg
+         |FROM g GROUP BY ant1, ant2, bin, ochan, corr, n_ok = 0""".stripMargin) {
+      (s, dir) =>
+      val m = Bda.mapperWithPayload(bdaRows(s, dir), Cfg, Nil)
+      val ch = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 4)
+        .select(col("n_nationkey").cast("long").as("chan")))
+      val co = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 4)
+        .select(col("n_nationkey").cast("long").as("corr")))
+      val flat = m.crossJoin(ch).crossJoin(co)
+        .withColumn("ochan",
+          (col("chan") / (lit(4L) / col("nchan_out")).cast("long")).cast("long"))
+        .withColumn("vre",
+          ((col("row_id") * 5 + col("chan") * 3 + col("corr") * 7) % 17 - 8) / 16e0)
+        .withColumn("vim",
+          ((col("row_id") * 7 + col("chan") * 5 + col("corr") * 3) % 13 - 6) / 16e0)
+        .withColumn("ws",
+          ((col("row_id") * 3 + col("chan") * 5 + col("corr")) % 9 + 1) / 8e0)
+        .withColumn("flg",
+          ((col("ant1") * 3 + col("ant2") * 5 + col("corr")) % 11 < 2)
+            || ((col("row_id") + col("chan") + col("corr")) % 23 === 0))
+      val grouped = flat.groupBy("ant1", "ant2", "bin", "ochan", "corr")
+        .agg(
+          sum(when(!col("flg"), 1).otherwise(0)).as("n_ok"),
+          count(lit(1)).as("n_all"),
+          sum(when(!col("flg"), col("ws"))).as("w_u"),
+          sum(when(col("flg"), col("ws"))).as("w_f"),
+          sum(when(!col("flg"), col("ws") * col("vre"))).as("re_u"),
+          sum(when(col("flg"), col("ws") * col("vre"))).as("re_f"),
+          sum(when(!col("flg"), col("ws") * col("vim"))).as("im_u"),
+          sum(when(col("flg"), col("ws") * col("vim"))).as("im_f"))
+      val ok = col("n_ok") > 0
+      def pick(u: String, f: String) = when(ok, col(u)).otherwise(col(f))
+      grouped.select(col("ant1"), col("ant2"), col("bin"), col("ochan"),
+        col("corr"),
+        when(ok, col("n_ok")).otherwise(col("n_all")).as("n_used"),
+        (!ok).as("oflag"),
+        pick("w_u", "w_f").as("ws_sum"),
+        (pick("re_u", "re_f") / pick("w_u", "w_f")).as("vre_avg"),
+        (pick("im_u", "im_f") / pick("w_u", "w_f")).as("vim_avg"))
     })
 }

@@ -26,6 +26,9 @@ class AuditSpec extends AnyFunSuite {
     "a11_array_chan_avg" -> (2, 0), // array-native HOF avg: chan-bounded arrays
     "a12_array_row_chan_avg" -> (1, 0), // same class
     "a13_weight_fallback" -> (2, 0), // same class
+    // (chan, corr) nested-array fixture build: 16 lambda evals per row;
+    // the unrolled-literal alternative generated a 19 KB method (worse)
+    "a18_array_full_corr" -> (2, 0),
     "t16_bm25" -> (0, 1), // corpus-constant (avgdl) scalar merge
     "t18_regex_tokens" -> (1, 0), // regex token explode (no codegen for RLIKE gen)
     "t19_decontamination" -> (0, 1), // bloom-sketch build: one bounded bitset merge
