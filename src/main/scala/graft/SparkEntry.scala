@@ -24,6 +24,7 @@ object SparkEntry {
       _root_.graft.queries.RimeMore.qs ++
       _root_.graft.queries.ModelFit.qs ++
       _root_.graft.queries.PredictFull.qs ++
+      _root_.graft.queries.MultiMsQ.qs ++
       _root_.graft.queries.DeconvQ.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

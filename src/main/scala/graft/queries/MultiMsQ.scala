@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.core.Det
+import graft.io.MsDataset
+
+/** Multi-field / multi-SPW grouped predict — the reference's flagship
+  * example opens the MS grouped by (FIELD_ID, DATA_DESC_ID) and runs one
+  * independent graph per group, each with its own phase centre, channel
+  * grid, and sky model (rime/examples/predict.py:548-559). The Spark-first
+  * shape is ONE declarative plan over all groups: MAIN is partitioned on
+  * disk by the group keys (so any per-group read prunes at the scan —
+  * `writeSyntheticMulti`), the group-resolved dimensions (DATA_DESCRIPTION
+  * → SPECTRAL_WINDOW channels, per-field source components) broadcast, and
+  * the per-(row, chan) source sum is one partial+final aggregation. The
+  * per-group independence the reference encodes as separate dask graphs
+  * falls out of grouping keys instead of orchestration.
+  *
+  * Determinism (the x01 pattern): uvw / lm / flux are closed-form rationals
+  * restated by the oracle, the phase is an IEEE-exact chain of bit-identical
+  * operands, and the source sum is Det.fsum of flux·trig(bit-identical
+  * phase) terms — CLAUDE.md class (c).
+  */
+object MultiMsQ {
+
+  val qs: Seq[Q] = Seq(
+
+    Q("r18_multifield_predict",
+      s"""WITH r AS (SELECT range AS row_id FROM range(0, 400)),
+         |mn AS (
+         |  SELECT row_id,
+         |    CAST((row_id // 100) % 2 AS INTEGER) AS field_id,
+         |    CAST((row_id // 50) % 2 AS INTEGER) AS ddid,
+         |    ((row_id * 7) % 2001 - 1000) / 2e0 AS u,
+         |    ((row_id * 3) % 2001 - 1000) / 2e0 AS v,
+         |    ((row_id * 11) % 201 - 100) / 2e1 AS w
+         |  FROM r),
+         |ch AS (SELECT unnest(generate_series(0, 3)) AS chan),
+         |src AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 15625e-6, -234375e-7, 25e-1),
+         |    (0, -78125e-7, 46875e-6, 15e-1),
+         |    (1, -1953125e-8, 13671875e-9, 125e-2),
+         |    (1, 9765625e-9, -5859375e-9, 75e-2))
+         |    AS t(field_id, l, m, flux)),
+         |sp AS (
+         |  SELECT mn.*, ch.chan, src.l, src.m, src.flux,
+         |    CASE WHEN mn.ddid = 0 THEN 856e6 + ch.chan * 107e6
+         |         ELSE 1712e6 + ch.chan * 535e5 END AS freq
+         |  FROM mn, ch
+         |  JOIN src ON src.field_id = mn.field_id)
+         |SELECT field_id, ddid, row_id, chan,
+         |  ${Det.fsumSql(s"flux * cos(${SyntheticMs.phaseSql})")} AS vre,
+         |  ${Det.fsumSql(s"flux * sin(${SyntheticMs.phaseSql})")} AS vim
+         |FROM sp GROUP BY field_id, ddid, row_id, chan""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val msDir = MsDataset.ensureMultiFixture(s)
+      val ms = MsDataset.read(s, msDir)
+      // group-resolved channel grid: DATA_DESC_ID -> SPW -> (chan, freq)
+      val chans = broadcast(ms.dataDescription.get
+        .join(ms.spectralWindow,
+          col("SPECTRAL_WINDOW_ID") === col("spw_id"))
+        .select(col("ddid").as("c_ddid"),
+          posexplode(col("CHAN_FREQ")).as(Seq("chan", "freq")))
+        .select(col("c_ddid"), col("chan").cast("long").as("chan"),
+          col("freq")))
+      // per-field sky model (2 components each) — dyadic lm/flux
+      val srcs = broadcast(Seq(
+        (0, 0.015625, -0.0234375, 2.5),
+        (0, -0.0078125, 0.046875, 1.5),
+        (1, -0.01953125, 0.013671875, 1.25),
+        (1, 0.009765625, -0.005859375, 0.75))
+        .toDF("s_field", "l", "m", "flux"))
+      val main = ms.main.select(col("row_id"),
+        col("FIELD_ID").cast("int").as("field_id"),
+        col("DATA_DESC_ID").cast("int").as("ddid"),
+        element_at(col("UVW"), 1).as("u"),
+        element_at(col("UVW"), 2).as("v"),
+        element_at(col("UVW"), 3).as("w"))
+      val ph = graft.functions.Phase.realPhase(col("l"), col("m"),
+        col("u"), col("v"), col("w")) * col("freq")
+      main
+        .join(chans, col("ddid") === col("c_ddid"))
+        .join(srcs, col("field_id") === col("s_field"))
+        .groupBy("field_id", "ddid", "row_id", "chan")
+        .agg(Det.fsum(col("flux") * cos(ph)).as("vre"),
+          Det.fsum(col("flux") * sin(ph)).as("vim"))
+    })
+}

@@ -571,6 +571,38 @@ class PlanSpec extends AnyFunSuite {
       "grid still collected to the driver without the hint:\n" + ps)
   }
 
+  test("r18: a per-group MS read prunes partitions at the scan; the grouped predict is broadcast-only around one agg exchange") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // per-group read (the reference's group_cols=["FIELD_ID",
+    // "DATA_DESC_ID"] per-group dataset): selecting one group must touch
+    // only that group's files — at 100 TB this is reading 1/4 of the bytes
+    val msDir = graft.io.MsDataset.ensureMultiFixture(spark)
+    val ms = graft.io.MsDataset.read(spark, msDir)
+    val grp = ms.main.filter(col("FIELD_ID") === 1 && col("DATA_DESC_ID") === 0)
+    val scans = grp.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val meta = scans.head.metadata
+    assert(meta("PartitionFilters").contains("FIELD_ID"),
+      s"no FIELD_ID partition filter: $meta")
+    grp.collect() // execute so the pruned-partition metric is real
+    val readFiles = scans.head.metrics("numFiles").value
+    val allFiles = ms.main.inputFiles.length
+    assert(readFiles.toInt * 4 <= allFiles * 1 + 3,
+      s"read $readFiles of $allFiles files — partition pruning not engaged")
+
+    // the grouped predict itself: dimension joins broadcast, the only
+    // exchange is the (group, row, chan) source-sum aggregation
+    val p = planOf("r18_multifield_predict")
+    // 2 stream-side gathers + the dimension-internal dd⋈spw join(s) —
+    // all broadcast, none sort-merge
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()

@@ -27,13 +27,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SUBTABLES = ["ANTENNA", "SPECTRAL_WINDOW", "FIELD", "POLARIZATION"]
+SUBTABLES = ["ANTENNA", "SPECTRAL_WINDOW", "FIELD", "POLARIZATION",
+             "DATA_DESCRIPTION"]
 # per-subtable key column (casacore implicit row number, materialized)
 SUB_KEY = {
     "ANTENNA": "antenna_id",
     "SPECTRAL_WINDOW": "spw_id",
     "FIELD": "field_id",
     "POLARIZATION": "pol_id",
+    "DATA_DESCRIPTION": "ddid",
 }
 MAIN_COLS = ["TIME", "ANTENNA1", "ANTENNA2", "UVW", "FIELD_ID",
              "DATA_DESC_ID", "SCAN_NUMBER", "EXPOSURE", "FLAG_ROW"]
