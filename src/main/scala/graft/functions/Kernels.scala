@@ -67,6 +67,50 @@ object Kernels {
   def detaperDftSeparable(taps: Seq[(Int, Double)], x: Double): Double =
     taps.map { case (o, t) => t * math.cos(2.0 * math.Pi * o * x) }.sum
 
+  /** "Exponential of semicircle" (ES) gridding kernel — the modern
+    * wgridder kernel family ducc0/FINUFFT use (Barnett, Magland & af
+    * Klinteberg 2019; the `epsilon` knob of
+    * gridding/wgridder/vis2im.py:77-106 maps to the half-support `w`):
+    * k(x) = exp(β(√(1−(x/w)²) − 1)) on |x| < w, 0 outside. Closed-form
+    * (exp/sqrt only), so the FRACTIONAL-offset weight k(off − frac) is
+    * evaluable inside whole-stage codegen — no uv snap at all. */
+  def esKernel(w: Int, beta: Double, x: Double): Double =
+    if (math.abs(x) >= w) 0.0
+    else math.exp(beta * (math.sqrt(1.0 - (x / w) * (x / w)) - 1.0))
+
+  /** Continuous transform K̂(l) = ∫_{-w}^{w} k(x)·cos(2πxl) dx of the ES
+    * kernel — the detaper the fractional gridder divides by. The x = w·sin t
+    * substitution removes the edge √-singularity, making the integrand
+    * analytic and the midpoint rule spectrally convergent (n = 128 is
+    * ~machine-precision for any w ≤ 16). */
+  def esTransform(w: Int, beta: Double, l: Double, n: Int = 128): Double = {
+    val h = math.Pi / n // t ∈ [−π/2, π/2]
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      val t = -math.Pi / 2 + (j + 0.5) * h
+      val ct = math.cos(t)
+      s += math.exp(beta * (ct - 1.0)) *
+        math.cos(2.0 * math.Pi * w * l * math.sin(t)) * w * ct
+      j += 1
+    }
+    s * h
+  }
+
+  /** ducc0-style ε → (half-support, β) map for the ES kernel at our
+    * operating point (image extent ≪ Nyquist, so aliases sit a full cycle
+    * away — unlike FINUFFT's σ=2 tuning β≈2.3w, the measured optimum here
+    * is β ≈ 1.8πw). Measured worst-case relative aliasing error over all
+    * sub-cell fractions: w=2 → 1.9e-4, w=3 → 5.4e-7, w=4 → 1.5e-9 —
+    * about 2.6 digits per cell of support. */
+  def esBeta(w: Int): Double = 1.8 * math.Pi * w
+
+  def esSupportFor(eps: Double): (Int, Double) = {
+    val digits = -math.log10(eps)
+    val w = math.max(2, math.ceil((digits + 1.5) / 2.6).toInt)
+    (w, esBeta(w))
+  }
+
   /** Full 2-D DFT detaper over the outer-product kernel
     * (compute_detaper_dft, kernels.py:99-139): Re Σ_{o1,o2}
     * k(o1)k(o2)·e^{2πi(o1·x + o2·y)}. For a separable kernel this equals

@@ -78,6 +78,20 @@ object WStack {
                     nPlanes: Int, wMax: Double,
                     fsum: Column => Column,
                     r6: Column => Column): DataFrame = {
+    val dirty = dirtyPlanesSum(grids, px, nPlanes, wMax, fsum)
+    def taper(c: Column): Column = taps.map { case (off, tap) =>
+      lit(tap) * cos(lit(2.0 * math.Pi) * lit(off.toDouble) * c)
+    }.reduce(_ + _)
+    dirty.select(col("x"), col("y"), col("dirty"),
+      r6(col("dirty") / (taper(col("lx")) * taper(col("my")))).as("dirty_dt"))
+  }
+
+  /** The detaper-free plane sum of [[dirtyImageDft]]: sparse DFT of each
+    * plane's cells at the pixel set + per-plane image-domain w-correction
+    * + plane sum. Output: (x, y, lx, my, dirty). */
+  def dirtyPlanesSum(grids: DataFrame, px: DataFrame,
+                     nPlanes: Int, wMax: Double,
+                     fsum: Column => Column): DataFrame = {
     val spacing = 2.0 * wMax / (nPlanes - 1)
     val theta = lit(2.0 * math.Pi) * (col("gu") * col("lx") + col("gv") * col("my"))
     val pimg = grids.crossJoin(broadcast(px))
@@ -88,14 +102,57 @@ object WStack {
     val wp = lit(-wMax) + col("wplane").cast("double") * spacing
     val etam = -(col("lx") * col("lx") + col("my") * col("my")) / 2.0
     val ph = lit(2.0 * math.Pi) * wp * etam
-    val dirty = pimg
+    pimg
       .groupBy("x", "y", "lx", "my")
       .agg(fsum(col("img_re") * cos(ph) - col("img_im") * sin(ph)).as("dirty"))
-    def taper(c: Column): Column = taps.map { case (off, tap) =>
-      lit(tap) * cos(lit(2.0 * math.Pi) * lit(off.toDouble) * c)
-    }.reduce(_ + _)
-    dirty.select(col("x"), col("y"), col("dirty"),
-      r6(col("dirty") / (taper(col("lx")) * taper(col("my")))).as("dirty_dt"))
+  }
+
+  /** ES-kernel fractional-offset weight k(x) as a codegen'd expression
+    * (graft.functions.Kernels.esKernel's Column twin). */
+  def esWeight(x: Column, w: Int, beta: Double): Column =
+    when(abs(x) >= w, lit(0.0)).otherwise(
+      exp(lit(beta) *
+        (sqrt(greatest(lit(0.0), lit(1.0) - (x / w) * (x / w))) - lit(1.0))))
+
+  /** The ε-CONTROLLED grid: NO uv snap — each visibility at continuous
+    * cell coordinates (cu, cv) scatters onto the (2w+1)² surrounding cells
+    * with the ES kernel evaluated at the exact fractional offset
+    * k(off − frac), the ducc0/FINUFFT kernel-corrected scheme
+    * (gridding/wgridder/vis2im.py:77-106's epsilon knob ↦ half-support w,
+    * β ≈ 2.3·w; see Kernels.esSupportFor). Downstream, divide the image by
+    * Kernels.esTransform(w, β, ·) per axis instead of the discrete taper —
+    * WGridderAccuracySpec measures the resulting total error against the
+    * exact continuous DFT. Plan shape is identical to [[planeGrids]]: one
+    * (plane, cell)-keyed aggregation, broadcast offset dims, shuffle
+    * volume = occupied cells × planes.
+    *
+    * pts columns: cu, cv (continuous cell coords), w, re, im. */
+  def planeGridsFrac(pts: DataFrame, w: Int, beta: Double,
+                     nPlanes: Int, wMax: Double, eta: Double,
+                     fsum: Column => Column): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val (p, _, dw) = planeCols(col("w"), nPlanes, wMax)
+    val f = residualFactor(dw, eta)
+    val v = CxCol(col("re"), col("im")) * f
+    val offs = (-w to w).map(_.toLong)
+    val ti = broadcast(offs.toDF("oi"))
+    val tj = broadcast(offs.toDF("oj"))
+    val wt = esWeight(col("oi") - col("fru"), w, beta) *
+      esWeight(col("oj") - col("frv"), w, beta)
+    pts.withColumn("wplane", p)
+      .withColumn("cre", v.re).withColumn("cim", v.im)
+      .withColumn("pu", round(col("cu")).cast("long"))
+      .withColumn("pv", round(col("cv")).cast("long"))
+      .withColumn("fru", col("cu") - col("pu"))
+      .withColumn("frv", col("cv") - col("pv"))
+      .crossJoin(ti).crossJoin(tj)
+      .withColumn("gu", col("pu") + col("oi"))
+      .withColumn("gv", col("pv") + col("oj"))
+      .groupBy("wplane", "gu", "gv")
+      .agg(fsum(col("cre") * wt).as("g_re"),
+        fsum(col("cim") * wt).as("g_im"),
+        count(lit(1)).as("n_hits"))
   }
 
   /** Adjoint: sample each row's OWN w-plane grid with the stencil, then

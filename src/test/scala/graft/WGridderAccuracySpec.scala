@@ -101,4 +101,71 @@ class WGridderAccuracySpec extends AnyFunSuite {
     assert(errs(1)._2 < errs.head._2 && errs(2)._2 < errs(1)._2,
       s"w-term error must shrink with nPlanes: $errs")
   }
+
+  test("ES-kernel fractional gridder: TOTAL error vs the exact continuous DFT < 2e-4 at 8 planes; support is the epsilon knob") {
+    // the round-8 ε knob: no uv snap at all — visibilities scatter with
+    // the ES kernel at their exact fractional offset and the image divides
+    // by the kernel's continuous transform. Total error (w-term + kernel
+    // aliasing) replaces the old 1.2e-3 pixel-snap floor.
+    val dir = TestSpark.sf
+    val rows = uvwRows(spark, dir, 32)
+      .join(corrVis(spark, dir, 32), "row_id")
+      .select(col("row_id"), col("u"), col("v"), col("w"),
+        col("xx_re"), col("xx_im"))
+      .collect()
+      .map(r => (r.getDouble(1) * 25e-2, r.getDouble(2) * 25e-2,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val pix = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x, y, (x - 4) / 1024.0, (y - 4) / 1024.0)
+    val exCont = pix.map { case (x, y, lx, my) =>
+      val eta = -(lx * lx + my * my) / 2.0
+      var s = 0.0
+      for ((u, v, w, re, im) <- rows) {
+        val arg = 2.0 * math.Pi * (u * lx + v * my + w * eta)
+        s += re * math.cos(arg) - im * math.sin(arg)
+      }
+      (x, y) -> s
+    }.toMap
+    val scale = exCont.values.map(math.abs).max
+
+    def fracDirty(w: Int, beta: Double, nPlanes: Int): Map[(Int, Int), Double] = {
+      val p = uvwRows(spark, dir, 32)
+        .join(corrVis(spark, dir, 32), "row_id")
+        .select(col("row_id"), col("w"),
+          (col("u") * 25e-2).as("cu"), (col("v") * 25e-2).as("cv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      val grids = graft.operators.WStack.planeGridsFrac(p, w, beta,
+        nPlanes = nPlanes, wMax = 5.0, eta = 0.0,
+        fsum = c => Det.fsum(c, 1e9)).drop("n_hits")
+      val px = spark.createDataFrame(pix.map { case (x, y, lx, my) =>
+        (x.toLong, y.toLong, lx, my) })
+        .toDF("x", "y", "lx", "my")
+      graft.operators.WStack.dirtyPlanesSum(grids, px,
+        nPlanes = nPlanes, wMax = 5.0, fsum = c => Det.fsum(c, 1e9))
+        .collect()
+        .map { r =>
+          val lx = r.getAs[Double]("lx"); val my = r.getAs[Double]("my")
+          val dt = graft.functions.Kernels.esTransform(w, beta, lx) *
+            graft.functions.Kernels.esTransform(w, beta, my)
+          (r.getLong(0).toInt, r.getLong(1).toInt) ->
+            r.getAs[Double]("dirty") / dt
+        }.toMap
+    }
+
+    def err(m: Map[(Int, Int), Double]): Double =
+      pix.map { case (x, y, _, _) => math.abs(m((x, y)) - exCont((x, y))) }
+        .max / scale
+
+    // the support knob (ducc0's epsilon): each step must tighten until
+    // the w-term residual dominates. β = Kernels.esBeta (1.8πw — the
+    // measured optimum for aliases a full cycle out; see esSupportFor)
+    import graft.functions.Kernels.esBeta
+    val eW2 = err(fracDirty(2, esBeta(2), 8))
+    val eW3 = err(fracDirty(3, esBeta(3), 8))
+    info(f"ES-kernel total error at 8 planes: W=2 → $eW2%.2e, W=3 → $eW3%.2e " +
+      f"(old pixel-snap floor was ~1.2e-3)")
+    assert(eW3 < 2e-4, s"total error $eW3 misses the 2e-4 contract at 8 planes")
+    assert(eW3 <= eW2, s"support knob not monotone: W=2 → $eW2, W=3 → $eW3")
+  }
 }
