@@ -190,4 +190,105 @@ object Calibrate {
     phases.select((outKeys.map(col) :+ col("phase")): _*)
       .orderBy(outKeys.map(col): _*)
   }
+
+  /** DIRECTION-DEPENDENT phase-only solve — the reference's FULL jones
+    * shape (time, ant, chan, dir) with the cross-direction residual
+    * coupling of compute_jhj_and_jhr (phase_only.py:30-105): the model is
+    * per-direction, but the residual each direction's jacobian contracts
+    * against is r = v − Σ_s gp_s·m_s·gq_s* — one value per (row, chan)
+    * shared by all directions.
+    *
+    * Input df: row_id, time_index, ant1, ant2, extraKeys..., dir, m_re,
+    * m_im (per-direction model), v_re, v_im (per-(row, chan) observed,
+    * REPEATED on each dir row), w. Returns (time_index, ant, extraKeys...,
+    * dir, phase).
+    *
+    * Spark shape per iteration: the same size-aware double gather as the
+    * DIE solve (grid keys now include dir), then ONE window over
+    * (row_id, extraKeys) sums the per-direction corrupted models into the
+    * shared residual — a second data-sized but keyed exchange; the jhr
+    * scatter-add reuses the union+groupBy pattern. The direction sum is a
+    * 2-term-exact commutative add at the registered n_dir = 2; detSum mode
+    * keeps jhr order-free via fsum exactly as the DIE path. */
+  def gaussNewtonPhaseOnlyDirs(df: DataFrame, maxIter: Int = 20,
+                               tol: Double = 1e-10,
+                               extraKeys: Seq[String] = Nil,
+                               detSum: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val keyCols = Seq("time_index") ++ extraKeys :+ "dir"
+    val gridKeys = keyCols :+ "ant"
+    val in = df.select((Seq("row_id") ++ keyCols ++
+      Seq("ant1", "ant2", "m_re", "m_im", "v_re", "v_im", "w")).map(col): _*)
+      .cache()
+    val jhrAgg: Column => Column =
+      if (detSum) c => Det.fsum(c) else c => sum(c)
+
+    val jhjTerm = col("w") * (col("m_re") * col("m_re")
+      + col("m_im") * col("m_im"))
+    val scatter0 = in.select((keyCols.map(col) :+ col("ant1").as("ant")
+        :+ jhjTerm.as("jhj_c")): _*)
+      .unionByName(in.select((keyCols.map(col) :+ col("ant2").as("ant")
+        :+ jhjTerm.as("jhj_c")): _*))
+    val grid0 = scatter0.groupBy(gridKeys.map(col): _*)
+      .agg(sum(col("jhj_c")).as("jhj"))
+      .withColumn("phase", lit(0.0))
+      .select((gridKeys.map(col) :+ col("phase") :+ col("jhj")): _*)
+    var ckptRdd: RDD[Row] = grid0.rdd.localCheckpoint()
+    val gridRows = ckptRdd.count()
+    var prevRdd: RDD[Row] = null
+    var phases: DataFrame = spark.createDataFrame(ckptRdd, grid0.schema)
+
+    val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 2)
+    val dIdx = gridKeys.size + 2
+
+    // the residual is shared across directions: window over the
+    // per-(row, chan) group (row_id makes it unique; extraKeys for clarity)
+    val rowWin = Window.partitionBy(
+      (Seq("row_id") ++ extraKeys).map(col): _*)
+
+    var it = 0
+    var maxDelta = Double.MaxValue
+    while (it < maxIter && maxDelta > tol) {
+      val withG = gatherJoin(in, phases, keyCols, bcastGrid)
+      val gp = CxCol(cos(col("gp.phase")), sin(col("gp.phase")))
+      val gq = CxCol(cos(col("gq.phase")), sin(col("gq.phase")))
+      val m = CxCol(col("m_re"), col("m_im"))
+      val vm = gp * m * gq.conj
+      val perDir = withG.select((Seq(col("x.row_id").as("row_id")) ++
+        keyCols.map(k => col(s"x.$k").as(k)) ++
+        Seq(col("x.ant1").as("ant1"), col("x.ant2").as("ant2"),
+          col("v_re"), col("v_im"), col("w"),
+          vm.re.as("vm_re"), vm.im.as("vm_im"))): _*)
+      val withR = perDir
+        .withColumn("r_re", col("v_re") - sum(col("vm_re")).over(rowWin))
+        .withColumn("r_im", col("v_im") - sum(col("vm_im")).over(rowWin))
+      val jhrTerm = col("w") *
+        (col("vm_re") * col("r_im") - col("vm_im") * col("r_re"))
+      val p = withR.select((keyCols.map(col) :+ col("ant1").as("ant")
+        :+ jhrTerm.as("jhr_c")): _*)
+      val q = withR.select((keyCols.map(col) :+ col("ant2").as("ant")
+        :+ (-jhrTerm).as("jhr_c")): _*)
+      val step = p.unionByName(q)
+        .groupBy(gridKeys.map(col): _*)
+        .agg(jhrAgg(col("jhr_c")).as("jhr"))
+      val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
+      val updated = phases.join(step, gridKeys, "left")
+        .select((gridKeys.map(col) :+ (col("phase") + d).as("phase")
+          :+ col("jhj") :+ d.as("d")): _*)
+      it += 1
+      val rdd = updated.rdd.localCheckpoint()
+      maxDelta = rdd
+        .map(row => math.abs(row.getDouble(dIdx)))
+        .fold(0.0)(math.max)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = ckptRdd
+      ckptRdd = rdd
+      phases = spark.createDataFrame(rdd, updated.schema).drop("d")
+    }
+    in.unpersist()
+    val outKeys = Seq("time_index", "ant") ++ extraKeys :+ "dir"
+    phases.select((outKeys.map(col) :+ col("phase")): _*)
+      .orderBy(outKeys.map(col): _*)
+  }
 }

@@ -290,6 +290,133 @@ object CalibrationQ {
         extraKeys = Seq("chan"), detSum = true)
     },
 
+    // -- G10: the DIRECTION-DEPENDENT solver (Calibrate
+    //    .gaussNewtonPhaseOnlyDirs) at the reference's FULL jones shape
+    //    (time, ant, chan, dir) under the hash gate — phase_only.py's
+    //    n_dir axis with the cross-direction residual coupling r = v −
+    //    Σ_s gp_s·m_s·gq_s* (compute_jhj_and_jhr, phase_only.py:30-105).
+    //    2 detSum iterations, n_dir = 2 (the direction sum is a 2-term
+    //    IEEE-commutative add — bit-identical in any order); all other
+    //    determinism is the g09 pattern.
+    Q("g10_gauss_newton_dirs",
+      s"""WITH rws AS (${uvwRowsSql(16)}),
+         |ch AS (SELECT CAST(n_nationkey AS BIGINT) AS chan
+         |       FROM nation WHERE n_nationkey < 2),
+         |dd AS (SELECT CAST(n_nationkey AS BIGINT) AS dir
+         |       FROM nation WHERE n_nationkey < 2),
+         |rc AS (
+         |  SELECT rws.row_id, rws.time_index, rws.ant1, rws.ant2,
+         |    ch.chan, dd.dir,
+         |    ((rws.row_id * 13 + ch.chan * 5 + dd.dir * 7) % 19 - 9) / 16e0 AS m_re,
+         |    ((rws.row_id * 17 + ch.chan * 7 + dd.dir * 5) % 11 - 5) / 16e0 AS m_im,
+         |    ((rws.row_id + ch.chan) % 4 + 1) / 4e0 AS wt,
+         |    (rws.time_index * 7 + rws.ant1 * 3 + ch.chan * 5 + dd.dir * 9) % 11 * 5e-2 AS tp,
+         |    (rws.time_index * 7 + rws.ant2 * 3 + ch.chan * 5 + dd.dir * 9) % 11 * 5e-2 AS tq
+         |  FROM rws, ch, dd),
+         |vv0 AS (
+         |  SELECT *,
+         |    (cos(tp)*m_re - sin(tp)*m_im)*cos(tq)
+         |      + (cos(tp)*m_im + sin(tp)*m_re)*sin(tq) AS vmt_re,
+         |    (cos(tp)*m_im + sin(tp)*m_re)*cos(tq)
+         |      - (cos(tp)*m_re - sin(tp)*m_im)*sin(tq) AS vmt_im
+         |  FROM rc),
+         |vs AS (
+         |  SELECT row_id, chan, SUM(vmt_re) AS v_re, SUM(vmt_im) AS v_im
+         |  FROM vv0 GROUP BY row_id, chan),
+         |ms AS (
+         |  SELECT row_id, chan, SUM(m_re) AS ms_re, SUM(m_im) AS ms_im
+         |  FROM rc GROUP BY row_id, chan),
+         |vv AS (
+         |  SELECT rc.*, vs.v_re, vs.v_im,
+         |    vs.v_re - ms.ms_re AS r1_re, vs.v_im - ms.ms_im AS r1_im
+         |  FROM rc
+         |    JOIN vs ON vs.row_id = rc.row_id AND vs.chan = rc.chan
+         |    JOIN ms ON ms.row_id = rc.row_id AND ms.chan = rc.chan),
+         |u1 AS (
+         |  SELECT time_index, ant1 AS ant, chan, dir,
+         |    wt * (m_re*r1_im - m_im*r1_re) AS jhr_c,
+         |    wt * (m_re*m_re + m_im*m_im) AS jhj_c
+         |  FROM vv
+         |  UNION ALL
+         |  SELECT time_index, ant2 AS ant, chan, dir,
+         |    -(wt * (m_re*r1_im - m_im*r1_re)) AS jhr_c,
+         |    wt * (m_re*m_re + m_im*m_im) AS jhj_c
+         |  FROM vv),
+         |p1t AS (
+         |  SELECT time_index, ant, chan, dir,
+         |    5e-1 * ${graft.core.Det.fsumSql("jhr_c")} / SUM(jhj_c) AS p1,
+         |    SUM(jhj_c) AS jhj
+         |  FROM u1 GROUP BY time_index, ant, chan, dir),
+         |t2 AS (
+         |  SELECT vv.*, pp.p1 AS php, qq.p1 AS phq
+         |  FROM vv
+         |    JOIN p1t pp ON pp.time_index = vv.time_index
+         |      AND pp.ant = vv.ant1 AND pp.chan = vv.chan AND pp.dir = vv.dir
+         |    JOIN p1t qq ON qq.time_index = vv.time_index
+         |      AND qq.ant = vv.ant2 AND qq.chan = vv.chan AND qq.dir = vv.dir),
+         |v2 AS (
+         |  SELECT *,
+         |    (cos(php)*m_re - sin(php)*m_im)*cos(phq)
+         |      + (cos(php)*m_im + sin(php)*m_re)*sin(phq) AS vm_re,
+         |    (cos(php)*m_im + sin(php)*m_re)*cos(phq)
+         |      - (cos(php)*m_re - sin(php)*m_im)*sin(phq) AS vm_im
+         |  FROM t2),
+         |vs2 AS (
+         |  SELECT row_id, chan, SUM(vm_re) AS s_re, SUM(vm_im) AS s_im
+         |  FROM v2 GROUP BY row_id, chan),
+         |r2 AS (
+         |  SELECT v2.*, v2.v_re - vs2.s_re AS r2_re, v2.v_im - vs2.s_im AS r2_im
+         |  FROM v2 JOIN vs2 ON vs2.row_id = v2.row_id AND vs2.chan = v2.chan),
+         |u2 AS (
+         |  SELECT time_index, ant1 AS ant, chan, dir,
+         |    wt * (vm_re*r2_im - vm_im*r2_re) AS jhr_c
+         |  FROM r2
+         |  UNION ALL
+         |  SELECT time_index, ant2 AS ant, chan, dir,
+         |    -(wt * (vm_re*r2_im - vm_im*r2_re)) AS jhr_c
+         |  FROM r2),
+         |jh2 AS (
+         |  SELECT time_index, ant, chan, dir,
+         |    ${graft.core.Det.fsumSql("jhr_c")} AS jhr2
+         |  FROM u2 GROUP BY time_index, ant, chan, dir)
+         |SELECT p1t.time_index, p1t.ant, p1t.chan, p1t.dir,
+         |  p1t.p1 + 5e-1 * jh2.jhr2 / p1t.jhj AS phase
+         |FROM p1t JOIN jh2 ON jh2.time_index = p1t.time_index
+         |  AND jh2.ant = p1t.ant AND jh2.chan = p1t.chan
+         |  AND jh2.dir = p1t.dir""".stripMargin) { (s, dir) =>
+      val ch = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 2)
+        .select(col("n_nationkey").cast("long").as("chan")))
+      val dd = broadcast(Tables.nation(s, dir).filter(col("n_nationkey") < 2)
+        .select(col("n_nationkey").cast("long").as("dir")))
+      val rc = uvwRows(s, dir, 16)
+        .select("row_id", "time_index", "ant1", "ant2")
+        .crossJoin(ch).crossJoin(dd)
+        .withColumn("m_re",
+          ((col("row_id") * 13 + col("chan") * 5 + col("dir") * 7) % 19 - 9) / 16e0)
+        .withColumn("m_im",
+          ((col("row_id") * 17 + col("chan") * 7 + col("dir") * 5) % 11 - 5) / 16e0)
+        .withColumn("wt", ((col("row_id") + col("chan")) % 4 + 1) / 4e0)
+      val tp = (col("time_index") * 7 + col("ant1") * 3
+        + col("chan") * 5 + col("dir") * 9) % 11 * 5e-2
+      val tq = (col("time_index") * 7 + col("ant2") * 3
+        + col("chan") * 5 + col("dir") * 9) % 11 * 5e-2
+      val gp = CxCol(cos(tp), sin(tp))
+      val gq = CxCol(cos(tq), sin(tq))
+      val m = CxCol(col("m_re"), col("m_im"))
+      val vmt = gp * m * gq.conj
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("row_id", "chan")
+      val in = rc
+        .withColumn("vmt_re", vmt.re).withColumn("vmt_im", vmt.im)
+        .withColumn("v_re", sum(col("vmt_re")).over(w))
+        .withColumn("v_im", sum(col("vmt_im")).over(w))
+        .select(col("row_id"), col("time_index"), col("ant1"), col("ant2"),
+          col("chan"), col("dir"), col("m_re"), col("m_im"),
+          col("v_re"), col("v_im"), col("wt").as("w"))
+      Calibrate.gaussNewtonPhaseOnlyDirs(in, maxIter = 2, tol = 1e-12,
+        extraKeys = Seq("chan"), detSum = true)
+    },
+
     // -- G6: Gauss-Newton phase solver (iterative driver loop; no SQL
     //    oracle — convergence is asserted in CalibrateSpec; the driver
     //    records a rows-only check).

@@ -86,4 +86,56 @@ class CalibrateSpec extends AnyFunSuite {
     }.max
     assert(maxResid < 1e-6, s"max residual $maxResid")
   }
+
+  test("direction-dependent solve: 2-dir coupled residual converges to the observations") {
+    import spark.implicits._
+    // 3 times x 4 antennas x 1 chan x 2 dirs; v = sum_d gp_d m_d gq_d*
+    case class R(rowId: Long, t: Long, p: Long, q: Long, c: Long,
+                 m: Seq[(Double, Double)], v: (Double, Double))
+    val base = for {
+      t <- 0L until 3L
+      p <- 0L until 4L
+      q <- (p + 1) until 4L
+    } yield {
+      val rowId = t * 16 + p * 4 + q
+      val ms = (0 until 2).map { d =>
+        (1.0 + 0.25 * ((t + p + q + d) % 3),
+          0.25 * ((t + 2 * p + q + 2 * d) % 4) - 0.375)
+      }
+      val v = (0 until 2).map { d =>
+        val phiP = ((t * 7 + p * 3 + d * 9) % 11) * 0.02
+        val phiQ = ((t * 7 + q * 3 + d * 9) % 11) * 0.02
+        val (mRe, mIm) = ms(d)
+        val cs = math.cos(phiP - phiQ); val sn = math.sin(phiP - phiQ)
+        (mRe * cs - mIm * sn, mRe * sn + mIm * cs)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      R(rowId, t, p, q, 0L, ms, v)
+    }
+    val in = base.flatMap { r =>
+      (0 until 2).map { d =>
+        (r.rowId, r.t, r.p, r.q, r.c, d.toLong,
+          r.m(d)._1, r.m(d)._2, r.v._1, r.v._2, 1.0)
+      }
+    }.toDF("row_id", "time_index", "ant1", "ant2", "chan", "dir",
+      "m_re", "m_im", "v_re", "v_im", "w")
+    val solved = Calibrate.gaussNewtonPhaseOnlyDirs(in, maxIter = 120,
+        tol = 1e-14, extraKeys = Seq("chan"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)) -> r.getDouble(4))
+      .toMap
+    val maxResid = base.map { r =>
+      val fit = (0 until 2).map { d =>
+        val dd = solved((r.t, r.p, d.toLong)) - solved((r.t, r.q, d.toLong))
+        val cs = math.cos(dd); val sn = math.sin(dd)
+        val (mRe, mIm) = r.m(d)
+        (mRe * cs - mIm * sn, mRe * sn + mIm * cs)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      math.hypot(r.v._1 - fit._1, r.v._2 - fit._2)
+    }.max
+    // the direction coupling makes DD Gauss-Newton linearly convergent
+    // (~0.95/iter here; 250 iterations reach <1e-5) — assert at the
+    // reference's own default tolerance scale (gauss_newton tol=1e-4)
+    // to keep the suite fast
+    assert(maxResid < 5e-4, s"max DD residual $maxResid")
+  }
 }
