@@ -155,6 +155,42 @@ object WStack {
         count(lit(1)).as("n_hits"))
   }
 
+  /** ε-controlled adjoint: sample each row's w-plane grid with the ES
+    * kernel at the row's EXACT fractional offset — the degrid half of the
+    * kernel-corrected scheme ([[planeGridsFrac]]'s mirror; the image side
+    * must divide by Kernels.esTransform before the grid DFT, and then
+    * vis(u) = Σ_g k(u−g)·G(g) reconstructs the continuous-coordinate
+    * visibility to the kernel's aliasing ε — im2vis.py:16-183's epsilon).
+    * Output: (row_id, dg_re, dg_im). */
+  def planeDegridFrac(pts: DataFrame, grids: DataFrame,
+                      w: Int, beta: Double,
+                      nPlanes: Int, wMax: Double, eta: Double,
+                      fsum: Column => Column): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val (p, _, dw) = planeCols(col("w"), nPlanes, wMax)
+    val offs = (-w to w).map(_.toLong)
+    val ti = broadcast(offs.toDF("oi"))
+    val tj = broadcast(offs.toDF("oj"))
+    val wt = esWeight(col("oi") - col("fru"), w, beta) *
+      esWeight(col("oj") - col("frv"), w, beta)
+    val gathered = pts.withColumn("wplane", p).withColumn("dw", dw)
+      .withColumn("pu", round(col("cu")).cast("long"))
+      .withColumn("pv", round(col("cv")).cast("long"))
+      .withColumn("fru", col("cu") - col("pu"))
+      .withColumn("frv", col("cv") - col("pv"))
+      .crossJoin(ti).crossJoin(tj)
+      .withColumn("gu", col("pu") + col("oi"))
+      .withColumn("gv", col("pv") + col("oj"))
+      .join(grids, Seq("wplane", "gu", "gv"))
+      .groupBy("row_id", "dw")
+      .agg(fsum(col("g_re") * wt).as("s_re"),
+        fsum(col("g_im") * wt).as("s_im"))
+    val f = residualFactor(col("dw"), eta).conj
+    val v = CxCol(col("s_re"), col("s_im")) * f
+    gathered.select(col("row_id"), v.re.as("dg_re"), v.im.as("dg_im"))
+  }
+
   /** Adjoint: sample each row's OWN w-plane grid with the stencil, then
     * back-rotate by the residual-w phase conjugate — the degrid half of
     * the w-stacked round trip. The gather uses the same fixed-point sum

@@ -168,4 +168,63 @@ class WGridderAccuracySpec extends AnyFunSuite {
     assert(eW3 < 2e-4, s"total error $eW3 misses the 2e-4 contract at 8 planes")
     assert(eW3 <= eW2, s"support knob not monotone: W=2 → $eW2, W=3 → $eW3")
   }
+
+  test("ES-kernel fractional DEGRID: image -> continuous-coordinate vis matches the direct DFT") {
+    // the adjoint side of the ε contract (im2vis): detaper the image by
+    // K̂, DFT it onto the integer grid, then gather each visibility at its
+    // EXACT fractional offset with the ES kernel — the reconstructed vis
+    // must match the direct image DFT at the continuous coordinates to
+    // the kernel's aliasing ε (no w-term here: η = 0 isolates the kernel)
+    import graft.functions.Kernels
+    val dir = TestSpark.sf
+    val W = 3; val beta = Kernels.esBeta(W)
+    val pix = for (x <- 0 until 8; y <- 0 until 8)
+      yield ((x - 4) / 1024.0, (y - 4) / 1024.0,
+        ((x * 5 + y * 3) % 9 - 4) / 8.0) // dyadic image values
+    val vis = uvwRows(spark, dir, 32)
+      .select(col("row_id"), (col("u") * 25e-2).as("cu"),
+        (col("v") * 25e-2).as("cv"))
+      .filter(abs(col("cu")) <= 20 && abs(col("cv")) <= 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(vis.nonEmpty)
+
+    // dense grid of the detapered image over the needed cell range
+    val cells = for {
+      gu <- -(20 + W) to (20 + W); gv <- -(20 + W) to (20 + W)
+    } yield {
+      var re = 0.0; var im = 0.0
+      for ((lx, my, v) <- pix) {
+        val vd = v / (Kernels.esTransform(W, beta, lx) *
+          Kernels.esTransform(W, beta, my))
+        val arg = -2.0 * math.Pi * (gu * lx + gv * my)
+        re += vd * math.cos(arg); im += vd * math.sin(arg)
+      }
+      (1L, gu.toLong, gv.toLong, re, im) // plane index of w=0 at nPlanes=2
+    }
+    val grids = spark.createDataFrame(cells)
+      .toDF("wplane", "gu", "gv", "g_re", "g_im")
+    val pts = spark.createDataFrame(vis.map { case (id, cu, cv) =>
+      (id, cu, cv, 0.0) }).toDF("row_id", "cu", "cv", "w")
+    // nPlanes = 2 so the plane spacing is finite; w = 0 rows land on the
+    // wp = 0 plane (index 1) with dw = 0
+    val got = graft.operators.WStack.planeDegridFrac(pts, grids,
+        W, beta, nPlanes = 2, wMax = 1.0, eta = 0.0,
+        fsum = c => Det.fsum(c, 1e9))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = vis.map { case (id, cu, cv) =>
+      var re = 0.0; var im = 0.0
+      for ((lx, my, v) <- pix) {
+        val arg = -2.0 * math.Pi * (cu * lx + cv * my)
+        re += v * math.cos(arg); im += v * math.sin(arg)
+      }
+      id -> (re, im)
+    }.toMap
+    val scale = exact.values.map(p => math.hypot(p._1, p._2)).max
+    val err = vis.map { case (id, _, _) =>
+      math.hypot(got(id)._1 - exact(id)._1, got(id)._2 - exact(id)._2)
+    }.max / scale
+    info(f"ES-kernel degrid relative error at W=$W: $err%.2e")
+    assert(err < 2e-4, s"degrid error $err misses the 2e-4 contract")
+  }
 }
