@@ -48,6 +48,79 @@ object PredictPipeline {
       .agg(Det.fsum(spec * ph.re).as("vre"), Det.fsum(spec * ph.im).as("vim"))
   }
 
+  /** The flagship example WITH the beam (`predict.py -b`): MS dataset +
+    * WSClean sky model + MeqTrees FITS beam-cube schema → full 2×2
+    * MODEL_DATA. This is the reference's dde_factory wired end to end
+    * (rime/examples/predict.py:404-471):
+    *
+    *   POLARIZATION.CORR_TYPE → feed basis (linear/circular, the
+    *     dde_factory corr_type dispatch);
+    *   distinct TIME × ANTENNA.POSITION × FIELD.PHASE_DIR →
+    *     parallactic angles (the casa-convention chain, R4);
+    *   FITS beam cube → full-Jones E term (R7, trilinear + renorm);
+    *   DDE = E·L (beam times feed rotation — predict.py:471's einsum),
+    *     so V = E·L·B·Lᴴ·Eᴴ with the K phase on the pair.
+    *
+    * Scale shape: times/antennas/sources/channels are all dimension
+    * tables (the PA grid and staged beam blends are broadcast); the only
+    * data-sized relation is MAIN, and the one shuffle is the source-sum
+    * aggregation. The time-index ranking runs on the DISTINCT epochs —
+    * dimension-sized by definition, never on MAIN. */
+  def modelDataFullJones(spark: SparkSession, msDir: String,
+                         skyModelPath: String, beamSchema: String,
+                         lmZoom: Double = 2048.0,
+                         regenerateBeam: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.io.MsDataset
+    import graft.functions.ParAngles
+    import graft.rime.{FullBeamCubeTerm, RimeCompiler}
+    val ms = MsDataset.read(spark, msDir)
+    val (ra0, dec0) = MsDataset.phaseCentre(spark, ms)
+    // feed basis from CORR_TYPE, as dde_factory does (predict.py:409-428)
+    val corrType = ms.polarization
+      .map(_.select(col("CORR_TYPE")).head.getAs[scala.collection.Seq[Int]](0).toSeq)
+      .getOrElse(Seq(9, 10, 11, 12))
+    require(corrType.length == 4, "Need four correlations for DDEs")
+    val basis =
+      if (corrType.toSet.subsetOf(Set(5, 6, 7, 8))) "RR,RL,LR,LL"
+      else if (corrType.toSet.subsetOf(Set(9, 10, 11, 12))) "XX,XY,YX,YY"
+      else throw new IllegalArgumentException(
+        s"Cannot determine polarisation type from correlations $corrType")
+    // utime ranking — dimension-sized distinct epochs
+    val times = ms.main.select(col("TIME")).distinct()
+      .withColumn("time_index",
+        (row_number().over(Window.orderBy("TIME")) - 1).cast("long"))
+    val rows = ms.main
+      .join(broadcast(times), "TIME")
+      .select(col("row_id"),
+        element_at(col("UVW"), 1).as("u"),
+        element_at(col("UVW"), 2).as("v"),
+        element_at(col("UVW"), 3).as("w"),
+        col("time_index"),
+        col("ANTENNA1").cast("long").as("ant1"),
+        col("ANTENNA2").cast("long").as("ant2"))
+    // real parallactic angles from the MS geometry (predict.py:414)
+    val ants = ms.antenna.select(
+      col("antenna_id").cast("long").as("ant"),
+      element_at(col("POSITION"), 1).as("ax"),
+      element_at(col("POSITION"), 2).as("ay"),
+      element_at(col("POSITION"), 3).as("az"))
+    val pa = times.crossJoin(ants)
+      .select(col("time_index"), col("ant"),
+        Det.r6(ParAngles.casaPa(col("TIME"), col("ax"), col("ay"),
+          col("az"), lit(ra0), lit(dec0))).as("pa"))
+    RimeCompiler.registerTerm('E',
+      FullBeamCubeTerm(beamSchema, lmZoom, regenerate = regenerateBeam))
+    // src_id keys the beam-blend staging frame (model-sized window)
+    val src = WSCleanReader.read(spark, skyModelPath)
+      .select(col("ra"), col("dec"), col("flux").as("i"))
+      .withColumn("src_id",
+        (row_number().over(Window.orderBy("ra", "dec")) - 1).cast("long"))
+    RimeCompiler.plan(s"(Ep,Lp,Kpq,Bpq,Lq,Eq): [I] -> [$basis]",
+      src, rows, MsDataset.chans(ms), paDf = Some(pa),
+      phaseDir = Some((ra0, dec0)))
+  }
+
   /** dft/examples/predict_from_fits.py analogue: a FITS model IMAGE
     * (pure-JVM [[graft.io.Fits.read]]) becomes the component list — every
     * non-zero pixel is a point source at the (l, m) of its CRPIX/CRVAL/
