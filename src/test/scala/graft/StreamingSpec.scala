@@ -286,6 +286,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming time_and_channel averaging: the flag-consensus windowed agg matches batch (A7 streaming face)") {
+    // the reference's time+channel averaging as a LIVE ingest face: MS
+    // samples arrive as an event-time stream, the time-bin axis is a
+    // watermarked tumbling window, and the two-tier flag consensus
+    // (unflagged samples win; an all-flagged bin averages its flagged
+    // samples and stays flagged — time_and_channel_avg.py:75-120) is the
+    // SAME single conditional aggregation the a12 batch oracle proves,
+    // emitted in append mode as windows close. Split mid-window across
+    // micro-batches so windowed state must carry partial bins.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.AvgSample
+    def at(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    // two baselines x 4 chans x 2 time-bins; baseline (0,2) chan-bin 0 is
+    // ENTIRELY flagged in window 0 (consensus fallback branch)
+    val rows = for {
+      t <- 0L until 8L
+      (a1, a2) <- Seq((0L, 1L), (0L, 2L))
+      c <- 0L until 4L
+    } yield AvgSample(at(t), a1, a2, c,
+      ((t * 5 + c * 3 + a2) % 17 - 8) / 16.0,
+      ((t * 7 + c * 5 + a2) % 13 - 6) / 16.0,
+      ((t + c) % 4 + 1) / 4.0,
+      flg = (a2 == 2L && c < 2 && t < 4) || ((t + c) % 11 == 0))
+
+    def consensus(df: org.apache.spark.sql.DataFrame,
+                  winCol: org.apache.spark.sql.Column) = {
+      df.groupBy(winCol.as("win"), col("ant1"), col("ant2"),
+          (col("chan") / 2).cast("long").as("out_chan"))
+        .agg(
+          sum(when(!col("flg"), 1L).otherwise(0L)).as("n_ok"),
+          count(lit(1)).as("n_all"),
+          sum(when(!col("flg"), col("w"))).as("w_u"),
+          sum(when(col("flg"), col("w"))).as("w_f"),
+          sum(when(!col("flg"), col("w") * col("vre"))).as("re_u"),
+          sum(when(col("flg"), col("w") * col("vre"))).as("re_f"))
+        .select(col("win"), col("ant1"), col("ant2"), col("out_chan"),
+          when(col("n_ok") > 0, col("n_ok")).otherwise(col("n_all")).as("n_used"),
+          (col("n_ok") === 0).as("oflag"),
+          (when(col("n_ok") > 0, col("re_u")).otherwise(col("re_f")) /
+            when(col("n_ok") > 0, col("w_u")).otherwise(col("w_f"))).as("ore"))
+    }
+    val batch = consensus(rows.toDF(),
+        (unix_timestamp(col("ts")) / 4).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        (r.getLong(4), r.getBoolean(5), r.getDouble(6))).toMap
+
+    val ms = MemoryStream[AvgSample]
+    val streamed = consensus(
+      ms.toDS().toDF().withWatermark("ts", "2 seconds"),
+      window(col("ts"), "4 seconds"))
+      .select((unix_timestamp(col("win.start")) / 4).cast("long").as("wk"),
+        col("ant1"), col("ant2"), col("out_chan"),
+        col("n_used"), col("oflag"), col("ore"))
+    val q = streamed.writeStream.format("memory").queryName("tc_avg")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.partition(_.ts.getTime < 2000) // mid-window split
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      // advance the watermark past the last window so it flushes
+      ms.addData(AvgSample(at(100L), 9L, 9L, 0L, 0.0, 0.0, 1.0, flg = false))
+      q.processAllAvailable()
+      val got = spark.table("tc_avg").collect()
+        .filter(_.getLong(1) != 9L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+          (r.getLong(4), r.getBoolean(5), r.getDouble(6))).toMap
+      assert(got === batch,
+        s"streaming consensus diverges: ${got.size} vs ${batch.size} groups")
+    } finally q.stop()
+  }
+
   test("stateful sessions survive across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -760,3 +836,9 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Flattened MS sample for the A7 streaming-face test (package level so
+  * spark.implicits can derive its encoder). */
+case class AvgSample(ts: java.sql.Timestamp, ant1: Long, ant2: Long,
+                     chan: Long, vre: Double, vim: Double, w: Double,
+                     flg: Boolean)
