@@ -134,29 +134,28 @@ object FusedRime {
          |  ${fsumSql(s"(CASE WHEN log_poly THEN $specLogSql ELSE $specOrdSql END) * cos($phaseSql)")} AS vre,
          |  ${fsumSql(s"(CASE WHEN log_poly THEN $specLogSql ELSE $specOrdSql END) * sin($phaseSql)")} AS vim
          |FROM rws, src, ch GROUP BY row_id, chan""".stripMargin) { (s, dir) =>
-      // the sky model rides in as ONE array Literal (typedLit), not a
-      // string-built expression tree — a few thousand components stay a
-      // single constant in the plan, broadcast with the task binary
-      val srcLits = sources(s, dir, 5).collect().map { r =>
-        SrcLit(r.getAs[Double]("l"), r.getAs[Double]("m"),
+      // the sky model rides in as ONE flat constant (the fused-projection
+      // design: a few thousand components broadcast with the task binary,
+      // never crossJoined) — contracted by the CODEGEN'D RimeSourceSum
+      // expression. The earlier aggregate()-lambda formulation computed
+      // the identical longs but ran interpreted, which at the 10× replica
+      // was ~7 s of pure lambda-eval overhead; the expression transcribes
+      // the same operation tree (oracle unchanged, FusedProjectionSpec
+      // pins expression ≡ lambda bit-for-bit).
+      val flatModel = sources(s, dir, 5).collect().flatMap { r =>
+        Seq(r.getAs[Double]("l"), r.getAs[Double]("m"),
           r.getAs[Double]("flux"), r.getAs[Double]("spi0"),
           r.getAs[Double]("spi1"), r.getAs[Double]("ref_freq"),
-          r.getAs[Boolean]("log_poly"))
-      }.toSeq
-      val ph = "(-2 * pi() / 299792458D) * (u*s.l + v*s.m + " +
-        "w*(sqrt(greatest(0D, 1D - s.l*s.l - s.m*s.m)) - 1D)) * freq"
-      val spec = "(CASE WHEN s.lp THEN s.flux * exp(s.spi0 * ln(freq/s.rf) " +
-        "+ s.spi1 * (ln(freq/s.rf)*ln(freq/s.rf))) " +
-        "ELSE s.flux + s.spi0 * (freq/s.rf - 1D) " +
-        "+ s.spi1 * ((freq/s.rf - 1D)*(freq/s.rf - 1D)) END)"
-      def fusedSum(trig: String) = expr(
-        s"""aggregate(srcarr, 0L, (acc, s) ->
-           |  acc + CAST(ROUND(($spec * $trig($ph)) * 1e6) AS BIGINT)) / 1e6""".stripMargin)
+          if (r.getAs[Boolean]("log_poly")) 1.0 else 0.0)
+      }.toIndexedSeq
+      graft.expr.GraftFunctions.register(s)
+      def fusedSum(sine: Boolean) = call_function("rime_source_sum",
+        col("u"), col("v"), col("w"), col("freq"),
+        typedLit(flatModel), lit(sine)) / 1e6
       uvwRows(s, dir, 16)
         .crossJoin(broadcast(channels(s, dir, 8)))
-        .withColumn("srcarr", typedLit(srcLits))
         .select(col("row_id"), col("chan"),
-          fusedSum("cos").as("vre"), fusedSum("sin").as("vim"))
+          fusedSum(sine = false).as("vre"), fusedSum(sine = true).as("vim"))
     },
 
     // -- G and L COMBINED in spec order (the round-1 compiler rejected

@@ -45,8 +45,9 @@ class AuditSpec extends AnyFunSuite {
     "e12_pca_project" -> (0, 4), // same chain minus one iterate
     "f14_cell_size" -> (0, 1), // 1-row uv-extent reduction
     "i02_restore" -> (0, 1), // model-sized beam-fit scalar
-    "s19_kmv_setops" -> (2, 1), // 64-value sketch set-ops on 1 row
-    "x04_fused_projection" -> (1, 0)) // generate over the 4-corr array
+    "s19_kmv_setops" -> (2, 1)) // 64-value sketch set-ops on 1 row
+    // x04's interpreted aggregate() lambda retired round 8: the fused
+    // projection now contracts through the codegen'd rime_source_sum
 
   test("registry-wide audit: no unreviewed interpreted nodes, funnels, or oversized methods") {
     // fresh session: the audit needs AQE off (AdaptiveSparkPlan hides
