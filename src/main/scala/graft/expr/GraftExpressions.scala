@@ -819,6 +819,14 @@ object GraftFunctions {
         val sine = args(5).eval().asInstanceOf[Boolean]
         RimeSourceSum(args(0), args(1), args(2), args(3), model, sine)
       }),
+    (FunctionIdentifier("chan_bin_avg"),
+      new ExpressionInfo(classOf[ChanBinAvg].getName, "chan_bin_avg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5 && args(4).foldable,
+          "chan_bin_avg(vis, wspec, flag, w_row, binSizeLit)")
+        ChanBinAvg(args(0), args(1), args(2), args(3),
+          args(4).eval().asInstanceOf[Number].intValue)
+      }),
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (args: Seq[Expression]) => RollingFingerprint(args.head)),
@@ -956,6 +964,104 @@ object RimeSourceSum {
       i += 7
     }
     acc
+  }
+}
+
+/** A6's in-row channel binning as a CODEGEN'D expression — the two-tier
+  * flag consensus fold of a11 (unflagged samples win; an all-flagged bin
+  * averages its flagged samples and stays flagged) over the (vis, wspec,
+  * flag) arrays with the spectrum▸row▸natural weight hierarchy, one bin
+  * struct per `binSize` channels. Replaces the interpreted aggregate()
+  * lambda (slice + fold per bin) with a single static JIT'd pass; the
+  * accumulation order and expressions transcribe the lambda exactly, and
+  * the registered inputs are dyadic so every partial sum is IEEE-exact —
+  * the a11 oracle is unchanged. Output per bin:
+  * (n_used, oflag, wsum, ore, oim). */
+case class ChanBinAvg(vis: Expression, wspec: Expression, flag: Expression,
+                      wRow: Expression, binSize: Int)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(vis, wspec, flag, wRow)
+  override def nullable: Boolean = false
+  override def prettyName: String = "chan_bin_avg"
+  override def dataType: DataType = ArrayType(ChanBinAvg.BinType,
+    containsNull = false)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vis.eval(input).asInstanceOf[ArrayData]
+    val ws = wspec.eval(input).asInstanceOf[ArrayData]
+    val fl = flag.eval(input).asInstanceOf[ArrayData]
+    val wr = wRow.eval(input) // nullable: the row-weight fallback tier
+    ChanBinAvg.compute(v, ws, fl,
+      wr != null, if (wr == null) 0.0 else wr.asInstanceOf[Double], binSize)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val vc = vis.genCode(ctx); val wc = wspec.genCode(ctx)
+    val fc = flag.genCode(ctx); val rc = wRow.genCode(ctx)
+    val resultCode =
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.expr.ChanBinAvg.compute(${vc.value}, ${wc.value},
+         |    ${fc.value}, !${rc.isNull}, ${rc.isNull} ? 0.0 : ${rc.value},
+         |    $binSize);""".stripMargin
+    ev.copy(code =
+      code"""${vc.code}
+            |${wc.code}
+            |${fc.code}
+            |${rc.code}
+            |$resultCode""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ChanBinAvg =
+    copy(vis = c(0), wspec = c(1), flag = c(2), wRow = c(3))
+}
+
+object ChanBinAvg {
+  val BinType: StructType = StructType(Seq(
+    StructField("n_used", LongType, nullable = false),
+    StructField("oflag", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("wsum", DoubleType, nullable = false),
+    StructField("ore", DoubleType, nullable = false),
+    StructField("oim", DoubleType, nullable = false)))
+
+  def compute(vis: ArrayData, wspec: ArrayData, flag: ArrayData,
+              hasWRow: Boolean, wRow: Double, binSize: Int): ArrayData = {
+    val nChan = vis.numElements()
+    val nBin = nChan / binSize
+    val out = new Array[Any](nBin)
+    var b = 0
+    while (b < nBin) {
+      var nOk = 0L
+      var wU = 0.0; var reU = 0.0; var imU = 0.0
+      var wF = 0.0; var reF = 0.0; var imF = 0.0
+      var j = b * binSize
+      val end = j + binSize
+      while (j < end) {
+        val fl = flag.getBoolean(j)
+        // coalesce(wspec[j], w_row, 1.0) — the weight hierarchy
+        val w =
+          if (!wspec.isNullAt(j)) wspec.getDouble(j)
+          else if (hasWRow) wRow
+          else 1.0
+        val s = vis.getStruct(j, 2)
+        val re = s.getDouble(0); val im = s.getDouble(1)
+        if (fl) { wF += w; reF += w * re; imF += w * im }
+        else { nOk += 1L; wU += w; reU += w * re; imU += w * im }
+        j += 1
+      }
+      val ok = nOk > 0L
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(
+        if (ok) nOk else binSize.toLong,
+        !ok,
+        if (ok) wU else wF,
+        if (ok) reU / wU else reF / wF,
+        if (ok) imU / wU else imF / wF)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

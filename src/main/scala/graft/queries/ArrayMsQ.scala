@@ -104,36 +104,17 @@ object ArrayMsQ {
          |  SUM(CASE WHEN flg = (n_ok = 0) THEN w * vim ELSE 0e0 END)
          |    / SUM(CASE WHEN flg = (n_ok = 0) THEN w ELSE 0e0 END) AS oim
          |FROM b GROUP BY row_id, out_chan, n_ok = 0""".stripMargin) { (s, dir) =>
-      val nBin = NChan / 2
-      // ONE array walk per row: each bin folds its channels once into a
-      // struct of flagged/unflagged partial sums, finished into the output
-      // struct in the same aggregate. (The earlier formulation built six
-      // dependent HOF columns — CollapseProject inlined the `sel` index
-      // arrays into every consumer and the interpreted lambdas re-walked
-      // the bin up to ~20×, which made this zero-shuffle projection one of
-      // the slowest bench queries.) Dyadic inputs keep every 2-term sum
-      // exact, so the oracle is unchanged.
-      val bins =
-        s"""transform(sequence(0, ${nBin - 1}), b ->
-           |  aggregate(slice(arrays_zip(vis, wspec, flag), 2*b + 1, 2),
-           |    named_struct('n_ok', 0L, 'w_u', 0e0, 're_u', 0e0, 'im_u', 0e0,
-           |                 'w_f', 0e0, 're_f', 0e0, 'im_f', 0e0),
-           |    (a, e) -> named_struct(
-           |      'n_ok', a.n_ok + if(e.flag, 0L, 1L),
-           |      'w_u',  a.w_u  + if(e.flag, 0e0, coalesce(e.wspec, w_row, 1e0)),
-           |      're_u', a.re_u + if(e.flag, 0e0, coalesce(e.wspec, w_row, 1e0) * e.vis.re),
-           |      'im_u', a.im_u + if(e.flag, 0e0, coalesce(e.wspec, w_row, 1e0) * e.vis.im),
-           |      'w_f',  a.w_f  + if(e.flag, coalesce(e.wspec, w_row, 1e0), 0e0),
-           |      're_f', a.re_f + if(e.flag, coalesce(e.wspec, w_row, 1e0) * e.vis.re, 0e0),
-           |      'im_f', a.im_f + if(e.flag, coalesce(e.wspec, w_row, 1e0) * e.vis.im, 0e0)),
-           |    a -> named_struct(
-           |      'n_used', if(a.n_ok > 0, a.n_ok, 2L),
-           |      'oflag',  a.n_ok = 0,
-           |      'wsum',   if(a.n_ok > 0, a.w_u, a.w_f),
-           |      'ore',    if(a.n_ok > 0, a.re_u / a.w_u, a.re_f / a.w_f),
-           |      'oim',    if(a.n_ok > 0, a.im_u / a.w_u, a.im_f / a.w_f))))""".stripMargin
+      // ONE array walk per row through the CODEGEN'D chan_bin_avg
+      // expression (expr/GraftExpressions.scala ChanBinAvg) — the same
+      // two-tier consensus fold the earlier aggregate() lambda computed
+      // (ChanBinAvgSpec pins them bit-for-bit), minus its interpretation
+      // overhead, which at the 10× replica was ~3 s of lambda eval on
+      // this zero-shuffle projection. Dyadic inputs keep every partial
+      // sum exact, so the oracle is unchanged.
+      graft.expr.GraftFunctions.register(s)
       msArray(s, dir)
-        .select(col("row_id"), posexplode(expr(bins)))
+        .select(col("row_id"), posexplode(call_function("chan_bin_avg",
+          col("vis"), col("wspec"), col("flag"), col("w_row"), lit(2))))
         .select(col("row_id"), col("pos").cast("long").as("out_chan"),
           col("col.n_used").as("n_used"), col("col.oflag").as("oflag"),
           col("col.wsum").as("wsum"), col("col.ore").as("ore"),
