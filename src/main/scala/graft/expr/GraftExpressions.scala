@@ -440,6 +440,189 @@ object WordGrams {
   }
 }
 
+/** Membership-count of single-space-delimited tokens — the codegen'd
+  * replacement for `size(filter(split(text, ' '), t -> t = 'a' OR ...))`
+  * in the quality-classifier features (t31/t41). The `filter` HOF has no
+  * doGenCode, so that one stop-token count kept the whole per-document
+  * feature Project interpreted AND allocated the full token array per
+  * row. Token semantics mirror `split(text, ' ')` with Java's limit=-1
+  * exactly: boundaries at every single 0x20 byte (safe to scan bytewise —
+  * UTF-8 continuation bytes have the high bit set), empty tokens kept
+  * (they never match a non-empty candidate). Counts tokens byte-equal to
+  * ANY element of the candidate array; no allocation in the loop.
+  * `TokenCtSpec` pins equality with the HOF expression over the real
+  * corpus and an edge grid (multi-space, ends, unicode, empty). */
+case class TokenCtIn(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "token_ct_in"
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(StringType))
+
+  override protected def nullSafeEval(text: Any, set: Any): Any =
+    TokenCtIn.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      set.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.expr.TokenCtIn.compute($t, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenCtIn =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenCtIn {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      set: ArrayData): Int = {
+    val n = text.numBytes()
+    val k = set.numElements()
+    var count = 0
+    var s = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20) {
+        val len = i - s
+        var j = 0
+        var matched = false
+        while (j < k && !matched) {
+          val c = set.getUTF8String(j)
+          if (c.numBytes() == len) {
+            var b = 0
+            var eq = true
+            while (b < len && eq) {
+              if (text.getByte(s + b) != c.getByte(b)) eq = false
+              b += 1
+            }
+            if (eq) { count += 1; matched = true }
+          }
+          j += 1
+        }
+        s = i + 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+/** Single-pass "split, drop prefixed parts, re-join" — the codegen'd
+  * replacement for `array_join(filter(split(q, '&'), x -> NOT x LIKE
+  * 'utm_%'), '&')` in URL canonicalisation (t46). The `filter` HOF has no
+  * doGenCode, so the one tracking-param drop kept the whole per-URL
+  * canonicalisation Project interpreted and materialised the split array
+  * per row; this walks the bytes once and copies kept parts straight into
+  * the output buffer (≤ input size, no intermediate array). The delimiter
+  * must be a single-byte literal (enforced at registration), which makes
+  * the bytewise scan UTF-8-safe: continuation bytes have the high bit
+  * set, so an ASCII delimiter never splits a multibyte char. Part
+  * semantics mirror `split(text, delim)` with Java's limit=-1 (empty
+  * parts kept — an empty part never has the prefix, so it is kept);
+  * prefix-match is bytewise startsWith, the LIKE 'p%' special case for a
+  * wildcard-free p. `GraftExpressionsSpec` pins equality with the HOF
+  * form over the generated URL corpus and an edge grid. */
+case class DropPrefixed(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "drop_prefixed"
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
+
+  override protected def nullSafeEval(text: Any, delim: Any, prefix: Any): Any =
+    DropPrefixed.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      delim.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      prefix.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d, p) =>
+      s"${ev.value} = graft.expr.DropPrefixed.compute($t, $d, $p);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): DropPrefixed =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object DropPrefixed {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      delim: org.apache.spark.unsafe.types.UTF8String,
+      prefix: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val n = text.numBytes()
+    val d = delim.getByte(0)
+    val pn = prefix.numBytes()
+    val out = new Array[Byte](n)
+    var oi = 0
+    var first = true
+    var s = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == d) {
+        val len = i - s
+        var drop = len >= pn
+        if (drop) {
+          var b = 0
+          while (b < pn && drop) {
+            if (text.getByte(s + b) != prefix.getByte(b)) drop = false
+            b += 1
+          }
+        }
+        if (!drop) {
+          if (!first) { out(oi) = d; oi += 1 }
+          var b = 0
+          while (b < len) { out(oi) = text.getByte(s + b); oi += 1; b += 1 }
+          first = false
+        }
+        s = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, oi)
+  }
+}
+
+/** Σ ceil(numChars/k) over a string array — the codegen'd replacement for
+  * `aggregate(words, 0L, (a, w) -> a + CAST(CEIL(length(w) / Ke0) AS
+  * BIGINT))`, the BPE-ish subword estimate of t18. The `aggregate` HOF
+  * has no doGenCode; this is one JIT'd loop. The per-element computation
+  * reproduces the lambda's arithmetic VERBATIM (double divide +
+  * Math.ceil + truncating long cast, char count not byte count) so the
+  * result is bit-identical for every k, not just the exact-power-of-two
+  * divisions. Empty array → 0 (the lambda's zero seed); null → null. */
+case class SubwordSum(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_sum"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), org.apache.spark.sql.types.IntegerType)
+
+  override protected def nullSafeEval(arr: Any, k: Any): Any =
+    SubwordSum.compute(arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.expr.SubwordSum.compute($a, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object SubwordSum {
+  def compute(a: ArrayData, k: Int): Long = {
+    val n = a.numElements()
+    val kd = k.toDouble
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += Math.ceil(a.getUTF8String(i).numChars() / kd).toLong
+      i += 1
+    }
+    sum
+  }
+}
+
 /** Embedding quantization `array<float> -> array<long>` — the codegen'd
   * replacement for `transform(embedding, x -> CAST(ROUND(CAST(x AS
   * DOUBLE) * scale) AS BIGINT))`. Higher-order functions have no
@@ -845,6 +1028,24 @@ object GraftFunctions {
     (FunctionIdentifier("word_grams"),
       new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
       (args: Seq[Expression]) => WordGrams(args.head, args(1))),
+    (FunctionIdentifier("token_ct_in"),
+      new ExpressionInfo(classOf[TokenCtIn].getName, "token_ct_in"),
+      (args: Seq[Expression]) => TokenCtIn(args.head, args(1))),
+    (FunctionIdentifier("drop_prefixed"),
+      new ExpressionInfo(classOf[DropPrefixed].getName, "drop_prefixed"),
+      (args: Seq[Expression]) => {
+        // the bytewise scan is only UTF-8-safe for a 1-byte delimiter
+        require(args.length == 3 && args(1).foldable,
+          "drop_prefixed(text, delimLit, prefix) requires a literal delimiter")
+        val d = args(1).eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        require(d != null && d.numBytes() == 1,
+          "drop_prefixed delimiter must be exactly one ASCII byte")
+        DropPrefixed(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("subword_sum"),
+      new ExpressionInfo(classOf[SubwordSum].getName, "subword_sum"),
+      (args: Seq[Expression]) => SubwordSum(args.head, args(1))),
     (FunctionIdentifier("qquant"),
       new ExpressionInfo(classOf[QQuant].getName, "qquant"),
       (args: Seq[Expression]) => QQuant(args.head, args(1))),

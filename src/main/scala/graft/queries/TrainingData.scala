@@ -1718,6 +1718,7 @@ object TrainingData {
         |  CAST(COALESCE(list_sum(list_transform(words,
         |    w -> CAST(CEIL(length(w) / 4e0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM g""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .select(col("doc_id"),
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("words"),
@@ -1725,8 +1726,9 @@ object TrainingData {
         .select(col("doc_id"),
           size(col("words")).cast("long").as("n_words"),
           size(col("nums")).cast("long").as("n_nums"),
-          expr("aggregate(words, 0L, (a, w) -> a + CAST(CEIL(length(w) / 4e0) AS BIGINT))")
-            .as("n_subwords"))
+          // codegen'd ≡ aggregate(words, 0L,
+          //   (a, w) -> a + CAST(CEIL(length(w) / 4e0) AS BIGINT))
+          expr("subword_sum(words, 4)").as("n_subwords"))
     },
 
     // -- per-label centroids (embedding aggregation): partial+final avg of
@@ -2428,13 +2430,16 @@ object TrainingData {
          |  ${Det.r6Sql(s"1e0 / (1e0 + exp(-($zr)))")} >= 5e-1 AS keep
          |FROM f""".stripMargin
     }) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val f = Tables.documents(s, dir).filter(length(col("text")) > 0)
         .select(col("doc_id"),
           expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
           expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)")
             .as("n_typ"),
-          expr("CAST(size(filter(split(text, ' '), " +
-            "t -> t = 'a' OR t = 'the')) AS BIGINT)").as("n_stop"))
+          // codegen'd stop-token count ≡ size(filter(split(text,' '),
+          // t -> t='a' OR t='the')) — TokenCtSpec pins the equality
+          expr("CAST(token_ct_in(text, array('a', 'the')) AS BIGINT)")
+            .as("n_stop"))
       val z = ((col("n_tok").cast("double") / 1024e0
         + lit(2e0) * (col("n_typ").cast("double") / col("n_tok").cast("double")))
         - lit(15e-1) * (col("n_stop").cast("double") / col("n_tok").cast("double"))) - 1e0
@@ -2509,13 +2514,14 @@ object TrainingData {
          |                     ORDER BY prob DESC, doc_id) = 1 AS keep
          |FROM p""".stripMargin
     }) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val f = Tables.documents(s, dir).filter(length(col("text")) > 0)
         .select(col("doc_id"), md5(col("text")).as("grp"),
           expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
           expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)")
             .as("n_typ"),
-          expr("CAST(size(filter(split(text, ' '), " +
-            "t -> t = 'a' OR t = 'the')) AS BIGINT)").as("n_stop"))
+          expr("CAST(token_ct_in(text, array('a', 'the')) AS BIGINT)")
+            .as("n_stop"))
       val z = ((col("n_tok").cast("double") / 1024e0
         + lit(2e0) * (col("n_typ").cast("double") / col("n_tok").cast("double")))
         - lit(15e-1) * (col("n_stop").cast("double") / col("n_tok").cast("double"))) - 1e0
@@ -3174,6 +3180,7 @@ object TrainingData {
         |SELECT doc_id, canon, host,
         |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_same
         |FROM cp""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
       val u = Tables.documents(s, dir).select(col("doc_id"),
         concat(
           when(col("doc_id") % 3 === 0, "HTTPS").otherwise("https"),
@@ -3196,7 +3203,9 @@ object TrainingData {
           expr("replace(lower(element_at(split(base, '/'), 3)), ':443', '')"),
           lit("/"), expr("element_at(split(base, '/'), 4)"),
           lit("/"), expr("element_at(split(base, '/'), 5)"), lit("?"),
-          expr("array_join(filter(split(q, '&'), x -> NOT (x LIKE 'utm_%')), '&')"))
+          // codegen'd ≡ array_join(filter(split(q, '&'),
+          //   x -> NOT (x LIKE 'utm_%')), '&')
+          expr("drop_prefixed(q, '&', 'utm_')"))
           .as("canon"))
       cp.select(col("doc_id"), col("canon"), col("host"),
         count(lit(1)).over(Window.partitionBy("canon")).as("n_same"))

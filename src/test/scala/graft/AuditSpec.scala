@@ -33,17 +33,19 @@ class AuditSpec extends AnyFunSuite {
     // the unrolled-literal alternative generated a 19 KB method (worse)
     "a18_array_full_corr" -> (2, 0),
     "t16_bm25" -> (0, 1), // corpus-constant (avgdl) scalar merge
-    "t18_regex_tokens" -> (1, 0), // regex token explode (no codegen for RLIKE gen)
+    // t18's interpreted subword aggregate() retired round 8 (codegen'd
+    // subword_sum)
     "t19_decontamination" -> (0, 1), // bloom-sketch build: one bounded bitset merge
     "t23_source_mix" -> (0, 1), // 20-row mixing rollup
-    "t31_quality_score" -> (1, 0), // sigmoid projection over per-doc features
+    // t31/t41's interpreted stop-token filter HOF retired round 8
+    // (codegen'd token_ct_in)
     "t35_minhash_recall" -> (0, 3), // 1-row recall summary joins
     "t36_token_budget" -> (0, 1), // 20-row budget rollup
     "t37_prefix_join" -> (0, 1), // global df cap scalar
-    "t41_keep_best" -> (1, 0), // quality-window projection
     "t43_dup_triangles" -> (0, 2), // 1-row triangle count merges
     "t45_hash_split" -> (0, 1), // 3-row split summary
-    "t46_url_canonical" -> (1, 0), // string-surgery projection (parse_url class)
+    // t46's interpreted tracking-param filter HOF retired round 8
+    // (codegen'd drop_prefixed)
     "e11_pca_power" -> (0, 5), // d²-bounded scatter + 1-row max-abs merges
     "e12_pca_project" -> (0, 4), // same chain minus one iterate
     "f14_cell_size" -> (0, 1), // 1-row uv-extent reduction

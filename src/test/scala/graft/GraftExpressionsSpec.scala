@@ -37,6 +37,91 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) === 0.0)
   }
 
+  test("token_ct_in ≡ size(filter(split(text,' '), stop-token lambda)) on corpus + edges") {
+    // the real corpus: every document must agree exactly
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .createOrReplaceTempView("tci_docs")
+    val corpusDiff = spark.sql(
+      """SELECT count(*) AS n FROM tci_docs
+        |WHERE token_ct_in(text, array('a', 'the'))
+        |   <> size(filter(split(text, ' '), t -> t = 'a' OR t = 'the'))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(corpusDiff === 0L)
+    // edge grid: multi-space (empty tokens), candidates at ends, unicode
+    // multibyte neighbours, candidate-as-substring ('a' in 'cat'), empty
+    // string, trailing space (Java split limit=-1 keeps the empty tail)
+    val edges = Seq(
+      "a the a", "  a  the  ", "the", "a", "", " ", "cat hat the", "athe thea",
+      "üa a ü the é", "a  the", "the a the a the", "word a", "a word", "aa thee")
+    import spark.implicits._
+    edges.toDF("text").createOrReplaceTempView("tci_edges")
+    val rows = spark.sql(
+      """SELECT token_ct_in(text, array('a', 'the')) AS fast,
+        |  size(filter(split(text, ' '), t -> t = 'a' OR t = 'the')) AS ref
+        |FROM tci_edges""".stripMargin).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // null text propagates; empty candidate set counts nothing
+    assert(spark.sql("SELECT token_ct_in(CAST(NULL AS STRING), array('a'))")
+      .collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT token_ct_in('a b', CAST(array() AS ARRAY<STRING>))")
+      .collect()(0).getInt(0) === 0)
+  }
+
+  test("drop_prefixed ≡ array_join(filter(split(q,'&'), NOT LIKE prefix%), '&')") {
+    // the t46 query-string shapes plus edges: all-dropped, all-kept,
+    // empty parts (&&), prefix-only part, prefix at every position,
+    // empty string, delimiter-free string
+    val qs = Seq(
+      "utm_source=feed&utm_id=7&ref=3", "ref=1&utm_x=2", "utm_a=1&utm_b=2",
+      "a=1&b=2", "", "utm_", "utm", "&&", "&utm_x&", "x&utm_y&z",
+      "utm_first=1&mid=2&utm_last=3", "ref=utm_notprefix")
+    import spark.implicits._
+    qs.toDF("q").createOrReplaceTempView("dp_edges")
+    val rows = spark.sql(
+      """SELECT drop_prefixed(q, '&', 'utm_') AS fast,
+        |  array_join(filter(split(q, '&'), x -> NOT (x LIKE 'utm_%')), '&') AS ref
+        |FROM dp_edges""".stripMargin).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // the real t46 surface: generated URLs over the corpus ids
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .createOrReplaceTempView("dp_docs")
+    val corpusDiff = spark.sql(
+      """WITH u AS (SELECT concat('utm_source=feed&utm_id=', doc_id,
+        |  '&ref=', (doc_id div 3) % 5) AS q FROM dp_docs)
+        |SELECT count(*) FROM u
+        |WHERE drop_prefixed(q, '&', 'utm_')
+        |  <> array_join(filter(split(q, '&'), x -> NOT (x LIKE 'utm_%')), '&')"""
+        .stripMargin).collect()(0).getLong(0)
+    assert(corpusDiff === 0L)
+    // non-literal or multi-byte delimiter is a clear registration error
+    intercept[Exception](spark.sql("SELECT drop_prefixed('a', '&&', 'x')").collect())
+    // null text propagates
+    assert(spark.sql("SELECT drop_prefixed(CAST(NULL AS STRING), '&', 'utm_')")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("subword_sum ≡ aggregate(words, 0L, ceil(length/k) lambda), incl. non-pow2 k") {
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .createOrReplaceTempView("sw_docs")
+    for (k <- Seq(3, 4, 7)) {
+      val diff = spark.sql(
+        s"""WITH g AS (SELECT regexp_extract_all(text, '[a-z]+', 0) AS words
+           |  FROM sw_docs)
+           |SELECT count(*) FROM g
+           |WHERE subword_sum(words, $k) <> aggregate(words, 0L,
+           |  (a, w) -> a + CAST(CEIL(length(w) / ${k}e0) AS BIGINT))""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(diff === 0L, s"k=$k")
+    }
+    // empty array is the lambda's zero seed; unicode length is char count
+    assert(spark.sql("SELECT subword_sum(CAST(array() AS ARRAY<STRING>), 4)")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT subword_sum(array('ünïcödé'), 4)")
+      .collect()(0).getLong(0) === 2L) // 7 chars -> ceil(7/4) = 2
+    assert(spark.sql("SELECT subword_sum(CAST(NULL AS ARRAY<STRING>), 4)")
+      .collect()(0).isNullAt(0))
+  }
+
   test("lsh_code16 matches the declarative 16-pass formulation and eval path") {
     import spark.implicits._
     val vecs = Seq(
