@@ -112,6 +112,37 @@ object SemDedup {
         col("mc").as("max_cos"))
   }
 
+  /** Two-level (IVF) assignment — the documented escalation for centroid
+    * sets past the driver-broadcast threshold, now a real operator. Level
+    * one assigns corpus rows AND fine centroids to a √k-sized coarse cell
+    * with the zero-shuffle broadcast argmin above (coarse is the only
+    * model-sized relation that ever reaches the driver); level two finds
+    * each row's nearest FINE centroid among the fine seeds of its own
+    * coarse cell via a cell-keyed join + `min(struct(d2, fk))` partial
+    * aggregate. The fine set stays a distributed DataFrame end to end —
+    * Catalyst picks broadcast vs shuffle for the cell join from its size
+    * (the size-aware Calibrate idiom), so a fine set of ANY cardinality
+    * survives: per-row candidate work is |fine|/|coarse| instead of k,
+    * and nothing k-sized is collected. Determinism: exact integer d2
+    * (`ql2`), lexicographic `(d2, fk)` min ⇒ ties to the lower fine id —
+    * the same rule as `assign`. Input must carry a unique `cid` and `qv`;
+    * output is (cid, coarse, fine, d2). Empty cells cannot drop rows:
+    * fine ⊇ coarse in the intended use, and any winnable cell contains
+    * at least its own seed (d2 = 0 beats everything, ties go lower). */
+  def assignTwoLevel(corpus: DataFrame, coarse: DataFrame,
+      fine: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val fineTagged = assign(fine.select(col("k").as("fk"), col("qv")), coarse)
+      .select(col("k").as("cell"), col("fk"), col("qv").as("fqv"))
+    val corpusCell = assign(corpus.select(col("cid"), col("qv")), coarse)
+      .withColumnRenamed("k", "cell")
+    corpusCell.join(fineTagged, "cell")
+      .groupBy("cid", "cell")
+      .agg(min(struct(expr("ql2(qv, fqv)").as("d2"), col("fk").as("fk"))).as("m"))
+      .select(col("cid"), col("cell").as("coarse"),
+        col("m.fk").as("fine"), col("m.d2").as("d2"))
+  }
+
   /** Seed-centroid relation from designated corpus rows: (k, qv), where
     * k is the centroid id. Stays a DataFrame end to end — `assign`
     * broadcasts it; nothing model-sized rides the expression tree. */

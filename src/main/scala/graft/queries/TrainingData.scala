@@ -2339,6 +2339,60 @@ object TrainingData {
       SemDedup.prune(corpus, SemDedup.seedsOf(corpus, k), lit(45e-2))
     },
 
+    // -- two-level (IVF) semantic assignment: the SemDedup escalation for
+    //    centroid sets past the driver-broadcast threshold, as a real
+    //    hashed surface. Corpus rows and FINE centroids each take a
+    //    coarse cell by broadcast argmin (coarse ~ √k is the only
+    //    driver-sized relation); the fine argmin then runs inside the
+    //    cell via a cell-keyed join + min(struct(d2, fk)) partial agg —
+    //    per-row work |fine|/|coarse| instead of k, fine distributed end
+    //    to end. Seed counts GROW with the corpus (nf = max(32, n/64),
+    //    nc = max(4, ⌊√nf⌋) — sqrt is IEEE-exact on both engines) so the
+    //    10×/20× replicas engage the growth. All-integer surface.
+    Q("e16_semdedup_2level",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |nf AS (SELECT GREATEST(32, COUNT(DISTINCT cid) // 64) AS v FROM ce),
+         |nc AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(v)) AS BIGINT)) AS v FROM nf),
+         |coarse AS (SELECT cid AS k, pos, qv AS cq FROM ce
+         |  WHERE cid < (SELECT v FROM nc)),
+         |fine AS (SELECT cid AS fk, pos, qv AS fq FROM ce
+         |  WHERE cid < (SELECT v FROM nf)),
+         |fdk AS (
+         |  SELECT f.fk, c.k, SUM((f.fq - c.cq)*(f.fq - c.cq)) AS d2
+         |  FROM fine f JOIN coarse c ON f.pos = c.pos GROUP BY f.fk, c.k),
+         |fcell AS (SELECT fk, k FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d2, k) AS rk
+         |  FROM fdk) WHERE rk = 1),
+         |cdk AS (
+         |  SELECT ce.cid, c.k, SUM((ce.qv - c.cq)*(ce.qv - c.cq)) AS d2
+         |  FROM ce JOIN coarse c ON ce.pos = c.pos GROUP BY ce.cid, c.k),
+         |ccell AS (SELECT cid, k FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, k) AS rk
+         |  FROM cdk) WHERE rk = 1),
+         |fd AS (
+         |  SELECT cc.cid, cc.k, fc.fk,
+         |    SUM((ce.qv - f.fq)*(ce.qv - f.fq)) AS d2
+         |  FROM ccell cc JOIN fcell fc ON cc.k = fc.k
+         |    JOIN ce ON ce.cid = cc.cid
+         |    JOIN fine f ON f.fk = fc.fk AND f.pos = ce.pos
+         |  GROUP BY cc.cid, cc.k, fc.fk)
+         |SELECT cid, coarse, fine, d2 FROM (
+         |  SELECT cid, k AS coarse, fk AS fine, CAST(d2 AS BIGINT) AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, fk) AS rk
+         |  FROM fd) WHERE rk = 1""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      import graft.operators.SemDedup
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+      val nf = math.max(32L, emb.count() / 64L)
+      val nc = math.max(4L, math.floor(math.sqrt(nf.toDouble)).toLong)
+      SemDedup.assignTwoLevel(corpus,
+        corpus.filter(col("cid") < nc).select(col("cid").as("k"), col("qv")),
+        corpus.filter(col("cid") < nf).select(col("cid").as("k"), col("qv")))
+        .select(col("cid"), col("coarse"), col("fine"), col("d2"))
+    },
+
     // -- DSIR-style importance weights (Xie et al. 2023: data selection
     //    via importance resampling): per-doc log importance weight under
     //    hashed-feature unigram models of a TARGET domain (lang = 'en')

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SemDedup
+
+/** Two-level (IVF) assignment properties that the e16 oracle can't
+  * express: the relation to the FLAT fine argmin it approximates, and
+  * the structural guarantees the operator's scale story rests on. */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark; graft.expr.GraftFunctions.register(s); s
+  }
+
+  private lazy val corpus = {
+    spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+      .cache()
+  }
+  private val NC = 5L
+  private val NF = 32L
+  private def seeds(n: Long) =
+    corpus.filter(col("cid") < n).select(col("cid").as("k"), col("qv"))
+
+  test("two-level ≡ flat fine argmin whenever the flat winner shares the cell; never better") {
+    val two = SemDedup.assignTwoLevel(corpus, seeds(NC), seeds(NF))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val flat = SemDedup.assign(corpus, seeds(NF))
+      .select(col("cid"), col("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fineCell = SemDedup.assign(
+      seeds(NF).select(col("k").as("cid"), col("qv")), seeds(NC))
+      .select(col("cid"), col("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact flat d2 per (row, fine seed) for the never-better check
+    val qvs = corpus.select(col("cid"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    assert(two.size === qvs.size) // no rows dropped (fine ⊇ coarse)
+    var agreed = 0
+    two.foreach { case (cid, (cell, fine, dTwo)) =>
+      assert(fineCell(fine) === cell) // winner really lives in the cell
+      val dFlat = d2(qvs(cid), qvs(flat(cid)))
+      assert(dTwo >= dFlat) // two-level can never beat the flat argmin
+      if (fineCell(flat(cid)) == cell) {
+        // the IVF exactness case: flat winner was a candidate → identical
+        assert(fine === flat(cid), s"cid=$cid")
+        assert(dTwo === dFlat)
+        agreed += 1
+      }
+    }
+    assert(agreed > two.size / 4) // the exactness case actually exercised
+    assert(agreed < two.size) // ...and so is the approximation case
+  }
+
+  test("fine seeds self-assign at d2 = 0 and ties go to the lower fine id") {
+    val two = SemDedup.assignTwoLevel(corpus, seeds(NC), seeds(NF))
+      .filter(col("cid") < NF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (0L until NF).foreach { s =>
+      val (fine, d) = two(s)
+      assert(d === 0L)
+      assert(fine <= s) // self unless an identical lower-id seed exists
+    }
+  }
+}
