@@ -194,6 +194,58 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("token_ct_in equals the split-filter-count definition for arbitrary text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val tok = Gen.oneOf("a", "the", "b", "ü", "", "aa")
+    val gen = for {
+      n <- Gen.choose(0, 30)
+      parts <- Gen.listOfN(n, tok)
+      cands <- Gen.someOf(Seq("a", "the", "ü", "aa"))
+    } yield (parts.mkString(" "), cands.toSeq)
+    check("token_ct_in", Prop.forAll(gen) { case (text, cands) =>
+      val got = graft.expr.TokenCtIn.compute(UTF8String.fromString(text),
+        new GenericArrayData(cands.map(UTF8String.fromString).toArray[Any]))
+      got == text.split(" ", -1).count(cands.contains)
+    })
+  }
+
+  test("drop_prefixed equals split-filterNot-startsWith-join for arbitrary text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val part = Gen.oneOf("utm_x=1", "ref=2", "", "utm_", "x", "ütm", "utm_ü=é")
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      parts <- Gen.listOfN(n, part)
+      prefix <- Gen.oneOf("utm_", "", "x", "ü")
+    } yield (parts.mkString("&"), prefix)
+    check("drop_prefixed", Prop.forAll(gen) { case (text, prefix) =>
+      val got = graft.expr.DropPrefixed.compute(UTF8String.fromString(text),
+        UTF8String.fromString("&"), UTF8String.fromString(prefix))
+      val want = text.split("&", -1).filterNot(_.startsWith(prefix))
+        .mkString("&")
+      got.toString == want
+    })
+  }
+
+  test("subword_sum equals the per-word ceil(chars/k) sum for arbitrary arrays") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val word = Gen.oneOf("", "a", "word", "verylongtokenindeed", "ünïcödé", "文字テスト")
+    val gen = for {
+      n <- Gen.choose(0, 16)
+      words <- Gen.listOfN(n, word)
+      k <- Gen.choose(1, 9)
+    } yield (words, k)
+    check("subword_sum", Prop.forAll(gen) { case (words, k) =>
+      val got = graft.expr.SubwordSum.compute(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray[Any]), k)
+      // length() in Spark counts code points, not UTF-16 units
+      val want = words.map(w =>
+        Math.ceil(w.codePointCount(0, w.length) / k.toDouble).toLong).sum
+      got == want
+    })
+  }
+
   test("SemDedup.assign equals brute-force argmin with lowest-id ties") {
     import graft.operators.SemDedup
     val spark = TestSpark.spark
