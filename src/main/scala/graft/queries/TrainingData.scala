@@ -1406,6 +1406,92 @@ object TrainingData {
         .select("qid", "cid", "cosine", "rank")
     },
 
+    // -- IVF search with nprobe = 2: the recall knob real IVF deployments
+    //    turn (a query probes its nprobe nearest cells, not just the
+    //    winner, recovering neighbours that fell across a cell boundary).
+    //    Same plan family as e04 — the corpus keeps its unique rk = 1
+    //    assignment, only the model-sized QUERY set fans out to 2 cells,
+    //    so candidate volume is exactly 2x nprobe=1 and the probed cells
+    //    are disjoint (no dedup step needed). Broadcasts: centroids and
+    //    the 8-query probe/vector relations; the corpus-side join stays
+    //    one keyed pass.
+    Q("e17_ivf_nprobe",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |cent AS (
+         |  SELECT label, pos, CAST(ROUND(AVG(CAST(qv AS DOUBLE))) AS BIGINT) AS cq
+         |  FROM (SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS pos,
+         |          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+         |        FROM embeddings)
+         |  GROUP BY label, pos),
+         |dist AS (
+         |  SELECT ce.cid, cent.label,
+         |    SUM((ce.qv - cent.cq)*(ce.qv - cent.cq)) AS d2
+         |  FROM ce JOIN cent ON ce.pos = cent.pos
+         |  GROUP BY ce.cid, cent.label),
+         |ranked AS (
+         |  SELECT cid, label,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, label) AS rk
+         |  FROM dist),
+         |cell AS (SELECT cid, label FROM ranked WHERE rk = 1),
+         |qcell AS (SELECT cid, label FROM ranked WHERE rk <= 2 AND cid < 8),
+         |n2 AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |cand AS (
+         |  SELECT q.cid AS qid, c.cid AS cid
+         |  FROM qcell q JOIN cell c ON q.label = c.label AND q.cid <> c.cid),
+         |dot AS (
+         |  SELECT cand.qid, cand.cid, CAST(SUM(a.qv * b.qv) AS BIGINT) AS d
+         |  FROM cand
+         |  JOIN ce a ON a.cid = cand.qid
+         |  JOIN ce b ON b.cid = cand.cid AND a.pos = b.pos
+         |  GROUP BY cand.qid, cand.cid),
+         |cos AS (
+         |  SELECT dot.qid, dot.cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN n2 na ON na.cid = dot.qid JOIN n2 nb ON nb.cid = dot.cid)
+         |SELECT qid, cid, cosine, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+         |  FROM cos) WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+        .withColumn("n2", expr("qdot(qv, qv)"))
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
+          .as("cvec"))
+      val ranked = corpus.crossJoin(broadcast(cent))
+        .select(col("cid"), col("label"), col("qv"), col("n2"),
+          expr("ql2(qv, cvec)").as("d2"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("cid").orderBy("d2", "label")))
+      val cell = ranked.filter(col("rk") === 1)
+        .select("cid", "label", "qv", "n2")
+      val qcell = broadcast(ranked.filter(col("cid") < 8 && col("rk") <= 2)
+        .select(col("cid").as("qid"), col("label")))
+      val qvec = broadcast(corpus.filter(col("cid") < 8)
+        .select(col("cid").as("qid"), col("qv").as("qqv"),
+          col("n2").as("q_n2")))
+      val cand = cell.join(qcell, "label").join(qvec, "qid")
+        .filter(col("qid") =!= col("cid"))
+      val cos = cand.select(col("qid"), col("cid"),
+        (expr("qdot(qqv, qv)").cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cosine"))
+      cos.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "cid", "cosine", "rank")
+    },
+
     // -- k-means (Lloyd) TRAINING under the hash gate: two unrolled
     //    iterations over the quantized corpus, seeded from vec_id < 8.
     //    Centroids are re-quantized to integers each iteration
