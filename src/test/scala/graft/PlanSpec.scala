@@ -640,6 +640,36 @@ class PlanSpec extends AnyFunSuite {
     assert(rowEx <= 1, s"$rowEx row-keyed exchanges:\n" + p.take(3000))
   }
 
+  test("e16: two-level IVF keeps the fine set out of the driver — keyed join + partial argmin agg") {
+    val p = planOf("e16_semdedup_2level")
+    // the fine argmin must be a partial+final aggregate over a cell-keyed
+    // join: no all-pairs expansion, no single-partition funnel
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "e16 candidate join must be cell-keyed:\n" + p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "e16 funnels through one partition:\n" + p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "e16 fine argmin must be an aggregate (map-side combinable):\n" +
+        p.take(3000))
+  }
+
+  test("e17: nprobe fan-out broadcasts only the model-sized query relations") {
+    val p = planOf("e17_ivf_nprobe")
+    assert(!p.contains("Exchange SinglePartition"),
+      "e17 funnels through one partition:\n" + p.take(3000))
+    // corpus never broadcasts: every broadcast build is centroids (one
+    // row per label) or the 8-query probe/vector relations
+    assert(p.contains("BroadcastExchange"),
+      "e17 query relations must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "e17 must not materialize an unkeyed corpus product:\n" + p.take(3000))
+    // the corpus-side candidate expansion joins on label/qid keys
+    assert(p.contains("BroadcastHashJoin"),
+      "e17 candidate expansion must be a broadcast hash join:\n" +
+        p.take(3000))
+  }
+
   test("lineitem scans prune to referenced columns") {
     val scans = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
       .queryExecution.sparkPlan.collectLeaves()
