@@ -1492,6 +1492,109 @@ object TrainingData {
         .select("qid", "cid", "cosine", "rank")
     },
 
+    // -- IVF recall diagnostic: per-query recall@3 of the nprobe=1 and
+    //    nprobe=2 searches against the brute-force truth, as candidate
+    //    COVERAGE counts |btop3 ∩ cand_k|. Coverage equals the top-3
+    //    intersection recall exactly: any brute-top3 element in the
+    //    candidate set outranks everything but other brute-top3 elements
+    //    (globally higher cosine + the same (cosine DESC, cid) tie order),
+    //    so it lands in the method's top-3 — RecallTheoremSpec asserts
+    //    this against the ranked e04/e17 results. Counting needs no
+    //    cosine on the IVF side, so the plan is btop3 (8x3 rows,
+    //    broadcast) LEFT JOIN two keyed candidate relations.
+    Q("e18_ivf_recall",
+      s"""WITH qe AS (${qExplodeSql("qid", "WHERE vec_id < 8")}),
+         |ce AS (${qExplodeSql("cid", "")}),
+         |qn AS (SELECT qid, SUM(qv*qv) AS qn2 FROM qe GROUP BY qid),
+         |cn AS (SELECT cid, SUM(qv*qv) AS cn2 FROM ce GROUP BY cid),
+         |bdot AS (
+         |  SELECT qe.qid, ce.cid, CAST(SUM(qe.qv * ce.qv) AS BIGINT) AS d
+         |  FROM qe JOIN ce ON qe.pos = ce.pos
+         |  GROUP BY qe.qid, ce.cid),
+         |bcos AS (
+         |  SELECT bdot.qid, bdot.cid,
+         |    CAST(bdot.d AS DOUBLE)
+         |      / (sqrt(CAST(qn.qn2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cosine
+         |  FROM bdot JOIN qn ON bdot.qid = qn.qid JOIN cn ON bdot.cid = cn.cid
+         |  WHERE bdot.qid <> bdot.cid),
+         |btop AS (SELECT qid, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM bcos) WHERE rank <= 3),
+         |cent AS (
+         |  SELECT label, pos, CAST(ROUND(AVG(CAST(qv AS DOUBLE))) AS BIGINT) AS cq
+         |  FROM (SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS pos,
+         |          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+         |        FROM embeddings)
+         |  GROUP BY label, pos),
+         |dist AS (
+         |  SELECT ce.cid, cent.label,
+         |    SUM((ce.qv - cent.cq)*(ce.qv - cent.cq)) AS d2
+         |  FROM ce JOIN cent ON ce.pos = cent.pos
+         |  GROUP BY ce.cid, cent.label),
+         |ranked AS (
+         |  SELECT cid, label,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, label) AS rk
+         |  FROM dist),
+         |cell AS (SELECT cid, label FROM ranked WHERE rk = 1),
+         |qc1 AS (SELECT cid, label FROM ranked WHERE rk = 1 AND cid < 8),
+         |qc2 AS (SELECT cid, label FROM ranked WHERE rk <= 2 AND cid < 8),
+         |cand1 AS (
+         |  SELECT q.cid AS qid, c.cid AS cid
+         |  FROM qc1 q JOIN cell c ON q.label = c.label AND q.cid <> c.cid),
+         |cand2 AS (
+         |  SELECT q.cid AS qid, c.cid AS cid
+         |  FROM qc2 q JOIN cell c ON q.label = c.label AND q.cid <> c.cid)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN c1.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits1,
+         |  CAST(SUM(CASE WHEN c2.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits2
+         |FROM btop b
+         |LEFT JOIN cand1 c1 ON b.qid = c1.qid AND b.cid = c1.cid
+         |LEFT JOIN cand2 c2 ON b.qid = c2.qid AND b.cid = c2.cid
+         |GROUP BY b.qid""".stripMargin) { (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+      // brute-force truth: the registered e01 surface, cut to top-3
+      // (24 rows; it streams a left join whose build sides are the
+      // broadcast candidate relations — no hint: the left of a left
+      // outer join cannot be the build side)
+      val btop =
+        _root_.graft.SparkEntry.queries("e01_knn_bruteforce")(s, dir)
+          .filter(col("rank") <= 3).select(col("qid"), col("cid"))
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("qv"))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("qv").cast("double"))).cast("long").as("cq"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)")
+          .as("cvec"))
+      val ranked = corpus.crossJoin(broadcast(cent))
+        .select(col("cid"), col("label"), expr("ql2(qv, cvec)").as("d2"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("cid").orderBy("d2", "label")))
+      val cell = ranked.filter(col("rk") === 1).select("cid", "label")
+      def cands(maxRk: Int) = cell
+        .join(broadcast(ranked.filter(col("cid") < 8 && col("rk") <= maxRk)
+          .select(col("cid").as("qid"), col("label"))), "label")
+        .filter(col("qid") =!= col("cid")).select("qid", "cid")
+      btop.as("b")
+        .join(cands(1).as("c1"),
+          col("b.qid") === col("c1.qid") && col("b.cid") === col("c1.cid"),
+          "left")
+        .join(cands(2).as("c2"),
+          col("b.qid") === col("c2.qid") && col("b.cid") === col("c2.cid"),
+          "left")
+        .groupBy(col("b.qid").as("qid"))
+        .agg(sum(when(col("c1.qid").isNotNull, 1L).otherwise(0L)).as("hits1"),
+          sum(when(col("c2.qid").isNotNull, 1L).otherwise(0L)).as("hits2"))
+    },
+
     // -- k-means (Lloyd) TRAINING under the hash gate: two unrolled
     //    iterations over the quantized corpus, seeded from vec_id < 8.
     //    Centroids are re-quantized to integers each iteration
