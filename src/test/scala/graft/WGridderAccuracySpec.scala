@@ -169,6 +169,62 @@ class WGridderAccuracySpec extends AnyFunSuite {
     assert(eW3 <= eW2, s"support knob not monotone: W=2 → $eW2, W=3 → $eW3")
   }
 
+  test("deep-epsilon tier: W=4 at 32 planes reaches the 1e-5 class") {
+    // the knob composed both ways at once — wider kernel support (alias
+    // error 1.5e-9 at W=4) AND 4x the w-planes ((Δw)² residual → ~16x
+    // down from the 8-plane operating point): the configuration a user
+    // dials in for ducc0-class epsilon when the FFT-shaped plan must be
+    // kept. Cost scales as W²·nPlanes — this is the accuracy end of the
+    // trade, not the default.
+    val dir = TestSpark.sf
+    val rows = uvwRows(spark, dir, 32)
+      .join(corrVis(spark, dir, 32), "row_id")
+      .select(col("row_id"), col("u"), col("v"), col("w"),
+        col("xx_re"), col("xx_im"))
+      .collect()
+      .map(r => (r.getDouble(1) * 25e-2, r.getDouble(2) * 25e-2,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val pix = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x, y, (x - 4) / 1024.0, (y - 4) / 1024.0)
+    val exCont = pix.map { case (x, y, lx, my) =>
+      val eta = -(lx * lx + my * my) / 2.0
+      var s = 0.0
+      for ((u, v, w, re, im) <- rows) {
+        val arg = 2.0 * math.Pi * (u * lx + v * my + w * eta)
+        s += re * math.cos(arg) - im * math.sin(arg)
+      }
+      (x, y) -> s
+    }.toMap
+    val scale = exCont.values.map(math.abs).max
+    import graft.functions.Kernels.esBeta
+    val W = 4
+    val p = uvwRows(spark, dir, 32)
+      .join(corrVis(spark, dir, 32), "row_id")
+      .select(col("row_id"), col("w"),
+        (col("u") * 25e-2).as("cu"), (col("v") * 25e-2).as("cv"),
+        col("xx_re").as("re"), col("xx_im").as("im"))
+    val grids = graft.operators.WStack.planeGridsFrac(p, W, esBeta(W),
+      nPlanes = 32, wMax = 5.0, eta = 0.0,
+      fsum = c => Det.fsum(c, 1e9)).drop("n_hits")
+    val px = spark.createDataFrame(pix.map { case (x, y, lx, my) =>
+      (x.toLong, y.toLong, lx, my) })
+      .toDF("x", "y", "lx", "my")
+    val got = graft.operators.WStack.dirtyPlanesSum(grids, px,
+      nPlanes = 32, wMax = 5.0, fsum = c => Det.fsum(c, 1e9))
+      .collect()
+      .map { r =>
+        val lx = r.getAs[Double]("lx"); val my = r.getAs[Double]("my")
+        val dt = graft.functions.Kernels.esTransform(W, esBeta(W), lx) *
+          graft.functions.Kernels.esTransform(W, esBeta(W), my)
+        (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          r.getAs[Double]("dirty") / dt
+      }.toMap
+    val e = pix.map { case (x, y, _, _) =>
+      math.abs(got((x, y)) - exCont((x, y))) }.max / scale
+    info(f"deep-epsilon total error (W=4, 32 planes): $e%.2e")
+    assert(e < 1e-5, s"deep tier error $e above the 1e-5 class")
+  }
+
   test("ES-kernel fractional DEGRID: image -> continuous-coordinate vis matches the direct DFT") {
     // the adjoint side of the ε contract (im2vis): detaper the image by
     // K̂, DFT it onto the integer grid, then gather each visibility at its
