@@ -362,6 +362,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FULL-CORR time_and_channel averaging matches batch (a18's shape live)") {
+    // the a18 (corr, corr)-shaped averaging as an ingest face: corr is a
+    // bounded dimension, so the tuple-of-vis intrinsics become corr in
+    // the aggregation KEY — append-mode streaming allows exactly one
+    // aggregation, so the array re-assembly stays a downstream batch
+    // step; the numbers (per-element two-tier flag consensus, weighted
+    // sums) are a18's. Mid-window micro-batch split exercises carried
+    // partial state per (bl, chan-bin, corr) cell.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val rows = for {
+      t <- 0L until 8L
+      (a1, a2) <- Seq((0L, 1L), (0L, 2L))
+      c <- 0L until 4L
+      k <- 0L until 4L // 4 correlations
+    } yield AvgSampleC(at(t), a1, a2, c, k,
+      ((t * 5 + c * 3 + k * 7 + a2) % 17 - 8) / 16.0,
+      ((t + c + k) % 4 + 1) / 4.0,
+      // corr 3 of baseline (0,2) chan-bin 0 fully flagged in window 0:
+      // the per-element consensus fallback fires for ONE corr cell only
+      flg = (a2 == 2L && k == 3L && c < 2 && t < 4) ||
+        ((t + c + k) % 13 == 0))
+
+    def consensus(df: org.apache.spark.sql.DataFrame,
+                  winCol: org.apache.spark.sql.Column) =
+      df.groupBy(winCol.as("win"), col("ant1"), col("ant2"),
+          (col("chan") / 2).cast("long").as("out_chan"), col("corr"))
+        .agg(
+          sum(when(!col("flg"), 1L).otherwise(0L)).as("n_ok"),
+          count(lit(1)).as("n_all"),
+          sum(when(!col("flg"), col("w"))).as("w_u"),
+          sum(when(col("flg"), col("w"))).as("w_f"),
+          sum(when(!col("flg"), col("w") * col("vre"))).as("re_u"),
+          sum(when(col("flg"), col("w") * col("vre"))).as("re_f"))
+        .select(col("win"), col("ant1"), col("ant2"), col("out_chan"),
+          col("corr"),
+          (col("n_ok") === 0).as("oflag"),
+          (when(col("n_ok") > 0, col("re_u")).otherwise(col("re_f")) /
+            when(col("n_ok") > 0, col("w_u")).otherwise(col("w_f"))).as("ore"))
+
+    val batch = consensus(rows.toDF(),
+        (unix_timestamp(col("ts")) / 4).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) -> (r.getBoolean(5), r.getDouble(6))).toMap
+    // the designed fallback cell is present and flagged
+    assert(batch.exists { case ((_, _, a2, oc, k), (of, _)) =>
+      a2 == 2L && oc == 0L && k == 3L && of })
+
+    val ms = MemoryStream[AvgSampleC]
+    val streamed = consensus(
+      ms.toDS().toDF().withWatermark("ts", "2 seconds"),
+      window(col("ts"), "4 seconds"))
+      .select((unix_timestamp(col("win.start")) / 4).cast("long").as("wk"),
+        col("ant1"), col("ant2"), col("out_chan"), col("corr"),
+        col("oflag"), col("ore"))
+    val q = streamed.writeStream.format("memory").queryName("tc_avg_fc")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.partition(_.ts.getTime < 2000)
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      ms.addData(AvgSampleC(at(100L), 9L, 9L, 0L, 0L, 0.0, 1.0, flg = false))
+      q.processAllAvailable()
+      val got = spark.table("tc_avg_fc").collect()
+        .filter(_.getLong(1) != 9L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)) -> (r.getBoolean(5), r.getDouble(6))).toMap
+      assert(got === batch,
+        s"full-corr streaming consensus diverges: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stateful sessions survive across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -842,3 +919,7 @@ class StreamingSpec extends AnyFunSuite {
 case class AvgSample(ts: java.sql.Timestamp, ant1: Long, ant2: Long,
                      chan: Long, vre: Double, vim: Double, w: Double,
                      flg: Boolean)
+
+case class AvgSampleC(ts: java.sql.Timestamp, ant1: Long, ant2: Long,
+                      chan: Long, corr: Long, vre: Double, w: Double,
+                      flg: Boolean)
