@@ -1595,6 +1595,74 @@ object TrainingData {
           sum(when(col("c2.qid").isNotNull, 1L).otherwise(0L)).as("hits2"))
     },
 
+    // -- PCA-rotated scalar quantization (the OPQ idea, Ge et al. 2013:
+    //    rotate into decorrelated axes, THEN quantize — distortion beats
+    //    axis-aligned codes): both power-iteration axes project every
+    //    vector (the e12 fsum idiom, exact rounded-rational scores), each
+    //    axis gets a 16-bucket uniform quantizer from its own exact
+    //    min/max, and the hashed surface carries codes + squared
+    //    reconstruction error. Every post-score operation is IEEE-exact
+    //    arithmetic of bit-identical inputs (class (a)) — bucket floors,
+    //    bucket-center recon, and the error are bit-equal cross-engine
+    //    with no further rounding. Plan: posexplode + two broadcast d-row
+    //    axis joins + ONE per-vector agg (both projections in the same
+    //    groupBy), then a 1-row min/max broadcast.
+    Q("e19_rotated_sq",
+      s"""WITH $pcaCtesSql,
+         |sc AS (
+         |  SELECT q.vec_id,
+         |    ${Det.fsumSql("(CAST(q.qv AS DOUBLE) / 1e4) * w1.vv")} AS s1,
+         |    ${Det.fsumSql("(CAST(q.qv AS DOUBLE) / 1e4) * w2.v2")} AS s2
+         |  FROM q JOIN v1 w1 ON w1.j = q.pos
+         |         JOIN v2 w2 ON w2.i = q.pos
+         |  GROUP BY q.vec_id),
+         |mm AS (SELECT MIN(s1) AS mn1, MAX(s1) AS mx1,
+         |              MIN(s2) AS mn2, MAX(s2) AS mx2 FROM sc),
+         |bb AS (
+         |  SELECT vec_id, s1, s2, mn1, mx1, mn2, mx2,
+         |    CAST(LEAST(15, CAST(FLOOR((s1 - mn1)/(mx1 - mn1) * 16e0)
+         |      AS BIGINT)) AS BIGINT) AS b1,
+         |    CAST(LEAST(15, CAST(FLOOR((s2 - mn2)/(mx2 - mn2) * 16e0)
+         |      AS BIGINT)) AS BIGINT) AS b2
+         |  FROM sc, mm),
+         |rc AS (
+         |  SELECT vec_id, b1, b2,
+         |    s1 - (mn1 + (CAST(b1 AS DOUBLE) + 5e-1)*(mx1 - mn1)/16e0) AS d1,
+         |    s2 - (mn2 + (CAST(b2 AS DOUBLE) + 5e-1)*(mx2 - mn2)/16e0) AS d2
+         |  FROM bb)
+         |SELECT vec_id, b1, b2, d1*d1 + d2*d2 AS err FROM rc""".stripMargin) {
+      (s, dir) =>
+      val (v1, v2) = pcaIterates(s, dir)
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(expr(
+          "qquant(embedding, 1e4)"))
+          .as(Seq("p", "qv")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("qv"))
+      val sc = q
+        .join(broadcast(v1.select(col("j").as("pos"), col("vv"))), "pos")
+        .join(broadcast(v2.select(col("i").as("pos"), col("v2"))), "pos")
+        .groupBy("vec_id")
+        .agg(
+          Det.fsum((col("qv").cast("double") / 1e4) * col("vv")).as("s1"),
+          Det.fsum((col("qv").cast("double") / 1e4) * col("v2")).as("s2"))
+      val mm = sc.agg(min("s1").as("mn1"), max("s1").as("mx1"),
+        min("s2").as("mn2"), max("s2").as("mx2"))
+      def bucket(sC: Column, mn: Column, mx: Column) =
+        least(lit(15L), floor((sC - mn) / (mx - mn) * 16e0).cast("long"))
+      val bb = sc.crossJoin(broadcast(mm))
+        .withColumn("b1", bucket(col("s1"), col("mn1"), col("mx1")))
+        .withColumn("b2", bucket(col("s2"), col("mn2"), col("mx2")))
+      val rc = bb
+        .withColumn("d1", col("s1") -
+          (col("mn1") + (col("b1").cast("double") + 5e-1) *
+            (col("mx1") - col("mn1")) / 16e0))
+        .withColumn("d2", col("s2") -
+          (col("mn2") + (col("b2").cast("double") + 5e-1) *
+            (col("mx2") - col("mn2")) / 16e0))
+      rc.select(col("vec_id"), col("b1"), col("b2"),
+        (col("d1") * col("d1") + col("d2") * col("d2")).as("err"))
+    },
+
     // -- k-means (Lloyd) TRAINING under the hash gate: two unrolled
     //    iterations over the quantized corpus, seeded from vec_id < 8.
     //    Centroids are re-quantized to integers each iteration

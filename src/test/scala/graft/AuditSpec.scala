@@ -47,6 +47,7 @@ class AuditSpec extends AnyFunSuite {
     // t46's interpreted tracking-param filter HOF retired round 8
     // (codegen'd drop_prefixed)
     "e11_pca_power" -> (0, 5), // d²-bounded scatter + 1-row max-abs merges
+    "e19_rotated_sq" -> (0, 1), // 1-row per-axis min/max rollup (f14 class)
     "e12_pca_project" -> (0, 4), // same chain minus one iterate
     "f14_cell_size" -> (0, 1), // 1-row uv-extent reduction
     "i02_restore" -> (0, 1), // model-sized beam-fit scalar
