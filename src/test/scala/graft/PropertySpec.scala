@@ -273,4 +273,43 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("SemDedup.assignTwoLevel equals the brute-force two-level reference") {
+    import graft.operators.SemDedup
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // fine seeds are a PREFIX of the corpus and coarse a prefix of fine —
+    // the operator's intended use (fine ⊇ coarse), so no cell can win
+    // rows yet hold no fine seed
+    val gen = for {
+      dim <- Gen.choose(1, 6)
+      nv <- Gen.choose(4, 20)
+      vecs <- Gen.listOfN(nv * dim, Gen.choose(-6L, 6L))
+      nc <- Gen.choose(1, 3)
+      nf <- Gen.choose(nc, math.max(nc, nv / 2))
+    } yield (vecs.grouped(dim).toSeq, nc, nf)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    check("two-level argmin", Prop.forAll(gen) { case (vecs, nc, nf) =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cid", "qv")
+      def seeds(n: Int) = vecs.take(n).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("k", "qv")
+      val got = SemDedup.assignTwoLevel(corpus, seeds(nc), seeds(nf))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      def cellOf(v: Seq[Long]): Long =
+        vecs.take(nc).zipWithIndex.map { case (c, k) => (d2(v, c), k.toLong) }
+          .min._2
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val cell = cellOf(v)
+        val cands = vecs.take(nf).zipWithIndex
+          .filter { case (f, _) => cellOf(f) == cell }
+        val (bd, bk) = cands
+          .map { case (f, fk) => (d2(v, f), fk.toLong) }.min
+        got(i.toLong) == ((cell, bk, bd))
+      }
+    })
+  }
 }
