@@ -519,9 +519,11 @@ object TokenCtIn {
   * set, so an ASCII delimiter never splits a multibyte char. Part
   * semantics mirror `split(text, delim)` with Java's limit=-1 (empty
   * parts kept — an empty part never has the prefix, so it is kept);
-  * prefix-match is bytewise startsWith, the LIKE 'p%' special case for a
-  * wildcard-free p. `GraftExpressionsSpec` pins equality with the HOF
-  * form over the generated URL corpus and an edge grid. */
+  * prefix-match is LITERAL bytewise startsWith — NOT LIKE semantics
+  * (LIKE's `_` is a single-char wildcard, so `LIKE 'utm_%'` would also
+  * drop 'utm1=…'; the oracle therefore uses starts_with/ESCAPE'd LIKE).
+  * `GraftExpressionsSpec` pins equality with the startswith HOF form
+  * over the generated URL corpus and an edge grid incl. 'utmX=…'. */
 case class DropPrefixed(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
@@ -1159,9 +1161,16 @@ object RimeSourceSum {
         } else flux + s0 * (fr - 1.0) + s1 * ((fr - 1.0) * (fr - 1.0))
       val term = spec * (if (sine) math.sin(ph) else math.cos(ph)) * 1e6
       // Spark Round(double)'s exact semantics: BigDecimal.valueOf
-      // (shortest-repr decimal) + HALF_UP, then the bigint cast
-      acc += java.math.BigDecimal.valueOf(term)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      // (shortest-repr decimal) + HALF_UP, then the bigint cast.
+      // Non-finite terms (e.g. exp overflow in a log-poly spectrum) pass
+      // through Round unrounded in Spark (RoundBase) and then CAST AS
+      // BIGINT clamps (NaN→0, ±Inf→Long.Min/Max = toLong) — mirror that
+      // instead of letting BigDecimal.valueOf throw NumberFormatException.
+      acc +=
+        (if (java.lang.Double.isFinite(term))
+          java.math.BigDecimal.valueOf(term)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        else term.toLong)
       i += 7
     }
     acc
@@ -1231,7 +1240,11 @@ object ChanBinAvg {
   def compute(vis: ArrayData, wspec: ArrayData, flag: ArrayData,
               hasWRow: Boolean, wRow: Double, binSize: Int): ArrayData = {
     val nChan = vis.numElements()
-    val nBin = nChan / binSize
+    // ragged final bin: nChan % binSize != 0 emits a partial last bin
+    // with its true sample count (the reference's chan-averaging
+    // semantics, africanus averaging chan_mapper) instead of silently
+    // dropping the trailing channels
+    val nBin = (nChan + binSize - 1) / binSize
     val out = new Array[Any](nBin)
     var b = 0
     while (b < nBin) {
@@ -1239,7 +1252,8 @@ object ChanBinAvg {
       var wU = 0.0; var reU = 0.0; var imU = 0.0
       var wF = 0.0; var reF = 0.0; var imF = 0.0
       var j = b * binSize
-      val end = j + binSize
+      val end = math.min(j + binSize, nChan)
+      val width = (end - j).toLong
       while (j < end) {
         val fl = flag.getBoolean(j)
         // coalesce(wspec[j], w_row, 1.0) — the weight hierarchy
@@ -1255,7 +1269,7 @@ object ChanBinAvg {
       }
       val ok = nOk > 0L
       out(b) = org.apache.spark.sql.catalyst.InternalRow(
-        if (ok) nOk else binSize.toLong,
+        if (ok) nOk else width,
         !ok,
         if (ok) wU else wF,
         if (ok) reU / wU else reF / wF,

@@ -116,8 +116,15 @@ object BeamFactory {
         java.nio.file.Files.copy(parts.head.toPath, new File(target).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally {
-      stage.listFiles().foreach(_.delete())
-      stage.delete()
+      // recursive, deepest-first: a failed write can leave a non-empty
+      // _temporary subtree that a one-level listFiles().delete() would
+      // silently skip, leaking the staging dir on exactly the error path
+      // this finally exists for
+      val walk = java.nio.file.Files.walk(stage.toPath)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
     }
     names
   }

@@ -17,10 +17,11 @@ import SyntheticMs._
   * components.
   *
   * R7 (`beam_cube_dde`, africanus/rime/fast_beam_cubes.py:57-240): beam
-  * cube as a broadcast dimension table; bilinear (l, m) interpolation at
-  * exact frequency planes via four corner joins (the reference's 8-corner
-  * trilinear gather restricted to on-plane freqs; amplitude
-  * renormalization omitted). All weights dyadic — exact.
+  * cube as a broadcast dimension table. Two tiers live in this file: the
+  * r07 on-plane bilinear gather (four corner joins, dyadic weights —
+  * exact), and the FULL reference semantics in the r14 query below
+  * (freq_grid_interp clamped-plane mapping, 8-corner trilinear gather,
+  * amplitude renormalization — r14/r16/x12-green).
   *
   * R8 (`zernike_dde`, africanus/rime/zernike.py:8-144): first six Noll
   * modes evaluated analytically per (source, antenna) with per-antenna

@@ -1620,9 +1620,9 @@ object TrainingData {
          |              MIN(s2) AS mn2, MAX(s2) AS mx2 FROM sc),
          |bb AS (
          |  SELECT vec_id, s1, s2, mn1, mx1, mn2, mx2,
-         |    CAST(LEAST(15, CAST(FLOOR((s1 - mn1)/(mx1 - mn1) * 16e0)
+         |    CAST(LEAST(15, CAST(FLOOR((s1 - mn1)/GREATEST(mx1 - mn1, 1e-30) * 16e0)
          |      AS BIGINT)) AS BIGINT) AS b1,
-         |    CAST(LEAST(15, CAST(FLOOR((s2 - mn2)/(mx2 - mn2) * 16e0)
+         |    CAST(LEAST(15, CAST(FLOOR((s2 - mn2)/GREATEST(mx2 - mn2, 1e-30) * 16e0)
          |      AS BIGINT)) AS BIGINT) AS b2
          |  FROM sc, mm),
          |rc AS (
@@ -1647,8 +1647,14 @@ object TrainingData {
           Det.fsum((col("qv").cast("double") / 1e4) * col("v2")).as("s2"))
       val mm = sc.agg(min("s1").as("mn1"), max("s1").as("mx1"),
         min("s2").as("mn2"), max("s2").as("mx2"))
+      // GREATEST(width, 1e-30) guards the degenerate all-equal axis:
+      // without it the fraction is NaN, where Spark floor(NaN).cast(long)
+      // yields 0 but DuckDB CAST(FLOOR(NaN) AS BIGINT) raises — with it,
+      // both engines map the degenerate axis to bucket 0 identically
+      // (and for any real spread the GREATEST is an exact identity)
       def bucket(sC: Column, mn: Column, mx: Column) =
-        least(lit(15L), floor((sC - mn) / (mx - mn) * 16e0).cast("long"))
+        least(lit(15L),
+          floor((sC - mn) / greatest(mx - mn, lit(1e-30)) * 16e0).cast("long"))
       val bb = sc.crossJoin(broadcast(mm))
         .withColumn("b1", bucket(col("s1"), col("mn1"), col("mx1")))
         .withColumn("b2", bucket(col("s2"), col("mn2"), col("mx2")))
@@ -3486,7 +3492,7 @@ object TrainingData {
         |    replace(lower(string_split(base, '/')[3]), ':443', '') ||
         |    '/' || string_split(base, '/')[4] || '/' || string_split(base, '/')[5] ||
         |    '?' || array_to_string(
-        |      list_filter(string_split(q, '&'), x -> x NOT LIKE 'utm_%'), '&') AS canon
+        |      list_filter(string_split(q, '&'), x -> NOT starts_with(x, 'utm_')), '&') AS canon
         |  FROM p)
         |SELECT doc_id, canon, host,
         |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_same

@@ -62,4 +62,31 @@ class ChanBinAvgSpec extends AnyFunSuite {
     }
     assert(flaggedBins > 0, "fixture must exercise the all-flagged fallback")
   }
+
+  test("ragged final bin: trailing channels emit a partial bin, not data loss") {
+    graft.expr.GraftFunctions.register(spark)
+    // 5 channels, binSize 2 → bins [0,1], [2,3], [4] — the last bin has
+    // width 1 and its all-flagged n_used must report 1 (true width), not
+    // the nominal binSize
+    val rows = spark.sql(
+      """SELECT chan_bin_avg(
+        |  array(named_struct('re', 1e0, 'im', 0e0),
+        |        named_struct('re', 3e0, 'im', 0e0),
+        |        named_struct('re', 5e0, 'im', 2e0),
+        |        named_struct('re', 7e0, 'im', 4e0),
+        |        named_struct('re', 9e0, 'im', 8e0)),
+        |  array(1e0, 1e0, 1e0, 3e0, 2e0),
+        |  array(false, false, false, false, true),
+        |  CAST(NULL AS DOUBLE), 2) AS bins""".stripMargin).collect()
+    val bins = rows(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(bins.size === 3, "5 channels / binSize 2 must yield 3 bins")
+    // full bins unchanged
+    assert(bins(0).getLong(0) === 2L && bins(0).getDouble(3) === 2.0)
+    assert(bins(1).getLong(0) === 2L && bins(1).getDouble(3) === 6.5)
+    // ragged all-flagged bin: width-1 count, flagged, averages its sample
+    assert(bins(2).getLong(0) === 1L)
+    assert(bins(2).getBoolean(1) === true)
+    assert(bins(2).getDouble(2) === 2.0)
+    assert(bins(2).getDouble(3) === 9.0 && bins(2).getDouble(4) === 8.0)
+  }
 }

@@ -67,21 +67,28 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .collect()(0).getInt(0) === 0)
   }
 
-  test("drop_prefixed ≡ array_join(filter(split(q,'&'), NOT LIKE prefix%), '&')") {
+  test("drop_prefixed ≡ array_join(filter(split(q,'&'), NOT startswith), '&')") {
     // the t46 query-string shapes plus edges: all-dropped, all-kept,
     // empty parts (&&), prefix-only part, prefix at every position,
-    // empty string, delimiter-free string
+    // empty string, delimiter-free string — and 'utmX=1'-style parts
+    // where LITERAL prefix match and LIKE 'utm_%' (wildcard _) DIFFER:
+    // drop_prefixed keeps them, LIKE would drop them
     val qs = Seq(
       "utm_source=feed&utm_id=7&ref=3", "ref=1&utm_x=2", "utm_a=1&utm_b=2",
       "a=1&b=2", "", "utm_", "utm", "&&", "&utm_x&", "x&utm_y&z",
-      "utm_first=1&mid=2&utm_last=3", "ref=utm_notprefix")
+      "utm_first=1&mid=2&utm_last=3", "ref=utm_notprefix",
+      "utm1=2&utm_id=3", "utmX=1", "utmA=1&ref=2&utm_b=3")
     import spark.implicits._
     qs.toDF("q").createOrReplaceTempView("dp_edges")
     val rows = spark.sql(
       """SELECT drop_prefixed(q, '&', 'utm_') AS fast,
-        |  array_join(filter(split(q, '&'), x -> NOT (x LIKE 'utm_%')), '&') AS ref
+        |  array_join(filter(split(q, '&'), x -> NOT startswith(x, 'utm_')), '&') AS ref
         |FROM dp_edges""".stripMargin).collect()
     rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // drop_prefixed is LITERAL: 'utmX=1' survives, while LIKE 'utm_%'
+    // (where _ is a wildcard) would have dropped it
+    assert(spark.sql("SELECT drop_prefixed('utmX=1&utm_y=2', '&', 'utm_')")
+      .collect()(0).getString(0) === "utmX=1")
     // the real t46 surface: generated URLs over the corpus ids
     spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
       .createOrReplaceTempView("dp_docs")
@@ -90,7 +97,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
         |  '&ref=', (doc_id div 3) % 5) AS q FROM dp_docs)
         |SELECT count(*) FROM u
         |WHERE drop_prefixed(q, '&', 'utm_')
-        |  <> array_join(filter(split(q, '&'), x -> NOT (x LIKE 'utm_%')), '&')"""
+        |  <> array_join(filter(split(q, '&'), x -> NOT startswith(x, 'utm_')), '&')"""
         .stripMargin).collect()(0).getLong(0)
     assert(corpusDiff === 0L)
     // non-literal or multi-byte delimiter is a clear registration error
