@@ -3817,6 +3817,85 @@ object TrainingData {
         .select(col("doc_id"), col("base_exact"),
           col("base_exact").isNotNull.as("is_exact_dup"),
           coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"))
+    },
+
+    // -- full BPE TRAINER (Sennrich et al. 2015 — the t21/t24 single
+    //    merge round iterated to a learned vocabulary): 16 rounds of
+    //    (count adjacent pairs → take the global argmax → rewrite the
+    //    corpus with the merged symbol chr(round)), then encode the
+    //    corpus with the learned table — the final rewritten text IS the
+    //    encoding (every char = one token). The G6 iterative idiom: a
+    //    driver loop over persisted DataFrames, where the ONLY thing
+    //    that ever reaches the driver is the 1-row argmax per round
+    //    (model-sized by definition); each round is one alphabet²-bounded
+    //    LUT-combiner rollup (TextCombiner — the shuffle carries ≤16 384
+    //    codes per partition at ANY corpus size) plus a zero-shuffle
+    //    corpus-linear rewrite projection. chr(1..16) stay inside the
+    //    ASCII/128 contract, so merged symbols participate in later
+    //    rounds exactly like base chars (real BPE over a 128-symbol
+    //    alphabet). Tie-break: (count DESC, pair ASC) — pair-string
+    //    binary order ≡ pair-code order since both bytes < 128. Hashed
+    //    surface: the merge table as (id = -round, val = pair code
+    //    a·128+b, s = '') rows UNION the encoded corpus as (id = doc_id,
+    //    val = n_tokens, s = md5(encoded)) rows — exact integers and
+    //    md5 strings only. Oracle: the same 16 rounds UNROLLED as
+    //    MATERIALIZED CTEs (forced — DuckDB would otherwise inline the
+    //    twice-referenced m{r} chain exponentially).
+    Q("t51_bpe_train", {
+      val rounds = (1 to 16).map { r =>
+        val prev = s"m${r - 1}"
+        s"""c$r AS MATERIALIZED (
+           |  SELECT pair FROM (
+           |    SELECT substr(e, CAST(i AS INTEGER), 2) AS pair
+           |    FROM (SELECT e, unnest(generate_series(1, length(e) - 1)) AS i
+           |          FROM $prev WHERE length(e) >= 2))
+           |  GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1),
+           |m$r AS MATERIALIZED (
+           |  SELECT doc_id, replace(e, (SELECT pair FROM c$r), chr($r)) AS e
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val mergeRows = (1 to 16).map { r =>
+        s"""SELECT CAST(-$r AS BIGINT) AS id,
+           |  CAST(ascii(substr(pair, 1, 1)) * 128 + ascii(substr(pair, 2, 1))
+           |    AS BIGINT) AS val, '' AS s FROM c$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT doc_id, text AS e FROM documents WHERE length(text) >= 2),
+         |$rounds
+         |$mergeRows
+         |UNION ALL
+         |SELECT CAST(doc_id AS BIGINT) AS id, CAST(length(e) AS BIGINT) AS val,
+         |  md5(e) AS s
+         |FROM m16""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextCombiner
+      val nMerges = 16
+      var cur = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("text").as("e"))
+        .persist()
+      cur.count()
+      val merges = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+      for (r <- 1 to nMerges) {
+        // the round's whole model update: ONE bounded rollup, ONE row out
+        val code = TextCombiner.pairCodeCounts(cur, "e")
+          .orderBy(col("cnt").desc, col("code")).limit(1)
+          .head.getLong(0)
+        merges += ((-r.toLong, code))
+        val pair = s"${(code / 128).toChar.toString}${(code % 128).toChar.toString}"
+        val next = cur.select(col("doc_id"),
+          org.apache.spark.sql.functions
+            .replace(col("e"), lit(pair), lit(r.toChar.toString)).as("e"))
+          .persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      import s.implicits._
+      val mtab = merges.toSeq.toDF("id", "val")
+        .select(col("id"), col("val"), lit("").as("s"))
+      mtab.unionByName(cur.select(col("doc_id").as("id"),
+        length(col("e")).cast("long").as("val"), md5(col("e")).as("s")))
     })
 
   /** `split(text, " ")` — named so the t50 body reads next to its oracle
