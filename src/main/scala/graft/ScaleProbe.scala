@@ -21,6 +21,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("semdedup-ab")) { semdedupAb(spark); return }
     val sf = "/root/testdata/sf0.1"
     val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "l_quantity")
@@ -511,6 +512,80 @@ object ScaleProbe {
           .write.mode("overwrite").format("noop").save()
       }
       println(f"e11_scatter,$k,${k * maxVec},$t%.2f")
+    }
+    spark.stop()
+  }
+
+  /** A/B for the round-9 assign rework: the codegen `nearest_centroid`
+    * path (SemDedup.assign, Tungsten end to end) against the RETIRED
+    * round-8 `rdd.mapPartitions` + `Row.fromSeq` implementation, inlined
+    * below verbatim as the reference. Same math, same tie rule — the
+    * SemDedupSpec A/B pins bit-identity; this probe pins the conversion
+    * tax. Corpus = sf0.1 embeddings replicated with the organic jitter,
+    * nc = 512 seeds (the t29 k = n/512 contract at ~260k rows). */
+  private def semdedupAb(spark: SparkSession): Unit = {
+    graft.expr.GraftFunctions.register(spark)
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val maxVec = emb0.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def rddAssign(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+      val cents: Array[(Long, Array[Long])] = seeds
+        .select(col("k"), col("qv")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(cents)
+      val qvIdx = corpus.schema.fieldIndex("qv")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        corpus.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "k", org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = corpus.rdd.mapPartitions { it =>
+        val cs = bc.value
+        it.map { row =>
+          val qv = row.getSeq[Long](qvIdx).toArray
+          var bestK = cs(0)._1
+          var bestD = Long.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val cq = cs(i)._2
+            var d = 0L
+            var j = 0
+            while (j < qv.length) { val t = qv(j) - cq(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; bestK = cs(i)._1 }
+            i += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestK)
+        }
+      }
+      spark.createDataFrame(rdd, outSchema)
+    }
+    println("probe,k,rows,nseeds,rdd_s,codegen_s,speedup")
+    for (k <- Seq(10, 50, 200)) {
+      val emb = (0 until k).map { i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("qv", expr(
+            s"transform(embedding, (x, p) -> " +
+              s"CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) + " +
+              s"((vec_id % 97) * 131 + p * 17 + $i * 53) % 401 - 200)"))
+      }.reduce(_ unionAll _)
+      val corpus = emb.select(col("vec_id").as("cid"), col("qv")).cache()
+      corpus.count() // materialize: time the assign, not the jitter
+      val seeds = graft.operators.SemDedup.seedsFrom(
+        corpus.filter(col("cid") < 512))
+      def sink(df: DataFrame): Unit = df.select(col("cid"), col("k"))
+        .write.mode("overwrite").format("noop").save()
+      // build each plan ONCE and time re-executions: a fresh build pays
+      // ~0.4 s of Janino compile + broadcast setup, which at 400k probe
+      // rows swamps the per-row difference but at any real corpus is
+      // noise — steady-state per-row throughput is the contract
+      val dfNew = graft.operators.SemDedup.assign(corpus, seeds)
+      val dfOld = rddAssign(corpus, seeds)
+      sink(dfNew); sink(dfOld) // JIT + codegen warmup
+      val tNew = (1 to 3).map(_ => time(sink(dfNew))).min
+      val tOld = (1 to 3).map(_ => time(sink(dfOld))).min
+      corpus.unpersist()
+      println(f"semdedup_ab,$k,${k * maxVec},512,$tOld%.2f,$tNew%.2f,${tOld / tNew}%.2f")
     }
     spark.stop()
   }

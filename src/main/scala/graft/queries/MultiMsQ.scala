@@ -87,5 +87,86 @@ object MultiMsQ {
         .groupBy("field_id", "ddid", "row_id", "chan")
         .agg(Det.fsum(col("flux") * cos(ph)).as("vre"),
           Det.fsum(col("flux") * sin(ph)).as("vim"))
+    },
+
+    // -- the same multi-group MS through the fused-RIME COMPILER: one
+    //    parsed spec plans all (FIELD_ID, DATA_DESC_ID) groups — per-field
+    //    sky models resolved by the group join, per-field phase centres
+    //    through the grouped LM transformer (FIELD.PHASE_DIR), per-SPW
+    //    channel grids from DATA_DESCRIPTION, and the model-table groups
+    //    pushed as partition filters on the MAIN scan (PlanSpec asserts
+    //    the pruned read). Reference: rime/examples/predict.py:548-559's
+    //    per-group graphs, here as ONE declarative plan.
+    //    Determinism: x10's LM-transformer treatment (r9-rounded trig of
+    //    bit-identical dyadic/decimal-literal arguments — class (b) + the
+    //    shared-rational collapse), x01's fsum source sum.
+    Q("x15_fused_rime_grouped", {
+      val lD = "round((cos(dec)*sin(ra - ra0)) * 1e9) / 1e9"
+      val mD = "round((sin(dec)*cos(dec0) - cos(dec)*sin(dec0)*cos(ra - ra0)) * 1e9) / 1e9"
+      s"""WITH r AS (SELECT range AS row_id FROM range(0, 400)),
+         |mn AS (
+         |  SELECT row_id,
+         |    CAST((row_id // 100) % 2 AS INTEGER) AS field_id,
+         |    CAST((row_id // 50) % 2 AS INTEGER) AS ddid,
+         |    ((row_id * 7) % 2001 - 1000) / 2e0 AS u,
+         |    ((row_id * 3) % 2001 - 1000) / 2e0 AS v,
+         |    ((row_id * 11) % 201 - 100) / 2e1 AS w
+         |  FROM r),
+         |ch AS (SELECT unnest(generate_series(0, 3)) AS chan),
+         |pc AS (SELECT * FROM (VALUES
+         |    (0, 25e-2, -38e-2), (1, 75e-2, 11e-2)) AS t(field_id, ra0, dec0)),
+         |src0 AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 265625e-6, -3878125e-7, 25e-1, 25e-2),
+         |    (0, 2421875e-7, -36875e-5, 15e-1, -25e-2),
+         |    (1, 7578125e-7, 1178125e-7, 125e-2, 125e-3),
+         |    (1, 734375e-6, 965625e-7, 75e-2, -125e-3))
+         |    AS t(field_id, ra, dec, i, q)),
+         |src AS (
+         |  SELECT src0.field_id, $lD AS l, $mD AS m, i, q
+         |  FROM src0 JOIN pc ON pc.field_id = src0.field_id),
+         |sp AS (
+         |  SELECT mn.*, ch.chan, src.l, src.m, src.i, src.q,
+         |    CASE WHEN mn.ddid = 0 THEN 856e6 + ch.chan * 107e6
+         |         ELSE 1712e6 + ch.chan * 535e5 END AS freq
+         |  FROM mn, ch
+         |  JOIN src ON src.field_id = mn.field_id)
+         |SELECT field_id, ddid, row_id, chan,
+         |  ${Det.fsumSql(s"(i + q) * cos(${SyntheticMs.phaseSql})")} AS xx_re,
+         |  ${Det.fsumSql(s"(i + q) * sin(${SyntheticMs.phaseSql})")} AS xx_im,
+         |  ${Det.fsumSql(s"(i - q) * cos(${SyntheticMs.phaseSql})")} AS yy_re,
+         |  ${Det.fsumSql(s"(i - q) * sin(${SyntheticMs.phaseSql})")} AS yy_im
+         |FROM sp GROUP BY field_id, ddid, row_id, chan""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val msDir = MsDataset.ensureMultiFixture(s)
+      val ms = MsDataset.read(s, msDir)
+      val chans = ms.dataDescription.get
+        .join(ms.spectralWindow,
+          col("SPECTRAL_WINDOW_ID") === col("spw_id"))
+        .select(col("ddid"),
+          posexplode(col("CHAN_FREQ")).as(Seq("chan", "freq")))
+        .select(col("ddid"), col("chan").cast("long").as("chan"),
+          col("freq"))
+      val fieldDirs = ms.field.select(col("field_id"),
+        element_at(col("PHASE_DIR"), 1).as("ra0"),
+        element_at(col("PHASE_DIR"), 2).as("dec0"))
+      // per-field components: (ra, dec) decimal literals — both engines'
+      // correctly-rounded parses of the same decimal, so the LM trig
+      // arguments are bit-identical; stokes dyadic
+      val src = Seq(
+        (0L, 0, 0.265625, -0.3878125, 2.5, 0.25),
+        (1L, 0, 0.2421875, -0.36875, 1.5, -0.25),
+        (2L, 1, 0.7578125, 0.1178125, 1.25, 0.125),
+        (3L, 1, 0.734375, 0.0965625, 0.75, -0.125))
+        .toDF("src_id", "field_id", "ra", "dec", "i", "q")
+      val rows = ms.main.select(col("row_id"),
+        col("FIELD_ID").cast("int").as("field_id"),
+        col("DATA_DESC_ID").cast("int").as("ddid"),
+        element_at(col("UVW"), 1).as("u"),
+        element_at(col("UVW"), 2).as("v"),
+        element_at(col("UVW"), 3).as("w"))
+      graft.rime.RimeCompiler.planGrouped("(Kpq,Bpq): [I,Q] -> [XX,YY]",
+        src, rows, chans, fieldDirs = Some(fieldDirs))
     })
 }

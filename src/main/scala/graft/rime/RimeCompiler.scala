@@ -199,7 +199,54 @@ object RimeCompiler {
   def plan(specStr: String, src0: DataFrame, rows: DataFrame,
            chans: DataFrame, gainsDf: Option[DataFrame] = None,
            paDf: Option[DataFrame] = None,
-           phaseDir: Option[(Double, Double)] = None): DataFrame = {
+           phaseDir: Option[(Double, Double)] = None): DataFrame =
+    planImpl(specStr, src0, rows, chans, gainsDf, paDf, phaseDir,
+      grouped = false, fieldDirs = None)
+
+  /** Group-aware plan — ONE compiled spec over the (FIELD_ID,
+    * DATA_DESC_ID)-grouped MS, the Spark-first answer to the reference's
+    * per-group dask graphs (rime/examples/predict.py:548-559; r18 is the
+    * hand-built form). `src` carries `field_id` (per-field sky model),
+    * `chans` carries `ddid` (the DATA_DESCRIPTION→SPW-resolved channel
+    * grid), `rows` carries both. The per-group independence falls out of
+    * the grouping keys: dimension tables broadcast, the source sum is one
+    * partial+final aggregation keyed by (field_id, ddid, row_id, chan[,
+    * antenna keys]), and the output carries the group columns.
+    *
+    * Scale property (PlanSpec-guarded): the distinct groups PRESENT in
+    * the model tables are pushed as scan filters on `rows` — planning a
+    * subset of groups reads only those MS partitions (the model tables
+    * are driver-sized, so the isin-list collect is bounded). When the
+    * per-field model carries (ra, dec) and no (l, m), the LM transformer
+    * derives the cosines about each field's OWN phase centre from
+    * `fieldDirs` (field_id, ra0, dec0) — the FIELD.PHASE_DIR semantics. */
+  def planGrouped(specStr: String, src0: DataFrame, rows: DataFrame,
+                  chans: DataFrame, gainsDf: Option[DataFrame] = None,
+                  paDf: Option[DataFrame] = None,
+                  fieldDirs: Option[DataFrame] = None): DataFrame =
+    planImpl(specStr, src0, rows, chans, gainsDf, paDf, phaseDir = None,
+      grouped = true, fieldDirs = fieldDirs)
+
+  /** Per-field LM transformer: the grouped sibling of [[deriveLm]] — the
+    * phase centre is a per-field COLUMN pair joined from the (model-sized,
+    * broadcast) field table instead of a plan literal. Same r9 rounding,
+    * same reason (lm.py:21-40 formula; engine-libm trig collapsed onto a
+    * shared rational). */
+  private def deriveLmGrouped(src: DataFrame, dirs: DataFrame): DataFrame = {
+    val da = col("ra") - col("ra0")
+    src.join(broadcast(dirs.select(col("field_id"), col("ra0"), col("dec0"))),
+        Seq("field_id"))
+      .withColumn("l", Det.r9(cos(col("dec")) * sin(da)))
+      .withColumn("m", Det.r9(sin(col("dec")) * cos(col("dec0")) -
+        cos(col("dec")) * sin(col("dec0")) * cos(da)))
+      .drop("ra0", "dec0")
+  }
+
+  private def planImpl(specStr: String, src0: DataFrame, rows0: DataFrame,
+           chans: DataFrame, gainsDf: Option[DataFrame],
+           paDf: Option[DataFrame],
+           phaseDir: Option[(Double, Double)],
+           grouped: Boolean, fieldDirs: Option[DataFrame]): DataFrame = {
     val spec = RimeSpec.parse(specStr)
     require(!spec.hasTerm('G') || gainsDf.isDefined,
       "spec contains G but no gains table was supplied")
@@ -207,10 +254,27 @@ object RimeCompiler {
     // about the supplied phase centre when the source table has none.
     val src: DataFrame =
       if (spec.hasTerm('K') && !src0.columns.contains("l")) {
-        require(phaseDir.isDefined,
-          "spec contains K but src has no (l, m) and no phaseDir was supplied")
-        deriveLm(src0, phaseDir.get)
+        if (grouped) {
+          require(fieldDirs.isDefined, "grouped spec contains K but src " +
+            "has no (l, m) and no fieldDirs table was supplied")
+          deriveLmGrouped(src0, fieldDirs.get)
+        } else {
+          require(phaseDir.isDefined,
+            "spec contains K but src has no (l, m) and no phaseDir was supplied")
+          deriveLm(src0, phaseDir.get)
+        }
       } else src0
+    // group pruning: only the groups present in the model tables are
+    // planned — the isin filters reach the partitioned MS scan as
+    // PartitionFilters, so a subset plan reads a subset of the bytes
+    val rows: DataFrame = if (grouped) {
+      val fids = src.select(col("field_id")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val dds = chans.select(col("ddid")).distinct()
+        .collect().map(_.get(0)).toSeq
+      rows0.filter(col("field_id").isin(fids: _*) &&
+        col("ddid").isin(dds: _*))
+    } else rows0
     // X3 parallactic-angle transformer: when the spec needs L and no PA
     // table is supplied, derive one from the rows' (time, antenna) domain
     // via the GMST backend — the reference's transformer computes exactly
@@ -259,16 +323,21 @@ object RimeCompiler {
       envelopes.foldLeft(base)((z, e) => z.scale(e))
     }
 
-    val expanded0 = rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
+    val expanded0 =
+      if (grouped)
+        rows.join(broadcast(src), Seq("field_id"))
+          .join(broadcast(chans), Seq("ddid"))
+      else rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
+    val groupCols = if (grouped) Seq("field_id", "ddid") else Seq.empty
     // stage the DDE terms' broadcast joins / derived columns (term
     // protocol setup) before the source sum
     val expanded = (spec.leftDde.map((_, "p")) ++ spec.rightDde.map((_, "q")))
       .foldLeft(expanded0) { case (df, (c, side)) => registry(c).stage(df, side) }
     val hasDde = spec.leftDde.nonEmpty || spec.rightDde.nonEmpty
     val needsAnts = spec.hasTerm('G') || spec.hasTerm('L') || hasDde
-    val gKeys =
-      if (needsAnts) Seq("row_id", "time_index", "ant1", "ant2", "chan")
-      else Seq("row_id", "chan")
+    val gKeys = groupCols ++
+      (if (needsAnts) Seq("row_id", "time_index", "ant1", "ant2", "chan")
+       else Seq("row_id", "chan"))
     // correlation-mixing factors (L or any 2×2 DDE) force the full matrix
     // through the source sum
     val mixes = spec.hasTerm('L') || hasDde
@@ -330,7 +399,8 @@ object RimeCompiler {
         if (applyQ) v = v * gq.conj
         Seq(v.re.as(s"${n}_re"), v.im.as(s"${n}_im"))
       }
-      withG.select((col("row_id") +: col("chan") +: outCols): _*)
+      withG.select((groupCols.map(col) ++ (col("row_id") +: col("chan") +:
+        outCols)): _*)
     } else {
       var j = summed
       if (spec.hasTerm('G')) {
@@ -375,7 +445,8 @@ object RimeCompiler {
         val n = c.toLowerCase
         Seq(entry(c).re.as(s"${n}_re"), entry(c).im.as(s"${n}_im"))
       }
-      j.select((col("row_id") +: col("chan") +: outCols): _*)
+      j.select((groupCols.map(col) ++ (col("row_id") +: col("chan") +:
+        outCols)): _*)
     }
   }
 }

@@ -294,16 +294,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("t29: centroid assignment is a broadcast map-side argmin — k-independent plan") {
-    // The scale contract: assignment rides a spark-broadcast centroid
-    // matrix inside an RDD mapPartitions (surfacing as Scan ExistingRDD
-    // with the `k` column already attached), so the PLAN carries no
-    // per-centroid literal and no least() chain — k = n/512 can grow to
-    // millions without codegen or driver-expression blowup. The only
-    // wide moves are the cluster-keyed pair join + per-vector rollup —
-    // no single-partition exchange anywhere.
+    // The scale contract (round-9 form): assignment is the codegen'd
+    // `nearest_centroid` expression over a ONE-ROW broadcast-joined LUT
+    // frame — the PLAN carries no per-centroid literal and no least()
+    // chain (k = n/512 can grow to millions without codegen or
+    // driver-expression blowup), and no RDD round-trip (the retired
+    // round-8 form surfaced as Scan ExistingRDD, deserializing every
+    // corpus row off Tungsten). The only wide moves are the
+    // cluster-keyed pair join + per-vector rollup — no single-partition
+    // exchange anywhere.
     val p = planOf("t29_semdedup")
-    assert(p.contains("Scan ExistingRDD"),
-      "t29 assignment no longer feeds from the broadcast argmin RDD:\n" + p)
+    assert(p.contains("nearest_centroid("),
+      "t29 assignment lost the codegen argmin expression:\n" + p)
+    assert(!p.contains("Scan ExistingRDD"),
+      "t29 assignment regressed to an RDD round-trip:\n" + p)
     assert(!p.contains("least("),
       "t29 regressed to a per-centroid literal least() chain:\n" + p)
     assert(p.contains("Exchange hashpartitioning"),
@@ -603,6 +607,58 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
   }
 
+  test("x15: a single-group compiled RIME plan prunes the MS scan to that group's partitions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // planGrouped pushes the groups PRESENT in the model tables as scan
+    // filters: a sky model covering only field 0 and a channel grid
+    // covering only ddid 0 must read 1/4 of the partitioned MAIN files —
+    // the per-group-graph economy of the reference, from ONE compiled spec
+    val spark2 = spark
+    import spark2.implicits._
+    val msDir = graft.io.MsDataset.ensureMultiFixture(spark)
+    val ms = graft.io.MsDataset.read(spark, msDir)
+    val chans = ms.dataDescription.get
+      .join(ms.spectralWindow, col("SPECTRAL_WINDOW_ID") === col("spw_id"))
+      .select(col("ddid"), posexplode(col("CHAN_FREQ")).as(Seq("chan", "freq")))
+      .select(col("ddid"), col("chan").cast("long").as("chan"), col("freq"))
+      .filter(col("ddid") === 0)
+    val fieldDirs = ms.field.select(col("field_id"),
+      element_at(col("PHASE_DIR"), 1).as("ra0"),
+      element_at(col("PHASE_DIR"), 2).as("dec0"))
+    val src = Seq((0L, 0, 0.265625, -0.3878125, 2.5, 0.25))
+      .toDF("src_id", "field_id", "ra", "dec", "i", "q")
+    val rows = ms.main.select(col("row_id"),
+      col("FIELD_ID").cast("int").as("field_id"),
+      col("DATA_DESC_ID").cast("int").as("ddid"),
+      element_at(col("UVW"), 1).as("u"),
+      element_at(col("UVW"), 2).as("v"),
+      element_at(col("UVW"), 3).as("w"))
+    val out = graft.rime.RimeCompiler.planGrouped(
+      "(Kpq,Bpq): [I,Q] -> [XX,YY]", src, rows, chans,
+      fieldDirs = Some(fieldDirs))
+    assert(out.count() === 100 * 4) // rows of group (0,0) × 4 chans
+    // descend through the AQE wrapper + query stages (x15's plan has
+    // exchanges, so unlike r18's bare scan it finalizes adaptively)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(out.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("MAIN"))
+    assert(scans.nonEmpty, out.queryExecution.executedPlan.toString)
+    assert(scans.head.metadata("PartitionFilters").contains("FIELD_ID"),
+      s"group filters did not reach the scan: ${scans.head.metadata}")
+    val readFiles = scans.head.metrics("numFiles").value
+    val allFiles = ms.main.inputFiles.length
+    assert(readFiles.toInt * 4 <= allFiles + 3,
+      s"read $readFiles of $allFiles files — group pruning not engaged")
+  }
+
   test("a18/a19: full-corr averaging rides keyed exchanges only — no funnel, no SMJ") {
     for (q <- Seq("a18_array_full_corr", "a19_bda_full_corr")) {
       val p = planOf(q)
@@ -643,10 +699,17 @@ class PlanSpec extends AnyFunSuite {
   test("e16: two-level IVF keeps the fine set out of the driver — keyed join + partial argmin agg") {
     val p = planOf("e16_semdedup_2level")
     // the fine argmin must be a partial+final aggregate over a cell-keyed
-    // join: no all-pairs expansion, no single-partition funnel
-    assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
+    // join: no all-pairs expansion, no single-partition funnel. The only
+    // nested-loop joins allowed are the TWO one-row LUT gathers of the
+    // round-9 codegen assign (corpus→coarse, fine→coarse) — a corpus×fine
+    // expansion would be a third.
+    assert(!p.contains("CartesianProduct"),
       "e16 candidate join must be cell-keyed:\n" + p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "e16 grew a non-LUT nested-loop join (all-pairs expansion?):\n" +
+        p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "e16 lost the cell-keyed candidate join:\n" + p.take(3000))
     assert(!p.contains("Exchange SinglePartition"),
       "e16 funnels through one partition:\n" + p.take(3000))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"),

@@ -57,6 +57,60 @@ class SemDedupSpec extends AnyFunSuite {
     assert(agreed < two.size) // ...and so is the approximation case
   }
 
+  test("codegen assign ≡ independent driver brute-force, bit-identical") {
+    // A/B for the round-9 rework: the codegen'd nearest_centroid argmin
+    // (broadcast one-row LUT, Tungsten end to end) against a from-scratch
+    // driver reference implementing the same spec: exact integer L2,
+    // ties to the LOWEST centroid id.
+    val got = SemDedup.assign(corpus, seeds(NF))
+      .select(col("cid"), col("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = seeds(NF).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val qvs = corpus.select(col("cid"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    assert(got.size === qvs.length)
+    qvs.foreach { case (cid, qv) =>
+      var bestK = -1L; var bestD = Long.MaxValue
+      cents.foreach { case (k, cq) =>
+        var d = 0L; var i = 0
+        while (i < qv.length) { val t = qv(i) - cq(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; bestK = k }
+      }
+      assert(got(cid) === bestK, s"cid=$cid")
+    }
+  }
+
+  test("assign tie rule: duplicate centroid under a higher id never wins") {
+    // centroid 0's vector duplicated under id 999 — every row equidistant
+    // to both must keep the lower id; in particular row 0 (d2 = 0 twice)
+    val dup = seeds(1).union(
+      seeds(1).select(lit(999L).as("k"), col("qv")))
+    val got = SemDedup.assign(corpus, dup)
+      .select(col("cid"), col("k")).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) === 0L))
+  }
+
+  test("assign plan stays on Tungsten: no RDD scan, argmin codegen'd") {
+    val plan = SemDedup.assign(corpus, seeds(NF))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"),
+      "assign fell back to an RDD round-trip")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("CartesianProduct") || plan.contains("BroadcastExchange"),
+      s"one-row LUT should arrive via a broadcast join:\n$plan")
+  }
+
+  test("assign fails fast on dimension mismatch") {
+    val badSeeds = seeds(2).select(col("k"), slice(col("qv"), 1, 3).as("qv"))
+    val e = intercept[Exception] {
+      SemDedup.assign(corpus, badSeeds).select(col("k")).collect()
+    }
+    assert(e.getMessage.contains("dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("dim")))
+  }
+
   test("fine seeds self-assign at d2 = 0 and ties go to the lower fine id") {
     val two = SemDedup.assignTwoLevel(corpus, seeds(NC), seeds(NF))
       .filter(col("cid") < NF).collect()
