@@ -67,6 +67,15 @@ object GridProbe {
         }
         println(s"$k,es_frac_w$w,${(2 * w + 1) * (2 * w + 1)},$t")
       }
+      // the deep-ε tier: two-plane w-interp at W=5 (esTierFor(1e-6)) —
+      // 2x the scatter rows of the snap path, nPlanes-free on sparse data
+      val (w2, np2) = Kernels.esTierFor(1e-6)
+      val tW2 = time {
+        WStack.planeGridsFracW2(frac, w2, Kernels.esBeta(w2),
+          nPlanes = np2, wMax = 5.0, fsum = c => Det.fsum(c))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(s"$k,es_winterp_w$w2,${2 * (2 * w2 + 1) * (2 * w2 + 1)},$tW2")
     }
     spark.stop()
   }

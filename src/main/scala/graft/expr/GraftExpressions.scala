@@ -862,9 +862,14 @@ object NearestCentroid {
       ksA: org.apache.spark.sql.catalyst.util.ArrayData,
       cqsA: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val lut = luts(ksA, cqsA)
-    val ks = lut.ks
-    val cqs = lut.cqs
-    val qv = qvA.toLongArray()
+    computeArrays(qvA.toLongArray(), lut.ks, lut.cqs)
+  }
+
+  /** The primitive-array argmin core — shared by the codegen expression
+    * above and by the STREAMING ingest face (StreamingMl.streamingIvfIngest),
+    * so stream-side cell assignment is the same code as the batch plan's. */
+  def computeArrays(qv: Array[Long], ks: Array[Long],
+      cqs: Array[Long]): Long = {
     val k = ks.length
     val d = qv.length
     if (k <= 0) throw new IllegalArgumentException(

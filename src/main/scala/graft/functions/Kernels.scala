@@ -101,8 +101,10 @@ object Kernels {
     * operating point (image extent ≪ Nyquist, so aliases sit a full cycle
     * away — unlike FINUFFT's σ=2 tuning β≈2.3w, the measured optimum here
     * is β ≈ 1.8πw). Measured worst-case relative aliasing error over all
-    * sub-cell fractions: w=2 → 1.9e-4, w=3 → 5.4e-7, w=4 → 1.5e-9 —
-    * about 2.6 digits per cell of support. */
+    * sub-cell fractions: w=2 → 1.9e-4, w=3 → 5.4e-7, w=4 → 1.5e-9,
+    * w=5 → 3.2e-12, w=6 → 8.4e-15 — about 2.6 digits per cell of
+    * support, holding through w=6 (a β rescan at w=5/6 moves the optimum
+    * ≤0.15πw and buys <4x — the 1.8πw rule stays). */
   def esBeta(w: Int): Double = 1.8 * math.Pi * w
 
   def esSupportFor(eps: Double): (Int, Double) = {
@@ -110,6 +112,26 @@ object Kernels {
     val w = math.max(2, math.ceil((digits + 1.5) / 2.6).toInt)
     (w, esBeta(w))
   }
+
+  /** ε → (half-support, w-plane count) for the full w-stacked dirty
+    * image: kernel aliasing falls 2.6 digits per support cell (above) but
+    * TOTAL error is w-term-limited. The plane-SNAP scatter
+    * (WStack.planeGridsFrac) truncates at first order — error LINEAR in
+    * the plane spacing (measured 2.9e-5 → 1.9e-6 over 8 → 128 planes), so
+    * sub-1e-6 by brute plane count is a dense-data shuffle tax. The deep
+    * tier therefore switches to the two-plane linear w-INTERPOLATION
+    * scatter (WStack.planeGridsFracW2, second-order: ∝ (Δw)²), which
+    * reaches the 1e-9 class at 32 planes. Tiers measured by
+    * WGridderAccuracySpec against the exact continuous DFT at its
+    * operating point (wMax = 5, |l| ≤ 4/1024): (3, 8) snap → 1.2e-4,
+    * (4, 32) snap → 5.4e-6, (5, 32) W2-interp → <1e-6 (CI-asserted).
+    * Occupied (plane, cell) groups — the shuffle volume — are bounded by
+    * the visibility count (2x it under interp), nPlanes-free on sparse
+    * data. */
+  def esTierFor(eps: Double): (Int, Int) =
+    if (eps >= 2e-4) (3, 8)
+    else if (eps >= 1e-5) (4, 32)
+    else (5, 32) // with WStack.planeGridsFracW2 (two-plane w-interp)
 
   /** Full 2-D DFT detaper over the outer-product kernel
     * (compute_detaper_dft, kernels.py:99-139): Re Σ_{o1,o2}

@@ -155,6 +155,103 @@ object StreamingMl {
       capacity)
   }
 
+  final case class IvfIn(cid: Long, qv: Seq[Long])
+  final case class IvfCellState(cids: Seq[Long], qvs: Seq[Seq[Long]],
+                                n2s: Seq[Long])
+  final case class IvfOut(cid: Long, cell: Long, nNear: Long,
+                          pruned: Boolean, maxCos: Option[Double])
+
+  /** The shared per-cell ingest fold of the streaming IVF face and its
+    * batch twin: each arriving vector is compared against every EARLIER
+    * member of its cell (exact integer dot, the SemDedup.prune cosine
+    * formula verbatim: d / (√n2_earlier · √n2_arriving)) and emits its
+    * SemDeDup verdict — n_near at τ, pruned, max cosine (None when the
+    * vector opens the cell). ALL members enter the state (kept or pruned
+    * — the batch greedy rule counts every lower-id member), so state per
+    * cell is the cell population: bounded by the n/k ≈ 512 contract the
+    * coarse seed count grows to maintain (t29). */
+  private def ivfCellFold(sorted: Seq[(Long, Array[Long])],
+      st0: IvfCellState, cell: Long, tau: Double)
+      : (IvfCellState, Seq[IvfOut]) = {
+    var ids = st0.cids.toVector
+    var qvs = st0.qvs.map(_.toArray).toVector
+    var n2s = st0.n2s.toVector
+    val out = sorted.map { case (cid, qv) =>
+      var n2 = 0L
+      var j = 0
+      while (j < qv.length) { n2 += qv(j) * qv(j); j += 1 }
+      var nNear = 0L
+      var maxCos = Option.empty[Double]
+      var i = 0
+      while (i < ids.length) {
+        val o = qvs(i)
+        var d = 0L
+        var k = 0
+        while (k < qv.length) { d += o(k) * qv(k); k += 1 }
+        val cos = d.toDouble /
+          (math.sqrt(n2s(i).toDouble) * math.sqrt(n2.toDouble))
+        if (cos >= tau) nNear += 1
+        if (maxCos.forall(_ < cos)) maxCos = Some(cos)
+        i += 1
+      }
+      ids :+= cid; qvs :+= qv; n2s :+= n2
+      IvfOut(cid, cell, nNear, nNear > 0, maxCos)
+    }
+    (IvfCellState(ids, qvs.map(_.toSeq), n2s), out)
+  }
+
+  /** Streaming IVF index maintenance — the INGEST face of the e04/e16
+    * batch index build: new vectors are assigned to their coarse cell
+    * with the broadcast seed matrix (the SAME primitive argmin as the
+    * batch `nearest_centroid` expression — graft.expr.NearestCentroid
+    * .computeArrays, ties to the lowest id) and flagged for SemDeDup
+    * prune against the cell's existing members via one
+    * `flatMapGroupsWithState` keyed by cell. Rows within a micro-batch
+    * are cid-sorted; across batches the operator relies on per-key
+    * arrival order (ascending ids), the contract shared with the
+    * streaming packer/dedup — under it the emitted verdicts equal the
+    * batch t29 greedy rule row for row (StreamingSpec proves parity
+    * across micro-batch splits). `seeds` is the model-sized coarse table,
+    * closure-broadcast like the batch LUT. */
+  def streamingIvfIngest(ds: Dataset[IvfIn],
+      seeds: Array[(Long, Array[Long])], tau: Double): Dataset[IvfOut] = {
+    import ds.sparkSession.implicits._
+    val sorted = seeds.sortBy(_._1)
+    val ks = sorted.map(_._1)
+    val cqs = sorted.flatMap(_._2)
+    ds.groupByKey(v =>
+        graft.expr.NearestCentroid.computeArrays(v.qv.toArray, ks, cqs))
+      .flatMapGroupsWithState[IvfCellState, IvfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[IvfIn], state: GroupState[IvfCellState]) =>
+          val arr = rows.toSeq.sortBy(_.cid).map(v => v.cid -> v.qv.toArray)
+          val st0 = state.getOption.getOrElse(IvfCellState(Nil, Nil, Nil))
+          val (st1, out) = ivfCellFold(arr, st0, cell, tau)
+          state.update(st1)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[streamingIvfIngest]]: the same per-cell fold after
+    * ONE shuffle on the cell key (`flatMapGroups` — the repo's
+    * per-group-sequential idiom), each cell starting from an empty
+    * index. Under ascending-cid arrival the stream and this batch form
+    * emit identical rows, and both equal SemDedup.prune's greedy
+    * verdicts — e20 puts this code path under the DuckDB hash gate. */
+  def ivfIngestBatch(ds: Dataset[IvfIn],
+      seeds: Array[(Long, Array[Long])], tau: Double): Dataset[IvfOut] = {
+    import ds.sparkSession.implicits._
+    val sorted = seeds.sortBy(_._1)
+    val ks = sorted.map(_._1)
+    val cqs = sorted.flatMap(_._2)
+    ds.groupByKey(v =>
+        graft.expr.NearestCentroid.computeArrays(v.qv.toArray, ks, cqs))
+      .flatMapGroups { (cell: Long, rows: Iterator[IvfIn]) =>
+        val arr = rows.toSeq.sortBy(_.cid).map(v => v.cid -> v.qv.toArray)
+        ivfCellFold(arr, IvfCellState(Nil, Nil, Nil), cell, tau)._2.iterator
+      }
+  }
+
   final case class SnapDoc(docId: Long, fp: String, h1: String, h2: String,
                            isBase: Boolean)
   final case class BandState(nBase: Long)

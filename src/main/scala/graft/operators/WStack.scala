@@ -155,6 +155,56 @@ object WStack {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Two-plane linear w-INTERPOLATION scatter — the deep-ε upgrade of
+    * [[planeGridsFrac]]: instead of snapping each row to its nearest
+    * w-plane (truncation error LINEAR in the plane spacing — measured
+    * 2.9e-5 → 1.9e-6 over 8 → 128 planes, one digit per 4x planes), every
+    * visibility scatters onto its TWO bracketing planes with weights
+    * (1−t, t), t the fractional position between them. Linear
+    * interpolation of e^{2πi·w·η} between plane phases is second-order:
+    * error ∝ (2π·Δw·η)²/8, so 32 planes reach the 1e-9 class at the
+    * WGridderAccuracySpec operating point where the snap path needs
+    * thousands. This is the first step of ducc0's w-direction kernel
+    * (vis2im.py:77-106 delegates to a full ES kernel across w; linear =
+    * the W=1 member). Shuffle volume doubles the occupied (plane, cell)
+    * groups at most — still bounded by 2 × rows × stencil, nPlanes-free
+    * on sparse data. Output: (wplane, gu, gv, g_re, g_im, n_hits). */
+  def planeGridsFracW2(pts: DataFrame, w: Int, beta: Double,
+                       nPlanes: Int, wMax: Double,
+                       fsum: Column => Column): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val spacing = 2.0 * wMax / (nPlanes - 1)
+    val p0 = least(greatest(
+      floor((col("w") + wMax) / spacing).cast("long"), lit(0L)),
+      lit(nPlanes - 1L))
+    val wp0 = lit(-wMax) + p0.cast("double") * spacing
+    val t = least(greatest((col("w") - wp0) / spacing, lit(0.0)), lit(1.0))
+    val planes = explode(array(
+      struct(p0.as("wplane"), (lit(1.0) - t).as("pw")),
+      struct(least(p0 + 1L, lit(nPlanes - 1L)).as("wplane"), t.as("pw"))))
+    val offs = (-w to w).map(_.toLong)
+    val ti = broadcast(offs.toDF("oi"))
+    val tj = broadcast(offs.toDF("oj"))
+    val wt = esWeight(col("oi") - col("fru"), w, beta) *
+      esWeight(col("oj") - col("frv"), w, beta)
+    pts
+      .select(col("*"), planes.as("pl"))
+      .select(col("*"), col("pl.wplane").as("wplane"), col("pl.pw").as("pw"))
+      .drop("pl")
+      .withColumn("pu", round(col("cu")).cast("long"))
+      .withColumn("pv", round(col("cv")).cast("long"))
+      .withColumn("fru", col("cu") - col("pu"))
+      .withColumn("frv", col("cv") - col("pv"))
+      .crossJoin(ti).crossJoin(tj)
+      .withColumn("gu", col("pu") + col("oi"))
+      .withColumn("gv", col("pv") + col("oj"))
+      .groupBy("wplane", "gu", "gv")
+      .agg(fsum(col("re") * (col("pw") * wt)).as("g_re"),
+        fsum(col("im") * (col("pw") * wt)).as("g_im"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** ε-controlled adjoint: sample each row's w-plane grid with the ES
     * kernel at the row's EXACT fractional offset — the degrid half of the
     * kernel-corrected scheme ([[planeGridsFrac]]'s mirror; the image side

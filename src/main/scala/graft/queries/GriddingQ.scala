@@ -267,6 +267,209 @@ object GriddingQ {
         nPlanes = 4, wMax = 5.0, fsum = c => Det.fsum(c), r6 = Det.r6)
     },
 
+    // -- the ε-CONTROLLED (ES-kernel fractional) path wired through the
+    //    HESSIAN round trip (gridding/wgridder/hessian.py:16-199's R·R†
+    //    applied in the vis domain): grid every visibility at its EXACT
+    //    fractional uv offset with the ES kernel (planeGridsFrac — no
+    //    snap), then degrid each row back from its own w-plane
+    //    (planeDegridFrac) — the f10 round trip on the kernel-corrected
+    //    scheme. Determinism: the fractional offsets are IEEE-exact
+    //    rationals (u·2⁻²), the ES weight is exp/sqrt of those
+    //    bit-identical arguments (class (b), the x01 cos-of-exact-phase
+    //    precedent), every product rides fsum, and the final back-rotation
+    //    is the f10 exact-rational × class-(b) product. Accuracy of this
+    //    path against the continuous DFT is CI-asserted in
+    //    WGridderAccuracySpec; THIS query pins cross-engine execution.
+    Q("f17_es_hessian_vis", {
+      val spacing = "(2e0 * 5e0 / 3e0)"
+      val theta = "2e0 * pi() * 1e-2 * dw"
+      val beta = "((18e-1 * pi()) * 3)"
+      def esW(x: String) =
+        s"(CASE WHEN abs($x) >= 3 THEN 0e0 ELSE exp($beta * " +
+          s"(sqrt(greatest(0e0, 1e0 - (($x) / 3) * (($x) / 3))) - 1e0)) END)"
+      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)}),
+         |pts AS (
+         |  SELECT rws.row_id, rws.w,
+         |    rws.u * 25e-2 AS cu, rws.v * 25e-2 AS cvv,
+         |    cv.xx_re AS re, cv.xx_im AS im
+         |  FROM rws JOIN cv ON rws.row_id = cv.row_id),
+         |wp AS (
+         |  SELECT *, LEAST(GREATEST(
+         |      CAST(ROUND((w + 5e0) / $spacing) AS BIGINT), 0), 3) AS wplane
+         |  FROM pts),
+         |fr AS (
+         |  SELECT *, w - (-5e0 + CAST(wplane AS DOUBLE) * $spacing) AS dw,
+         |    CAST(ROUND(cu) AS BIGINT) AS pu,
+         |    CAST(ROUND(cvv) AS BIGINT) AS pv,
+         |    cu - CAST(ROUND(cu) AS BIGINT) AS fru,
+         |    cvv - CAST(ROUND(cvv) AS BIGINT) AS frv
+         |  FROM wp),
+         |c AS (
+         |  SELECT *,
+         |    re*cos($theta) - im*sin($theta) AS cre,
+         |    re*sin($theta) + im*cos($theta) AS cim
+         |  FROM fr),
+         |offs AS (SELECT unnest(generate_series(-3, 3)) AS o),
+         |grid AS MATERIALIZED (
+         |  SELECT wplane, pu + oi.o AS gu, pv + oj.o AS gv,
+         |    ${Det.fsumSql(s"cre * (${esW("oi.o - fru")} * ${esW("oj.o - frv")})")} AS g_re,
+         |    ${Det.fsumSql(s"cim * (${esW("oi.o - fru")} * ${esW("oj.o - frv")})")} AS g_im
+         |  FROM c, offs oi, offs oj
+         |  GROUP BY wplane, pu + oi.o, pv + oj.o),
+         |gath AS (
+         |  SELECT p.row_id, p.dw,
+         |    ${Det.fsumSql("grid.g_re * (p.wti * p.wtj)")} AS s_re,
+         |    ${Det.fsumSql("grid.g_im * (p.wti * p.wtj)")} AS s_im
+         |  FROM (SELECT fr.row_id, fr.dw, fr.wplane,
+         |          fr.pu + oi.o AS gu, fr.pv + oj.o AS gv,
+         |          ${esW("oi.o - fru")} AS wti, ${esW("oj.o - frv")} AS wtj
+         |        FROM fr, offs oi, offs oj) p
+         |  JOIN grid ON grid.wplane = p.wplane
+         |    AND grid.gu = p.gu AND grid.gv = p.gv
+         |  GROUP BY p.row_id, p.dw)
+         |SELECT row_id,
+         |  s_re*cos($theta) - s_im*(-sin($theta)) AS dg_re,
+         |  s_re*(-sin($theta)) + s_im*cos($theta) AS dg_im
+         |FROM gath""".stripMargin
+    }) { (s, dir) =>
+      val W = 3
+      val beta = graft.functions.Kernels.esBeta(W)
+      val p = uvwRows(s, dir, 16)
+        .join(corrVis(s, dir, 16), "row_id")
+        .select(col("row_id"), col("w"),
+          (col("u") * 25e-2).as("cu"), (col("v") * 25e-2).as("cv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      val grids = graft.operators.WStack.planeGridsFrac(p, W, beta,
+        nPlanes = 4, wMax = 5.0, eta = 1e-2,
+        fsum = c => Det.fsum(c)).drop("n_hits")
+      graft.operators.WStack.planeDegridFrac(p, grids, W, beta,
+        nPlanes = 4, wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c))
+    },
+
+    // -- and through the RESIDUAL round trip
+    //    (gridding/wgridder/im2residim.py:16-220 on the ε path): the
+    //    residual visibility V − (R·R†)V scatters back to the image with
+    //    the same ES fractional kernel — per-plane sparse DFT at the f11
+    //    pixel set, image-domain w-correction, plane sum. The hashed
+    //    surface is the detaper-free plane sum (an exact fsum rational);
+    //    the ES detaper division is CI-asserted in WGridderAccuracySpec
+    //    (it is a per-pixel constant, orthogonal to the distributed
+    //    algebra verified here).
+    Q("f18_es_residual_image", {
+      val spacing = "(2e0 * 5e0 / 3e0)"
+      val theta = "2e0 * pi() * 1e-2 * dw"
+      val beta = "((18e-1 * pi()) * 3)"
+      val dftArg = "2e0 * pi() * (gu*lx + gv*my)"
+      val ph = s"2e0 * pi() * (-5e0 + CAST(wplane AS DOUBLE) * $spacing) * (-(lx*lx + my*my)/2e0)"
+      def esW(x: String) =
+        s"(CASE WHEN abs($x) >= 3 THEN 0e0 ELSE exp($beta * " +
+          s"(sqrt(greatest(0e0, 1e0 - (($x) / 3) * (($x) / 3))) - 1e0)) END)"
+      s"""WITH rws AS (${uvwRowsSql(16)}), cv AS (${corrVisSql(16)}),
+         |pts AS (
+         |  SELECT rws.row_id, rws.w,
+         |    rws.u * 25e-2 AS cu, rws.v * 25e-2 AS cvv,
+         |    cv.xx_re AS re, cv.xx_im AS im
+         |  FROM rws JOIN cv ON rws.row_id = cv.row_id),
+         |wp AS (
+         |  SELECT *, LEAST(GREATEST(
+         |      CAST(ROUND((w + 5e0) / $spacing) AS BIGINT), 0), 3) AS wplane
+         |  FROM pts),
+         |fr AS (
+         |  SELECT *, w - (-5e0 + CAST(wplane AS DOUBLE) * $spacing) AS dw,
+         |    CAST(ROUND(cu) AS BIGINT) AS pu,
+         |    CAST(ROUND(cvv) AS BIGINT) AS pv,
+         |    cu - CAST(ROUND(cu) AS BIGINT) AS fru,
+         |    cvv - CAST(ROUND(cvv) AS BIGINT) AS frv
+         |  FROM wp),
+         |c AS (
+         |  SELECT *,
+         |    re*cos($theta) - im*sin($theta) AS cre,
+         |    re*sin($theta) + im*cos($theta) AS cim
+         |  FROM fr),
+         |offs AS (SELECT unnest(generate_series(-3, 3)) AS o),
+         |grid AS MATERIALIZED (
+         |  SELECT wplane, pu + oi.o AS gu, pv + oj.o AS gv,
+         |    ${Det.fsumSql(s"cre * (${esW("oi.o - fru")} * ${esW("oj.o - frv")})")} AS g_re,
+         |    ${Det.fsumSql(s"cim * (${esW("oi.o - fru")} * ${esW("oj.o - frv")})")} AS g_im
+         |  FROM c, offs oi, offs oj
+         |  GROUP BY wplane, pu + oi.o, pv + oj.o),
+         |gath AS (
+         |  SELECT p.row_id, p.dw,
+         |    ${Det.fsumSql("grid.g_re * (p.wti * p.wtj)")} AS s_re,
+         |    ${Det.fsumSql("grid.g_im * (p.wti * p.wtj)")} AS s_im
+         |  FROM (SELECT fr.row_id, fr.dw, fr.wplane,
+         |          fr.pu + oi.o AS gu, fr.pv + oj.o AS gv,
+         |          ${esW("oi.o - fru")} AS wti, ${esW("oj.o - frv")} AS wtj
+         |        FROM fr, offs oi, offs oj) p
+         |  JOIN grid ON grid.wplane = p.wplane
+         |    AND grid.gu = p.gu AND grid.gv = p.gv
+         |  GROUP BY p.row_id, p.dw),
+         |hv AS (
+         |  SELECT row_id,
+         |    s_re*cos($theta) - s_im*(-sin($theta)) AS dg_re,
+         |    s_re*(-sin($theta)) + s_im*cos($theta) AS dg_im
+         |  FROM gath),
+         |res AS (
+         |  SELECT fr.row_id, fr.w, fr.cu, fr.cvv, fr.wplane, fr.dw,
+         |    fr.pu, fr.pv, fr.fru, fr.frv,
+         |    fr.re - hv.dg_re AS re, fr.im - hv.dg_im AS im
+         |  FROM fr JOIN hv ON fr.row_id = hv.row_id),
+         |c2 AS (
+         |  SELECT *,
+         |    re*cos($theta) - im*sin($theta) AS cre,
+         |    re*sin($theta) + im*cos($theta) AS cim
+         |  FROM res),
+         |grid2 AS MATERIALIZED (
+         |  SELECT wplane, pu + oi.o AS gu, pv + oj.o AS gv,
+         |    ${Det.fsumSql(s"cre * (${esW("oi.o - fru")} * ${esW("oj.o - frv")})")} AS g_re,
+         |    ${Det.fsumSql(s"cim * (${esW("oi.o - fru")} * ${esW("oj.o - frv")})")} AS g_im
+         |  FROM c2, offs oi, offs oj
+         |  GROUP BY wplane, pu + oi.o, pv + oj.o),
+         |px AS (
+         |  SELECT CAST(t.n_nationkey AS BIGINT) AS x,
+         |    CAST(a.n_nationkey AS BIGINT) AS y,
+         |    (CAST(t.n_nationkey AS DOUBLE) - 4e0)/1024e0 AS lx,
+         |    (CAST(a.n_nationkey AS DOUBLE) - 4e0)/1024e0 AS my
+         |  FROM nation t, nation a
+         |  WHERE t.n_nationkey < 8 AND a.n_nationkey < 8),
+         |pimg AS (
+         |  SELECT wplane, x, y, lx, my,
+         |    ${Det.fsumSql(s"g_re*cos($dftArg) - g_im*sin($dftArg)")} AS img_re,
+         |    ${Det.fsumSql(s"g_re*sin($dftArg) + g_im*cos($dftArg)")} AS img_im
+         |  FROM grid2, px GROUP BY wplane, x, y, lx, my)
+         |SELECT x, y,
+         |  ${Det.fsumSql(s"img_re*cos($ph) - img_im*sin($ph)")} AS dirty
+         |FROM pimg GROUP BY x, y, lx, my""".stripMargin
+    }) { (s, dir) =>
+      val W = 3
+      val beta = graft.functions.Kernels.esBeta(W)
+      val p = uvwRows(s, dir, 16)
+        .join(corrVis(s, dir, 16), "row_id")
+        .select(col("row_id"), col("w"),
+          (col("u") * 25e-2).as("cu"), (col("v") * 25e-2).as("cv"),
+          col("xx_re").as("re"), col("xx_im").as("im"))
+      val grids = graft.operators.WStack.planeGridsFrac(p, W, beta,
+        nPlanes = 4, wMax = 5.0, eta = 1e-2,
+        fsum = c => Det.fsum(c)).drop("n_hits")
+      val hv = graft.operators.WStack.planeDegridFrac(p, grids, W, beta,
+        nPlanes = 4, wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c))
+      val res = p.join(hv, "row_id")
+        .select(col("row_id"), col("w"), col("cu"), col("cv"),
+          (col("re") - col("dg_re")).as("re"),
+          (col("im") - col("dg_im")).as("im"))
+      val grids2 = graft.operators.WStack.planeGridsFrac(res, W, beta,
+        nPlanes = 4, wMax = 5.0, eta = 1e-2,
+        fsum = c => Det.fsum(c)).drop("n_hits")
+      val nat = graft.core.Tables.nation(s, dir).filter(col("n_nationkey") < 8)
+      val px = nat.select(col("n_nationkey").cast("long").as("x"))
+        .crossJoin(nat.select(col("n_nationkey").cast("long").as("y")))
+        .withColumn("lx", (col("x").cast("double") - lit(4e0)) / 1024e0)
+        .withColumn("my", (col("y").cast("double") - lit(4e0)) / 1024e0)
+      graft.operators.WStack.dirtyPlanesSum(grids2, px,
+        nPlanes = 4, wMax = 5.0, fsum = c => Det.fsum(c))
+        .select(col("x"), col("y"), col("dirty"))
+    },
+
     // -- F3 analogue: grid-free residual image
     //    (gridding/wgridder/im2residim.py:16-220 semantics): forward-DFT
     //    the model image to vis (d01's casa-sign R), subtract from the

@@ -189,25 +189,35 @@ object TrainingData {
     0L +: singles ++: pairs
   }
 
-  /** Shared CTE prefix for t10/t11: LSH-coded corpus, Hamming≤1
-    * candidate pairs, exact integer dot products + norms. */
+  /** Shared CTE prefix for t10/t11/t43: LSH-coded corpus, Hamming≤1
+    * candidate pairs, exact integer dot products + norms. The candidate
+    * CTE mirrors the engine's MULTIPROBE equi-join rather than the naive
+    * `bit_count(xor) <= 1` theta-join: Hamming ≤ 1 means xor(a, b) is 0
+    * or a single bit, so joining on `b.code = xor(a.code, mask)` over the
+    * identity+single-bit mask set yields the IDENTICAL pair set (each
+    * pair matched by exactly one mask) while staying a hash join — the
+    * theta-join form is all-pairs (10^10 comparisons at the 50x gate's
+    * 100k vectors) and made the oracle, not the engine, the scale
+    * bottleneck. */
   private lazy val neardupCtesSql: String =
-    s"""ce AS (${qExplodeSql("cid", "")}),
+    s"""ce AS MATERIALIZED (${qExplodeSql("cid", "")}),
        |proj AS (
        |  SELECT cid, j,
        |    SUM(qv * ((pos * (2654435761 + j * 40503)) % 2048 - 1024)) AS s
        |  FROM ce, $lshJsSql
        |  GROUP BY cid, j),
-       |bk AS (
+       |bk AS MATERIALIZED (
        |  SELECT cid, CAST(SUM(CASE WHEN s > 0
        |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS code
        |  FROM proj GROUP BY cid),
-       |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
-       |cand AS (
+       |n2t AS MATERIALIZED (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+       |masks AS (SELECT CAST(0 AS BIGINT) AS mask
+       |  UNION ALL SELECT (1::BIGINT << CAST(j AS INT)) AS mask FROM $lshJsSql),
+       |cand AS MATERIALIZED (
        |  SELECT a.cid AS cid_a, b.cid AS cid_b
-       |  FROM bk a JOIN bk b
-       |    ON a.cid < b.cid AND bit_count(xor(a.code, b.code)) <= 1),
-       |dot AS (
+       |  FROM bk a CROSS JOIN masks
+       |    JOIN bk b ON b.code = xor(a.code, masks.mask) AND a.cid < b.cid),
+       |dot AS MATERIALIZED (
        |  SELECT cand.cid_a, cand.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
        |  FROM cand
        |    JOIN ce ea ON ea.cid = cand.cid_a
@@ -1172,22 +1182,25 @@ object TrainingData {
     //    it IS the representative).
     Q("t11_dup_clusters", {
       def propRound(prev: String, next: String): String =
-        s"""$next AS (
+        // MATERIALIZED is load-bearing: each level references the previous
+        // one TWICE (n + l); inlined, the 4 rounds recompute the whole
+        // neardup pipeline 2^4 times — the 50x gate's 102 GB oracle hang
+        s"""$next AS MATERIALIZED (
            |  SELECT n.cid, LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
            |  FROM $prev n
            |    LEFT JOIN sym e ON e.u = n.cid
            |    LEFT JOIN $prev l ON l.cid = e.v
            |  GROUP BY n.cid, n.lbl)""".stripMargin
       s"""WITH $neardupCtesSql,
-         |dup AS (
+         |dup AS MATERIALIZED (
          |  SELECT dot.cid_a, dot.cid_b
          |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
          |           JOIN n2t nb ON dot.cid_b = nb.cid
          |  WHERE CAST(dot.d AS DOUBLE)
          |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 5e-1),
-         |sym AS (SELECT cid_a AS u, cid_b AS v FROM dup
+         |sym AS MATERIALIZED (SELECT cid_a AS u, cid_b AS v FROM dup
          |        UNION ALL SELECT cid_b AS u, cid_a AS v FROM dup),
-         |l0 AS (SELECT vec_id AS cid, vec_id AS lbl FROM embeddings),
+         |l0 AS MATERIALIZED (SELECT vec_id AS cid, vec_id AS lbl FROM embeddings),
          |${propRound("l0", "l1")},
          |${propRound("l1", "l2")},
          |${propRound("l2", "l3")},
@@ -1225,7 +1238,7 @@ object TrainingData {
     //    derivable and exact.
     Q("t43_dup_triangles", {
       s"""WITH $neardupCtesSql,
-         |dup AS (
+         |dup AS MATERIALIZED (
          |  SELECT dot.cid_a AS u, dot.cid_b AS v
          |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
          |           JOIN n2t nb ON dot.cid_b = nb.cid
@@ -1669,6 +1682,78 @@ object TrainingData {
         (col("d1") * col("d1") + col("d2") * col("d2")).as("err"))
     },
 
+    // -- streaming IVF index maintenance, batch-equivalent face: the
+    //    second (delta) half of the corpus "arrives" at a warm index built
+    //    from the first half — every delta vector is assigned to its
+    //    coarse cell and given its SemDeDup ingest verdict against all
+    //    EARLIER members (base + earlier delta), via the same per-cell
+    //    fold the flatMapGroupsWithState streaming face runs
+    //    (StreamingMl.ivfIngestBatch; StreamingSpec proves micro-batch
+    //    parity). Under ascending-id arrival the verdicts equal the t29
+    //    batch greedy rule restricted to delta rows — the oracle is
+    //    exactly that restatement. Scale shape: ONE shuffle on the cell
+    //    key; per-cell state bounded by the n/k ≈ 512 seed-growth
+    //    contract; the coarse seeds are the only driver-sized relation.
+    Q("e20_ivf_ingest",
+      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce
+         |  WHERE cid < (SELECT GREATEST(8, COUNT(DISTINCT cid) // 512) FROM ce)),
+         |dk AS (
+         |  SELECT ce.cid, s.k, SUM((ce.qv - s.cq)*(ce.qv - s.cq)) AS d2
+         |  FROM ce JOIN seed s ON ce.pos = s.pos
+         |  GROUP BY ce.cid, s.k),
+         |asg AS (
+         |  SELECT cid, k FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY cid ORDER BY d2, k) AS rk
+         |    FROM dk) WHERE rk = 1),
+         |pair AS (
+         |  SELECT x.cid AS cid_a, y.cid AS cid_b
+         |  FROM asg x JOIN asg y ON x.k = y.k AND x.cid < y.cid),
+         |dot AS (
+         |  SELECT pair.cid_a, pair.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM pair JOIN ce ea ON ea.cid = pair.cid_a
+         |            JOIN ce eb ON eb.cid = pair.cid_b AND ea.pos = eb.pos
+         |  GROUP BY pair.cid_a, pair.cid_b),
+         |cosb AS (
+         |  SELECT dot.cid_b AS cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid),
+         |ver AS (
+         |  SELECT cid,
+         |    CAST(SUM(CASE WHEN cosine >= 45e-2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near,
+         |    MAX(cosine) AS max_cos
+         |  FROM cosb GROUP BY cid)
+         |SELECT asg.cid, asg.k AS cell,
+         |  CAST(COALESCE(ver.n_near, 0) AS BIGINT) AS n_near,
+         |  COALESCE(ver.n_near, 0) > 0 AS pruned,
+         |  ver.max_cos AS max_cos
+         |FROM asg LEFT JOIN ver ON asg.cid = ver.cid
+         |WHERE asg.cid >= (SELECT COUNT(DISTINCT cid) // 2 FROM ce)""".stripMargin) {
+      (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val k = math.max(8L, n / 512L)
+      val corpus = emb.select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+      val seeds: Array[(Long, Array[Long])] =
+        corpus.filter(col("cid") < k).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      graft.operators.StreamingMl
+        .ivfIngestBatch(corpus.as[graft.operators.StreamingMl.IvfIn],
+          seeds, 45e-2)
+        .toDF()
+        .filter(col("cid") >= n / 2)
+        .select(col("cid"), col("cell"), col("nNear").as("n_near"),
+          col("pruned"), col("maxCos").as("max_cos"))
+    },
+
     // -- k-means (Lloyd) TRAINING under the hash gate: two unrolled
     //    iterations over the quantized corpus, seeded from vec_id < 8.
     //    Centroids are re-quantized to integers each iteration
@@ -1900,7 +1985,9 @@ object TrainingData {
     //    hash-exact — the DuckDB oracle unrolls the identical rounds.
     Q("t17_pagerank", {
       def prRound(prevP: String, next: String): String =
-        s"""$next AS (
+        // MATERIALIZED: each round re-references sym/deg — inlined, every
+        // round recomputes the full neardup pipeline (the 50x gate lesson)
+        s"""$next AS MATERIALIZED (
            |  SELECT n.cid,
            |    CAST(150000 + (85 * COALESCE(SUM(l.p // d.deg), 0)) // 100
            |      AS BIGINT) AS p
@@ -1916,10 +2003,10 @@ object TrainingData {
          |           JOIN n2t nb ON dot.cid_b = nb.cid
          |  WHERE CAST(dot.d AS DOUBLE)
          |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 5e-1),
-         |sym AS (SELECT cid_a AS u, cid_b AS v FROM dup
+         |sym AS MATERIALIZED (SELECT cid_a AS u, cid_b AS v FROM dup
          |        UNION ALL SELECT cid_b AS u, cid_a AS v FROM dup),
          |nodes AS (SELECT vec_id AS cid FROM embeddings),
-         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+         |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
          |p0 AS (SELECT cid, CAST(1000000 AS BIGINT) AS p FROM nodes),
          |${prRound("p0", "p1")},
          |${prRound("p1", "p2")},

@@ -912,6 +912,62 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: micro-batch verdicts match the batch twin and SemDedup.prune") {
+    // the e04/e16 index's INGEST face: vectors arrive in cid order over
+    // three micro-batches; each is assigned to its coarse cell (the SAME
+    // argmin code as the batch nearest_centroid expression) and flagged
+    // for SemDeDup prune against the cell's earlier members. Wherever
+    // the batch boundaries land, the emitted verdicts must equal (a) the
+    // batch twin (ivfIngestBatch — the e20 oracle surface) and (b) the
+    // declarative SemDedup.prune greedy rule, bit for bit incl. max_cos.
+    import spark.implicits._
+    import graft.operators.{SemDedup, StreamingMl}
+    import graft.operators.StreamingMl.{IvfIn, IvfOut}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+    val seeds: Array[(Long, Array[Long])] =
+      corpus.filter(col("cid") < 8).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val tau = 45e-2
+    val vecs = corpus.collect()
+      .map(r => IvfIn(r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_.cid)
+    val thirds = vecs.grouped(math.max(1, vecs.length / 3 + 1)).toSeq
+    val ms = MemoryStream[IvfIn]
+    val q = StreamingMl.streamingIvfIngest(ms.toDS(), seeds, tau)
+      .writeStream.format("memory").queryName("ivf_ingest")
+      .outputMode("append").start()
+    try {
+      thirds.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("ivf_ingest").as[IvfOut].collect()
+        .map(o => o.cid -> o).toMap
+      val twin = StreamingMl.ivfIngestBatch(corpus.as[IvfIn], seeds, tau)
+        .collect().map(o => o.cid -> o).toMap
+      assert(got.size === vecs.length && twin.size === vecs.length)
+      vecs.foreach { v =>
+        assert(got(v.cid) === twin(v.cid), s"stream/batch twin at ${v.cid}")
+      }
+      // and against the declarative batch operator (the t29 surface)
+      val prune = SemDedup.prune(
+          corpus.withColumn("n2", expr("qdot(qv, qv)")),
+          SemDedup.seedsOf(corpus, 8), lit(tau))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      vecs.foreach { v =>
+        val o = got(v.cid)
+        val (cell, nNear, pruned, maxCos) = prune(v.cid)
+        assert(o.cell === cell && o.nNear === nNear && o.pruned === pruned,
+          s"verdict mismatch vs prune at ${v.cid}")
+        assert(o.maxCos === maxCos, s"max_cos mismatch at ${v.cid}")
+      }
+    } finally q.stop()
+  }
 }
 
 /** Flattened MS sample for the A7 streaming-face test (package level so

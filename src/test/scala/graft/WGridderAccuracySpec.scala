@@ -225,6 +225,64 @@ class WGridderAccuracySpec extends AnyFunSuite {
     assert(e < 1e-5, s"deep tier error $e above the 1e-5 class")
   }
 
+  test("deep-epsilon tier 2: esTierFor(1e-6) = (W=5, 32 planes) + w-interp breaks 1e-6 total error") {
+    // the round-9 tier: W=5's aliasing floor is 3.2e-12, and the two-plane
+    // linear w-interpolation scatter (planeGridsFracW2) replaces the
+    // snap's first-order truncation (measured LINEAR in Δw: 2.9e-5 →
+    // 1.9e-6 over 8 → 128 planes — brute plane count is a dense-data
+    // shuffle tax) with a second-order (Δw)² residual — the 1e-9 class at
+    // 32 planes. Occupied (plane, cell) groups stay bounded by 2x the row
+    // count (the scale contract stated on esTierFor).
+    val dir = TestSpark.sf
+    val (wSup, nPlanes) = graft.functions.Kernels.esTierFor(1e-6)
+    assert(wSup === 5 && nPlanes === 32)
+    val rows = uvwRows(spark, dir, 32)
+      .join(corrVis(spark, dir, 32), "row_id")
+      .select(col("row_id"), col("u"), col("v"), col("w"),
+        col("xx_re"), col("xx_im"))
+      .collect()
+      .map(r => (r.getDouble(1) * 25e-2, r.getDouble(2) * 25e-2,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val pix = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x, y, (x - 4) / 1024.0, (y - 4) / 1024.0)
+    val exCont = pix.map { case (x, y, lx, my) =>
+      val eta = -(lx * lx + my * my) / 2.0
+      var s = 0.0
+      for ((u, v, w, re, im) <- rows) {
+        val arg = 2.0 * math.Pi * (u * lx + v * my + w * eta)
+        s += re * math.cos(arg) - im * math.sin(arg)
+      }
+      (x, y) -> s
+    }.toMap
+    val scale = exCont.values.map(math.abs).max
+    import graft.functions.Kernels.esBeta
+    val p = uvwRows(spark, dir, 32)
+      .join(corrVis(spark, dir, 32), "row_id")
+      .select(col("row_id"), col("w"),
+        (col("u") * 25e-2).as("cu"), (col("v") * 25e-2).as("cv"),
+        col("xx_re").as("re"), col("xx_im").as("im"))
+    val grids = graft.operators.WStack.planeGridsFracW2(p, wSup, esBeta(wSup),
+      nPlanes = nPlanes, wMax = 5.0,
+      fsum = c => Det.fsum(c, 1e9)).drop("n_hits")
+    val px = spark.createDataFrame(pix.map { case (x, y, lx, my) =>
+      (x.toLong, y.toLong, lx, my) })
+      .toDF("x", "y", "lx", "my")
+    val got = graft.operators.WStack.dirtyPlanesSum(grids, px,
+      nPlanes = nPlanes, wMax = 5.0, fsum = c => Det.fsum(c, 1e9))
+      .collect()
+      .map { r =>
+        val lx = r.getAs[Double]("lx"); val my = r.getAs[Double]("my")
+        val dt = graft.functions.Kernels.esTransform(wSup, esBeta(wSup), lx) *
+          graft.functions.Kernels.esTransform(wSup, esBeta(wSup), my)
+        (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          r.getAs[Double]("dirty") / dt
+      }.toMap
+    val e = pix.map { case (x, y, _, _) =>
+      math.abs(got((x, y)) - exCont((x, y))) }.max / scale
+    info(f"deep-epsilon tier-2 total error (W=5, 32 planes, w-interp): $e%.2e")
+    assert(e < 1e-6, s"tier-2 error $e above the 1e-6 contract")
+  }
+
   test("ES-kernel fractional DEGRID: image -> continuous-coordinate vis matches the direct DFT") {
     // the adjoint side of the ε contract (im2vis): detaper the image by
     // K̂, DFT it onto the integer grid, then gather each visibility at its

@@ -70,6 +70,47 @@ def cell_bad(a, b):
         return f"value {a!r} != {b!r}"
     return None
 
+def frame_bad(got, exp):
+    """Vectorized equivalent of the per-cell loop for LARGE frames (the
+    50x/100x scale gates put multi-million-row outputs through this
+    checker; the per-cell Python loop is ~10 us/cell). Same semantics:
+    floats must be value-equal with matching NaN masks AND matching zero
+    signs; ints exactly equal; everything else null-aware repr equality.
+    Returns a column-level reason string, or None."""
+    import numpy as np
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        cls = dtype_class(g.dtype)
+        if cls == "float":
+            gv, ev = g.to_numpy(), e.to_numpy()
+            gn, en = np.isnan(gv), np.isnan(ev)
+            if (gn != en).any():
+                return f"col {c}: null-mismatch"
+            m = ~gn
+            if (gv[m] != ev[m]).any():
+                i = np.nonzero(gv[m] != ev[m])[0][0]
+                return f"col {c}: value {gv[m][i]!r} != {ev[m][i]!r}"
+            z = np.zeros_like(gn)
+            z[m] = gv[m] == 0.0
+            if (np.signbit(gv[z]) != np.signbit(ev[z])).any():
+                return f"col {c}: zero-sign"
+        elif cls in ("int", "bool"):
+            gv, ev = g.to_numpy(), e.to_numpy()
+            if (gv != ev).any():
+                i = np.nonzero(gv != ev)[0][0]
+                return f"col {c}: value {gv[i]!r} != {ev[i]!r}"
+        else:
+            gn, en = g.isna().to_numpy(), e.isna().to_numpy()
+            if (gn != en).any():
+                return f"col {c}: null-mismatch"
+            gs = g[~gn].astype(str).to_numpy()
+            es = e[~en].astype(str).to_numpy()
+            if (gs != es).any():
+                i = np.nonzero(gs != es)[0][0]
+                return f"col {c}: value {gs[i]!r} != {es[i]!r}"
+    return None
+
+
 def main():
     # usage: strictcheck.py <outdir> <sfdir> [q1,q2,...]
     # the optional comma-separated filter enables parallel sweeps:
@@ -113,7 +154,11 @@ def main():
                 if gc != ec:
                     probs.append(
                         f"dtype class col {c}: spark {got[c].dtype} vs oracle {exp[c].dtype}")
-            if not probs:
+            if not probs and len(got) > 200_000:
+                r = frame_bad(got, exp)
+                if r:
+                    probs.append(r)
+            elif not probs:
                 for i in range(len(got)):
                     for c in got.columns:
                         r = cell_bad(got[c].iloc[i], exp[c].iloc[i])
