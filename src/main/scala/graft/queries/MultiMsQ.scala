@@ -168,5 +168,97 @@ object MultiMsQ {
         element_at(col("UVW"), 3).as("w"))
       graft.rime.RimeCompiler.planGrouped("(Kpq,Bpq): [I,Q] -> [XX,YY]",
         src, rows, chans, fieldDirs = Some(fieldDirs))
+    },
+
+    // -- the grouped compiler composed with the DIE chain: per-(time, ant)
+    //    gains applied OUTSIDE the grouped source sum —
+    //    "(Gp,Kpq,Bpq,Gq): [I] -> [XX]" over the 2-field x 2-SPW MS. The
+    //    source sum now carries (field_id, ddid) PLUS the antenna keys
+    //    (the needsAnts grouped path), and the g_p·X·g_q* product applies
+    //    per requested corr after the broadcast gains join (the x02
+    //    algebra, group columns riding through). time_index / antennas
+    //    come from the MS columns (TIME's closed form restated by the
+    //    oracle); gains are dyadic rationals on the (16-time x 5-ant)
+    //    grid.
+    Q("x16_fused_rime_grouped_gains", {
+      def tri(re: String, im: String): (String, String) = (
+        s"(gp.g_re*$re - gp.g_im*$im)*gq.g_re + (gp.g_re*$im + gp.g_im*$re)*gq.g_im",
+        s"(gp.g_re*$im + gp.g_im*$re)*gq.g_re - (gp.g_re*$re - gp.g_im*$im)*gq.g_im")
+      val (xxRe, xxIm) = tri("xs.xx_re", "xs.xx_im")
+      s"""WITH r AS (SELECT range AS row_id FROM range(0, 400)),
+         |mn AS (
+         |  SELECT row_id,
+         |    CAST((row_id // 100) % 2 AS INTEGER) AS field_id,
+         |    CAST((row_id // 50) % 2 AS INTEGER) AS ddid,
+         |    row_id // 25 AS time_index,
+         |    row_id % 5 AS ant1,
+         |    (row_id // 5) % 5 AS ant2,
+         |    ((row_id * 7) % 2001 - 1000) / 2e0 AS u,
+         |    ((row_id * 3) % 2001 - 1000) / 2e0 AS v,
+         |    ((row_id * 11) % 201 - 100) / 2e1 AS w
+         |  FROM r),
+         |ch AS (SELECT unnest(generate_series(0, 3)) AS chan),
+         |src AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 15625e-6, -234375e-7, 25e-1),
+         |    (0, -78125e-7, 46875e-6, 15e-1),
+         |    (1, -1953125e-8, 13671875e-9, 125e-2),
+         |    (1, 9765625e-9, -5859375e-9, 75e-2))
+         |    AS t(field_id, l, m, flux)),
+         |g AS (
+         |  SELECT tt.t AS time_index, aa.a AS ant,
+         |    1e0 + ((tt.t*5 + aa.a) % 7 - 3)/64e0 AS g_re,
+         |    ((tt.t*3 + aa.a*2) % 5 - 2)/64e0 AS g_im
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS t) tt,
+         |       (SELECT unnest(generate_series(0, 4)) AS a) aa),
+         |sp AS (
+         |  SELECT mn.*, ch.chan, src.l, src.m, src.flux,
+         |    CASE WHEN mn.ddid = 0 THEN 856e6 + ch.chan * 107e6
+         |         ELSE 1712e6 + ch.chan * 535e5 END AS freq
+         |  FROM mn, ch
+         |  JOIN src ON src.field_id = mn.field_id),
+         |xs AS (
+         |  SELECT field_id, ddid, row_id, time_index, ant1, ant2, chan,
+         |    ${Det.fsumSql(s"flux * cos(${SyntheticMs.phaseSql})")} AS xx_re,
+         |    ${Det.fsumSql(s"flux * sin(${SyntheticMs.phaseSql})")} AS xx_im
+         |  FROM sp GROUP BY field_id, ddid, row_id, time_index, ant1, ant2, chan)
+         |SELECT xs.field_id, xs.ddid, xs.row_id, xs.chan,
+         |  $xxRe AS xx_re, $xxIm AS xx_im
+         |FROM xs
+         |JOIN g gp ON gp.time_index = xs.time_index AND gp.ant = xs.ant1
+         |JOIN g gq ON gq.time_index = xs.time_index AND gq.ant = xs.ant2""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val msDir = MsDataset.ensureMultiFixture(s)
+      val ms = MsDataset.read(s, msDir)
+      val chans = ms.dataDescription.get
+        .join(ms.spectralWindow,
+          col("SPECTRAL_WINDOW_ID") === col("spw_id"))
+        .select(col("ddid"),
+          posexplode(col("CHAN_FREQ")).as(Seq("chan", "freq")))
+        .select(col("ddid"), col("chan").cast("long").as("chan"),
+          col("freq"))
+      val src = Seq(
+        (0L, 0, 0.015625, -0.0234375, 2.5),
+        (1L, 0, -0.0078125, 0.046875, 1.5),
+        (2L, 1, -0.01953125, 0.013671875, 1.25),
+        (3L, 1, 0.009765625, -0.005859375, 0.75))
+        .toDF("src_id", "field_id", "l", "m", "i")
+      val rows = ms.main.select(col("row_id"),
+        col("FIELD_ID").cast("int").as("field_id"),
+        col("DATA_DESC_ID").cast("int").as("ddid"),
+        ((col("TIME") - lit(5084553600.0)) / lit(8.0)).cast("long")
+          .as("time_index"),
+        col("ANTENNA1").cast("long").as("ant1"),
+        col("ANTENNA2").cast("long").as("ant2"),
+        element_at(col("UVW"), 1).as("u"),
+        element_at(col("UVW"), 2).as("v"),
+        element_at(col("UVW"), 3).as("w"))
+      val gains = (for (t <- 0L to 15L; a <- 0L to 4L) yield
+        (t, a, 1.0 + ((t * 5 + a) % 7 - 3) / 64.0,
+          ((t * 3 + a * 2) % 5 - 2) / 64.0))
+        .toDF("time_index", "ant", "g_re", "g_im")
+      graft.rime.RimeCompiler.planGrouped("(Gp,Kpq,Bpq,Gq): [I] -> [XX]",
+        src, rows, chans, gainsDf = Some(gains))
     })
 }
