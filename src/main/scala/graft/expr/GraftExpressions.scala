@@ -840,23 +840,59 @@ object NearestCentroid {
   // SLOWER than the retired RDD loop; with it the inner loop is plain
   // long[] arithmetic, JIT-vectorizable, and the conversion cost is paid
   // once per (task, broadcast) instead of once per row.
-  private final class Lut(val base: AnyRef, val off: Long,
+  // Cache key = (cqs base identity, cqs offset, ks base identity, ks offset)
+  // plus numElements of BOTH arrays. With off-heap memory enabled
+  // getBaseObject is null — `null eq null` would then accept a recycled
+  // page address holding a DIFFERENT seed set from a prior query, so an
+  // off-heap hit additionally requires a content guard (first/last element
+  // of both ks and cqs). A miss on any guard rebuilds; correctness never
+  // depends on the cache.
+  private[expr] final class Lut(val base: AnyRef, val off: Long,
+      val ksBase: AnyRef, val ksOff: Long,
       val ks: Array[Long], val cqs: Array[Long])
   private val tl = new ThreadLocal[Lut]
 
+  private def contentGuard(c: Lut,
+      ku: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+      u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData): Boolean =
+    c.ks.length > 0 && c.cqs.length > 0 &&
+      c.ks(0) == ku.getLong(0) &&
+      c.ks(c.ks.length - 1) == ku.getLong(c.ks.length - 1) &&
+      c.cqs(0) == u.getLong(0) &&
+      c.cqs(c.cqs.length - 1) == u.getLong(c.cqs.length - 1)
+
   private def luts(ksA: org.apache.spark.sql.catalyst.util.ArrayData,
-      cqsA: org.apache.spark.sql.catalyst.util.ArrayData): Lut = cqsA match {
-    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      cqsA: org.apache.spark.sql.catalyst.util.ArrayData): Lut = (ksA, cqsA) match {
+    case (ku: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+          u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
       val c = tl.get
-      if (c != null && (c.base eq u.getBaseObject) && c.off == u.getBaseOffset)
-        c
+      val onHeap = u.getBaseObject != null && ku.getBaseObject != null
+      val sizesOk = c != null &&
+        c.cqs.length == u.numElements() && c.ks.length == ku.numElements()
+      val hit =
+        if (!sizesOk) false
+        else if (onHeap)
+          (c.base eq u.getBaseObject) && c.off == u.getBaseOffset &&
+            (c.ksBase eq ku.getBaseObject) && c.ksOff == ku.getBaseOffset
+        else
+          c.off == u.getBaseOffset && c.ksOff == ku.getBaseOffset &&
+            contentGuard(c, ku, u)
+      if (hit) c
       else {
         val nl = new Lut(u.getBaseObject, u.getBaseOffset,
+          ku.getBaseObject, ku.getBaseOffset,
           ksA.toLongArray(), u.toLongArray())
         tl.set(nl); nl
       }
-    case other => new Lut(null, 0L, ksA.toLongArray(), other.toLongArray())
+    case _ =>
+      new Lut(null, 0L, null, 0L, ksA.toLongArray(), cqsA.toLongArray())
   }
+
+  /** Cached primitive-array view of the (ks, cqs) LUT columns — shared
+    * with [[NearestCentroidMin]] so both argmin forms pay the conversion
+    * once per (task, broadcast). */
+  private[expr] def lutFor(ksA: org.apache.spark.sql.catalyst.util.ArrayData,
+      cqsA: org.apache.spark.sql.catalyst.util.ArrayData): Lut = luts(ksA, cqsA)
 
   def compute(qvA: org.apache.spark.sql.catalyst.util.ArrayData,
       ksA: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -891,6 +927,71 @@ object NearestCentroid {
       off += d
     }
     bestK
+  }
+}
+
+/** Nearest-centroid argmin that also RETURNS the winning distance —
+  * `[d2, k]` as a 2-long array — so per-chunk winners can be folded
+  * across broadcastable seed CHUNKS with a lexicographic `least()`
+  * (d2 ≥ 0 and k ≥ 0, so array ordering = (d2, k) ordering, and the
+  * cross-chunk tie rule stays "lowest centroid id", identical to the
+  * flat [[NearestCentroid]]). This is what makes
+  * `SemDedup.assignChunked` EXACT: min over the union of chunks = min
+  * over the full seed set. Same LUT cache, same strict-`<` in-chunk
+  * tie rule. */
+case class NearestCentroidMin(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_min"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+
+  override protected def nullSafeEval(qv: Any, ks: Any, cqs: Any): Any =
+    NearestCentroidMin.compute(
+      qv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      ks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cqs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, k, c) =>
+      s"${ev.value} = graft.expr.NearestCentroidMin.compute($q, $k, $c);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestCentroidMin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCentroidMin {
+  def compute(qvA: org.apache.spark.sql.catalyst.util.ArrayData,
+      ksA: org.apache.spark.sql.catalyst.util.ArrayData,
+      cqsA: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lut = NearestCentroid.lutFor(ksA, cqsA)
+    val qv = qvA.toLongArray()
+    val ks = lut.ks
+    val cqs = lut.cqs
+    val k = ks.length
+    val d = qv.length
+    if (k <= 0) throw new IllegalArgumentException(
+      "nearest_min: empty seed set")
+    if (cqs.length != k * d) throw new IllegalArgumentException(
+      s"nearest_min: vector dim $d != centroid dim ${cqs.length / k}")
+    var bestK = ks(0)
+    var bestD = Long.MaxValue
+    var i = 0
+    var off = 0
+    while (i < k) {
+      var acc = 0L
+      var j = 0
+      while (j < d) {
+        val t = qv(j) - cqs(off + j); acc += t * t; j += 1
+      }
+      if (acc < bestD) { bestD = acc; bestK = ks(i) }
+      i += 1
+      off += d
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(bestD, bestK))
   }
 }
 
@@ -1161,6 +1262,9 @@ object GraftFunctions {
     (FunctionIdentifier("nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
       (args: Seq[Expression]) => NearestCentroid(args.head, args(1), args(2))),
+    (FunctionIdentifier("nearest_min"),
+      new ExpressionInfo(classOf[NearestCentroidMin].getName, "nearest_min"),
+      (args: Seq[Expression]) => NearestCentroidMin(args.head, args(1), args(2))),
     (FunctionIdentifier("scatter_moments"),
       new ExpressionInfo(classOf[ScatterMoments].getName, "scatter_moments"),
       (args: Seq[Expression]) => ScatterMoments(args.head).toAggregateExpression()),

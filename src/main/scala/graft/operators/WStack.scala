@@ -192,6 +192,11 @@ object WStack {
       .select(col("*"), planes.as("pl"))
       .select(col("*"), col("pl.wplane").as("wplane"), col("pl.pw").as("pw"))
       .drop("pl")
+      // On-plane rows (t = 0) and the wMax edge (both interp rows collapse
+      // to the same plane) emit a zero-weight second row — exact 0.0, so
+      // accuracy-neutral to drop; keeps n_hits/occupied groups meaningful
+      // and trims the doubled shuffle back toward 1x on snapped data.
+      .filter(col("pw") =!= 0.0)
       .withColumn("pu", round(col("cu")).cast("long"))
       .withColumn("pv", round(col("cv")).cast("long"))
       .withColumn("fru", col("cu") - col("pu"))

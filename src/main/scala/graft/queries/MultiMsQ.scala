@@ -101,8 +101,8 @@ object MultiMsQ {
     //    bit-identical dyadic/decimal-literal arguments — class (b) + the
     //    shared-rational collapse), x01's fsum source sum.
     Q("x15_fused_rime_grouped", {
-      val lD = "round((cos(dec)*sin(ra - ra0)) * 1e9) / 1e9"
-      val mD = "round((sin(dec)*cos(dec0) - cos(dec)*sin(dec0)*cos(ra - ra0)) * 1e9) / 1e9"
+      val lD = Det.r9Sql("cos(dec)*sin(ra - ra0)")
+      val mD = Det.r9Sql("sin(dec)*cos(dec0) - cos(dec)*sin(dec0)*cos(ra - ra0)")
       s"""WITH r AS (SELECT range AS row_id FROM range(0, 400)),
          |mn AS (
          |  SELECT row_id,

@@ -100,14 +100,22 @@ def frame_bad(got, exp):
                 i = np.nonzero(gv != ev)[0][0]
                 return f"col {c}: value {gv[i]!r} != {ev[i]!r}"
         else:
+            # Object columns: vectorized CANDIDATE finding (type-name or
+            # __eq__ mismatch), then cell_bad delivers the verdict on each
+            # candidate — so this path cannot diverge from the per-cell
+            # loop (astype(str) previously passed int 1 vs '1' and failed
+            # Decimal('3.0') vs Decimal('3.00'), both opposite to cell_bad).
             gn, en = g.isna().to_numpy(), e.isna().to_numpy()
             if (gn != en).any():
                 return f"col {c}: null-mismatch"
-            gs = g[~gn].astype(str).to_numpy()
-            es = e[~en].astype(str).to_numpy()
-            if (gs != es).any():
-                i = np.nonzero(gs != es)[0][0]
-                return f"col {c}: value {gs[i]!r} != {es[i]!r}"
+            gv = g[~gn].to_numpy(dtype=object)
+            ev = e[~en].to_numpy(dtype=object)
+            tname = np.frompyfunc(lambda x: type(x).__name__, 1, 1)
+            cand = np.nonzero((tname(gv) != tname(ev)) | (gv != ev))[0]
+            for i in cand:
+                r = cell_bad(gv[i], ev[i])
+                if r:
+                    return f"col {c}: {r}"
     return None
 
 
