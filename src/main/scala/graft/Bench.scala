@@ -13,14 +13,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Executor-memory instrumentation (round-10): per-task spill bytes and
+    // peak execution memory accumulate in a listener; read per query. At
+    // the 50x replica this is the CI-asserted no-spill evidence — a plan
+    // that silently spills at scale is a plan that lies at 100 TB.
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+          }
+        }
+      })
     // warmup: codegen machinery + parquet reader/footers for the big facts
     spark.range(1L << 22).selectExpr("sum(id * 3)").collect()
     Seq("lineitem", "orders").foreach { t =>
@@ -55,24 +76,31 @@ object Bench {
       // queries; forcing a GC every 16 queries keeps the JVM at
       // steady-state so timings measure the QUERY, not the backlog.
       if (i % 16 == 15) { spark.catalog.clearCache(); System.gc() }
+      val s0 = spill.get(); peak.set(0L)
       val v = (once(q), once(q)) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case _ => -1.0
       }
-      q.name -> v
+      (q.name, v, spill.get() - s0, peak.get())
     }
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     // Sort the per-query map FASTEST-FIRST: the driver records the TAIL
     // of stdout, so whatever is truncated is the cheap head — the slow
     // queries (the ones a regression diagnosis needs) always land inside
     // the captured window, immediately before the headline object.
-    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.sortBy { case (_, v, _, _) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // spill map carries only offenders (empty object when no query spilled
+    // — the expected state); peak is the max single-task execution memory
+    val spillMap = results.filter(_._3 > 0)
+      .map { case (k, _, sp, _) => "\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val peakMax = if (results.isEmpty) 0L else results.map(_._4).max
     val failed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"spilled":${results.count(_._3 > 0)},"spill_bytes":$spillMap,"peak_task_mem":$peakMax,"sf":"$sfDir","queries":$qs}"""
     // The driver captures the TAIL of stdout, so the long per-query line
     // goes first (and to bench_results.json), and a SHORT headline object
     // is the very LAST stdout line — it survives truncation and parses.
@@ -85,6 +113,6 @@ object Bench {
     } catch { case _: Throwable => }
     spark.stop()
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"spilled":${results.count(_._3 > 0)},"peak_task_mem":$peakMax,"sf":"$sfDir"}""")
   }
 }

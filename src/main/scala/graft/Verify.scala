@@ -11,13 +11,24 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // local iteration only: SPARK_GRAFT_MASTER=local-cluster[2,8,4096]
+    // re-gates the engine across REAL executor JVM boundaries (closure
+    // serialization, torrent broadcasts, off-driver task state) — the
+    // round-10 multi-JVM discipline; the driver always runs plain local
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local iteration only (driver never sets it): "k=v;k=v" extra confs —
+    // e.g. a lowered autoBroadcastJoinThreshold to hash-gate the size-aware
+    // escalations (SemDedup.assignAuto) with the escalation ENGAGED
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

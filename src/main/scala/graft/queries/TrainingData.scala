@@ -1695,15 +1695,15 @@ object TrainingData {
     //    key; per-cell state bounded by the n/k ≈ 512 seed-growth
     //    contract; the coarse seeds are the only driver-sized relation.
     Q("e20_ivf_ingest",
-      s"""WITH ce AS (${qExplodeSql("cid", "")}),
-         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
-         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce
+      s"""WITH ce AS MATERIALIZED (${qExplodeSql("cid", "")}),
+         |n2t AS MATERIALIZED (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |seed AS MATERIALIZED (SELECT cid AS k, pos, qv AS cq FROM ce
          |  WHERE cid < (SELECT GREATEST(8, COUNT(DISTINCT cid) // 512) FROM ce)),
          |dk AS (
          |  SELECT ce.cid, s.k, SUM((ce.qv - s.cq)*(ce.qv - s.cq)) AS d2
          |  FROM ce JOIN seed s ON ce.pos = s.pos
          |  GROUP BY ce.cid, s.k),
-         |asg AS (
+         |asg AS MATERIALIZED (
          |  SELECT cid, k FROM (
          |    SELECT *, ROW_NUMBER() OVER (
          |      PARTITION BY cid ORDER BY d2, k) AS rk
@@ -1742,16 +1742,113 @@ object TrainingData {
       val k = math.max(8L, n / 512L)
       val corpus = emb.select(col("vec_id").as("cid"),
         expr("qquant(embedding, 1e6)").as("qv"))
-      val seeds: Array[(Long, Array[Long])] =
-        corpus.filter(col("cid") < k).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      // round-10 (the r9 weak): seeds stay a DATAFRAME — assignment is
+      // SemDedup.assignAuto (one broadcast LUT under the session
+      // threshold, EXACT chunked broadcasts past it), so no
+      // corpus-proportional seed array ever reaches the driver or a task
+      // closure, and the oracle is unchanged because chunked ≡ flat.
       graft.operators.StreamingMl
-        .ivfIngestBatch(corpus.as[graft.operators.StreamingMl.IvfIn],
-          seeds, 45e-2)
+        .ivfIngestBatchDf(corpus,
+          corpus.filter(col("cid") < k).select(col("cid").as("k"), col("qv")),
+          45e-2)
         .toDF()
         .filter(col("cid") >= n / 2)
         .select(col("cid"), col("cell"), col("nNear").as("n_near"),
           col("pruned"), col("maxCos").as("max_cos"))
+    },
+
+    // -- TWO-LEVEL streaming-IVF ingest, batch twin (the r9 ask: the
+    //    beyond-broadcast ingest face): tasks close over ONLY the √k
+    //    coarse seeds; the k fine seeds arrive as per-coarse-cell keyed
+    //    STATE (cogroup here, flatMapGroupsWithState initial state on the
+    //    stream — StreamingSpec proves parity). Each vector fine-assigns
+    //    inside its coarse cell (the e16 two-level rule, ties to the
+    //    lower fine id) and takes its SemDeDup verdict against EARLIER
+    //    members of the same FINE cell. This is a semantic face with its
+    //    own oracle — never a silent fallback for the flat rule (which
+    //    escalates exactly, via assignAuto's chunked broadcasts).
+    //    Seed growth is e16's (nf = n/64, nc = √nf), so large replicas
+    //    engage it. Scale shape: ONE shuffle of corpus + fine on the
+    //    coarse key; per-cell state n/√k-bounded; nothing k-sized on the
+    //    driver or in a closure.
+    Q("e21_ivf_ingest_2level",
+      s"""WITH ce AS MATERIALIZED (${qExplodeSql("cid", "")}),
+         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |nf AS (SELECT GREATEST(32, COUNT(DISTINCT cid) // 64) AS v FROM ce),
+         |nc AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(v)) AS BIGINT)) AS v FROM nf),
+         |coarse AS MATERIALIZED (SELECT cid AS k, pos, qv AS cq FROM ce
+         |  WHERE cid < (SELECT v FROM nc)),
+         |fine AS MATERIALIZED (SELECT cid AS fk, pos, qv AS fq FROM ce
+         |  WHERE cid < (SELECT v FROM nf)),
+         |fdk AS (
+         |  SELECT f.fk, c.k, SUM((f.fq - c.cq)*(f.fq - c.cq)) AS d2
+         |  FROM fine f JOIN coarse c ON f.pos = c.pos GROUP BY f.fk, c.k),
+         |fcell AS MATERIALIZED (SELECT fk, k FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d2, k) AS rk
+         |  FROM fdk) WHERE rk = 1),
+         |cdk AS (
+         |  SELECT ce.cid, c.k, SUM((ce.qv - c.cq)*(ce.qv - c.cq)) AS d2
+         |  FROM ce JOIN coarse c ON ce.pos = c.pos GROUP BY ce.cid, c.k),
+         |ccell AS MATERIALIZED (SELECT cid, k FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, k) AS rk
+         |  FROM cdk) WHERE rk = 1),
+         |fd AS (
+         |  SELECT cc.cid, cc.k, fc.fk,
+         |    SUM((ce.qv - f.fq)*(ce.qv - f.fq)) AS d2
+         |  FROM ccell cc JOIN fcell fc ON cc.k = fc.k
+         |    JOIN ce ON ce.cid = cc.cid
+         |    JOIN fine f ON f.fk = fc.fk AND f.pos = ce.pos
+         |  GROUP BY cc.cid, cc.k, fc.fk),
+         |asg AS MATERIALIZED (
+         |  SELECT cid, k AS cell, fk AS fine FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY cid ORDER BY d2, fk) AS rk
+         |    FROM fd) WHERE rk = 1),
+         |pair AS (
+         |  SELECT x.cid AS cid_a, y.cid AS cid_b
+         |  FROM asg x JOIN asg y ON x.fine = y.fine AND x.cid < y.cid),
+         |dot AS (
+         |  SELECT pair.cid_a, pair.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+         |  FROM pair JOIN ce ea ON ea.cid = pair.cid_a
+         |            JOIN ce eb ON eb.cid = pair.cid_b AND ea.pos = eb.pos
+         |  GROUP BY pair.cid_a, pair.cid_b),
+         |cosb AS (
+         |  SELECT dot.cid_b AS cid,
+         |    CAST(dot.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid),
+         |ver AS (
+         |  SELECT cid,
+         |    CAST(SUM(CASE WHEN cosine >= 45e-2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near,
+         |    MAX(cosine) AS max_cos
+         |  FROM cosb GROUP BY cid)
+         |SELECT asg.cid, asg.cell, asg.fine,
+         |  CAST(COALESCE(ver.n_near, 0) AS BIGINT) AS n_near,
+         |  COALESCE(ver.n_near, 0) > 0 AS pruned,
+         |  ver.max_cos AS max_cos
+         |FROM asg LEFT JOIN ver ON asg.cid = ver.cid""".stripMargin) {
+      (s, dir) =>
+      graft.expr.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.operators.StreamingMl
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val nf = math.max(32L, n / 64L)
+      val nc = math.max(4L, math.floor(math.sqrt(nf.toDouble)).toLong)
+      val corpus = emb.select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+      // coarse is the ONLY collected relation — √k-sized by construction
+      val coarse: Array[(Long, Array[Long])] =
+        corpus.filter(col("cid") < nc).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      StreamingMl.ivf2IngestBatch(corpus.as[StreamingMl.IvfIn], coarse,
+          corpus.filter(col("cid") < nf).as[StreamingMl.IvfIn], 45e-2)
+        .toDF()
+        .select(col("cid"), col("cell"), col("fine"),
+          col("nNear").as("n_near"), col("pruned"),
+          col("maxCos").as("max_cos"))
     },
 
     // -- k-means (Lloyd) TRAINING under the hash gate: two unrolled
@@ -2636,15 +2733,15 @@ object TrainingData {
     //    centroids stay model-sized, and the only wide move is ONE
     //    cluster-keyed shuffle of the two linear relations.
     Q("t29_semdedup",
-      s"""WITH ce AS (${qExplodeSql("cid", "")}),
-         |n2t AS (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
-         |seed AS (SELECT cid AS k, pos, qv AS cq FROM ce
+      s"""WITH ce AS MATERIALIZED (${qExplodeSql("cid", "")}),
+         |n2t AS MATERIALIZED (SELECT cid, SUM(qv*qv) AS n2 FROM ce GROUP BY cid),
+         |seed AS MATERIALIZED (SELECT cid AS k, pos, qv AS cq FROM ce
          |  WHERE cid < (SELECT GREATEST(8, COUNT(DISTINCT cid) // 512) FROM ce)),
          |dk AS (
          |  SELECT ce.cid, s.k, SUM((ce.qv - s.cq)*(ce.qv - s.cq)) AS d2
          |  FROM ce JOIN seed s ON ce.pos = s.pos
          |  GROUP BY ce.cid, s.k),
-         |asg AS (
+         |asg AS MATERIALIZED (
          |  SELECT cid, k FROM (
          |    SELECT *, ROW_NUMBER() OVER (
          |      PARTITION BY cid ORDER BY d2, k) AS rk
@@ -2700,23 +2797,23 @@ object TrainingData {
     //    nc = max(4, ⌊√nf⌋) — sqrt is IEEE-exact on both engines) so the
     //    10×/20× replicas engage the growth. All-integer surface.
     Q("e16_semdedup_2level",
-      s"""WITH ce AS (${qExplodeSql("cid", "")}),
+      s"""WITH ce AS MATERIALIZED (${qExplodeSql("cid", "")}),
          |nf AS (SELECT GREATEST(32, COUNT(DISTINCT cid) // 64) AS v FROM ce),
          |nc AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(v)) AS BIGINT)) AS v FROM nf),
-         |coarse AS (SELECT cid AS k, pos, qv AS cq FROM ce
+         |coarse AS MATERIALIZED (SELECT cid AS k, pos, qv AS cq FROM ce
          |  WHERE cid < (SELECT v FROM nc)),
-         |fine AS (SELECT cid AS fk, pos, qv AS fq FROM ce
+         |fine AS MATERIALIZED (SELECT cid AS fk, pos, qv AS fq FROM ce
          |  WHERE cid < (SELECT v FROM nf)),
          |fdk AS (
          |  SELECT f.fk, c.k, SUM((f.fq - c.cq)*(f.fq - c.cq)) AS d2
          |  FROM fine f JOIN coarse c ON f.pos = c.pos GROUP BY f.fk, c.k),
-         |fcell AS (SELECT fk, k FROM (
+         |fcell AS MATERIALIZED (SELECT fk, k FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d2, k) AS rk
          |  FROM fdk) WHERE rk = 1),
          |cdk AS (
          |  SELECT ce.cid, c.k, SUM((ce.qv - c.cq)*(ce.qv - c.cq)) AS d2
          |  FROM ce JOIN coarse c ON ce.pos = c.pos GROUP BY ce.cid, c.k),
-         |ccell AS (SELECT cid, k FROM (
+         |ccell AS MATERIALIZED (SELECT cid, k FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, k) AS rk
          |  FROM cdk) WHERE rk = 1),
          |fd AS (
@@ -3961,22 +4058,98 @@ object TrainingData {
         .filter(length(col("text")) >= 2)
         .select(col("doc_id"), col("text").as("e"))
         .persist()
-      cur.count()
+      // ONE job per round: the argmax rollup itself materializes the
+      // lazily-persisted frame, so no separate count() job is needed —
+      // the PREVIOUS frame stays cached until its successor is
+      // materialized (≤2 cached copies, same bound as before; the
+      // round-10 job-count halving, measured on t52's 64 rounds)
+      var prev: org.apache.spark.sql.DataFrame = null
       val merges = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
       for (r <- 1 to nMerges) {
         // the round's whole model update: ONE bounded rollup, ONE row out
         val code = TextCombiner.pairCodeCounts(cur, "e")
           .orderBy(col("cnt").desc, col("code")).limit(1)
           .head.getLong(0)
+        if (prev != null) prev.unpersist()
         merges += ((-r.toLong, code))
         val pair = s"${(code / 128).toChar.toString}${(code % 128).toChar.toString}"
-        val next = cur.select(col("doc_id"),
+        prev = cur
+        cur = cur.select(col("doc_id"),
           org.apache.spark.sql.functions
             .replace(col("e"), lit(pair), lit(r.toChar.toString)).as("e"))
           .persist()
-        next.count()
-        cur.unpersist()
-        cur = next
+      }
+      import s.implicits._
+      val mtab = merges.toSeq.toDF("id", "val")
+        .select(col("id"), col("val"), lit("").as("s"))
+      mtab.unionByName(cur.select(col("doc_id").as("id"),
+        length(col("e")).cast("long").as("val"), md5(col("e")).as("s")))
+    },
+
+    // -- BPE trainer at a REAL vocabulary size (round-10, the r9 ask):
+    //    64 merge rounds, with merged symbols at chr(128..191) — past the
+    //    128-ASCII contract, so the pair scan runs over the 256-symbol
+    //    space (TextCombiner.pairCodeCounts256, LUT long[65536] — still
+    //    alphabet²-bounded at any corpus size). The cross-engine footing
+    //    was probed, not assumed: for U+0080..U+00FF both engines agree
+    //    at the CODEPOINT level on length/substr/ascii/replace, binary
+    //    string order equals codepoint order (so the (count DESC, pair
+    //    ASC) tie-break equals pair-code order), and md5 hashes the same
+    //    UTF-8 bytes. Loop shape unchanged from t51: per round ONE
+    //    bounded rollup, ONE 1-row argmax to the driver, one zero-shuffle
+    //    rewrite, lineage cut by persist/unpersist. Oracle: 64 rounds
+    //    unrolled as MATERIALIZED CTEs (the t51 anti-inlining
+    //    discipline).
+    Q("t52_bpe_vocab64", {
+      val nM = 64
+      val rounds = (1 to nM).map { r =>
+        val prev = s"m${r - 1}"
+        s"""c$r AS MATERIALIZED (
+           |  SELECT pair FROM (
+           |    SELECT substr(e, CAST(i AS INTEGER), 2) AS pair
+           |    FROM (SELECT e, unnest(generate_series(1, length(e) - 1)) AS i
+           |          FROM $prev WHERE length(e) >= 2))
+           |  GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1),
+           |m$r AS MATERIALIZED (
+           |  SELECT doc_id, replace(e, (SELECT pair FROM c$r), chr(${127 + r})) AS e
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val mergeRows = (1 to nM).map { r =>
+        s"""SELECT CAST(-$r AS BIGINT) AS id,
+           |  CAST(ascii(substr(pair, 1, 1)) * 256 + ascii(substr(pair, 2, 1))
+           |    AS BIGINT) AS val, '' AS s FROM c$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT doc_id, text AS e FROM documents WHERE length(text) >= 2),
+         |$rounds
+         |$mergeRows
+         |UNION ALL
+         |SELECT CAST(doc_id AS BIGINT) AS id, CAST(length(e) AS BIGINT) AS val,
+         |  md5(e) AS s
+         |FROM m$nM""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextCombiner
+      val nMerges = 64
+      var cur = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("text").as("e"))
+        .persist()
+      // ONE job per round (the t51 loop shape): the rollup materializes
+      // the lazily-persisted frame; predecessor unpersisted after
+      var prev: org.apache.spark.sql.DataFrame = null
+      val merges = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+      for (r <- 1 to nMerges) {
+        val code = TextCombiner.pairCodeCounts256(cur, "e")
+          .orderBy(col("cnt").desc, col("code")).limit(1)
+          .head.getLong(0)
+        if (prev != null) prev.unpersist()
+        merges += ((-r.toLong, code))
+        val pair = s"${(code / 256).toChar.toString}${(code % 256).toChar.toString}"
+        prev = cur
+        cur = cur.select(col("doc_id"),
+          org.apache.spark.sql.functions
+            .replace(col("e"), lit(pair), lit((127 + r).toChar.toString)).as("e"))
+          .persist()
       }
       import s.implicits._
       val mtab = merges.toSeq.toDF("id", "val")

@@ -101,18 +101,23 @@ final case class FullBeamCubeTerm(schema: String, lmZoom: Double,
     // CollapseProject inlines each blend ~6× into the 2×2 E·B·Eᴴ and the
     // generated method passes the 8 KB JIT threshold (measured 16.1 s vs
     // 1.9 s at sf0.1; the AuditSpec catch that motivated this shape)
-    val dim = df.select("src_id", "l", "m", "chan", "freq").distinct()
+    // grouped MS (x17): the same chan NUMBER carries a different freq per
+    // DATA_DESC_ID, so the dimension key must include ddid or the
+    // join-back would cross-match SPWs (and duplicate rows)
+    val keys = Seq("src_id", "chan") ++
+      (if (df.columns.contains("ddid")) Seq("ddid") else Nil)
+    val dim = df.select((keys ++ Seq("l", "m", "freq")).map(col): _*).distinct()
     var blends = BeamCubeTerm.stageCoords(dim, quad.head._2._1, lmZoom)
     for ((corr, (reP, imP)) <- quad)
       blends = BeamCubeTerm.gatherBlend(blends, reP, imP, s"bce_$corr")
-    val cols = Seq("src_id", "chan") ++ quad.flatMap { case (c, _) =>
+    val cols = keys ++ quad.flatMap { case (c, _) =>
       Seq(s"bce_${c}_re", s"bce_${c}_im") }
     // pin the 45-row blend table (the t11 localCheckpoint idiom): the
     // four gather/renorm chains would otherwise still form one >8 KB
     // generated method on the dimension side — materializing the tiny
     // table leaves only plain attributes in the final plan
     val pinned = blends.select(cols.map(col): _*).localCheckpoint()
-    df.join(broadcast(pinned), Seq("src_id", "chan"))
+    df.join(broadcast(pinned), keys)
   }
 
   def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 =

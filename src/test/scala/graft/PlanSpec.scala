@@ -518,6 +518,42 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("x17: grouped beam RIME — staged dimension blend AND pruned MS scan") {
+    // the x14 ∘ x15 composition (round-10): the quad-beam gather/renorm
+    // must STILL live in a pinned broadcast dimension table through the
+    // grouped path (the ddid-aware stage key), and the model-table groups
+    // must STILL reach the MAIN scan as PartitionFilters
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = graft.queries.MultiMsQ.qs
+      .find(_.name == "x17_fused_rime_grouped_beam").get.fn(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "x17 beam table must broadcast-join:\n" + p.take(3000))
+    assert(p.contains("Scan ExistingRDD"),
+      "x17 blends must come from the pinned dimension table:\n" + p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "x17 funnels through one partition:\n" + p.take(3000))
+    // element_at(UVW, …) is the legitimate rows projection; a VOXEL
+    // gather would be element_at over a literal cube array
+    assert("element_at\\((?!UVW)".r.findFirstIn(p).isEmpty,
+      "x17 regressed to per-row voxel gathers in the expanded frame:\n" +
+        p.take(3000))
+    df.collect() // execute so the scan metrics below are real
+    def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("MAIN"))
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.head.metadata("PartitionFilters").contains("FIELD_ID"),
+      s"group filters did not reach the scan: ${scans.head.metadata}")
+  }
+
   test("q20: the upsert is one full-outer SMJ, one keyed exchange per side") {
     val p = planOf("q20_upsert")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)

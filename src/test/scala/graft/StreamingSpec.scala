@@ -968,6 +968,92 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("two-level streaming IVF ingest: initial-state fine seeds, parity with the batch twin and the e21 rule") {
+    // the beyond-broadcast ingest face (round-10): tasks close over ONLY
+    // the √k coarse seeds; fine seeds arrive as per-coarse-cell INITIAL
+    // STATE. Across three micro-batch splits the emitted verdicts must
+    // equal the cogroup batch twin (the e21 oracle surface) row for row,
+    // and every fine assignment must obey the two-level rule (nearest
+    // fine among the row's coarse cell's seeds, ties to the lower id).
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{IvfIn, Ivf2Out}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+    val coarse: Array[(Long, Array[Long])] =
+      corpus.filter(col("cid") < 4).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val fine = corpus.filter(col("cid") < 24).as[IvfIn]
+    val tau = 45e-2
+    val vecs = corpus.collect()
+      .map(r => IvfIn(r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_.cid)
+    val thirds = vecs.grouped(math.max(1, vecs.length / 3 + 1)).toSeq
+    val ms = MemoryStream[IvfIn]
+    val q = StreamingMl.streamingIvfIngestTwoLevel(ms.toDS(), coarse, fine, tau)
+      .writeStream.format("memory").queryName("ivf2_ingest")
+      .outputMode("append").start()
+    try {
+      thirds.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("ivf2_ingest").as[Ivf2Out].collect()
+        .map(o => o.cid -> o).toMap
+      val twin = StreamingMl.ivf2IngestBatch(corpus.as[IvfIn], coarse,
+          fine, tau).collect().map(o => o.cid -> o).toMap
+      assert(got.size === vecs.length && twin.size === vecs.length)
+      vecs.foreach { v =>
+        assert(got(v.cid) === twin(v.cid), s"stream/batch twin at ${v.cid}")
+      }
+      // structural: the fine winner really lives in the row's coarse cell
+      val fineCells = graft.operators.SemDedup.assign(
+          corpus.filter(col("cid") < 24).select(col("cid"), col("qv")),
+          corpus.filter(col("cid") < 4).select(col("cid").as("k"), col("qv")))
+        .select(col("cid"), col("k")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.values.foreach { o =>
+        assert(fineCells(o.fine) === o.cell,
+          s"fine ${o.fine} not in coarse cell ${o.cell} (cid ${o.cid})")
+      }
+    } finally q.stop()
+  }
+
+  test("out-of-order delivery: loud violation counter, arrival-order verdicts (round-10)") {
+    // the r9 "silent arrival-order assumption" finding: a batch delivered
+    // out of order must (a) bump StreamingMl.orderViolations and (b) keep
+    // verdicts DETERMINISTIC for the order actually delivered —
+    // first-ARRIVAL-wins, not first-id-wins. Ordered input keeps the
+    // counter at zero (and batch parity, proven by the other cases).
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{ChunkIn, DedupOut}
+    implicit val ctx = spark.sqlContext
+    val viol = StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val ms = MemoryStream[ChunkIn]
+    val q = StreamingMl.streamingDedup(ms.toDS())
+      .writeStream.format("memory").queryName("ooo_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 10 and 11 share fp 7 — doc 10 keeps
+      ms.addData(Seq(ChunkIn(10L, 0L, 7L), ChunkIn(11L, 0L, 7L)))
+      q.processAllAvailable()
+      assert(viol.value === v0, "ordered delivery must not count")
+      // batch 2 arrives LATE: doc 5 (same fp) regresses below maxDoc=11
+      ms.addData(Seq(ChunkIn(5L, 0L, 7L)))
+      q.processAllAvailable()
+      assert(viol.value === v0 + 1, "late arrival must be counted loudly")
+      val got = spark.table("ooo_dedup").as[DedupOut].collect()
+        .map(o => o.docId -> o).toMap
+      // first-ARRIVAL-wins: 10 kept; 11 and the late 5 are dups
+      assert(got(10L).keep && got(10L).nSeen === 1L)
+      assert(!got(11L).keep && got(11L).nSeen === 2L)
+      assert(!got(5L).keep && got(5L).nSeen === 3L)
+    } finally q.stop()
+  }
 }
 
 /** Flattened MS sample for the A7 streaming-face test (package level so

@@ -137,14 +137,19 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            # oracle result schema straight from DuckDB, pre-pandas
-            desc = con.execute(oracle[name]).description
-            duck_types = [(c[0], str(c[1])) for c in desc]
+            # oracle result schema straight from DuckDB, pre-pandas.
+            # ONE execution serves description AND data — .description on a
+            # separate execute() ran the full query a second time, which
+            # doubled the oracle cost exactly where it hurts (the 20x/50x
+            # replica gates); .sql(...).types only PLANS, never executes
             rel_types = con.sql(oracle[name]).types
             duck_sql_types = [str(t) for t in rel_types]
+            cur = con.execute(oracle[name])
+            desc = cur.description
+            duck_types = [(c[0], str(c[1])) for c in desc]
+            exp = canon(cur.fetchdf())
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf())
-            exp = canon(con.execute(oracle[name]).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         probs = []
