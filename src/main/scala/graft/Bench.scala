@@ -19,10 +19,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    graft.core.Env.applyExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Executor-memory instrumentation (round-10): per-task spill bytes and
@@ -76,11 +73,17 @@ object Bench {
       // queries; forcing a GC every 16 queries keeps the JVM at
       // steady-state so timings measure the QUERY, not the backlog.
       if (i % 16 == 15) { spark.catalog.clearCache(); System.gc() }
+      // drain the async listener bus on BOTH sides of the timed runs so
+      // spill/peak attribution is per-query exact (task-end events from
+      // query i must not land after once() returns and be charged to
+      // query i+1, nor be clobbered by the peak reset)
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       val s0 = spill.get(); peak.set(0L)
       val v = (once(q), once(q)) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case _ => -1.0
       }
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       (q.name, v, spill.get() - s0, peak.get())
     }
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"

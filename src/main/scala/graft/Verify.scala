@@ -24,10 +24,7 @@ object Verify {
     // local iteration only (driver never sets it): "k=v;k=v" extra confs —
     // e.g. a lowered autoBroadcastJoinThreshold to hash-gate the size-aware
     // escalations (SemDedup.assignAuto) with the escalation ENGAGED
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    graft.core.Env.applyExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared env-var plumbing for the driver-contract mains (Verify/Bench).
+  * Local-iteration only — the driver never sets these. */
+object Env {
+  /** Apply `SPARK_GRAFT_EXTRA_CONF` ("k=v;k=v") to a session builder.
+    * Each ';'-separated entry must contain '='; a malformed token fails
+    * loudly BY NAME (the old `val Array(k, v) = ...` threw an opaque
+    * MatchError). Values may contain '=' (split at the first one) but not
+    * ';' — none of the Spark confs this repo gates on do; if one ever
+    * does, add escaping here rather than picking it apart at call sites. */
+  def applyExtraConf(builder: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty =>
+            builder.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF: malformed entry '$kv' " +
+              "(expected key=value, ';'-separated)")
+        }
+      }
+    }
+    builder
+  }
+}

@@ -122,7 +122,12 @@ object SemDedup {
     * choice with its own oracle, never a silent fallback, because two-level
     * can return a different (farther) centroid and a config-dependent
     * answer would break the determinism contract every hashed surface
-    * rests on. */
+    * rests on. Edge contracts (round-11 ADVICE fix): a DISABLED session
+    * threshold (<= 0 — "never auto-broadcast a join") sizes against the
+    * 10 MB Spark default instead of silently collecting an unbounded
+    * seed set to the driver; and a seed set that cannot be split into
+    * <= 64 under-threshold chunks throws (pointing at assignTwoLevel)
+    * rather than force-broadcasting any chunk above the threshold. */
   def assignAuto(corpus: DataFrame, seeds: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     val stat = seeds.agg(count(lit(1L)), min(size(col("qv"))),
@@ -133,12 +138,28 @@ object SemDedup {
     val dMax = stat.getInt(2)
     require(dMin == dMax,
       s"semdedup: mixed centroid dims $dMin..$dMax")
-    val thr = Calibrate.broadcastThreshold(spark)
-    if (thr <= 0 || seedBytes(k, dMin) <= thr) assign(corpus, seeds)
+    // A disabled session threshold (<= 0) means "never auto-broadcast a
+    // JOIN side" — it must NOT mean "collect a corpus-proportional seed
+    // set to the driver": size against the Spark DEFAULT (10 MB) instead,
+    // so the flat path stays driver-safe under any session config.
+    val thr0 = Calibrate.broadcastThreshold(spark)
+    val thr = if (thr0 > 0) thr0 else 10L * 1024 * 1024
+    val bytes = seedBytes(k, dMin)
+    if (bytes <= thr) assign(corpus, seeds)
     else {
-      val perChunk = math.max(1L, thr / (8L * (dMin + 1) + 16L))
-      val nChunks = math.min(((k + perChunk - 1) / perChunk), 64L).toInt
-      assignChunked(corpus, seeds, nChunks)
+      val rowBytes = 8L * (dMin + 1) + 16L
+      val perChunk = thr / rowBytes // rows per UNDER-threshold chunk
+      val nChunks =
+        if (perChunk >= 1L) (k + perChunk - 1) / perChunk else 65L
+      // past 64 under-threshold chunks, exact flat search is the wrong
+      // operator at all — fail LOUDLY (never force-broadcast a chunk LUT
+      // above the threshold, which would break assignChunked's documented
+      // by-construction guarantee) and point at the semantic escalation
+      require(nChunks <= 64L,
+        s"semdedup: a $bytes-byte seed LUT cannot be split into <= 64 " +
+          s"under-threshold chunks at threshold $thr B — exact search " +
+          "is the wrong operator at this size; use assignTwoLevel (e16)")
+      assignChunked(corpus, seeds, nChunks.toInt)
     }
   }
 

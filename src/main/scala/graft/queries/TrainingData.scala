@@ -4079,6 +4079,13 @@ object TrainingData {
             .replace(col("e"), lit(pair), lit(r.toChar.toString)).as("e"))
           .persist()
       }
+      // the loop leaves the LAST predecessor pinned (it is normally
+      // unpersisted at the top of the NEXT round, which never comes):
+      // materialize the final frame (one extra job) so the predecessor
+      // is safe to release — without it a corpus-sized copy stays in
+      // executor storage for the rest of the session
+      cur.count()
+      if (prev != null) prev.unpersist()
       import s.implicits._
       val mtab = merges.toSeq.toDF("id", "val")
         .select(col("id"), col("val"), lit("").as("s"))
@@ -4151,6 +4158,10 @@ object TrainingData {
             .replace(col("e"), lit(pair), lit((127 + r).toChar.toString)).as("e"))
           .persist()
       }
+      // same post-loop release as t51: one extra job materializes the
+      // final frame, then the last predecessor is unpersisted
+      cur.count()
+      if (prev != null) prev.unpersist()
       import s.implicits._
       val mtab = merges.toSeq.toDF("id", "val")
         .select(col("id"), col("val"), lit("").as("s"))

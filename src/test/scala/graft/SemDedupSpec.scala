@@ -168,6 +168,29 @@ class SemDedupSpec extends AnyFunSuite {
     assert(!plan.contains("nearest_min"), plan)
   }
 
+  test("assignAuto edge contracts: disabled threshold sizes vs the 10MB" +
+      " default; >64-chunk seed sets fail loudly, never over-broadcast") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val thr0 = spark.conf.get(key)
+    try {
+      // threshold DISABLED (-1): a small seed set still goes flat (it is
+      // under the 10 MB Spark default) — disabling auto-broadcast-join
+      // must not change the driver-safety sizing
+      spark.conf.set(key, "-1")
+      val plan = SemDedup.assignAuto(corpus, seeds(NF))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("nearest_centroid("), plan)
+      // a seed set that cannot be split into <= 64 under-threshold
+      // chunks throws with a pointer at the semantic escalation instead
+      // of force-broadcasting any chunk above the threshold
+      spark.conf.set(key, "100") // 100 B < one 536-B centroid row
+      val e = intercept[IllegalArgumentException] {
+        SemDedup.assignAuto(corpus, seeds(NF))
+      }
+      assert(e.getMessage.contains("assignTwoLevel"), e.getMessage)
+    } finally spark.conf.set(key, thr0)
+  }
+
   test("fine seeds self-assign at d2 = 0 and ties go to the lower fine id") {
     val two = SemDedup.assignTwoLevel(corpus, seeds(NC), seeds(NF))
       .filter(col("cid") < NF).collect()

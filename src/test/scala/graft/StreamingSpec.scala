@@ -1054,6 +1054,105 @@ class StreamingSpec extends AnyFunSuite {
       assert(!got(5L).keep && got(5L).nSeen === 3L)
     } finally q.stop()
   }
+
+  test("reordered dedup: disorder INSIDE the horizon is corrected — " +
+      "verdicts bit-identical to ordered delivery, zero violations") {
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{TsChunkIn, TsDedupOut}
+    implicit val ctx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val r1 = TsChunkIn(1L, 0L, 1L, ts(100000L))
+    val r2 = TsChunkIn(2L, 0L, 1L, ts(200000L))
+    val r3 = TsChunkIn(3L, 0L, 1L, ts(300000L))
+    // fp-99 sentinels only advance the GLOBAL watermark so buffered fp-1
+    // verdicts drain via event-time timeouts (watermark updates become
+    // visible one batch later — hence a run of them)
+    val sent = (1 to 3).map(i => TsChunkIn(90L + i, 0L, 99L,
+      ts(1000000L + i * 100000L)))
+    def run(name: String, batches: Seq[Seq[TsChunkIn]])
+        : Map[(Long, Long), TsDedupOut] = {
+      val ms = MemoryStream[TsChunkIn]
+      val q = StreamingMl.streamingDedupReordered(ms.toDS(), "150 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).as[TsDedupOut].collect()
+          .filter(_.fp === 1L).map(o => (o.docId, o.chunkIdx) -> o).toMap
+      } finally q.stop()
+    }
+    val viol = StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val ordered = run("rd_ordered",
+      Seq(Seq(r1), Seq(r2), Seq(r3)) ++ sent.map(Seq(_)))
+    assert(ordered.size === 3)
+    assert(ordered((1L, 0L)).keep && ordered((1L, 0L)).nSeen === 1L)
+    assert(!ordered((2L, 0L)).keep && ordered((2L, 0L)).nSeen === 2L)
+    assert(!ordered((3L, 0L)).keep && ordered((3L, 0L)).nSeen === 3L)
+    assert(ordered.values.forall(!_.late))
+    // the SAME rows, r1 delivered a batch LATE but inside the 150 s
+    // horizon (watermark at its arrival = 50 s < its 100 s event time)
+    val shuffled = run("rd_shuffled",
+      Seq(Seq(r2), Seq(r1, r3)) ++ sent.map(Seq(_)))
+    assert(shuffled === ordered,
+      "in-horizon disorder must yield bit-identical verdicts")
+    assert(viol.value === v0,
+      "in-horizon disorder is CORRECTED, never counted")
+  }
+
+  test("reordered dedup: a straggler OUTSIDE the horizon is counted, " +
+      "never the keeper") {
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{TsChunkIn, TsDedupOut}
+    implicit val ctx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val viol = StreamingMl.orderViolations(spark)
+    val ms = MemoryStream[TsChunkIn]
+    val q = StreamingMl.streamingDedupReordered(ms.toDS(), "150 seconds")
+      .writeStream.format("memory").queryName("rd_late")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(TsChunkIn(1L, 0L, 1L, ts(100000L))))
+      q.processAllAvailable()
+      // advance the watermark far past fp-1's buffered row so it seals
+      (1 to 3).foreach { i =>
+        ms.addData(Seq(TsChunkIn(90L + i, 0L, 99L, ts(1000000L + i * 1000L))))
+        q.processAllAvailable()
+      }
+      val sealedRows = spark.table("rd_late").as[TsDedupOut].collect()
+        .filter(_.fp === 1L)
+      assert(sealedRows.length === 1 && sealedRows.head.keep,
+        s"fp-1 row must have sealed before the straggler: ${sealedRows.toSeq}")
+      val v0 = viol.value
+      val dropped0 = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      // straggler: event time 90 s, far behind the ~850 s watermark
+      ms.addData(Seq(TsChunkIn(0L, 0L, 1L, ts(90000L))))
+      q.processAllAvailable()
+      val got = spark.table("rd_late").as[TsDedupOut].collect()
+        .filter(_.fp === 1L).map(o => o.docId -> o).toMap
+      val droppedNow = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      // the straggler is COUNTED exactly once — either by the operator's
+      // own late path (reached the function: flagged, folded, never the
+      // keeper) or by the engine's watermark filter (standard Structured
+      // Streaming drop, visible in the progress metrics); both are loud
+      info(s"straggler path: emitted=${got.contains(0L)} " +
+        s"engineDropped=${droppedNow - dropped0} " +
+        s"violations=${viol.value - v0}")
+      if (got.contains(0L)) {
+        assert(viol.value === v0 + 1, "straggler must hit orderViolations")
+        assert(got(0L).late && !got(0L).keep && got(0L).nSeen === 2L)
+      } else {
+        assert(droppedNow === dropped0 + 1,
+          s"straggler neither emitted nor in numRowsDroppedByWatermark " +
+            s"($dropped0 -> $droppedNow, viol ${v0} -> ${viol.value})")
+      }
+      assert(got(1L).keep, "the sealed keeper must not change")
+    } finally q.stop()
+  }
 }
 
 /** Flattened MS sample for the A7 streaming-face test (package level so
