@@ -25,7 +25,8 @@ object SparkEntry {
       _root_.graft.queries.ModelFit.qs ++
       _root_.graft.queries.PredictFull.qs ++
       _root_.graft.queries.MultiMsQ.qs ++
-      _root_.graft.queries.DeconvQ.qs
+      _root_.graft.queries.DeconvQ.qs ++
+      _root_.graft.queries.PipelineQ.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

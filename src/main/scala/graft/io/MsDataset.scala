@@ -132,6 +132,50 @@ object MsDataset {
     pol.coalesce(1).write.mode("overwrite").parquet(s"$dir/POLARIZATION.parquet")
   }
 
+  /** Data-scaled synthetic MS: the same layout/geometry as
+    * [[writeSynthetic]] but with MAIN derived from a caller-supplied
+    * row-id column ENGINE-side (one distributed projection + write — the
+    * driver never materializes a row), so the dataset grows with the
+    * source table feeding it. Every MAIN column is exact integer/dyadic
+    * arithmetic of `row_id` (the writeSynthetic formulas restated as
+    * Catalyst expressions), so any replica scale produces the same
+    * per-row values a driver loop would. */
+  def writeSyntheticScaled(spark: SparkSession, dir: String,
+                           rowIds: DataFrame, nchan: Int, nant: Int,
+                           ra0: Double, dec0: Double): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, expr, lit, pmod}
+    val n2 = (nant * nant).toLong
+    val main = rowIds.select(
+      col("row_id"),
+      (lit(5084553600.0) +
+        expr(s"row_id div $n2").cast("double") * 8.0).as("TIME"),
+      pmod(col("row_id"), lit(nant.toLong)).cast("int").as("ANTENNA1"),
+      pmod(expr(s"row_id div $nant"), lit(nant.toLong)).cast("int")
+        .as("ANTENNA2"),
+      array(
+        (pmod(col("row_id") * 7, lit(2001L)).cast("double") - 1000.0) / 2.0,
+        (pmod(col("row_id") * 3, lit(2001L)).cast("double") - 1000.0) / 2.0,
+        (pmod(col("row_id") * 11, lit(201L)).cast("double") - 100.0) / 20.0
+      ).as("UVW"),
+      lit(0).as("FIELD_ID"), lit(0).as("DATA_DESC_ID"))
+    val ants = (0 until nant)
+      .map(a => (a, s"ST-$a", Array(-1601710.0 + a * 64, -5042006.0 + a * 128,
+        3554880.0 + a * 32)))
+      .toDF("antenna_id", "NAME", "POSITION")
+    val spw = Seq((0, nchan, (0 until nchan).map(k => 856e6 + k * 107e6).toArray))
+      .toDF("spw_id", "NUM_CHAN", "CHAN_FREQ")
+    val field = Seq((0, "FIELD0", Array(ra0, dec0)))
+      .toDF("field_id", "NAME", "PHASE_DIR")
+    val pol = Seq((0, Array(9, 10, 11, 12)))
+      .toDF("pol_id", "CORR_TYPE")
+    main.write.mode("overwrite").parquet(s"$dir/MAIN.parquet")
+    ants.coalesce(1).write.mode("overwrite").parquet(s"$dir/ANTENNA.parquet")
+    spw.coalesce(1).write.mode("overwrite").parquet(s"$dir/SPECTRAL_WINDOW.parquet")
+    field.coalesce(1).write.mode("overwrite").parquet(s"$dir/FIELD.parquet")
+    pol.coalesce(1).write.mode("overwrite").parquet(s"$dir/POLARIZATION.parquet")
+  }
+
   /** 2-field × 2-SPW synthetic MS — the grouped-dataset shape the
     * reference's flagship example iterates over (it opens the MS with
     * `group_cols=["FIELD_ID", "DATA_DESC_ID"]` and runs one independent

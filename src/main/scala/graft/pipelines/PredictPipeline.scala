@@ -109,16 +109,20 @@ object PredictPipeline {
       .select(col("time_index"), col("ant"),
         Det.r6(ParAngles.casaPa(col("TIME"), col("ax"), col("ay"),
           col("az"), lit(ra0), lit(dec0))).as("pa"))
-    RimeCompiler.registerTerm('E',
-      FullBeamCubeTerm(beamSchema, lmZoom, regenerate = regenerateBeam))
     // src_id keys the beam-blend staging frame (model-sized window)
     val src = WSCleanReader.read(spark, skyModelPath)
       .select(col("ra"), col("dec"), col("flux").as("i"))
       .withColumn("src_id",
         (row_number().over(Window.orderBy("ra", "dec")) - 1).cast("long"))
-    RimeCompiler.plan(s"(Ep,Lp,Kpq,Bpq,Lq,Eq): [I] -> [$basis]",
-      src, rows, MsDataset.chans(ms), paDf = Some(pa),
-      phaseDir = Some((ra0, dec0)))
+    // SCOPED 'E' override: 'E' has a session-wide default (the dyadic
+    // test beam) other plans rely on — a bare registerTerm here poisoned
+    // every later default-'E' plan in the session (round-11 x08 lesson)
+    RimeCompiler.withTerm('E',
+      FullBeamCubeTerm(beamSchema, lmZoom, regenerate = regenerateBeam)) {
+      RimeCompiler.plan(s"(Ep,Lp,Kpq,Bpq,Lq,Eq): [I] -> [$basis]",
+        src, rows, MsDataset.chans(ms), paDf = Some(pa),
+        phaseDir = Some((ra0, dec0)))
+    }
   }
 
   /** dft/examples/predict_from_fits.py analogue: a FITS model IMAGE

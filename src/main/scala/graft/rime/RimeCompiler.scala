@@ -126,6 +126,27 @@ object RimeCompiler {
   def registerTerm(letter: Char, t: DdeTerm): Unit =
     registry.synchronized { registry(letter) = t }
 
+  /** SCOPED registration: run `body` (typically a [[plan]] call — terms
+    * are resolved eagerly while the plan is built) with `letter` bound to
+    * `t`, then restore whatever was registered before. Callers that
+    * override a PRE-registered letter ('E', the default test beam) must
+    * use this instead of [[registerTerm]] — a bare override leaks into
+    * every later plan in the session that relies on the default (the
+    * round-11 x08 poisoning: the predict pipeline's FITS beam term left
+    * registered turned x08's dyadic test beam into the fixture beam).
+    * The whole body holds the registry lock, so a concurrent planner
+    * can never observe the temporary binding. */
+  def withTerm[T](letter: Char, t: DdeTerm)(body: => T): T =
+    registry.synchronized {
+      val prev = registry.get(letter)
+      registry(letter) = t
+      try body
+      finally prev match {
+        case Some(p) => registry(letter) = p
+        case None => registry.remove(letter)
+      }
+    }
+
   /** Scalar pair-term (pq) registry: a real envelope multiplying every
     * correlation of the source coherency inside the sum — the slot the
     * reference's Gaussian shape term occupies

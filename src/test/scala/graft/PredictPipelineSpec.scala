@@ -264,4 +264,30 @@ class PredictPipelineSpec extends AnyFunSuite {
       MsDataset.chans(b).collect().toSeq.map(_.getDouble(1)))
     assert(MsDataset.phaseCentre(spark, a) === MsDataset.phaseCentre(spark, b))
   }
+
+  test("modelDataFullJones must not leak its 'E' override into later " +
+      "default-'E' plans (round-11 x08 poisoning regression)") {
+    import graft.io.{BeamFixture, MsDataset}
+    // x08 relies on the compiler's PRE-registered dyadic test beam
+    val x08 = graft.SparkEntry.queries("x08_fused_rime_dde")
+    def snap() = x08(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> r.toSeq).toMap
+    val before = snap()
+    val msDir = java.nio.file.Files.createTempDirectory("synth_ms_lk").toString
+    MsDataset.writeSynthetic(spark, msDir, nrow = 32, nchan = 2, nant = 5,
+      ra0 = math.Pi / 4, dec0 = 0.0)
+    val model = writeModel(
+      """Format = Name, Type, Ra, Dec, I, SpectralIndex, LogarithmicSI, ReferenceFrequency='1.4e9', MajorAxis, MinorAxis, Orientation
+        |a,POINT,03:00:00,00.00.00,1.0,[],false,,,,
+        |""".stripMargin)
+    val schema = java.nio.file.Files.createTempDirectory("lk_beam").toString +
+      "/beam_$(corr)_$(reim).fits"
+    BeamFixture.ensureQuad(schema)
+    graft.pipelines.PredictPipeline
+      .modelDataFullJones(spark, msDir, model, schema).collect()
+    // bit-identical: the pipeline's FITS beam must not have replaced x08's
+    // default term in the session registry
+    assert(snap() === before,
+      "the pipeline's scoped 'E' override leaked into the default registry")
+  }
 }
