@@ -370,6 +370,17 @@ object Relational {
     //    quantile path (one shuffle + per-group sort); at 100 TB the same
     //    query swaps to percentile_approx/t-digest sketches — the exact
     //    form here is what such a sketch is verified against.
+    // Exact per-flag price quantiles. The SPARK plan deliberately does
+    // NOT mirror the oracle's row_number formulation: l_returnflag has 3
+    // values, so a flag-partitioned window over RAW rows sorts n/3 rows
+    // on ONE task — invisible at sf0.1, a 20M-row single-task sort at the
+    // 100x replica (the round-11 bench caught it at 148x = superlinear).
+    // Scale-correct exact equivalent: shuffle-aggregate to DISTINCT
+    // (flag, cents) counts first (map-side combined; the distinct-value
+    // frame is value-bounded — constant across replicas), then one
+    // window over the distinct frame cumulates counts, and the quantile
+    // at rank t is the smallest cents whose cumulative count reaches t —
+    // identical multiset semantics, bit-identical result.
     Q("q15_price_quantiles",
       """WITH r AS (
         |  SELECT l_returnflag AS flag,
@@ -386,18 +397,20 @@ object Relational {
         |  MAX(CASE WHEN rn = (n*99 + 99) // 100 THEN cents END) AS p99_cents,
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM o GROUP BY flag""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("flag")
-      val o = Tables.lineitem(s, dir)
+      val byVal = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("flag"),
           Det.cents(col("l_extendedprice")).as("cents"))
-        .withColumn("rn", row_number().over(w.orderBy("cents")).cast("long"))
-        .withColumn("n", count(lit(1)).over(w))
-      o.groupBy("flag").agg(
-        max(when(col("rn") === expr("(n*50 + 99) div 100"), col("cents")))
+        .groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+      val wq = Window.partitionBy("flag")
+      val cum = byVal
+        .withColumn("cum", sum(col("c")).over(wq.orderBy("cents")))
+        .withColumn("n", sum(col("c")).over(wq))
+      cum.groupBy("flag").agg(
+        min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("cents")))
           .as("p50_cents"),
-        max(when(col("rn") === expr("(n*90 + 99) div 100"), col("cents")))
+        min(when(col("cum") >= expr("(n*90 + 99) div 100"), col("cents")))
           .as("p90_cents"),
-        max(when(col("rn") === expr("(n*99 + 99) div 100"), col("cents")))
+        min(when(col("cum") >= expr("(n*99 + 99) div 100"), col("cents")))
           .as("p99_cents"),
         max(col("n")).as("n"))
     },
