@@ -86,6 +86,76 @@ object StreamingMl {
       }
   }
 
+  final case class TsDocIn(source: String, shard: Long, docId: Long,
+                           nTok: Long, ts: java.sql.Timestamp)
+  final case class PackBufRow(tsMs: Long, docId: Long, nTok: Long)
+  final case class PackReorderState(cum: Long, buf: List[PackBufRow],
+                                    fTs: Long = Long.MinValue,
+                                    fDoc: Long = Long.MinValue)
+  final case class TsPackOut(docId: Long, source: String, nTok: Long,
+                             packId: Long, packOffset: Long, nChunks: Long,
+                             late: Boolean)
+
+  /** Watermark-reordered sequence packing (round-11, the dedup-face
+    * pattern applied to the ORDER-DEPENDENT ingest stage): documents
+    * carry an event time; per (source, shard) the operator buffers
+    * in-horizon arrivals and folds the head-to-tail pack layout in
+    * EVENT-TIME order once the watermark seals them — so any delivery
+    * whose lateness stays inside the horizon yields the layout ordered
+    * delivery produces (= the batch t20 window-cumsum layout, which the
+    * unordered face only guarantees for in-order streams). A
+    * horizon-exceeding straggler cannot be inserted retroactively (its
+    * slot's offsets are emitted); the deterministic policy is
+    * APPEND-AT-TAIL — folded at arrival in (ts, docId) order, flagged
+    * `late`, counted in [[orderViolations]] — exactly what a production
+    * backfill would reconcile. State per shard = one running token count
+    * + the in-horizon buffer (bounded by horizon density, not stream
+    * length); event-time timeouts drain idle shards. */
+  def streamingPackingReordered(ds: Dataset[TsDocIn],
+                                capacity: Long = 2048L,
+                                horizon: String = "10 seconds")
+      : Dataset[TsPackOut] = {
+    import ds.sparkSession.implicits._
+    val viol = orderViolations(ds.sparkSession)
+    ds.withWatermark("ts", horizon)
+      .groupByKey(d => (d.source, d.shard))
+      .flatMapGroupsWithState[PackReorderState, TsPackOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), docs: Iterator[TsDocIn],
+         state: GroupState[PackReorderState]) =>
+          val st0 = state.getOption.getOrElse(PackReorderState(0L, Nil))
+          def beforeFrontier(r: PackBufRow): Boolean = {
+            val c = java.lang.Long.compare(r.tsMs, st0.fTs)
+            if (c != 0) c < 0 else r.docId <= st0.fDoc
+          }
+          var cum = st0.cum
+          def fold(r: PackBufRow, late: Boolean): TsPackOut = {
+            val start = cum
+            cum += r.nTok
+            TsPackOut(r.docId, key._1, r.nTok, start / capacity,
+              start % capacity,
+              (cum - 1) / capacity - start / capacity + 1, late)
+          }
+          val incoming = docs.map(d =>
+            PackBufRow(d.ts.getTime, d.docId, d.nTok)).toList
+          val (lateRows, fresh) = incoming.partition(beforeFrontier)
+          viol.add(lateRows.size)
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, stay) = (st0.buf ++ fresh)
+            .sortBy(r => (r.tsMs, r.docId))
+            .partition(_.tsMs <= wm)
+          // ripe rows take their event-time slots FIRST; stragglers
+          // append at the tail (they can never reclaim a sealed slot)
+          val out = ripe.map(fold(_, late = false)) ++
+            lateRows.sortBy(r => (r.tsMs, r.docId)).map(fold(_, late = true))
+          val (fTs, fDoc) = ripe.lastOption.map(r => (r.tsMs, r.docId))
+            .getOrElse((st0.fTs, st0.fDoc))
+          state.update(PackReorderState(cum, stay, fTs, fDoc))
+          if (stay.nonEmpty) state.setTimeoutTimestamp(stay.map(_.tsMs).min)
+          out.iterator
+      }
+  }
+
   final case class VecIn(label: Int, qv: Seq[Long])
   final case class CentState(n: Long, sums: Seq[Long])
   final case class CentOut(label: Int, n: Long, centroidQ: Seq[Double])

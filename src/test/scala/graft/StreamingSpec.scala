@@ -1101,6 +1101,126 @@ class StreamingSpec extends AnyFunSuite {
       "in-horizon disorder is CORRECTED, never counted")
   }
 
+  test("reordered dedup: ANY in-horizon delivery order yields the " +
+      "ordered verdicts (seeded random permutations)") {
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{TsChunkIn, TsDedupOut}
+    implicit val ctx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // two fingerprints, interleaved event times, all inside one horizon
+    val rows = (0 until 8).map(i =>
+      TsChunkIn(i.toLong, 0L, 1L + i % 2, ts(100000L + i * 100000L)))
+    val sent = (1 to 3).map(i =>
+      TsChunkIn(90L + i, 0L, 99L, ts(5000000L + i * 1000000L)))
+    def run(name: String, batches: Seq[Seq[TsChunkIn]])
+        : Map[(Long, Long), (Long, Boolean, Boolean)] = {
+      val ms = MemoryStream[TsChunkIn]
+      val q = StreamingMl
+        .streamingDedupReordered(ms.toDS(), "1000 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).as[TsDedupOut].collect().filter(_.fp < 99L)
+          .map(o => (o.fp, o.docId) -> ((o.nSeen, o.keep, o.late))).toMap
+      } finally q.stop()
+    }
+    val viol = StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val ordered = run("rdp_ordered", rows.map(Seq(_)) ++ sent.map(Seq(_)))
+    assert(ordered.size === 8)
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val shuffled = rnd.shuffle(rows)
+      // random batch boundaries over the random order
+      val cuts = Seq(rnd.nextInt(7) + 1, rnd.nextInt(7) + 1).sorted
+      val batches = Seq(shuffled.slice(0, cuts(0)),
+        shuffled.slice(cuts(0), cuts(1)), shuffled.slice(cuts(1), 8))
+        .filter(_.nonEmpty)
+      val got = run(s"rdp_t$trial", batches ++ sent.map(Seq(_)))
+      assert(got === ordered, s"trial $trial order ${shuffled.map(_.docId)}")
+    }
+    assert(viol.value === v0, "in-horizon permutations must not count")
+  }
+
+  test("reordered packing: in-horizon disorder yields the ordered " +
+      "layout; a straggler appends at the tail and is counted") {
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{TsDocIn, TsPackOut}
+    implicit val ctx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val toks = Seq(5L, 7L, 9L, 20L, 3L, 6L)
+    val docs = toks.zipWithIndex.map { case (t, i) =>
+      TsDocIn("web", 0L, i.toLong, t, ts(100000L + i * 100000L)) }
+    val sent = (1 to 3).map(i =>
+      TsDocIn("snt", 9L, 90L + i, 1L, ts(5000000L + i * 1000000L)))
+    // the batch t20 rule: head-to-tail cumsum in doc (= event-time) order
+    val cap = 16L
+    val expect = toks.scanLeft(0L)(_ + _).zip(toks).zipWithIndex.map {
+      case ((start, t), i) => i.toLong ->
+        ((start / cap, start % cap, (start + t - 1) / cap - start / cap + 1))
+    }.toMap
+    def run(name: String, batches: Seq[Seq[TsDocIn]])
+        : Map[Long, (Long, Long, Long, Boolean)] = {
+      val ms = MemoryStream[TsDocIn]
+      val q = StreamingMl
+        .streamingPackingReordered(ms.toDS(), cap, "150 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).as[TsPackOut].collect().filter(_.source == "web")
+          .map(o => o.docId ->
+            ((o.packId, o.packOffset, o.nChunks, o.late))).toMap
+      } finally q.stop()
+    }
+    val viol = StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    // disorder inside the 150 s horizon: d1 delivered after d2, d4
+    // after d5 — layout must still be the ordered cumsum
+    val got = run("rp_shuffled", Seq(
+      Seq(docs(0)), Seq(docs(2), docs(1)), Seq(docs(3)),
+      Seq(docs(5), docs(4))) ++ sent.map(Seq(_)))
+    assert(got.size === 6)
+    expect.foreach { case (id, (p, off, nc)) =>
+      assert(got(id) === ((p, off, nc, false)), s"doc $id layout")
+    }
+    assert(viol.value === v0, "in-horizon disorder is corrected")
+    // straggler: a doc with ts far behind the sealed frontier appends
+    // at the CURRENT tail (after all 50 packed tokens), flagged + counted
+    val ms2 = MemoryStream[TsDocIn]
+    val q2 = StreamingMl
+      .streamingPackingReordered(ms2.toDS(), cap, "150 seconds")
+      .writeStream.format("memory").queryName("rp_late")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d => ms2.addData(Seq(d)); q2.processAllAvailable() }
+      sent.foreach { s0 => ms2.addData(Seq(s0)); q2.processAllAvailable() }
+      val vPre = viol.value
+      ms2.addData(Seq(TsDocIn("web", 0L, 99L, 4L, ts(90000L))))
+      q2.processAllAvailable()
+      val out = spark.table("rp_late").as[TsPackOut].collect()
+        .filter(_.source == "web").map(o => o.docId -> o).toMap
+      if (out.contains(99L)) {
+        assert(viol.value === vPre + 1, "straggler must be counted")
+        val o = out(99L)
+        val total = toks.sum // 50 — the straggler starts at the tail
+        assert(o.late && o.packId === total / cap &&
+          o.packOffset === total % cap)
+      } else {
+        val dropped = Option(q2.lastProgress).toSeq
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        assert(dropped >= 1, "straggler neither emitted nor engine-dropped")
+      }
+      expect.foreach { case (id, (p, off, nc)) =>
+        assert(out(id).packId === p && out(id).packOffset === off &&
+          out(id).nChunks === nc, s"sealed layout for doc $id must hold")
+      }
+    } finally q2.stop()
+  }
+
   test("reordered dedup: a straggler OUTSIDE the horizon is counted, " +
       "never the keeper") {
     import spark.implicits._
