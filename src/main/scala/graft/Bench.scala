@@ -21,7 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
     graft.core.Env.applyExtraConf(builder)
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG=INFO captures per-task serialized sizes (TaskSetManager)
+    // for the multi-JVM task-binary distribution audit; default stays WARN
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // Executor-memory instrumentation (round-10): per-task spill bytes and
     // peak execution memory accumulate in a listener; read per query. At
     // the 50x replica this is the CI-asserted no-spill evidence — a plan

@@ -26,7 +26,9 @@ object Verify {
     // escalations (SemDedup.assignAuto) with the escalation ENGAGED
     graft.core.Env.applyExtraConf(builder)
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG=INFO captures per-task serialized sizes (TaskSetManager)
+    // for the multi-JVM task-binary distribution audit; default stays WARN
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
