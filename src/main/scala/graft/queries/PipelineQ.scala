@@ -37,23 +37,29 @@ object PipelineQ {
   private val Dec0 = 0.0
 
   /** Build-once MS dataset derived from the sf directory's events ids.
-    * The marker file pins the row count so a replica swap at the same
-    * path (sf0.1 vs a 50x replica dir) rebuilds instead of reusing. */
+    * The marker file pins a CONTENT fingerprint — count plus min/max/sum
+    * of event_id — so both a replica swap at the same path (sf0.1 vs a
+    * 50x replica dir) AND a same-cardinality regeneration with different
+    * ids rebuild instead of silently reusing a stale MS (round-12 ADVICE:
+    * count alone missed the second case). One aggregate job, read with
+    * Files.readString (no leaked handle). */
   private[queries] def ensureMs(spark: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val msDir = s"/tmp/graft_p01_ms_$tag"
-    val marker = new java.io.File(s"$msDir/_GRAFT_MS_ROWS")
+    val marker = java.nio.file.Paths.get(s"$msDir/_GRAFT_MS_ROWS")
     val ids = graft.core.Tables.events(spark, dir)
       .select(col("event_id").as("row_id"))
-    val n = ids.count()
-    val stale = !marker.exists() ||
-      scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim.toLong)
-        .toOption.forall(_ != n)
+    val f = ids.agg(count(lit(1)), min(col("row_id")), max(col("row_id")),
+      sum(col("row_id"))).head()
+    val fingerprint = if (f.getLong(0) == 0L) "0,,,"
+      else s"${f.getLong(0)},${f.getLong(1)},${f.getLong(2)},${f.getLong(3)}"
+    val stale = !java.nio.file.Files.exists(marker) ||
+      scala.util.Try(java.nio.file.Files.readString(marker).trim)
+        .toOption.forall(_ != fingerprint)
     if (stale) {
       graft.io.MsDataset.writeSyntheticScaled(
         spark, msDir, ids, NChan, NAnt, Ra0, Dec0)
-      val w = new java.io.PrintWriter(marker)
-      w.print(n.toString); w.close()
+      java.nio.file.Files.writeString(marker, fingerprint)
     }
     msDir
   }

@@ -134,8 +134,13 @@ object RimeCompiler {
     * every later plan in the session that relies on the default (the
     * round-11 x08 poisoning: the predict pipeline's FITS beam term left
     * registered turned x08's dyadic test beam into the fixture beam).
-    * The whole body holds the registry lock, so a concurrent planner
-    * can never observe the temporary binding. */
+    * The whole body holds the registry lock, and [[planImpl]] snapshots
+    * the terms it needs UNDER the same lock, so a concurrent planner can
+    * never observe the temporary binding — it blocks on the snapshot
+    * until the restore has run. The lock is held across plan
+    * CONSTRUCTION (which can collect dimension tables); a concurrent
+    * plan() therefore serializes behind the scoped body — acceptable,
+    * since planning is driver-side and model-sized. */
   def withTerm[T](letter: Char, t: DdeTerm)(body: => T): T =
     registry.synchronized {
       val prev = registry.get(letter)
@@ -305,15 +310,25 @@ object RimeCompiler {
     // broadcast-sized dim table at any data scale.
     val paResolved: Option[DataFrame] =
       if (spec.hasTerm('L') && paDf.isEmpty) Some(derivePa(rows)) else paDf
-    (spec.leftDde ++ spec.rightDde).foreach { c =>
-      require(registry.contains(c), s"no DDE term registered for '$c'")
+    // SNAPSHOT the registries under their locks: [[withTerm]]'s scoping
+    // guarantee rests on every planner read being synchronized — a plan
+    // on another thread either sees the whole pre-state or the whole
+    // post-state, never the temporary binding or a torn Map write.
+    val terms: Map[Char, DdeTerm] = registry.synchronized {
+      (spec.leftDde ++ spec.rightDde).map { c =>
+        require(registry.contains(c), s"no DDE term registered for '$c'")
+        c -> registry(c)
+      }.toMap
     }
-    spec.pairDde.foreach { c =>
-      require(pairRegistry.contains(c), s"no pair term registered for '$c'")
+    val pairTerms: Map[Char, PairFactory] = pairRegistry.synchronized {
+      spec.pairDde.map { c =>
+        require(pairRegistry.contains(c), s"no pair term registered for '$c'")
+        c -> pairRegistry(c)
+      }.toMap
     }
     // scalar pq envelopes (Gaussian shape et al.) scale every correlation
     // of the coherency inside the source sum
-    val envelopes: Seq[Column] = spec.pairDde.map(c => pairRegistry(c)())
+    val envelopes: Seq[Column] = spec.pairDde.map(c => pairTerms(c)())
 
     // implicit-zero stokes (conversion.py:163-198) — referenced through
     // the src plan so stokes u/v never collide with the uvw u/v columns
@@ -353,7 +368,7 @@ object RimeCompiler {
     // stage the DDE terms' broadcast joins / derived columns (term
     // protocol setup) before the source sum
     val expanded = (spec.leftDde.map((_, "p")) ++ spec.rightDde.map((_, "q")))
-      .foldLeft(expanded0) { case (df, (c, side)) => registry(c).stage(df, side) }
+      .foldLeft(expanded0) { case (df, (c, side)) => terms(c).stage(df, side) }
     val hasDde = spec.leftDde.nonEmpty || spec.rightDde.nonEmpty
     val needsAnts = spec.hasTerm('G') || spec.hasTerm('L') || hasDde
     val gKeys = groupCols ++
@@ -378,9 +393,9 @@ object RimeCompiler {
         val m0 = Jones2x2(sampler(bs(0)), sampler(bs(1)),
           sampler(bs(2)), sampler(bs(3)))
         val left = spec.leftDde.map(c =>
-          registry(c).jones(col("src_id"), col("time_index"), col("ant1"), "p"))
+          terms(c).jones(col("src_id"), col("time_index"), col("ant1"), "p"))
         val right = spec.rightDde.map(c =>
-          registry(c).jones(col("src_id"), col("time_index"), col("ant2"), "q"))
+          terms(c).jones(col("src_id"), col("time_index"), col("ant2"), "q"))
         val withLeft = left.foldRight(m0)((e, m) => Jones2x2.mul(e, m))
         val v = right.reverse
           .foldLeft(Option.empty[Jones2x2])((acc, e) =>
