@@ -131,6 +131,58 @@ object EventOps {
       }
   }
 
+  final case class TsTypedEv(userId: Long, tus: Long, eventId: Long,
+                             eventType: String, ts: java.sql.Timestamp)
+  final case class AttrBufRow(tsMs: Long, tus: Long, eventId: Long,
+                              eventType: String)
+  final case class TsAttrOut(eventId: Long, userId: Long, ltId: Option[Long],
+                             ftId: Option[Long], gapUs: Option[Long],
+                             late: Boolean)
+
+  /** Watermark-reordered s22 attribution (round 12, VERDICT item 2):
+    * [[streamingAttribution]] made CORRECT under bounded disorder — the
+    * face where disorder silently CHANGES answers (first/last-touch is
+    * order-sensitive: a click delivered after the purchase it preceded
+    * steals or loses the credit without any counter firing). Rides the
+    * [[ReorderBuffer]] combinator: per user, events buffer until the
+    * watermark seals them, then fold through the (first, last, last_tus)
+    * state in EVENT-TIME order — so any delivery whose lateness stays
+    * inside the horizon yields bit-identical attribution rows to ordered
+    * delivery (= the batch s22 window semantics; StreamingSpec proves
+    * both). A horizon-exceeding straggler folds at arrival after the
+    * batch's sealed rows (append-at-tail policy), flagged `late` and
+    * counted in [[StreamingMl.orderViolations]]: a late PURCHASE credits
+    * the touch state as of its arrival; a late TOUCH updates state
+    * forward only (sealed purchases keep their emitted credit) — exactly
+    * the reconciliation a production backfill would re-derive. Event-time
+    * ordering (tsMs, tus, eventId) equals the batch (tus, event_id) order
+    * because tsMs = tus/1000 is monotone in tus. State per user = three
+    * longs + the in-horizon buffer (horizon density, not history). */
+  def streamingAttributionReordered(ds: Dataset[TsTypedEv],
+                                    horizon: String = "10 seconds")
+      : Dataset[TsAttrOut] = {
+    import ds.sparkSession.implicits._
+    implicit val ord: Ordering[AttrBufRow] =
+      Ordering.by(r => (r.tsMs, r.tus, r.eventId))
+    ReorderBuffer.run[Long, TsTypedEv, AttrBufRow, AttrState, TsAttrOut](
+      ds, "ts", horizon)(
+      _.userId,
+      e => AttrBufRow(e.ts.getTime, e.tus, e.eventId, e.eventType),
+      _.tsMs)(
+      AttrState(-1L, -1L, -1L),
+      (user, st, e, late) =>
+        if (e.eventType == "purchase")
+          (st, Some(TsAttrOut(e.eventId, user,
+            if (st.ltId >= 0) Some(st.ltId) else None,
+            if (st.ftId >= 0) Some(st.ftId) else None,
+            if (st.ltTus >= 0) Some(e.tus - st.ltTus) else None, late)))
+        else if (e.eventType == "click" || e.eventType == "view")
+          (AttrState(if (st.ftId >= 0) st.ftId else e.eventId,
+            e.eventId, e.tus), None)
+        else (st, None),
+      lateBeforeRipe = false)
+  }
+
   final case class BdaRow(rowId: Long, ant1: Long, ant2: Long, time: Double,
                           ivl: Double, u: Double, v: Double, w: Double)
   final case class BdaState(bin: Long, tsLow: Double,

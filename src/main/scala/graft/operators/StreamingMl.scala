@@ -89,9 +89,6 @@ object StreamingMl {
   final case class TsDocIn(source: String, shard: Long, docId: Long,
                            nTok: Long, ts: java.sql.Timestamp)
   final case class PackBufRow(tsMs: Long, docId: Long, nTok: Long)
-  final case class PackReorderState(cum: Long, buf: List[PackBufRow],
-                                    fTs: Long = Long.MinValue,
-                                    fDoc: Long = Long.MinValue)
   final case class TsPackOut(docId: Long, source: String, nTok: Long,
                              packId: Long, packOffset: Long, nChunks: Long,
                              late: Boolean)
@@ -110,50 +107,30 @@ object StreamingMl {
     * `late`, counted in [[orderViolations]] — exactly what a production
     * backfill would reconcile. State per shard = one running token count
     * + the in-horizon buffer (bounded by horizon density, not stream
-    * length); event-time timeouts drain idle shards. */
+    * length); event-time timeouts drain idle shards. Round 12: riding the
+    * extracted [[ReorderBuffer]] combinator (lateBeforeRipe = false, the
+    * append-at-tail policy). */
   def streamingPackingReordered(ds: Dataset[TsDocIn],
                                 capacity: Long = 2048L,
                                 horizon: String = "10 seconds")
       : Dataset[TsPackOut] = {
     import ds.sparkSession.implicits._
-    val viol = orderViolations(ds.sparkSession)
-    ds.withWatermark("ts", horizon)
-      .groupByKey(d => (d.source, d.shard))
-      .flatMapGroupsWithState[PackReorderState, TsPackOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: (String, Long), docs: Iterator[TsDocIn],
-         state: GroupState[PackReorderState]) =>
-          val st0 = state.getOption.getOrElse(PackReorderState(0L, Nil))
-          def beforeFrontier(r: PackBufRow): Boolean = {
-            val c = java.lang.Long.compare(r.tsMs, st0.fTs)
-            if (c != 0) c < 0 else r.docId <= st0.fDoc
-          }
-          var cum = st0.cum
-          def fold(r: PackBufRow, late: Boolean): TsPackOut = {
-            val start = cum
-            cum += r.nTok
-            TsPackOut(r.docId, key._1, r.nTok, start / capacity,
-              start % capacity,
-              (cum - 1) / capacity - start / capacity + 1, late)
-          }
-          val incoming = docs.map(d =>
-            PackBufRow(d.ts.getTime, d.docId, d.nTok)).toList
-          val (lateRows, fresh) = incoming.partition(beforeFrontier)
-          viol.add(lateRows.size)
-          val wm = state.getCurrentWatermarkMs()
-          val (ripe, stay) = (st0.buf ++ fresh)
-            .sortBy(r => (r.tsMs, r.docId))
-            .partition(_.tsMs <= wm)
-          // ripe rows take their event-time slots FIRST; stragglers
-          // append at the tail (they can never reclaim a sealed slot)
-          val out = ripe.map(fold(_, late = false)) ++
-            lateRows.sortBy(r => (r.tsMs, r.docId)).map(fold(_, late = true))
-          val (fTs, fDoc) = ripe.lastOption.map(r => (r.tsMs, r.docId))
-            .getOrElse((st0.fTs, st0.fDoc))
-          state.update(PackReorderState(cum, stay, fTs, fDoc))
-          if (stay.nonEmpty) state.setTimeoutTimestamp(stay.map(_.tsMs).min)
-          out.iterator
-      }
+    implicit val ord: Ordering[PackBufRow] =
+      Ordering.by(r => (r.tsMs, r.docId))
+    ReorderBuffer.run[(String, Long), TsDocIn, PackBufRow, Long, TsPackOut](
+      ds, "ts", horizon)(
+      d => (d.source, d.shard),
+      d => PackBufRow(d.ts.getTime, d.docId, d.nTok),
+      _.tsMs)(
+      0L,
+      (key, cum, r, late) => {
+        val start = cum
+        val next = cum + r.nTok
+        (next, Some(TsPackOut(r.docId, key._1, r.nTok, start / capacity,
+          start % capacity,
+          (next - 1) / capacity - start / capacity + 1, late)))
+      },
+      lateBeforeRipe = false)
   }
 
   final case class VecIn(label: Int, qv: Seq[Long])
@@ -230,10 +207,6 @@ object StreamingMl {
   final case class TsChunkIn(docId: Long, chunkIdx: Long, fp: Long,
                              ts: java.sql.Timestamp)
   final case class BufRow(tsMs: Long, docId: Long, chunkIdx: Long)
-  final case class ReorderState(nSeen: Long, buf: List[BufRow],
-                                fTs: Long = Long.MinValue,
-                                fDoc: Long = Long.MinValue,
-                                fChunk: Long = Long.MinValue)
   final case class TsDedupOut(docId: Long, chunkIdx: Long, fp: Long,
                               nSeen: Long, keep: Boolean, late: Boolean)
 
@@ -258,56 +231,29 @@ object StreamingMl {
     * non-empty buffer re-fires as soon as the watermark reaches its
     * oldest buffered row, so verdicts drain without new arrivals on that
     * key. Emission ties at equal timestamps break on (docId, chunkIdx) —
-    * the in-batch rule the unordered face uses. */
+    * the in-batch rule the unordered face uses. Round 12: riding the
+    * extracted [[ReorderBuffer]] combinator (lateBeforeRipe = true: a
+    * straggler folds into the copy counter at arrival, before the batch's
+    * ripe verdicts — and is never the keeper, since a frontier exists
+    * only after a first emission). */
   def streamingDedupReordered(ds: Dataset[TsChunkIn],
                               horizon: String = "10 seconds")
       : Dataset[TsDedupOut] = {
     import ds.sparkSession.implicits._
-    val viol = orderViolations(ds.sparkSession)
-    ds.withWatermark("ts", horizon)
-      .groupByKey(_.fp)
-      .flatMapGroupsWithState[ReorderState, TsDedupOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (fp: Long, rows: Iterator[TsChunkIn],
-         state: GroupState[ReorderState]) =>
-          val st0 = state.getOption.getOrElse(ReorderState(0L, Nil))
-          def beforeFrontier(r: BufRow): Boolean = {
-            val c = java.lang.Long.compare(r.tsMs, st0.fTs)
-            if (c != 0) c < 0
-            else if (r.docId != st0.fDoc) r.docId < st0.fDoc
-            else r.chunkIdx <= st0.fChunk
-          }
-          val incoming = rows.map(r =>
-            BufRow(r.ts.getTime, r.docId, r.chunkIdx)).toList
-          val (lateRows, fresh) = incoming.partition(beforeFrontier)
-          viol.add(lateRows.size)
-          var n = st0.nSeen
-          // horizon-exceeding stragglers: their event-time slot is sealed;
-          // fold them at arrival (sorted among themselves), flagged late
-          val lateOut = lateRows
-            .sortBy(r => (r.tsMs, r.docId, r.chunkIdx)).map { r =>
-              n += 1
-              TsDedupOut(r.docId, r.chunkIdx, fp, n, keep = false,
-                late = true)
-            }
-          val wm = state.getCurrentWatermarkMs()
-          val (ripe, stay) = (st0.buf ++ fresh)
-            .sortBy(r => (r.tsMs, r.docId, r.chunkIdx))
-            .partition(_.tsMs <= wm)
-          val out = lateOut ++ ripe.map { r =>
-            n += 1
-            TsDedupOut(r.docId, r.chunkIdx, fp, n, keep = n == 1L,
-              late = false)
-          }
-          val (fTs, fDoc, fChunk) =
-            ripe.lastOption.map(r => (r.tsMs, r.docId, r.chunkIdx))
-              .getOrElse((st0.fTs, st0.fDoc, st0.fChunk))
-          state.update(ReorderState(n, stay, fTs, fDoc, fChunk))
-          // re-fire this group the moment the watermark reaches the
-          // oldest buffered row (min buffered ts > wm by construction)
-          if (stay.nonEmpty) state.setTimeoutTimestamp(stay.map(_.tsMs).min)
-          out.iterator
-      }
+    implicit val ord: Ordering[BufRow] =
+      Ordering.by(r => (r.tsMs, r.docId, r.chunkIdx))
+    ReorderBuffer.run[Long, TsChunkIn, BufRow, Long, TsDedupOut](
+      ds, "ts", horizon)(
+      _.fp,
+      r => BufRow(r.ts.getTime, r.docId, r.chunkIdx),
+      _.tsMs)(
+      0L,
+      (fp, n, r, late) => {
+        val n2 = n + 1
+        (n2, Some(TsDedupOut(r.docId, r.chunkIdx, fp, n2,
+          keep = n2 == 1L && !late, late = late)))
+      },
+      lateBeforeRipe = true)
   }
 
   final case class IngestDoc(docId: Long, source: String, text: String)

@@ -1273,6 +1273,123 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(1L).keep, "the sealed keeper must not change")
     } finally q.stop()
   }
+
+  test("reordered attribution: ordered delivery through the reorder face " +
+      "matches the batch s22 window over the real events") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    import graft.operators.EventOps.{TsTypedEv, TsAttrOut}
+    implicit val ctx = spark.sqlContext
+    val evs = graft.core.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"), expr("ts div 1000000").as("tms"))
+      .collect()
+      .map(r => TsTypedEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), new java.sql.Timestamp(r.getLong(4))))
+      .sortBy(e => (e.tus, e.eventId))
+    val maxMs = evs.map(_.ts.getTime).max
+    val sent = (1 to 3).map(i => TsTypedEv(999999L, 0L, 900000L + i, "noop",
+      new java.sql.Timestamp(maxMs + i * 100000L)))
+    val viol = graft.operators.StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val ms = MemoryStream[TsTypedEv]
+    val q = EventOps.streamingAttributionReordered(ms.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("attr_ro")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      sent.foreach { s0 => ms.addData(Seq(s0)); q.processAllAvailable() }
+      val rows = spark.table("attr_ro").as[TsAttrOut].collect()
+      val got = rows.map(a => a.eventId -> ((a.ltId, a.ftId, a.gapUs))).toMap
+      assert(got === attrExpected(TestSpark.sf))
+      assert(rows.forall(!_.late))
+      assert(viol.value === v0, "ordered delivery must not count")
+    } finally q.stop()
+  }
+
+  test("reordered attribution: ANY in-horizon delivery order yields the " +
+      "ordered credits; stragglers counted, sealed credits hold") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    import graft.operators.EventOps.{TsTypedEv, TsAttrOut}
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, typ: String, sec: Long) = TsTypedEv(1L, sec * 1000000L,
+      id, typ, new java.sql.Timestamp(sec * 1000L))
+    val rows = Seq(
+      ev(1, "view", 100), ev(2, "click", 200), ev(3, "purchase", 300),
+      ev(4, "click", 400), ev(5, "purchase", 500), ev(6, "view", 600),
+      ev(7, "purchase", 700))
+    val sent = (1 to 3).map(i => TsTypedEv(99L, 0L, 90L + i, "noop",
+      new java.sql.Timestamp(100000000L + i * 1000000L)))
+    def run(name: String, batches: Seq[Seq[TsTypedEv]], horizon: String)
+        : Map[Long, (Option[Long], Option[Long], Option[Long], Boolean)] = {
+      val ms = MemoryStream[TsTypedEv]
+      val q = EventOps.streamingAttributionReordered(ms.toDS(), horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).as[TsAttrOut].collect()
+          .map(a => a.eventId -> ((a.ltId, a.ftId, a.gapUs, a.late))).toMap
+      } finally q.stop()
+    }
+    val viol = graft.operators.StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val ordered =
+      run("ra_ordered", rows.map(Seq(_)) ++ sent.map(Seq(_)), "1000 seconds")
+    // the batch s22 window credits, hand-derived
+    assert(ordered === Map(
+      3L -> ((Some(2L), Some(1L), Some(100000000L), false)),
+      5L -> ((Some(4L), Some(1L), Some(100000000L), false)),
+      7L -> ((Some(6L), Some(1L), Some(100000000L), false))))
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val shuffled = rnd.shuffle(rows)
+      val cuts = Seq(rnd.nextInt(6) + 1, rnd.nextInt(6) + 1).sorted
+      val batches = Seq(shuffled.slice(0, cuts(0)),
+        shuffled.slice(cuts(0), cuts(1)), shuffled.slice(cuts(1), 7))
+        .filter(_.nonEmpty)
+      val got = run(s"ra_t$trial", batches ++ sent.map(Seq(_)),
+        "1000 seconds")
+      assert(got === ordered,
+        s"trial $trial order ${shuffled.map(_.eventId)}")
+    }
+    assert(viol.value === v0, "in-horizon permutations must not count")
+    // stragglers OUTSIDE the horizon: a late touch updates state forward
+    // only; a late purchase credits the state as of its arrival — sealed
+    // purchases keep their emitted credit either way
+    val ms2 = MemoryStream[TsTypedEv]
+    val q2 = EventOps.streamingAttributionReordered(ms2.toDS(), "150 seconds")
+      .writeStream.format("memory").queryName("ra_late")
+      .outputMode("append").start()
+    try {
+      rows.foreach { r => ms2.addData(Seq(r)); q2.processAllAvailable() }
+      sent.foreach { s0 => ms2.addData(Seq(s0)); q2.processAllAvailable() }
+      val vPre = viol.value
+      ms2.addData(Seq(ev(8, "click", 120), ev(9, "purchase", 130)))
+      q2.processAllAvailable()
+      val out = spark.table("ra_late").as[TsAttrOut].collect()
+        .map(a => a.eventId -> a).toMap
+      if (out.contains(9L)) {
+        // operator-path straggler: counted, flagged, credited at arrival
+        assert(viol.value === vPre + 2, "both stragglers must be counted")
+        val o = out(9L)
+        assert(o.late && o.ltId === Some(8L) && o.ftId === Some(1L) &&
+          o.gapUs === Some(10000000L))
+      } else {
+        val dropped = Option(q2.lastProgress).toSeq
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        assert(dropped >= 2, "stragglers neither emitted nor engine-dropped")
+      }
+      // the sealed purchases' credits are immutable under the backfill
+      Seq(3L, 5L, 7L).foreach { id =>
+        assert(out(id).ltId === ordered(id)._1 &&
+          out(id).ftId === ordered(id)._2 && !out(id).late, s"purchase $id")
+      }
+    } finally q2.stop()
+  }
 }
 
 /** Flattened MS sample for the A7 streaming-face test (package level so
