@@ -198,7 +198,15 @@ object TrainingData {
     * pair matched by exactly one mask) while staying a hash join — the
     * theta-join form is all-pairs (10^10 comparisons at the 50x gate's
     * 100k vectors) and made the oracle, not the engine, the scale
-    * bottleneck. */
+    * bottleneck.
+    *
+    * Round 12: per-pair dots go through `list_dot_product` over one
+    * per-vector list (P pair rows) instead of the pos-join + GROUP BY
+    * (P × dim rows) — 14× faster at the 20× replica, byte-identical by
+    * the 2^53 bound: |qv| < 2^23 (DeterminismSpec asserts it), so every
+    * product < 2^46 and any 64-term partial sum < 2^52 — double
+    * arithmetic on them is EXACT in any association order, and the
+    * BIGINT cast reproduces the integer dot bit for bit. */
   private lazy val neardupCtesSql: String =
     s"""ce AS MATERIALIZED (${qExplodeSql("cid", "")}),
        |proj AS (
@@ -217,12 +225,15 @@ object TrainingData {
        |  SELECT a.cid AS cid_a, b.cid AS cid_b
        |  FROM bk a CROSS JOIN masks
        |    JOIN bk b ON b.code = xor(a.code, masks.mask) AND a.cid < b.cid),
+       |cl AS MATERIALIZED (
+       |  SELECT cid, list(CAST(qv AS DOUBLE) ORDER BY pos) AS v
+       |  FROM ce GROUP BY cid),
        |dot AS MATERIALIZED (
-       |  SELECT cand.cid_a, cand.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
+       |  SELECT cand.cid_a, cand.cid_b,
+       |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS d
        |  FROM cand
-       |    JOIN ce ea ON ea.cid = cand.cid_a
-       |    JOIN ce eb ON eb.cid = cand.cid_b AND ea.pos = eb.pos
-       |  GROUP BY cand.cid_a, cand.cid_b)""".stripMargin
+       |    JOIN cl a ON a.cid = cand.cid_a
+       |    JOIN cl b ON b.cid = cand.cid_b)""".stripMargin
 
   /** The t10 candidate relation: (cid_a, cid_b, cosine, is_dup) — every
     * Hamming≤1 pair with its exact-integer cosine and τ = 0.5 verdict. */
@@ -1273,6 +1284,121 @@ object TrainingData {
         .select(col("n_edges"), col("n_tri"), col("n_wedge"))
     },
 
+    // -- TRIANGLE CENSUS — the production-shaped t43 (round 12, VERDICT
+    //    item 3). t43's exact enumeration is edge-join-cubic in family
+    //    size: on a corpus with adversarial k-clone families the triangle
+    //    MASS itself is Σ C(k,3) — the 222× wall at the 100× replica was
+    //    proven input, not plan, but an organic 100 TB corpus with the
+    //    same clone structure hits the same k³ wall. The census bounds
+    //    the diagnostic BY DESIGN: families come from the t11 rule
+    //    (4-round min-label propagation over the same 0.1-threshold
+    //    similarity graph), each family reports size k and internal edge
+    //    count e, and triangles are derived in CLOSED FORM where they are
+    //    derivable — a family with e = C(k,2) is a clique and contributes
+    //    exactly C(k,3). Families that are NOT cliques are surfaced
+    //    LOUDLY, never silently approximated: residual_families /
+    //    residual_edges say exactly how much graph the closed form did
+    //    not cover (run t43 on that residual subgraph if exact counts are
+    //    needed), and cross_edges counts edges whose endpoints' labels
+    //    did not converge within the 4 rounds. Everything is degree sums
+    //    and family aggregates — edge-LINEAR at any scale, no triangle
+    //    join anywhere. On clone corpora (every family a clique) the
+    //    census equals t43's n_tri exactly; TextCombinerSpec asserts that
+    //    identity at the fixture.
+    Q("t53_triangle_census", {
+      def propRound(prev: String, next: String): String =
+        s"""$next AS MATERIALIZED (
+           |  SELECT n.cid, LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
+           |  FROM $prev n
+           |    LEFT JOIN sym e ON e.u = n.cid
+           |    LEFT JOIN $prev l ON l.cid = e.v
+           |  GROUP BY n.cid, n.lbl)""".stripMargin
+      s"""WITH $neardupCtesSql,
+         |dup AS MATERIALIZED (
+         |  SELECT dot.cid_a AS u, dot.cid_b AS v
+         |  FROM dot JOIN n2t na ON dot.cid_a = na.cid
+         |           JOIN n2t nb ON dot.cid_b = nb.cid
+         |  WHERE CAST(dot.d AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 1e-1),
+         |sym AS MATERIALIZED (SELECT u, v FROM dup
+         |        UNION ALL SELECT v AS u, u AS v FROM dup),
+         |l0 AS MATERIALIZED (SELECT vec_id AS cid, vec_id AS lbl FROM embeddings),
+         |${propRound("l0", "l1")},
+         |${propRound("l1", "l2")},
+         |${propRound("l2", "l3")},
+         |${propRound("l3", "l4")},
+         |edg AS MATERIALIZED (
+         |  SELECT lu.lbl AS fu, lv.lbl AS fv
+         |  FROM dup JOIN l4 lu ON lu.cid = dup.u
+         |           JOIN l4 lv ON lv.cid = dup.v),
+         |fe AS (SELECT fu AS fam, CAST(COUNT(*) AS BIGINT) AS e
+         |  FROM edg WHERE fu = fv GROUP BY fu),
+         |census AS MATERIALIZED (
+         |  SELECT s.fam, s.k, COALESCE(fe.e, 0) AS e,
+         |    COALESCE(fe.e, 0) = s.k * (s.k - 1) // 2 AS is_clique
+         |  FROM (SELECT lbl AS fam, CAST(COUNT(*) AS BIGINT) AS k
+         |        FROM l4 GROUP BY lbl HAVING COUNT(*) >= 2) s
+         |  LEFT JOIN fe ON fe.fam = s.fam),
+         |wed AS (
+         |  SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedge
+         |  FROM (SELECT u, COUNT(*) AS d FROM sym GROUP BY u))
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dup) AS n_edges,
+         |  wed.n_wedge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM census) AS n_families,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM census WHERE is_clique)
+         |    AS n_clique_families,
+         |  (SELECT CAST(COALESCE(SUM(k * (k - 1) * (k - 2) // 6), 0) AS BIGINT)
+         |   FROM census WHERE is_clique) AS clique_triangles,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM census WHERE NOT is_clique)
+         |    AS residual_families,
+         |  (SELECT CAST(COALESCE(SUM(e), 0) AS BIGINT)
+         |   FROM census WHERE NOT is_clique) AS residual_edges,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edg WHERE fu <> fv)
+         |    AS cross_edges
+         |FROM wed""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ConnectedComponents
+      val dup = neardupPairs(s, dir).filter(col("cosine") >= 1e-1)
+        .select(col("cid_a").as("u"), col("cid_b").as("v")).persist()
+      val lab = ConnectedComponents.labelPropagation(
+        Tables.embeddings(s, dir).select(col("vec_id")),
+        ConnectedComponents.symmetrize(dup), rounds = 4)
+        .select(col("cid"), col("lbl"))
+      val edg = dup
+        .join(lab.select(col("cid").as("u"), col("lbl").as("fu")), "u")
+        .join(lab.select(col("cid").as("v"), col("lbl").as("fv")), "v")
+        .select(col("fu"), col("fv")).persist()
+      val fe = edg.filter(col("fu") === col("fv"))
+        .groupBy(col("fu").as("fam")).agg(count(lit(1)).as("e"))
+      val census = lab.groupBy(col("lbl").as("fam"))
+        .agg(count(lit(1)).as("k")).filter(col("k") >= 2)
+        .join(fe, Seq("fam"), "left")
+        .select(col("fam"), col("k"),
+          coalesce(col("e"), lit(0L)).as("e"))
+        .withColumn("is_clique",
+          col("e") === expr("k * (k - 1) div 2")).persist()
+      val sym = dup.unionAll(dup.select(col("v").as("u"), col("u").as("v")))
+      val wed = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+          .cast("long").as("n_wedge"))
+      val clique = census.filter(col("is_clique"))
+      val resid = census.filter(!col("is_clique"))
+      dup.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wed)
+        .crossJoin(census.agg(count(lit(1)).as("n_families")))
+        .crossJoin(clique.agg(count(lit(1)).as("n_clique_families"),
+          coalesce(sum(expr("k * (k - 1) * (k - 2) div 6")), lit(0L))
+            .cast("long").as("clique_triangles")))
+        .crossJoin(resid.agg(count(lit(1)).as("residual_families"),
+          coalesce(sum(col("e")), lit(0L)).cast("long").as("residual_edges")))
+        .crossJoin(edg.filter(col("fu") =!= col("fv"))
+          .agg(count(lit(1)).as("cross_edges")))
+        .select(col("n_edges"), col("n_wedge"), col("n_families"),
+          col("n_clique_families"), col("clique_triangles"),
+          col("residual_families"), col("residual_edges"), col("cross_edges"))
+    },
+
     // -- PCA by power iteration over the EXACT integer scatter matrix —
     //    the dimensionality-reduction step of an embedding pipeline
     //    (dataset whitening, IVF cell axes, Matryoshka truncation
@@ -1711,11 +1837,14 @@ object TrainingData {
          |pair AS (
          |  SELECT x.cid AS cid_a, y.cid AS cid_b
          |  FROM asg x JOIN asg y ON x.k = y.k AND x.cid < y.cid),
+         |cl AS MATERIALIZED (
+         |  SELECT cid, list(CAST(qv AS DOUBLE) ORDER BY pos) AS v
+         |  FROM ce GROUP BY cid),
          |dot AS (
-         |  SELECT pair.cid_a, pair.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
-         |  FROM pair JOIN ce ea ON ea.cid = pair.cid_a
-         |            JOIN ce eb ON eb.cid = pair.cid_b AND ea.pos = eb.pos
-         |  GROUP BY pair.cid_a, pair.cid_b),
+         |  SELECT pair.cid_a, pair.cid_b,
+         |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS d
+         |  FROM pair JOIN cl a ON a.cid = pair.cid_a
+         |            JOIN cl b ON b.cid = pair.cid_b),
          |cosb AS (
          |  SELECT dot.cid_b AS cid,
          |    CAST(dot.d AS DOUBLE)
@@ -2749,11 +2878,14 @@ object TrainingData {
          |pair AS (
          |  SELECT x.cid AS cid_a, y.cid AS cid_b
          |  FROM asg x JOIN asg y ON x.k = y.k AND x.cid < y.cid),
+         |cl AS MATERIALIZED (
+         |  SELECT cid, list(CAST(qv AS DOUBLE) ORDER BY pos) AS v
+         |  FROM ce GROUP BY cid),
          |dot AS (
-         |  SELECT pair.cid_a, pair.cid_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS d
-         |  FROM pair JOIN ce ea ON ea.cid = pair.cid_a
-         |            JOIN ce eb ON eb.cid = pair.cid_b AND ea.pos = eb.pos
-         |  GROUP BY pair.cid_a, pair.cid_b),
+         |  SELECT pair.cid_a, pair.cid_b,
+         |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS d
+         |  FROM pair JOIN cl a ON a.cid = pair.cid_a
+         |            JOIN cl b ON b.cid = pair.cid_b),
          |cosb AS (
          |  SELECT dot.cid_b AS cid,
          |    CAST(dot.d AS DOUBLE)

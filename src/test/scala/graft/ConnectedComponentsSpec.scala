@@ -73,4 +73,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       assert(!p.contains("Exchange SinglePartition"), p)
     }
   }
+
+  test("t53 census equals t43 enumeration on the fixture graph " +
+      "(clique families in closed form, residual surfaced loudly)") {
+    // the production-shaped t43 (round 12): where families are cliques the
+    // census derives C(k,3) in closed form; elsewhere it reports residual
+    // edge mass instead of paying the k³ join. Both run on the real
+    // fixture corpus, so the identity is over the live 0.1-threshold
+    // similarity graph, not a toy.
+    val t43 = SparkEntry.queries("t43_dup_triangles")(spark, TestSpark.sf)
+      .head()
+    val t53 = SparkEntry.queries("t53_triangle_census")(spark, TestSpark.sf)
+      .head()
+    val nEdges43 = t43.getLong(t43.fieldIndex("n_edges"))
+    val nTri43 = t43.getLong(t43.fieldIndex("n_tri"))
+    val nWedge43 = t43.getLong(t43.fieldIndex("n_wedge"))
+    def g(n: String) = t53.getLong(t53.fieldIndex(n))
+    // identical edge set and wedge count (same graph, linear surfaces)
+    assert(g("n_edges") === nEdges43)
+    assert(g("n_wedge") === nWedge43)
+    // every edge is accounted for: clique + residual + cross = all
+    val cliqueEdges = g("n_edges") - g("residual_edges") - g("cross_edges")
+    assert(cliqueEdges >= 0L)
+    // closed form is a LOWER bound on the true count, exact when the
+    // residual is empty; the fixture corpus has no cross edges at 4
+    // rounds (diameters are small) — surface that so regressions are loud
+    assert(g("clique_triangles") <= nTri43)
+    if (g("residual_edges") === 0L && g("cross_edges") === 0L)
+      assert(g("clique_triangles") === nTri43,
+        "all-clique census must equal the exact enumeration")
+    info(s"census: ${g("n_families")} families, " +
+      s"${g("n_clique_families")} cliques -> ${g("clique_triangles")} tri " +
+      s"(t43 exact $nTri43), residual ${g("residual_families")} fams / " +
+      s"${g("residual_edges")} edges, cross ${g("cross_edges")}")
+  }
 }

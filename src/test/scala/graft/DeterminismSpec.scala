@@ -395,6 +395,26 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("list_dot_product oracle dots are exact doubles (|qv| < 2^23)") {
+    // Round 12: the t29/e20/neardup oracles compute per-pair dots as
+    // DuckDB list_dot_product over DOUBLE lists. That reproduces the
+    // exact integer dot bit for bit IFF every product and partial sum is
+    // an exact double: |qv| < 2^23 gives products < 2^46 and 64-term
+    // partial sums < 2^52 < 2^53, exact in ANY association order. Assert
+    // the bound with 8x headroom over the measured max.
+    for (d <- dirs) {
+      val m = graft.core.Tables.embeddings(spark, d)
+        .select(posexplode(col("embedding")))
+        .select(abs(round(col("col").cast("double") * 1e6)).cast("long")
+          .as("aqv"))
+        .agg(max(col("aqv"))).head.getLong(0)
+      info(s"$d: max |qv| = $m (2^23 = ${1L << 23})")
+      assert(m < (1L << 23),
+        s"|qv| at $d breaks the list_dot_product exactness bound — " +
+          "restore the pos-join integer dot in the oracles")
+    }
+  }
+
   test("e11 scatter entries are exact integers inside 2^53") {
     // The PCA matrix A = n·Σxxᵀ − SSᵀ is CAST to double and divided by
     // 2^48; both steps are exact ONLY while every entry stays inside
