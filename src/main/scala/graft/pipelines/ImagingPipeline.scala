@@ -95,20 +95,36 @@ object ImagingPipeline {
       .groupBy("x", "y").agg(sum(col("flux")).as("flux"))
   }
 
-  /** Model visibilities of the component list at each vis row's uv cell —
-    * the d01 im_to_vis DFT with the components broadcast (sky models are
-    * driver-sized in the reference too). */
-  def modelVis(vis: DataFrame, comps: DataFrame, cfg: Config): DataFrame = {
+  /** Residual visibilities: the component list's model (the d01 im_to_vis
+    * DFT, components broadcast — sky models are driver-sized in the
+    * reference too) evaluated at each vis row's uv cell and subtracted IN
+    * THE SAME aggregation. The vis table crosses exactly ONE keyed
+    * shuffle: map-side combine collapses the per-component expansion back
+    * to one row per visibility before the exchange, and the row's own
+    * payload rides the grouping key — no join-back. (Round 12: the 4-JVM
+    * 100× bench caught the previous groupBy-then-sort-merge-join-back
+    * spilling 2.8 GB in 4 GB executors; the one-pass agg removes the
+    * join and with it the sort.) A zero-flux sentinel component keeps the
+    * cross join total, so an empty CLEAN yields residual = vis rather
+    * than an empty frame. */
+  def residualVis(vis: DataFrame, comps: DataFrame, cfg: Config): DataFrame = {
+    val spark = vis.sparkSession
+    import spark.implicits._
+    val sentinel = Seq((0.0, 0.0, 0.0)).toDF("lx", "my", "flux")
     val c = broadcast(comps
       .withColumn("lx", (col("x").cast("double") - cfg.nx / 2.0) * cfg.cell)
       .withColumn("my", (col("y").cast("double") - cfg.ny / 2.0) * cfg.cell)
-      .select(col("lx"), col("my"), col("flux")))
+      .select(col("lx"), col("my"), col("flux"))
+      .unionAll(sentinel))
     val theta: Column = lit(2.0 * math.Pi) *
       (col("pu") * col("lx") + col("pv") * col("my"))
-    vis.select(col("row_id"), col("pu"), col("pv")).crossJoin(c)
-      .groupBy("row_id")
+    vis.crossJoin(c)
+      .groupBy("row_id", "pu", "pv", "w", "re", "im")
       .agg(sum(col("flux") * cos(theta)).as("m_re"),
         (-sum(col("flux") * sin(theta))).as("m_im"))
+      .select(col("row_id"), col("pu"), col("pv"), col("w"),
+        (col("re") - col("m_re")).as("re"),
+        (col("im") - col("m_im")).as("im"))
   }
 
   final case class MajorCycleResult(
@@ -121,11 +137,6 @@ object ImagingPipeline {
     val comps = cleanFacets(
       dirty.select(col("x"), col("y"), (col("dirty_dt") / peak).as("value")),
       psf, cfg)
-    val model = modelVis(vis, comps, cfg)
-    val residual = vis.join(model, "row_id")
-      .select(col("row_id"), col("pu"), col("pv"), col("w"),
-        (col("re") - col("m_re")).as("re"),
-        (col("im") - col("m_im")).as("im"))
-    MajorCycleResult(dirty, comps, residual)
+    MajorCycleResult(dirty, comps, residualVis(vis, comps, cfg))
   }
 }

@@ -43,6 +43,10 @@ class AuditSpec extends AnyFunSuite {
     "t36_token_budget" -> (0, 1), // 20-row budget rollup
     "t37_prefix_join" -> (0, 1), // global df cap scalar
     "t43_dup_triangles" -> (0, 2), // 1-row triangle count merges
+    // round-12 review: the census's 1-row family/wedge rollup merges —
+    // the t43 class; every data-sized stage (edges, labels, family aggs)
+    // stays keyed
+    "t53_triangle_census" -> (0, 2),
     "t45_hash_split" -> (0, 1), // 3-row split summary
     // t46's interpreted tracking-param filter HOF retired round 8
     // (codegen'd drop_prefixed)

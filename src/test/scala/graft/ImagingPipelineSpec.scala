@@ -68,4 +68,28 @@ class ImagingPipelineSpec extends AnyFunSuite {
     info(f"vis power in=$pIn%.3f residual=$pRes%.6f ratio=${pRes / pIn}%.2e")
     assert(pRes / pIn < 1e-4, s"residual power $pRes vs input $pIn")
   }
+
+  test("p02_imaging_pipeline: shape, cardinality, and residual-power " +
+      "reduction on the real sf fixture (the registry row's contract)") {
+    import graft.queries.PipelineQ
+    val vis = PipelineQ.imagingVis(spark, TestSpark.sf)
+    val out = SparkEntry.queries("p02_imaging_pipeline")(spark, TestSpark.sf)
+    assert(out.columns.sorted ===
+      Array("im", "pu", "pv", "re", "row_id", "w"))
+    val nEvents = graft.core.Tables.events(spark, TestSpark.sf).count()
+    // one residual row per vis row, keys dense and unique
+    assert(out.count() === nEvents)
+    assert(out.select("row_id").distinct().count() === nEvents)
+    // the cycle must actually remove source flux: residual power is a
+    // real reduction over the input (full-coverage exactness is proven
+    // above; the fixture's partial replica coverage gets a loose bound)
+    val pIn = vis.select(sum(col("re") * col("re") + col("im") * col("im")))
+      .head.getDouble(0)
+    val pRes = out.select(sum(col("re") * col("re") + col("im") * col("im")))
+      .head.getDouble(0)
+    info(f"p02 fixture vis power in=$pIn%.3f residual=$pRes%.3f " +
+      f"ratio=${pRes / pIn}%.3f")
+    assert(pRes < pIn * 0.5,
+      s"major cycle failed to remove source power: $pRes vs $pIn")
+  }
 }
