@@ -50,7 +50,14 @@ object AsOfJoin {
       .withColumn("_side", lit(0))
     val l = left.withColumn("_side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+    // the payload columns extend the sort so EQUAL-TS right rows have a
+    // deterministic winner (the greatest payload): without them the tie
+    // falls to shuffle-arrival order, which differs across executor
+    // layouts (round-12 multi-JVM finding). Left rows carry null aliases
+    // — irrelevant to their order, _side already separates the sides.
+    // AsOfJoinExec pins the identical rule via requiredChildOrdering.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col("_side") +: aliases.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the payload is carried as ONE struct built only on right-side rows:
     // `last(ignoreNulls)` then lands on the matched right ROW atomically,

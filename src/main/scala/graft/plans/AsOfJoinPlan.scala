@@ -50,9 +50,19 @@ final case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
+  // The right side additionally sorts by the (orderable) payload columns:
+  // "later rows at equal ts win" in the merge then deterministically picks
+  // the GREATEST payload among equal-ts ties — without this the winner is
+  // shuffle-arrival order, which differs across executor layouts (caught
+  // by the round-12 multi-JVM suite: local[4] and local-cluster[2,4]
+  // disagreed on a tied fixture). The window formulation pins the same
+  // rule, so native ≡ window on every input, ties included.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      payload.filter(a => org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(a.dataType))
+        .map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering

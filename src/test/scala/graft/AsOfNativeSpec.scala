@@ -62,13 +62,17 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(m.head.isNullAt(m.head.fieldIndex("p")))
   }
 
-  test("equal-ts right rows: the last in sort order wins (window `last` parity)") {
+  test("equal-ts right rows: the greatest payload wins, deterministically " +
+      "on both plans (round-12 rule — arrival order is NOT a tiebreak)") {
     val (l, r) = frames
     val native = AsOfJoinPlan.asOfNative(l, r, "k", "ts", Map("pay" -> "p"))
     val window = AsOfJoin.asOf(l, r, "k", "ts", Map("pay" -> "p"))
     val n400 = native.filter(col("lid") === 400L).select("p").head().getLong(0)
     val w400 = window.filter(col("lid") === 400L).select("p").head().getLong(0)
-    assert(n400 === w400) // ambiguous tie resolved identically by both plans
+    // the DEFINED value rule — shuffle-arrival order flipped this across
+    // executor layouts before round 12 pinned the payload into the sort
+    assert(n400 === 4001L)
+    assert(w400 === 4001L)
   }
 
   test("left-only filters push through the custom node into the scan") {
