@@ -133,6 +133,36 @@ object EventOps {
 
   final case class TsTypedEv(userId: Long, tus: Long, eventId: Long,
                              eventType: String, ts: java.sql.Timestamp)
+  final case class TsTransOut(prevType: String, eventType: String,
+                              late: Boolean)
+
+  /** Watermark-reordered s15 Markov transitions (round 12): the
+    * [[streamingTransitions]] pair scan under the [[ReorderBuffer]]
+    * combinator — per user, events fold through the last-type state in
+    * EVENT-TIME order once the watermark seals them, so any in-horizon
+    * delivery yields the batch LAG pair multiset bit for bit (disorder
+    * would otherwise emit (prev, next) pairs that never existed in event
+    * time). A horizon-exceeding straggler folds at arrival after the
+    * sealed rows (append-at-tail): it emits (lastSealedType, straggler)
+    * flagged `late` and becomes the new prefix for FUTURE pairs — sealed
+    * pairs are immutable, the same backfill contract as the attribution
+    * face. State per user = one string + the in-horizon buffer. */
+  def streamingTransitionsReordered(ds: Dataset[TsTypedEv],
+                                    horizon: String = "10 seconds")
+      : Dataset[TsTransOut] = {
+    import ds.sparkSession.implicits._
+    implicit val ord: Ordering[AttrBufRow] =
+      Ordering.by(r => (r.tsMs, r.tus, r.eventId))
+    ReorderBuffer.run[Long, TsTypedEv, AttrBufRow, TransState, TsTransOut](
+      ds, "ts", horizon)(
+      _.userId,
+      e => AttrBufRow(e.ts.getTime, e.tus, e.eventId, e.eventType),
+      _.tsMs)(
+      TransState(null),
+      (_, st, e, late) => (TransState(e.eventType),
+        Option(st.lastType).map(p => TsTransOut(p, e.eventType, late))),
+      lateBeforeRipe = false)
+  }
   final case class AttrBufRow(tsMs: Long, tus: Long, eventId: Long,
                               eventType: String)
   final case class TsAttrOut(eventId: Long, userId: Long, ltId: Option[Long],

@@ -1390,6 +1390,72 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q2.stop()
   }
+
+  test("reordered transitions: in-horizon disorder yields the batch s15 " +
+      "pair multiset; ordered real-events delivery matches the oracle face") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    import graft.operators.EventOps.{TsTypedEv, TsTransOut}
+    implicit val ctx = spark.sqlContext
+    // real events through the reorder face, ordered: must equal the s15
+    // batch LAG pair counts (the registry oracle face)
+    val evs = graft.core.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"), expr("ts div 1000000").as("tms"))
+      .collect()
+      .map(r => TsTypedEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), new java.sql.Timestamp(r.getLong(4))))
+      .sortBy(e => (e.tus, e.eventId))
+    val maxMs = evs.map(_.ts.getTime).max
+    val sent = (1 to 3).map(i => TsTypedEv(999999L, 0L, 910000L + i, "noop",
+      new java.sql.Timestamp(maxMs + i * 100000L)))
+    def run(name: String, batches: Seq[Seq[TsTypedEv]], horizon: String)
+        : Map[(String, String), Long] = {
+      val ms = MemoryStream[TsTypedEv]
+      val q = EventOps.streamingTransitionsReordered(ms.toDS(), horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).as[TsTransOut].collect()
+          .filter(t => t.prevType != "noop" && t.eventType != "noop")
+          .groupBy(t => (t.prevType, t.eventType))
+          .view.mapValues(_.length.toLong).toMap
+      } finally q.stop()
+    }
+    val viol = graft.operators.StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val got = run("tr_ro", Seq(first.toSeq, second.toSeq) ++ sent.map(Seq(_)),
+      "10 seconds")
+    val batch = graft.SparkEntry.queries("s15_markov_transitions")(
+        spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got === batch)
+    assert(viol.value === v0)
+    // synthetic chain: ANY in-horizon permutation yields the ordered pairs
+    def ev(id: Long, typ: String, sec: Long) = TsTypedEv(1L, sec * 1000000L,
+      id, typ, new java.sql.Timestamp(sec * 1000L))
+    val chain = Seq(ev(1, "a", 100), ev(2, "b", 200), ev(3, "a", 300),
+      ev(4, "c", 400), ev(5, "b", 500))
+    val chainSent = (1 to 3).map(i => TsTypedEv(99L, 0L, 90L + i, "noop",
+      new java.sql.Timestamp(100000000L + i * 1000000L)))
+    val ordered = run("tr_ord", chain.map(Seq(_)) ++ chainSent.map(Seq(_)),
+      "1000 seconds")
+    assert(ordered === Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("a", "c") -> 1L, ("c", "b") -> 1L))
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val shuffled = rnd.shuffle(chain)
+      val cut = rnd.nextInt(4) + 1
+      val got2 = run(s"tr_t$trial",
+        Seq(shuffled.take(cut), shuffled.drop(cut)) ++ chainSent.map(Seq(_)),
+        "1000 seconds")
+      assert(got2 === ordered, s"trial $trial ${shuffled.map(_.eventId)}")
+    }
+    assert(viol.value === v0, "in-horizon permutations must not count")
+  }
 }
 
 /** Flattened MS sample for the A7 streaming-face test (package level so
