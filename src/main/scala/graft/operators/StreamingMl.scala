@@ -408,6 +408,48 @@ object StreamingMl {
       }
   }
 
+  final case class TsIvfIn(cid: Long, qv: Seq[Long], ts: java.sql.Timestamp)
+  final case class IvfBufRow(tsMs: Long, cid: Long, qv: Seq[Long])
+  final case class TsIvfOut(cid: Long, cell: Long, nNear: Long,
+                            pruned: Boolean, maxCos: Option[Double],
+                            late: Boolean)
+
+  /** Watermark-reordered IVF ingest (round 12 — the last of the
+    * first-arrival-wins faces under the [[ReorderBuffer]] combinator):
+    * [[streamingIvfIngest]]'s per-cell SemDeDup fold made CORRECT under
+    * bounded disorder. Vectors carry an event time; per coarse cell they
+    * buffer until the watermark seals them and fold through the member
+    * index in EVENT-TIME order, so any in-horizon delivery yields the
+    * verdicts ordered delivery produces (= the batch e20 greedy rule when
+    * event time follows cid order — StreamingSpec proves both). A
+    * horizon-exceeding straggler folds at arrival after the sealed rows:
+    * its verdict compares against every member folded so far (it can
+    * never retroactively prune an already-emitted keeper), flagged `late`
+    * and counted. State per cell = the member index (the n/k-bounded
+    * e20 contract) + the in-horizon buffer. */
+  def streamingIvfIngestReordered(ds: Dataset[TsIvfIn],
+      seeds: Array[(Long, Array[Long])], tau: Double,
+      horizon: String = "10 seconds"): Dataset[TsIvfOut] = {
+    import ds.sparkSession.implicits._
+    requireClosureSized(ds.sparkSession, seeds, "streamingIvfIngestReordered")
+    val sorted = seeds.sortBy(_._1)
+    val ks = sorted.map(_._1)
+    val cqs = sorted.flatMap(_._2)
+    implicit val ord: Ordering[IvfBufRow] = Ordering.by(r => (r.tsMs, r.cid))
+    ReorderBuffer.run[Long, TsIvfIn, IvfBufRow, IvfCellState, TsIvfOut](
+      ds, "ts", horizon)(
+      v => graft.expr.NearestCentroid.computeArrays(v.qv.toArray, ks, cqs),
+      v => IvfBufRow(v.ts.getTime, v.cid, v.qv),
+      _.tsMs)(
+      IvfCellState(Nil, Nil, Nil),
+      (cell, st, r, late) => {
+        val (st1, out) = ivfCellFold(Seq(r.cid -> r.qv.toArray), st, cell, tau)
+        (st1, out.headOption.map(o =>
+          TsIvfOut(o.cid, o.cell, o.nNear, o.pruned, o.maxCos, late)))
+      },
+      lateBeforeRipe = false)
+  }
+
   /** Batch twin of [[streamingIvfIngest]]: the same per-cell fold after
     * ONE shuffle on the cell key (`flatMapGroups` — the repo's
     * per-group-sequential idiom), each cell starting from an empty

@@ -1456,6 +1456,94 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(viol.value === v0, "in-horizon permutations must not count")
   }
+
+  test("reordered IVF ingest: in-horizon disorder yields the batch e20 " +
+      "verdicts bit for bit; a straggler is counted and never un-prunes") {
+    import spark.implicits._
+    import graft.operators.StreamingMl
+    import graft.operators.StreamingMl.{IvfIn, TsIvfIn, TsIvfOut}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id").as("cid"),
+        expr("qquant(embedding, 1e6)").as("qv"))
+    val seeds: Array[(Long, Array[Long])] =
+      corpus.filter(col("cid") < 8).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val tau = 45e-2
+    // event time follows cid order: vector cid has ts = 100s + cid*100s
+    val vecs = corpus.collect()
+      .map(r => TsIvfIn(r.getLong(0), r.getSeq[Long](1),
+        new java.sql.Timestamp(100000L + r.getLong(0) * 100000L)))
+      .sortBy(_.cid)
+    val maxMs = vecs.map(_.ts.getTime).max
+    val sent = (1 to 3).map(i => TsIvfIn(-1000L - i, vecs.head.qv,
+      new java.sql.Timestamp(maxMs + 100000000L + i * 1000000L)))
+    def run(name: String, batches: Seq[Seq[TsIvfIn]])
+        : Map[Long, (Long, Long, Boolean, Option[Double], Boolean)] = {
+      val ms = MemoryStream[TsIvfIn]
+      val q = StreamingMl
+        .streamingIvfIngestReordered(ms.toDS(), seeds, tau, "150 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).as[TsIvfOut].collect().filter(_.cid >= 0)
+          .map(o => o.cid -> ((o.cell, o.nNear, o.pruned, o.maxCos, o.late)))
+          .toMap
+      } finally q.stop()
+    }
+    val viol = StreamingMl.orderViolations(spark)
+    val v0 = viol.value
+    val twin = StreamingMl.ivfIngestBatch(
+        corpus.as[IvfIn], seeds, tau)
+      .collect().map(o => o.cid -> o).toMap
+    // disorder INSIDE the horizon: adjacent pairs swapped across batches
+    val swapped = vecs.grouped(2).flatMap(_.reverse).toSeq
+    val batches = swapped.grouped(math.max(1, swapped.length / 4 + 1)).toSeq
+    val got = run("ivf_ro", batches ++ sent.map(Seq(_)))
+    assert(got.size === vecs.length)
+    vecs.foreach { v =>
+      val t = twin(v.cid)
+      assert(got(v.cid) === ((t.cell, t.nNear, t.pruned, t.maxCos, false)),
+        s"verdict vs batch twin at ${v.cid}")
+    }
+    assert(viol.value === v0, "in-horizon disorder is corrected")
+    // straggler far outside the horizon: counted (or engine-dropped),
+    // flagged late, and sealed verdicts hold
+    val ms2 = MemoryStream[TsIvfIn]
+    val q2 = StreamingMl
+      .streamingIvfIngestReordered(ms2.toDS(), seeds, tau, "150 seconds")
+      .writeStream.format("memory").queryName("ivf_ro_late")
+      .outputMode("append").start()
+    try {
+      vecs.grouped(64).foreach { b => ms2.addData(b.toSeq); q2.processAllAvailable() }
+      sent.foreach { s0 => ms2.addData(Seq(s0)); q2.processAllAvailable() }
+      val vPre = viol.value
+      val stale = TsIvfIn(900000L, vecs.head.qv,
+        new java.sql.Timestamp(90000L))
+      ms2.addData(Seq(stale)); q2.processAllAvailable()
+      val out = spark.table("ivf_ro_late").as[TsIvfOut].collect()
+        .map(o => o.cid -> o).toMap
+      if (out.contains(900000L)) {
+        assert(viol.value === vPre + 1)
+        assert(out(900000L).late)
+        // a copy of vec 0 folded LAST: prunes against the full index,
+        // never un-prunes anything already emitted
+        assert(out(900000L).pruned)
+      } else {
+        val dropped = Option(q2.lastProgress).toSeq
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        assert(dropped >= 1, "straggler neither emitted nor engine-dropped")
+      }
+      vecs.take(8).foreach { v =>
+        val t = twin(v.cid)
+        assert(out(v.cid).pruned === t.pruned && out(v.cid).nNear === t.nNear,
+          s"sealed verdict at ${v.cid}")
+      }
+    } finally q2.stop()
+  }
 }
 
 /** Flattened MS sample for the A7 streaming-face test (package level so
