@@ -160,5 +160,20 @@ object PipelineQ {
     Q.noOracle("p02_imaging_pipeline") { (s, dir) =>
       graft.pipelines.ImagingPipeline
         .majorCycle(imagingVis(s, dir), ImgCfg).residualVis
+    },
+
+    // -- the LLM-data curation funnel as one benched end-to-end row
+    //    (round 12): language gate → Gopher rules → exact dedup →
+    //    MinHash signature collapse → SemDeDup → sequence packing →
+    //    source-partitioned parquet sink → read-back. Every stage is the
+    //    semantics of an oracle-gated face (t03/t32/t01/t07/t29/t25), so
+    //    the row is a designed rows-only check like p01/p02;
+    //    CurationPipelineSpec carries the stage-parity proofs against
+    //    the registered faces plus an independent union-find/greedy
+    //    transcription of the two collapse stages. The sink is part of
+    //    the timed work (overwritten every run, p01's MODEL_DATA idiom).
+    Q.noOracle("p03_curation_pipeline") { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.pipelines.CurationPipeline.run(s, dir, s"/tmp/graft_p03_out_$tag")
     })
 }
