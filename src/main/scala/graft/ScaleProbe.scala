@@ -14,14 +14,17 @@ import graft.core.Det
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.Env.applyExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("semdedup-ab")) { semdedupAb(spark); return }
+    if (args.headOption.contains("curation")) {
+      curationStages(spark, args(1)); return
+    }
     val sf = "/root/testdata/sf0.1"
     val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "l_quantity")
@@ -523,6 +526,46 @@ object ScaleProbe {
     * SemDedupSpec A/B pins bit-identity; this probe pins the conversion
     * tax. Corpus = sf0.1 embeddings replicated with the organic jitter,
     * nc = 512 seeds (the t29 k = n/512 contract at ~260k rows). */
+  /** Per-stage wall + spill attribution for the p03 curation funnel at an
+    * arbitrary replica dir — each stage is materialized CUMULATIVELY (no
+    * caching, the real recompute plan), so the first stage whose spill
+    * delta is non-zero is the spiller. Honors SPARK_GRAFT_MASTER /
+    * SPARK_GRAFT_EXTRA_CONF so the 4-JVM small-heap layout is probeable. */
+  private def curationStages(spark: SparkSession, dir: String): Unit = {
+    import graft.pipelines.CurationPipeline
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      })
+    val docs = graft.core.Tables.documents(spark, dir)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val cfg = CurationPipeline.Config()
+    val s1 = CurationPipeline.languageGate(docs)
+    val s2 = CurationPipeline.gopherGate(s1)
+    val s3 = CurationPipeline.exactDedup(s2)
+    val s4 = CurationPipeline.nearDupCollapse(s3)
+    val s5 = CurationPipeline.semanticPrune(s4, emb, cfg)
+    val s6 = CurationPipeline.pack(s5, cfg)
+    println("stage,wall_s,spill_delta_bytes,rows")
+    Seq("lang" -> s1, "gopher" -> s2, "exact" -> s3, "neardup" -> s4,
+      "semantic" -> s5, "pack" -> s6).foreach { case (name, df) =>
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      val sp0 = spill.get()
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      // rows via a second cheap pass only for funnel context
+      println(f"$name,$w%.2f,${spill.get() - sp0},${df.count()}")
+    }
+  }
+
   private def semdedupAb(spark: SparkSession): Unit = {
     graft.expr.GraftFunctions.register(spark)
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

@@ -250,6 +250,170 @@ object SimHash8 {
   }
 }
 
+/** The five Gopher token statistics of a document in ONE codegen pass —
+  * [n_tok, n_typ, max_cnt, n_stop, n_chars_ns] over split(" ", -1) tokens
+  * (empty tokens included, matching both engines' split semantics). Bit-
+  * identical to t32's explode + two-aggregation formulation (all exact
+  * integer counting; CurationPipelineSpec pins the parity), but zero
+  * shuffle: the declarative form shuffles a corpus-tokens-sized (doc, tok)
+  * relation whose hash aggregation measurably spills in 4 GB executors at
+  * the 100x replica — a document's tokens all live in its own row, so the
+  * statistics are a projection. Per-row state is one token-count hash map
+  * bounded by the document's own length. */
+case class GopherStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_stats"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherStats.compute(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.GopherStats.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+  def compute(s: String): ArrayData = {
+    val counts = new java.util.HashMap[String, Long]()
+    val toks = s.split(" ", -1)
+    var nTok = 0L
+    var nStop = 0L
+    var nCharsNs = 0L
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      nTok += 1L
+      counts.merge(tok, 1L, (a, b) => a + b)
+      if (tok == "a" || tok == "the") nStop += 1L
+      nCharsNs += tok.codePointCount(0, tok.length).toLong
+      t += 1
+    }
+    var maxCnt = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > maxCnt) maxCnt = c }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](nTok, counts.size().toLong, maxCnt, nStop, nCharsNs))
+  }
+}
+
+/** Non-overlapping left-to-right occurrence count of a literal pattern —
+  * exactly the count `(length(s) - length(replace(s, pat, ''))) /
+  * length(pat)` computes (both engines' replace() scans left-to-right,
+  * non-overlapping), without allocating the replaced string per row.
+  * Pattern must be a non-empty literal. */
+case class SubstrCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "substr_count"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override protected def nullSafeEval(s: Any, pat: Any): Any =
+    SubstrCount.compute(s.toString, pat.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p) =>
+      s"${ev.value} = graft.expr.SubstrCount.compute($s.toString(), $p.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubstrCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SubstrCount {
+  def compute(s: String, pat: String): Long = {
+    require(pat.nonEmpty, "substr_count: empty pattern")
+    var n = 0L
+    var i = s.indexOf(pat)
+    while (i >= 0) {
+      n += 1L
+      i = s.indexOf(pat, i + pat.length)
+    }
+    n
+  }
+}
+
+/** t07's 4-permutation MinHash signature of a document in ONE codegen
+  * pass: [min md5("a"+tok), min md5("b"+tok), min md5("c"+tok),
+  * min md5("d"+tok)] over the DISTINCT split(" ", -1) token set (empty
+  * token included). Digests are compared as unsigned byte strings — the
+  * same order as the lowercase-hex strings both engines' md5() emit, so
+  * the output is bit-identical to the explode + distinct + 4-aggregation
+  * form (CurationPipelineSpec pins it) at zero shuffle. */
+case class MinHash4(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash4"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash4.compute(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.MinHash4.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash4 =
+    copy(child = newChild)
+}
+
+object MinHash4 {
+  private val Prefixes = Array[Byte]('a', 'b', 'c', 'd')
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def compute(s: String): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    val mins = new Array[Array[Byte]](4)
+    val toks = s.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (seen.add(tok)) {
+        val tb = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var p = 0
+        while (p < 4) {
+          md.reset()
+          md.update(Prefixes(p))
+          md.update(tb)
+          val d = md.digest()
+          if (mins(p) == null || lessUnsigned(d, mins(p))) mins(p) = d
+          p += 1
+        }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(d => org.apache.spark.unsafe.types.UTF8String.fromString(
+        hex(d))).toArray[Any])
+  }
+}
+
 /** Per-document bigram fsum Σᵢ terms[cp(i)·128 + cp(i+1)] over adjacent
   * character pairs — one codegen pass over the string against a
   * 16 384-slot long LUT (the alphabet²-bounded bigram model, built once
@@ -1220,6 +1384,19 @@ object GraftFunctions {
     (FunctionIdentifier("simhash8"),
       new ExpressionInfo(classOf[SimHash8].getName, "simhash8"),
       (args: Seq[Expression]) => SimHash8(args.head)),
+    (FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      (args: Seq[Expression]) => GopherStats(args.head)),
+    (FunctionIdentifier("minhash4"),
+      new ExpressionInfo(classOf[MinHash4].getName, "minhash4"),
+      (args: Seq[Expression]) => MinHash4(args.head)),
+    (FunctionIdentifier("substr_count"),
+      new ExpressionInfo(classOf[SubstrCount].getName, "substr_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable,
+          "substr_count(text, patternLit) requires a literal pattern")
+        SubstrCount(args.head, args(1))
+      }),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => WinnowFps(args.head)),

@@ -44,12 +44,18 @@ import graft.operators.SemDedup
   * what keeps the funnel meaningful and the plan linear.
   *
   * Scale shape, stage by stage: (1) zero-shuffle scan projection;
-  * (2) token explode + two doc-keyed partial aggs; (3) one text-keyed
-  * shuffle; (4) doc-keyed signature agg + signature-keyed collapse, both
-  * map-side combined; (5) embeddings joined doc-keyed, then the t29
-  * cluster-bounded pair scan (cluster count grows with the corpus,
-  * n/k bounded); (6) one (source, shard)-keyed window whose partitions
-  * are <= shardDocs docs by construction. The only driver-sized objects
+  * (2) zero-shuffle projection — `gopher_stats(text)` computes all five
+  * rules' statistics in one codegen pass per document; (3) subsumed by
+  * (4) inside [[curate]] (identical text ⇒ identical signature; the
+  * standalone [[exactDedup]] is a fingerprint-keyed agg + id semi join);
+  * (4) zero-shuffle `minhash4(text)` projection + a map-side-combined
+  * (signature → min id) collapse + one id-keyed semi join; (5)
+  * embeddings joined doc-keyed, then the t29 cluster-bounded pair scan
+  * (cluster count grows with the corpus, n/k bounded); (6) one
+  * (source, shard)-keyed window whose partitions are <= shardDocs docs
+  * by construction. The corpus-tokens relation never shuffles anywhere
+  * (the round-12 probe measured the explode formulation spilling in
+  * 4 GB executors at the 100x replica); the only driver-sized objects
   * are the SemDeDup seed LUT and the sink's partition listing.
   */
 object CurationPipeline {
@@ -72,11 +78,13 @@ object CurationPipeline {
 
   /** Stage 1 — t03's four-language n-gram vote as a pure scan filter:
     * keep documents whose PREDICTED language matches the labeled one
-    * (the CCNet-style mislabel drop). Zero shuffle. */
+    * (the CCNet-style mislabel drop). Zero shuffle; the marker counts go
+    * through `substr_count` (identical non-overlapping semantics to
+    * t03's length-of-replace quotient — the spec pins the verdict set)
+    * instead of allocating eight replaced copies of every document. */
   def languageGate(docs: DataFrame): DataFrame = {
-    def cnt(w: String): Column =
-      (length(col("text")) -
-        length(expr(s"replace(text, ' $w ', '')"))) / (w.length + 2)
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    def cnt(w: String): Column = expr(s"substr_count(text, ' $w ')")
     val sEn = cnt("the") + cnt("and")
     val sDe = cnt("der") + cnt("und")
     val sEs = cnt("el") + cnt("los")
@@ -88,55 +96,62 @@ object CurationPipeline {
     docs.filter(length(col("text")) > 0 && pred === col("lang"))
   }
 
-  /** Stage 2 — t32's five Gopher rules; survivors carry the exact token
-    * count `n_tok` forward so the packing stage never re-tokenizes.
-    * Token explode + two doc-keyed aggregations (both map-side
-    * combined); the rules themselves are integer comparisons. */
+  /** Stage 2 — t32's five Gopher rules as a ZERO-shuffle projection:
+    * `gopher_stats(text)` computes all five token statistics in one
+    * codegen pass per document (bit-identical to t32's explode + two
+    * aggregations — the spec pins it), and the survivors carry the exact
+    * token count `n_tok` forward so packing never re-tokenizes. The
+    * declarative explode form shuffled a corpus-tokens-sized (doc, tok)
+    * relation that measurably spilled ~550 MB per pass in 4 GB executors
+    * at the 100x replica — and every downstream stage recomputed it. */
   def gopherGate(docs: DataFrame): DataFrame = {
-    val h = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val f = h.groupBy("doc_id").agg(
-      sum(col("c")).as("n_tok"),
-      count(lit(1)).as("n_typ"),
-      max(col("c")).as("max_cnt"),
-      sum(when(col("tok") === "a" || col("tok") === "the", col("c"))
-        .otherwise(0L)).as("n_stop"),
-      sum(length(col("tok")).cast("long") * col("c")).as("n_chars_ns"))
-    val keep = col("n_tok").between(20, 400) &&
-      (lit(3) * col("n_tok") <= col("n_chars_ns")) &&
-      (col("n_chars_ns") <= lit(10) * col("n_tok")) &&
-      col("n_stop") >= 2 &&
-      (lit(5) * (col("n_tok") - col("n_typ")) <= lit(3) * col("n_tok")) &&
-      (lit(5) * col("max_cnt") <= col("n_tok"))
-    docs.join(f.filter(keep).select("doc_id", "n_tok"), "doc_id")
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val st = docs.withColumn("__g", expr("gopher_stats(text)"))
+      .withColumn("n_tok", col("__g").getItem(0))
+      .withColumn("__n_typ", col("__g").getItem(1))
+      .withColumn("__max_cnt", col("__g").getItem(2))
+      .withColumn("__n_stop", col("__g").getItem(3))
+      .withColumn("__n_chars_ns", col("__g").getItem(4))
+    st.filter(col("n_tok").between(20, 400) &&
+        (lit(3) * col("n_tok") <= col("__n_chars_ns")) &&
+        (col("__n_chars_ns") <= lit(10) * col("n_tok")) &&
+        col("__n_stop") >= 2 &&
+        (lit(5) * (col("n_tok") - col("__n_typ")) <= lit(3) * col("n_tok")) &&
+        (lit(5) * col("__max_cnt") <= col("n_tok")))
+      .drop("__g", "__n_typ", "__max_cnt", "__n_stop", "__n_chars_ns")
   }
 
-  /** Stage 3 — t01/t25's exact dedup: keep the lowest doc_id per exact
-    * text. One text-keyed shuffle. */
+  /** Stage 3 — t01's exact dedup shape: keep the lowest doc_id per text
+    * fingerprint (md5, the registered t01 key). The winner set is a
+    * map-side-combined (16-byte hash → min id) aggregation, then one
+    * id-keyed semi join — never a sort of full text rows (the window
+    * formulation sorted text-keyed row payloads, the q15 spill class).
+    *
+    * Inside [[curate]] this stage is ALGEBRAICALLY SUBSUMED by stage 4:
+    * identical text ⇒ identical token set ⇒ identical MinHash signature,
+    * and the signature group's minimum id is also its own text group's
+    * minimum — so collapsing straight to signatures yields the same
+    * survivor set (CurationPipelineSpec asserts the equality). The stage
+    * stays public for standalone use and the funnel diagnostics. */
   def exactDedup(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text").orderBy("doc_id")
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val rep = df.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    df.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
   /** Stage 4 — t07's 4-permutation MinHash signatures collapsed by
     * full-signature equality: keep the lowest doc_id per signature.
-    * Two map-side-combined aggregations, no pair list (see the class
-    * scaladoc for why AND-banding, not t08/t11's pair closure). */
+    * `minhash4(text)` emits the whole signature in one codegen pass
+    * (bit-identical to the explode + distinct + 4-aggregation form — the
+    * spec pins it), so the only shuffles are the map-side-combined
+    * (signature → min id) collapse and one id-keyed semi join. No pair
+    * list (see the class scaladoc for why AND-banding, not t08/t11's
+    * pair closure). */
   def nearDupCollapse(df: DataFrame): DataFrame = {
-    val sig = df
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-      .groupBy("doc_id").agg(
-        min(md5(concat(lit("a"), col("tok")))).as("h1"),
-        min(md5(concat(lit("b"), col("tok")))).as("h2"),
-        min(md5(concat(lit("c"), col("tok")))).as("h3"),
-        min(md5(concat(lit("d"), col("tok")))).as("h4"))
-    val rep = sig.groupBy("h1", "h2", "h3", "h4")
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    df.join(rep, "doc_id")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val rep = df.select(col("doc_id"), expr("minhash4(text)").as("__sig"))
+      .groupBy("__sig").agg(min(col("doc_id")).as("doc_id"))
+    df.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
   /** Stage 5 — t29's SemDeDup over the survivors that carry an embedding
@@ -150,10 +165,12 @@ object CurationPipeline {
   def semanticPrune(df: DataFrame, emb: DataFrame, cfg: Config): DataFrame = {
     val spark = df.sparkSession
     graft.expr.GraftFunctions.register(spark)
+    // join FIRST, quantize after: qquant runs on the survivor subset, not
+    // the whole embeddings table
     val corpus = emb
+      .join(df.select(col("doc_id").as("vec_id")), "vec_id")
       .select(col("vec_id").as("cid"),
         expr("qquant(embedding, 1e6)").as("qv"))
-      .join(df.select(col("doc_id").as("cid")), "cid")
       .withColumn("n2", expr("qdot(qv, qv)"))
     val k = math.max(cfg.minSeeds, emb.count() / cfg.clusterDiv)
     require(k <= Int.MaxValue, s"curation: seed count $k exceeds Int range")
@@ -185,12 +202,22 @@ object CurationPipeline {
           s"${cfg.packLen} + 1").as("n_chunks"))
   }
 
-  /** The full funnel, sink-free (spec surface). */
+  /** The full funnel, sink-free (spec surface). The exact-dedup stage is
+    * skipped: its survivor set is provably identical after the signature
+    * collapse (see [[exactDedup]]'s scaladoc; the spec asserts it), so
+    * running it would only add a shuffle. */
   def curate(docs: DataFrame, emb: DataFrame,
-             cfg: Config = Config()): DataFrame =
-    pack(semanticPrune(
-      nearDupCollapse(exactDedup(gopherGate(languageGate(docs)))),
-      emb, cfg), cfg)
+             cfg: Config = Config()): DataFrame = {
+    // Pin the collapsed survivor frame ONCE (the ConnectedComponents
+    // round-pin idiom, distributed executor storage): the semantic stage
+    // reads it four times (corpus join, the prune self-join's two sides,
+    // the final anti join) and would otherwise re-execute the whole
+    // gate+collapse chain per read. Survivors are the funnel's narrow
+    // end — the materialization is the cheapest relation in the plan.
+    val survivors = nearDupCollapse(gopherGate(languageGate(docs)))
+      .localCheckpoint()
+    pack(semanticPrune(survivors, emb, cfg), cfg)
+  }
 
   /** The registry row's body: curate the sf directory's corpus, write the
     * packed shard source-partitioned (overwritten every run — the sink is

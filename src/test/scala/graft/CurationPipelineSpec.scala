@@ -20,11 +20,12 @@ class CurationPipelineSpec extends AnyFunSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("doc_id").collect().map(_.getLong(0)).toSet
 
-  // stage frames, built once per suite run
+  // stage frames, built once per suite run; s4 mirrors curate() (which
+  // skips exactDedup — the subsumption test below proves that legal)
   private lazy val s1 = CurationPipeline.languageGate(docs)
   private lazy val s2 = CurationPipeline.gopherGate(s1)
   private lazy val s3 = CurationPipeline.exactDedup(s2)
-  private lazy val s4 = CurationPipeline.nearDupCollapse(s3)
+  private lazy val s4 = CurationPipeline.nearDupCollapse(s2)
   private lazy val s5 = CurationPipeline.semanticPrune(s4, emb, cfg)
 
   test("stage 1 (language gate) keeps exactly the t03 face's hits") {
@@ -67,7 +68,7 @@ class CurationPipelineSpec extends AnyFunSuite {
   test("stage 4 (near-dup collapse) keeps the lowest doc_id per FULL t07 " +
       "signature") {
     val t07 = SparkEntry.queries("t07_minhash_signatures")(spark, TestSpark.sf)
-    val in = ids(s3)
+    val in = ids(s2)
     val expect = t07.collect()
       .map(r => (r.getLong(0),
         (r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
@@ -76,6 +77,11 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(ids(s4) === expect)
     assert(expect.size < in.size,
       "degenerate fixture: near-dup collapse dropped nothing")
+  }
+
+  test("the signature collapse subsumes exact dedup: collapsing with and " +
+      "without the exact stage yields the same survivors") {
+    assert(ids(CurationPipeline.nearDupCollapse(s3)) === ids(s4))
   }
 
   test("stage 5 (SemDeDup) matches an independent greedy transcription") {
