@@ -25,6 +25,9 @@ object ScaleProbe {
     if (args.headOption.contains("curation")) {
       curationStages(spark, args(1)); return
     }
+    if (args.headOption.contains("selfcal")) {
+      selfcalStages(spark, args(1)); return
+    }
     val sf = "/root/testdata/sf0.1"
     val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "l_quantity")
@@ -564,6 +567,56 @@ object ScaleProbe {
       // rows via a second cheap pass only for funnel context
       println(f"$name,$w%.2f,${spill.get() - sp0},${df.count()}")
     }
+  }
+
+  /** Per-stage wall attribution for the p04 self-cal cycle: MS ensure
+    * (excluded from the bench by the content marker), the predict alone,
+    * the cycle call (corrupted-vis cache materialization + the
+    * gauss_newton driver loop), the correct stage, and the sink+readback.
+    * The solver loop's wall divided by its iteration count (it logs to
+    * stderr at INFO) localizes per-iteration floor vs data cost. */
+  private def selfcalStages(spark: SparkSession, dir: String): Unit = {
+    import graft.pipelines.SelfCalPipeline
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      })
+    def time[A](f: => A): (A, Double, Long) = {
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      val sp0 = spill.get()
+      val t0 = System.nanoTime(); val a = f
+      val w = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      (a, w, spill.get() - sp0)
+    }
+    val (msDir, tMs, spMs) = time(graft.queries.PipelineQ.ensureMs(spark, dir))
+    val sky = graft.queries.PipelineQ.ensureSkyModel()
+    val (_, tModel, spModel) = time {
+      // the fused predict+corrupt projection alone (stages 1-3)
+      SelfCalPipeline.corruptedVis(spark, msDir, sky, 64)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val (r, tCycle, spCycle) = time(
+      SelfCalPipeline.cycle(spark, msDir, sky, 64, 100, 1e-4))
+    val (_, tCorrect, spCorrect) = time(
+      r.corrected.write.mode("overwrite").format("noop").save())
+    val (_, tSink, spSink) = time {
+      graft.io.MsDataset.writeMember(r.corrected, msDir, "CORRECTED_DATA")
+      graft.io.MsDataset.readMember(spark, msDir, "CORRECTED_DATA").count()
+    }
+    r.vis.unpersist(blocking = false)
+    println("stage,wall_s,spill_delta_bytes")
+    println(f"ensure_ms,$tMs%.2f,$spMs")
+    println(f"corrupt_vis_noop,$tModel%.2f,$spModel")
+    println(f"cycle_solve,$tCycle%.2f,$spCycle")
+    println(f"correct_noop,$tCorrect%.2f,$spCorrect")
+    println(f"sink_readback,$tSink%.2f,$spSink")
   }
 
   private def semdedupAb(spark: SparkSession): Unit = {

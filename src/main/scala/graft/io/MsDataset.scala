@@ -90,13 +90,40 @@ object MsDataset {
     * (row_id, chan), partitioned by chan so per-channel consumers prune;
     * `readModelData` joins it back against MAIN by row_id. */
   def writeModelData(modelData: DataFrame, msDir: String): Unit =
-    modelData.write.mode("overwrite").partitionBy("chan")
-      .parquet(s"$msDir/MODEL_DATA.parquet")
+    writeMember(modelData, msDir, "MODEL_DATA")
 
   def readModelData(spark: SparkSession, msDir: String): DataFrame =
+    readMember(spark, msDir, "MODEL_DATA")
+
+  /** Generic (row_id, chan, …)-keyed member-table sink — the dask-ms
+    * `xds_to_table(..., [column])` face for any MAIN-shaped column
+    * (MODEL_DATA, CORRECTED_DATA, …): partitioned by chan so per-channel
+    * consumers prune at the scan.
+    *
+    * chan is a BOUNDED dimension (one value per SPW channel), so the
+    * dynamic-partition write runs with concurrent per-chan writers
+    * instead of the planner's sort-by-partition-column: the sort
+    * buffered each task's full row set and was the one spill left in the
+    * p04 4 GB-executor gate (1.7 GB at the 100× replica); with ≤8 chans
+    * per task the sort never happens, and wider SPWs gracefully sort
+    * only the overflow. Session-scoped and restored. */
+  def writeMember(df: DataFrame, msDir: String, name: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.maxConcurrentOutputFileWriters"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try df.write.mode("overwrite").partitionBy("chan")
+      .parquet(s"$msDir/$name.parquet")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  def readMember(spark: SparkSession, msDir: String, name: String): DataFrame =
     // chan is a partition DIRECTORY on disk; partition-column inference
     // reads it as int — restore the long contract
-    spark.read.parquet(s"$msDir/MODEL_DATA.parquet")
+    spark.read.parquet(s"$msDir/$name.parquet")
       .withColumn("chan", col("chan").cast("long"))
 
   /** Synthetic MS dataset writer — the JVM twin of

@@ -115,13 +115,18 @@ object Calibrate {
       if (detSum) c => Det.fsum(c) else c => sum(c)
 
     // initial grid: every (keys, ant) on either side, φ = 0, with the
-    // model-only jhj (DIAG_DIAG fast path) aggregated in the same pass
+    // model-only jhj (DIAG_DIAG fast path) aggregated in the same pass.
+    // The p/q scatter is ONE explode, not a union of two projections —
+    // a union's children are independent codegen stages, so the cached
+    // fact frame (and the gather join, in the iteration below) would be
+    // scanned twice per pass; same terms, same order-free aggregation.
     val jhjTerm = col("w") * (col("m_re") * col("m_re")
       + col("m_im") * col("m_im"))
-    val scatter0 = in.select((keyCols.map(col) :+ col("ant1").as("ant")
-        :+ jhjTerm.as("jhj_c")): _*)
-      .unionByName(in.select((keyCols.map(col) :+ col("ant2").as("ant")
-        :+ jhjTerm.as("jhj_c")): _*))
+    val scatter0 = in.select((keyCols.map(col) :+ explode(array(
+        struct(col("ant1").as("ant"), jhjTerm.as("jhj_c")),
+        struct(col("ant2").as("ant"), jhjTerm.as("jhj_c")))).as("c")): _*)
+      .select((keyCols.map(col) :+ col("c.ant").as("ant")
+        :+ col("c.jhj_c").as("jhj_c")): _*)
     val grid0 = scatter0.groupBy(gridKeys.map(col): _*)
       .agg(sum(col("jhj_c")).as("jhj"))
       .withColumn("phase", lit(0.0))
@@ -150,11 +155,13 @@ object Calibrate {
       val r = v - vm
       val jhrTerm = col("w") * (vm.re * r.im - vm.im * r.re)
       val xKeys = keyCols.map(k => col(s"x.$k").as(k))
-      val p = withG.select((xKeys :+ col("x.ant1").as("ant")
-        :+ jhrTerm.as("jhr_c")): _*)
-      val q = withG.select((xKeys :+ col("x.ant2").as("ant")
-        :+ (-jhrTerm).as("jhr_c")): _*)
-      val step = p.unionByName(q)
+      // one-pass p/q scatter (see grid0): the jacobian antisymmetry rides
+      // in the exploded pair, so the gather join runs once per iteration
+      val step = withG.select((xKeys :+ explode(array(
+          struct(col("x.ant1").as("ant"), jhrTerm.as("jhr_c")),
+          struct(col("x.ant2").as("ant"), (-jhrTerm).as("jhr_c")))).as("c")): _*)
+        .select((keyCols.map(col) :+ col("c.ant").as("ant")
+          :+ col("c.jhr_c").as("jhr_c")): _*)
         .groupBy(gridKeys.map(col): _*)
         .agg(jhrAgg(col("jhr_c")).as("jhr"))
       val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
@@ -226,10 +233,12 @@ object Calibrate {
 
     val jhjTerm = col("w") * (col("m_re") * col("m_re")
       + col("m_im") * col("m_im"))
-    val scatter0 = in.select((keyCols.map(col) :+ col("ant1").as("ant")
-        :+ jhjTerm.as("jhj_c")): _*)
-      .unionByName(in.select((keyCols.map(col) :+ col("ant2").as("ant")
-        :+ jhjTerm.as("jhj_c")): _*))
+    // one-pass p/q scatter (the DIE solver's explode idiom)
+    val scatter0 = in.select((keyCols.map(col) :+ explode(array(
+        struct(col("ant1").as("ant"), jhjTerm.as("jhj_c")),
+        struct(col("ant2").as("ant"), jhjTerm.as("jhj_c")))).as("c")): _*)
+      .select((keyCols.map(col) :+ col("c.ant").as("ant")
+        :+ col("c.jhj_c").as("jhj_c")): _*)
     val grid0 = scatter0.groupBy(gridKeys.map(col): _*)
       .agg(sum(col("jhj_c")).as("jhj"))
       .withColumn("phase", lit(0.0))
@@ -265,11 +274,13 @@ object Calibrate {
         .withColumn("r_im", col("v_im") - sum(col("vm_im")).over(rowWin))
       val jhrTerm = col("w") *
         (col("vm_re") * col("r_im") - col("vm_im") * col("r_re"))
-      val p = withR.select((keyCols.map(col) :+ col("ant1").as("ant")
-        :+ jhrTerm.as("jhr_c")): _*)
-      val q = withR.select((keyCols.map(col) :+ col("ant2").as("ant")
-        :+ (-jhrTerm).as("jhr_c")): _*)
-      val step = p.unionByName(q)
+      // one-pass p/q scatter: the union form would re-run the gather
+      // join AND the shared-residual window once per side
+      val step = withR.select((keyCols.map(col) :+ explode(array(
+          struct(col("ant1").as("ant"), jhrTerm.as("jhr_c")),
+          struct(col("ant2").as("ant"), (-jhrTerm).as("jhr_c")))).as("c")): _*)
+        .select((keyCols.map(col) :+ col("c.ant").as("ant")
+          :+ col("c.jhr_c").as("jhr_c")): _*)
         .groupBy(gridKeys.map(col): _*)
         .agg(jhrAgg(col("jhr_c")).as("jhr"))
       val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))

@@ -125,6 +125,55 @@ object PredictPipeline {
     }
   }
 
+  /** The FUSED form of [[modelData]] — same math, same fsum rounding, NO
+    * aggregation exchange: the parsed sky model is collected (it is
+    * driver-sized, exactly like the reference's parsed component list)
+    * and contracted per row by the codegen'd `rime_source_sum` expression
+    * (the x04 fused-projection face; FusedProjectionSpec pins it
+    * bit-identical to the groupBy fsum). Preferred when the exchange is
+    * the bottleneck: at the 100× replica under 4 GB executors the groupBy
+    * path's per-input-row-unique (row_id, chan) groups spilled 3.8 GB in
+    * the partial hash aggregation — this plan never shuffles at all. */
+  def modelDataFused(spark: SparkSession, skyModelPath: String,
+                     uvw: DataFrame, chans: DataFrame,
+                     ra0: Double, dec0: Double): DataFrame = {
+    val (vre, vim) = fusedModelCols(spark, skyModelPath, ra0, dec0)
+    uvw.crossJoin(broadcast(chans))
+      .select(col("row_id"), col("chan"), vre.as("vre"), vim.as("vim"))
+  }
+
+  /** The fused source-sum columns (vre, vim) over (u, v, w, freq) input
+    * columns — exposed so composed pipelines (p04 self-cal) can carry
+    * geometry keys through the same projection instead of joining the
+    * model back by row_id. */
+  private[graft] def fusedModelCols(spark: SparkSession, skyModelPath: String,
+                                    ra0: Double, dec0: Double)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val src = WSCleanReader.read(spark, skyModelPath).select(
+      col("flux"),
+      col("logSI").as("log_poly"),
+      col("refFreq").as("ref_freq"),
+      coalesce(try_element_at(col("spi"), lit(1)), lit(0.0)).as("spi0"),
+      coalesce(try_element_at(col("spi"), lit(2)), lit(0.0)).as("spi1"),
+      col("ra"), col("dec"))
+    val lmn = Coordinates.radecToLmn(col("ra"), col("dec"), lit(ra0), lit(dec0))
+    // model-sized collect (the x04 idiom): 7 doubles per source, flat
+    val flatModel = src.withColumn("l", lmn.l).withColumn("m", lmn.m)
+      .select("l", "m", "flux", "spi0", "spi1", "ref_freq", "log_poly")
+      .collect()
+      .flatMap { r =>
+        Seq(r.getAs[Double]("l"), r.getAs[Double]("m"),
+          r.getAs[Double]("flux"), r.getAs[Double]("spi0"),
+          r.getAs[Double]("spi1"), r.getAs[Double]("ref_freq"),
+          if (r.getAs[Boolean]("log_poly")) 1.0 else 0.0)
+      }.toIndexedSeq
+    graft.expr.GraftFunctions.register(spark)
+    def fused(sine: Boolean) = call_function("rime_source_sum",
+      col("u"), col("v"), col("w"), col("freq"),
+      typedLit(flatModel), lit(sine)) / 1e6
+    (fused(sine = false), fused(sine = true))
+  }
+
   /** dft/examples/predict_from_fits.py analogue: a FITS model IMAGE
     * (pure-JVM [[graft.io.Fits.read]]) becomes the component list — every
     * non-zero pixel is a point source at the (l, m) of its CRPIX/CRVAL/

@@ -43,7 +43,7 @@ object PipelineQ {
     * ids rebuild instead of silently reusing a stale MS (round-12 ADVICE:
     * count alone missed the second case). One aggregate job, read with
     * Files.readString (no leaked handle). */
-  private[queries] def ensureMs(spark: SparkSession, dir: String): String = {
+  private[graft] def ensureMs(spark: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val msDir = s"/tmp/graft_p01_ms_$tag"
     val marker = java.nio.file.Paths.get(s"$msDir/_GRAFT_MS_ROWS")
@@ -66,7 +66,7 @@ object PipelineQ {
 
   /** Fixed broadcast-sized sky model: three WSClean point components
     * inside the beam cube's footprint (the fixture spans ±1.5 deg). */
-  private[queries] def ensureSkyModel(): String = {
+  private[graft] def ensureSkyModel(): String = {
     val f = new java.io.File("/tmp/graft_p01_sky.txt")
     if (!f.exists()) {
       val w = new java.io.PrintWriter(f)
@@ -175,5 +175,21 @@ object PipelineQ {
     Q.noOracle("p03_curation_pipeline") { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.pipelines.CurationPipeline.run(s, dir, s"/tmp/graft_p03_out_$tag")
+    },
+
+    // -- the phase-only SELF-CALIBRATION cycle as one benched end-to-end
+    //    row (round 12): MS → WSClean predict → phase-screen corruption →
+    //    gauss_newton solve on solution intervals → correct_vis →
+    //    residual → CORRECTED_DATA member-table sink → read-back. Every
+    //    stage is a registered face (p01 predict chain; g01/g06-g10
+    //    solver; g02/g03 correct/residual semantics); rows-only check
+    //    like p01-p03 — SelfCalPipelineSpec carries the recovery proof
+    //    (solved screen matches the injected one up to the per-interval
+    //    phase gauge; corrected residual power collapses) and the /tmp MS
+    //    is invisible to DuckDB. The timed work includes the sink, the
+    //    solver's driver loop, and the read-back.
+    Q.noOracle("p04_selfcal_pipeline") { (s, dir) =>
+      val msDir = ensureMs(s, dir)
+      graft.pipelines.SelfCalPipeline.run(s, msDir, ensureSkyModel())
     })
 }

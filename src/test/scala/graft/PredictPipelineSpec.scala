@@ -103,6 +103,33 @@ class PredictPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fused projection modelDataFused ≡ groupBy modelData bit-for-bit") {
+    import spark.implicits._
+    // spectral + log-poly + plain sources, many rows/chans: the fused
+    // rime_source_sum contraction must reproduce the groupBy fsum path
+    // EXACTLY (same rounding, integer sum association-free)
+    val model = writeModel(
+      """Format = Name, Type, Ra, Dec, I, SpectralIndex, LogarithmicSI, ReferenceFrequency='1.4e9', MajorAxis, MinorAxis, Orientation
+        |a,POINT,03:00:00,00.00.00,1.0,[],false,,,,
+        |b,POINT,03:02:00,00.30.00,0.5,[0.2],false,,,,
+        |c,POINT,02:58:40,-00.20.00,0.75,[0.1,-0.05],true,,,,
+        |""".stripMargin)
+    val uvw = (0L until 300L).map(r => (r,
+      ((r * 7) % 2001 - 1000) / 2.0, ((r * 3) % 2001 - 1000) / 2.0,
+      ((r * 11) % 201 - 100) / 20.0)).toDF("row_id", "u", "v", "w")
+    val chans = Seq((0L, 1.4e9), (1L, 1.5e9), (2L, 1.6e9))
+      .toDF("chan", "freq")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("vre"), r.getAs[Double]("vim"))).toMap
+    val grouped = asMap(PredictPipeline
+      .modelData(spark, model, uvw, chans, math.Pi / 4, 0.0))
+    val fused = asMap(PredictPipeline
+      .modelDataFused(spark, model, uvw, chans, math.Pi / 4, 0.0))
+    assert(fused.size === 900)
+    assert(fused === grouped) // exact ==, not tolerance
+  }
+
   test("MS-format dataset → MODEL_DATA end to end (the dask-ms entry path)") {
     // the reference's flagship entry reads a CASA MS
     // (rime/examples/predict.py:548-586); here the same pipeline runs
