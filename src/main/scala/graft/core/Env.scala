@@ -25,4 +25,19 @@ object Env {
     }
     builder
   }
+
+  /** Data-scaled repartition width: at least the session's default
+    * parallelism (all cores busy), and at least enough partitions that
+    * no task handles more than `unitsPerTask` work units. A FIXED width
+    * is the scale bug in both directions — defaultParallelism alone
+    * leaves 100×-replica tasks holding millions of rows-unique aggregate
+    * groups (the p01 4 GB-executor OOM), while rows/unitsPerTask alone
+    * under-parallelizes small inputs. */
+  def scaledWidth(spark: SparkSession, units: Long,
+                  unitsPerTask: Long): Int = {
+    require(unitsPerTask > 0, "unitsPerTask must be positive")
+    val byData = (units + unitsPerTask - 1) / unitsPerTask
+    math.max(spark.sparkContext.defaultParallelism,
+      math.min(byData, 100000L).toInt)
+  }
 }

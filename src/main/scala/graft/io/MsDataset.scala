@@ -61,6 +61,31 @@ object MsDataset {
       .select(posexplode(col("CHAN_FREQ")).as(Seq("chan", "freq")))
       .select(col("chan").cast("long").as("chan"), col("freq"))
 
+  /** Distinct-epoch ranking (TIME → time_index), the dask-ms utime
+    * index. NOT a `row_number() OVER (ORDER BY TIME)` window: that plan
+    * funnels every epoch through ONE task and WindowExec's row buffer
+    * starts spilling past 4096 rows regardless of memory — at the 100×
+    * replica (204k epochs) it was the only "spill" left in the p01 4 GB
+    * gate, and at 100 TB utimes are millions. Distributed sort +
+    * zipWithIndex gives the identical dense 0-based rank with no
+    * single-partition stage. */
+  def rankTimes(main: DataFrame): DataFrame = {
+    val spark = main.sparkSession
+    import org.apache.spark.sql.types._
+    val rdd = main.select(col("TIME")).distinct()
+      .rdd.map(_.getDouble(0))
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (t, i) => org.apache.spark.sql.Row(t, i) }
+      // pin (t11 idiom): the rank is used by several downstream joins
+      // (geometry, PA grid) and the sortBy+zipWithIndex chain would
+      // otherwise re-run its sample/sort/count jobs per use
+      .localCheckpoint()
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("TIME", DoubleType, nullable = false),
+      StructField("time_index", LongType, nullable = false))))
+  }
+
   /** The J2000 phase centre (ra0, dec0) of a field — a driver-side
     * 2-double lookup (model-sized, the e05 idiom). */
   def phaseCentre(spark: SparkSession, ms: Ms, fieldId: Int = 0): (Double, Double) = {

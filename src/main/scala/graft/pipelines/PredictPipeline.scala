@@ -86,10 +86,20 @@ object PredictPipeline {
       else if (corrType.toSet.subsetOf(Set(9, 10, 11, 12))) "XX,XY,YX,YY"
       else throw new IllegalArgumentException(
         s"Cannot determine polarisation type from correlations $corrType")
-    // utime ranking — dimension-sized distinct epochs
-    val times = ms.main.select(col("TIME")).distinct()
-      .withColumn("time_index",
-        (row_number().over(Window.orderBy("TIME")) - 1).cast("long"))
+    // utime ranking — distributed (MsDataset.rankTimes; the windowed
+    // form funneled all epochs through one buffering task)
+    val times = MsDataset.rankTimes(ms.main)
+    // t44 class, scan-side (the p04 lesson): MAIN's integer columns
+    // compress to ~85 MB on disk for 10M rows, so the file scan
+    // coalesces to a handful of splits — and the fused-RIME source sum
+    // downstream holds a rows-unique (row_id, chan) hash map with EIGHT
+    // agg buffers per group, which at one-split width OOMed a 4 GB
+    // executor at the 100× replica. One explicit shuffle of the narrow
+    // geometry to a DATA-SCALED width (defaultParallelism alone still
+    // left 625k-row tasks whose partial maps + concurrent parquet
+    // writers overran the small heap) bounds every task's group count;
+    // fsum aggregation is order-free, values unchanged.
+    val width = graft.core.Env.scaledWidth(spark, ms.main.count(), 32768L)
     val rows = ms.main
       .join(broadcast(times), "TIME")
       .select(col("row_id"),
@@ -99,6 +109,7 @@ object PredictPipeline {
         col("time_index"),
         col("ANTENNA1").cast("long").as("ant1"),
         col("ANTENNA2").cast("long").as("ant2"))
+      .repartition(width, col("row_id"))
     // real parallactic angles from the MS geometry (predict.py:414)
     val ants = ms.antenna.select(
       col("antenna_id").cast("long").as("ant"),

@@ -78,24 +78,26 @@ object SelfCalPipeline {
   private[graft] def corruptedVis(spark: SparkSession, msDir: String,
                                   skyModelPath: String, solint: Int)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(solint > 0, s"solint must be positive, got $solint")
     val ms = MsDataset.read(spark, msDir)
     val (ra0, dec0) = MsDataset.phaseCentre(spark, ms)
 
-    // solution-interval index from the DISTINCT epochs (dimension-sized
-    // by definition; `div` keeps it a long)
-    val times = ms.main.select(col("TIME")).distinct()
-      .withColumn("ti",
-        (row_number().over(Window.orderBy("TIME")) - 1).cast("long"))
+    // solution-interval index from the DISTINCT epochs — distributed
+    // ranking (MsDataset.rankTimes), then `div` keeps it a long
+    val times = MsDataset.rankTimes(ms.main)
+      .withColumnRenamed("time_index", "ti")
       .select(col("TIME"), expr(s"ti div $solint").as("time_index"))
     // t44 class: MAIN's integer columns compress so hard that the scan
     // coalesces to a handful of splits (85 MB on disk for 10M rows at the
     // 100× replica ⇒ ~3 tasks), and EVERYTHING downstream — the fused
     // trig, the cached frame, all solver iterations, the sink — would
-    // inherit that width. One explicit shuffle of the narrow geometry
-    // buys full-width execution for the whole cycle (measured: the
-    // 4 GB-executor sink sort stops spilling, iterations parallelize).
+    // inherit that width. One explicit shuffle of the narrow geometry to
+    // a DATA-SCALED width (Env.scaledWidth — the p01 lesson: a fixed
+    // defaultParallelism still leaves task state growing with the
+    // replica) buys full-width execution for the whole cycle (measured:
+    // the 4 GB-executor sink sort stops spilling, iterations
+    // parallelize).
+    val width = graft.core.Env.scaledWidth(spark, ms.main.count(), 32768L)
     val rows = ms.main.join(broadcast(times), "TIME")
       .select(col("row_id"),
         element_at(col("UVW"), 1).as("u"),
@@ -104,7 +106,7 @@ object SelfCalPipeline {
         col("time_index"),
         col("ANTENNA1").cast("long").as("ant1"),
         col("ANTENNA2").cast("long").as("ant2"))
-      .repartition(spark.sparkContext.defaultParallelism, col("row_id"))
+      .repartition(width, col("row_id"))
 
     // fused predict (m) + corrupt: v = gp · m · gq* with the injected
     // screen (corrupt_vis.py:14-49 in DIAG_DIAG mode); dyadic weights
