@@ -537,15 +537,18 @@ object ScaleProbe {
   private def curationStages(spark: SparkSession, dir: String): Unit = {
     import graft.pipelines.CurationPipeline
     val spill = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null)
-            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-        }
-      })
+    // removed in the finally (ADVICE r12): in-session reuse must not
+    // accumulate listeners and double-count spill
+    val spillListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(spillListener)
+    try {
     val docs = graft.core.Tables.documents(spark, dir)
     val emb = graft.core.Tables.embeddings(spark, dir)
     val cfg = CurationPipeline.Config()
@@ -567,6 +570,7 @@ object ScaleProbe {
       // rows via a second cheap pass only for funnel context
       println(f"$name,$w%.2f,${spill.get() - sp0},${df.count()}")
     }
+    } finally spark.sparkContext.removeSparkListener(spillListener)
   }
 
   /** Per-stage wall attribution for the p04 self-cal cycle: MS ensure
@@ -578,15 +582,16 @@ object ScaleProbe {
   private def selfcalStages(spark: SparkSession, dir: String): Unit = {
     import graft.pipelines.SelfCalPipeline
     val spill = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null)
-            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-        }
-      })
+    val spillListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(spillListener)
+    try {
     def time[A](f: => A): (A, Double, Long) = {
       org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       val sp0 = spill.get()
@@ -597,13 +602,15 @@ object ScaleProbe {
     }
     val (msDir, tMs, spMs) = time(graft.queries.PipelineQ.ensureMs(spark, dir))
     val sky = graft.queries.PipelineQ.ensureSkyModel()
+    // count MAIN once, thread it through both probe calls (ADVICE r12)
+    val mainRows = Some(spark.read.parquet(s"$msDir/MAIN.parquet").count())
     val (_, tModel, spModel) = time {
       // the fused predict+corrupt projection alone (stages 1-3)
-      SelfCalPipeline.corruptedVis(spark, msDir, sky, 64)
+      SelfCalPipeline.corruptedVis(spark, msDir, sky, 64, mainRows)
         .write.mode("overwrite").format("noop").save()
     }
     val (r, tCycle, spCycle) = time(
-      SelfCalPipeline.cycle(spark, msDir, sky, 64, 100, 1e-4))
+      SelfCalPipeline.cycle(spark, msDir, sky, 64, 100, 1e-4, mainRows))
     val (_, tCorrect, spCorrect) = time(
       r.corrected.write.mode("overwrite").format("noop").save())
     val (_, tSink, spSink) = time {
@@ -617,6 +624,7 @@ object ScaleProbe {
     println(f"cycle_solve,$tCycle%.2f,$spCycle")
     println(f"correct_noop,$tCorrect%.2f,$spCorrect")
     println(f"sink_readback,$tSink%.2f,$spSink")
+    } finally spark.sparkContext.removeSparkListener(spillListener)
   }
 
   private def semdedupAb(spark: SparkSession): Unit = {

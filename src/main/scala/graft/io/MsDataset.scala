@@ -79,8 +79,14 @@ object MsDataset {
       .map { case (t, i) => org.apache.spark.sql.Row(t, i) }
       // pin (t11 idiom): the rank is used by several downstream joins
       // (geometry, PA grid) and the sortBy+zipWithIndex chain would
-      // otherwise re-run its sample/sort/count jobs per use
-      .localCheckpoint()
+      // otherwise re-run its sample/sort/count jobs per use. Persist, not
+      // localCheckpoint: persist keeps lineage, so a lost executor
+      // (preemption, OOM kill in the 4 GB gate) recomputes the blocks
+      // instead of failing every downstream job unrecoverably — this sits
+      // on the flagship p01/p04 path. The eager count materializes it
+      // once so later uses hit the cache.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("TIME", DoubleType, nullable = false),
       StructField("time_index", LongType, nullable = false))))
@@ -131,8 +137,18 @@ object MsDataset {
     * buffered each task's full row set and was the one spill left in the
     * p04 4 GB-executor gate (1.7 GB at the 100× replica); with ≤8 chans
     * per task the sort never happens, and wider SPWs gracefully sort
-    * only the overflow. Session-scoped and restored. */
-  def writeMember(df: DataFrame, msDir: String, name: String): Unit = {
+    * only the overflow.
+    *
+    * Concurrency: the writer-count override is a SESSION conf, visible to
+    * anything else running on the same SparkSession while the write is in
+    * flight. `writeLock` serializes concurrent writeMember calls in this
+    * JVM so a second writer can never capture the first one's temporary
+    * value as the conf to "restore"; unrelated concurrent queries that
+    * depend on the session default during a member write are out of
+    * contract (none of the registry faces do — the pipelines sink
+    * sequentially). */
+  private val writeLock = new Object
+  def writeMember(df: DataFrame, msDir: String, name: String): Unit = writeLock.synchronized {
     val spark = df.sparkSession
     val key = "spark.sql.maxConcurrentOutputFileWriters"
     val prev = spark.conf.getOption(key)

@@ -14,10 +14,13 @@ import graft.operators.SemDedup
   * including the partitioned parquet sink I/O the per-operator hash gates
   * deliberately exclude.
   *
-  * Every stage is the semantics of an oracle-gated registry face, so the
-  * composition needs no oracle of its own (the p01/p02 pattern — a
-  * rows-only registry check plus [[graft.CurationPipelineSpec]]'s
-  * stage-parity and independent-transcription proofs):
+  * Every stage is the semantics of an oracle-gated registry face, AND
+  * (round 13) the composition itself is hash-gated: the p03 registry row
+  * carries a DuckDB oracle that composes the six stage oracles as
+  * MATERIALIZED CTEs over the same tables (see
+  * [[graft.queries.PipelineQ]]), on top of
+  * [[graft.CurationPipelineSpec]]'s stage-parity and
+  * independent-transcription proofs:
   *
   *   1. language gate        — t03's n-gram vote (keep lang_pred == lang)
   *   2. Gopher quality rules — t32's five keep rules (Rae et al. 2021)

@@ -69,7 +69,8 @@ object PredictPipeline {
   def modelDataFullJones(spark: SparkSession, msDir: String,
                          skyModelPath: String, beamSchema: String,
                          lmZoom: Double = 2048.0,
-                         regenerateBeam: Boolean = false): DataFrame = {
+                         regenerateBeam: Boolean = false,
+                         mainRows: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.io.MsDataset
     import graft.functions.ParAngles
@@ -99,7 +100,10 @@ object PredictPipeline {
     // left 625k-row tasks whose partial maps + concurrent parquet
     // writers overran the small heap) bounds every task's group count;
     // fsum aggregation is order-free, values unchanged.
-    val width = graft.core.Env.scaledWidth(spark, ms.main.count(), 32768L)
+    // count threaded by callers that already know it (ADVICE r12: one
+    // count per invocation otherwise — metadata-cheap on parquet)
+    val width = graft.core.Env.scaledWidth(spark,
+      mainRows.getOrElse(ms.main.count()), 32768L)
     val rows = ms.main
       .join(broadcast(times), "TIME")
       .select(col("row_id"),

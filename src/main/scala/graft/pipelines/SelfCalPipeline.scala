@@ -76,7 +76,8 @@ object SelfCalPipeline {
     * in 4 GB executors — this shape cannot spill (nothing data-sized is
     * ever sorted or hashed). */
   private[graft] def corruptedVis(spark: SparkSession, msDir: String,
-                                  skyModelPath: String, solint: Int)
+                                  skyModelPath: String, solint: Int,
+                                  mainRows: Option[Long] = None)
       : DataFrame = {
     require(solint > 0, s"solint must be positive, got $solint")
     val ms = MsDataset.read(spark, msDir)
@@ -97,7 +98,11 @@ object SelfCalPipeline {
     // replica) buys full-width execution for the whole cycle (measured:
     // the 4 GB-executor sink sort stops spilling, iterations
     // parallelize).
-    val width = graft.core.Env.scaledWidth(spark, ms.main.count(), 32768L)
+    // MAIN's count is metadata-cheap on parquet but still a job — callers
+    // that already know it (ScaleProbe probes corruptedVis AND cycle in
+    // one session) thread it through instead of re-counting
+    val width = graft.core.Env.scaledWidth(spark,
+      mainRows.getOrElse(ms.main.count()), 32768L)
     val rows = ms.main.join(broadcast(times), "TIME")
       .select(col("row_id"),
         element_at(col("UVW"), 1).as("u"),
@@ -129,16 +134,27 @@ object SelfCalPipeline {
   /** The cycle without the sink, for specs that inspect the gains. */
   private[graft] def cycle(spark: SparkSession, msDir: String,
                            skyModelPath: String, solint: Int,
-                           maxIter: Int, tol: Double): Result = {
+                           maxIter: Int, tol: Double,
+                           mainRows: Option[Long] = None): Result = {
     // cached: the solve scans this once per iteration and the correct
     // stage reads it once more — without the cache the fused predict
     // and screen would re-execute per read (cheap but not free)
-    val in = corruptedVis(spark, msDir, skyModelPath, solint).cache()
+    val in = corruptedVis(spark, msDir, skyModelPath, solint, mainRows).cache()
 
     // 4. solve — the registered gauss_newton driver loop (grid keyed by
     //    (solution interval, antenna); chans fold into the same grid
     //    exactly as the reference's shared-gain n_chan axis does when
-    //    jones carries one gain per chunk)
+    //    jones carries one gain per chunk).
+    //    NON-DYADIC EXCEPTION to Calibrate's "registered inputs are
+    //    dyadic rationals" doc precondition: the fused m_re/m_im are
+    //    1e-6-ROUNDED rationals and the jhr/jhj sums run detSum=false,
+    //    so the solve's low bits are association-order-dependent run to
+    //    run. Accepted BY DESIGN here: p04's registry face is a
+    //    rows-only noOracle check and SelfCalPipelineSpec's gates are
+    //    tolerance-based (residual collapse, gauge-invariant screen
+    //    recovery). If any p04 output ever moves to a hashed surface,
+    //    pass detSum=true and dyadicize the model terms per the
+    //    CLAUDE.md categorical rule.
     val gains = Calibrate.gaussNewtonPhaseOnly(
       in.drop("row_id", "chan"), maxIter = maxIter, tol = tol)
 

@@ -163,16 +163,124 @@ object PipelineQ {
     },
 
     // -- the LLM-data curation funnel as one benched end-to-end row
-    //    (round 12): language gate → Gopher rules → exact dedup →
-    //    MinHash signature collapse → SemDeDup → sequence packing →
-    //    source-partitioned parquet sink → read-back. Every stage is the
-    //    semantics of an oracle-gated face (t03/t32/t01/t07/t29/t25), so
-    //    the row is a designed rows-only check like p01/p02;
-    //    CurationPipelineSpec carries the stage-parity proofs against
-    //    the registered faces plus an independent union-find/greedy
-    //    transcription of the two collapse stages. The sink is part of
-    //    the timed work (overwritten every run, p01's MODEL_DATA idiom).
-    Q.noOracle("p03_curation_pipeline") { (s, dir) =>
+    //    (round 12; round 13: HASH-GATED): language gate → Gopher rules →
+    //    exact dedup → MinHash signature collapse → SemDeDup → sequence
+    //    packing → source-partitioned parquet sink → read-back. The
+    //    oracle composes the six stage oracles (t03/t32/t01/t07/t29/t25)
+    //    as MATERIALIZED CTEs over the SAME documents/embeddings tables
+    //    the engine reads (the t51/t11 precedent): exact dedup is
+    //    algebraically subsumed by the full-signature collapse
+    //    (CurationPipelineSpec proves the survivor-set equality), the
+    //    SemDeDup prune rule is t29's non-iterative formulation (a doc is
+    //    pruned iff ANY lower surviving cluster-mate has cos >= tau —
+    //    including mates that are themselves pruned, the documented
+    //    chain contract — so no recursion defeats SQL), per-pair dots go
+    //    through `list_dot_product` (P rows, exact under the 2^53 bound
+    //    DeterminismSpec asserts), and every window/HUGEINT-derived
+    //    integer is CAST to BIGINT per the TYPE RULE. The sink + readback
+    //    stay inside the timed Spark body (p01's MODEL_DATA idiom); the
+    //    hashed surface is the read-back packed shard itself.
+    Q("p03_curation_pipeline",
+      """WITH l AS MATERIALIZED (
+        |  SELECT doc_id, source, lang, text FROM (
+        |    SELECT doc_id, source, lang, text,
+        |      (length(text) - length(replace(text, ' the ', ''))) / 5
+        |        + (length(text) - length(replace(text, ' and ', ''))) / 5 AS s_en,
+        |      (length(text) - length(replace(text, ' der ', ''))) / 5
+        |        + (length(text) - length(replace(text, ' und ', ''))) / 5 AS s_de,
+        |      (length(text) - length(replace(text, ' el ', ''))) / 4
+        |        + (length(text) - length(replace(text, ' los ', ''))) / 5 AS s_es,
+        |      (length(text) - length(replace(text, ' le ', ''))) / 4
+        |        + (length(text) - length(replace(text, ' et ', ''))) / 4 AS s_fr
+        |    FROM documents WHERE length(text) > 0)
+        |  WHERE lang = CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END),
+        |h AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM l)
+        |  GROUP BY doc_id, tok),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_typ,
+        |    CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |    CAST(SUM(CASE WHEN tok = 'a' OR tok = 'the' THEN c ELSE 0 END)
+        |      AS BIGINT) AS n_stop,
+        |    CAST(SUM(length(tok) * c) AS BIGINT) AS n_chars_ns
+        |  FROM h GROUP BY doc_id),
+        |g AS MATERIALIZED (
+        |  SELECT l.doc_id, l.source, l.lang, l.text, f.n_tok
+        |  FROM l JOIN f ON f.doc_id = l.doc_id
+        |  WHERE f.n_tok BETWEEN 20 AND 400
+        |    AND 3 * f.n_tok <= f.n_chars_ns AND f.n_chars_ns <= 10 * f.n_tok
+        |    AND f.n_stop >= 2
+        |    AND 5 * (f.n_tok - f.n_typ) <= 3 * f.n_tok
+        |    AND 5 * f.max_cnt <= f.n_tok),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('a' || tok)) AS h1, MIN(md5('b' || tok)) AS h2,
+        |    MIN(md5('c' || tok)) AS h3, MIN(md5('d' || tok)) AS h4
+        |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM g)
+        |  GROUP BY doc_id),
+        |keepers AS MATERIALIZED (
+        |  SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY h1, h2, h3, h4),
+        |surv AS MATERIALIZED (
+        |  SELECT g.* FROM g JOIN keepers ON keepers.doc_id = g.doc_id),
+        |kk AS (SELECT GREATEST(8, COUNT(*) // 512) AS k FROM embeddings),
+        |ce AS MATERIALIZED (
+        |  SELECT e.cid, e.pos, e.qv FROM (
+        |    SELECT vec_id AS cid,
+        |      unnest(generate_series(1, len(embedding))) AS pos,
+        |      CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        |    FROM embeddings) e
+        |  JOIN surv ON surv.doc_id = e.cid),
+        |n2t AS MATERIALIZED (SELECT cid, SUM(qv * qv) AS n2 FROM ce GROUP BY cid),
+        |scid AS MATERIALIZED (
+        |  SELECT cid FROM (
+        |    SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) AS rn FROM n2t)
+        |  WHERE rn <= (SELECT k FROM kk)),
+        |seed AS MATERIALIZED (
+        |  SELECT ce.cid AS k, ce.pos, ce.qv AS cq
+        |  FROM ce JOIN scid ON scid.cid = ce.cid),
+        |dk AS (
+        |  SELECT ce.cid, s.k, SUM((ce.qv - s.cq) * (ce.qv - s.cq)) AS d2
+        |  FROM ce JOIN seed s ON ce.pos = s.pos
+        |  GROUP BY ce.cid, s.k),
+        |asg AS MATERIALIZED (
+        |  SELECT cid, k FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, k) AS rk
+        |    FROM dk) WHERE rk = 1),
+        |cl AS MATERIALIZED (
+        |  SELECT cid, list(CAST(qv AS DOUBLE) ORDER BY pos) AS v
+        |  FROM ce GROUP BY cid),
+        |pruned AS MATERIALIZED (
+        |  SELECT DISTINCT y.cid AS doc_id
+        |  FROM asg x JOIN asg y ON x.k = y.k AND x.cid < y.cid
+        |  JOIN cl a ON a.cid = x.cid JOIN cl b ON b.cid = y.cid
+        |  JOIN n2t na ON na.cid = x.cid JOIN n2t nb ON nb.cid = y.cid
+        |  WHERE CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |    >= 45e-2),
+        |fin AS MATERIALIZED (
+        |  SELECT surv.* FROM surv
+        |  LEFT JOIN pruned ON pruned.doc_id = surv.doc_id
+        |  WHERE pruned.doc_id IS NULL),
+        |c AS (
+        |  SELECT doc_id, source, lang, text, n_tok,
+        |    doc_id // 8192 AS shard,
+        |    SUM(n_tok) OVER (PARTITION BY source, doc_id // 8192
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM fin)
+        |SELECT doc_id, source, lang, text, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(shard AS BIGINT) AS shard,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset,
+        |  CAST((cum - 1) // 2048 - (cum - n_tok) // 2048 + 1 AS BIGINT)
+        |    AS n_chunks
+        |FROM c""".stripMargin) { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.pipelines.CurationPipeline.run(s, dir, s"/tmp/graft_p03_out_$tag")
     },
