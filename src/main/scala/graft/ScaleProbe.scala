@@ -600,10 +600,12 @@ object ScaleProbe {
       org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       (a, w, spill.get() - sp0)
     }
-    val (msDir, tMs, spMs) = time(graft.queries.PipelineQ.ensureMs(spark, dir))
+    val ((msDir, nMain), tMs, spMs) =
+      time(graft.queries.PipelineQ.ensureMs(spark, dir))
     val sky = graft.queries.PipelineQ.ensureSkyModel()
-    // count MAIN once, thread it through both probe calls (ADVICE r12)
-    val mainRows = Some(spark.read.parquet(s"$msDir/MAIN.parquet").count())
+    // MAIN's count rides the ensureMs fingerprint (round 13) — thread it
+    // through both probe calls (ADVICE r12)
+    val mainRows = Some(nMain)
     val (_, tModel, spModel) = time {
       // the fused predict+corrupt projection alone (stages 1-3)
       SelfCalPipeline.corruptedVis(spark, msDir, sky, 64, mainRows)

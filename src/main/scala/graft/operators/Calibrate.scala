@@ -127,10 +127,17 @@ object Calibrate {
         struct(col("ant2").as("ant"), jhjTerm.as("jhj_c")))).as("c")): _*)
       .select((keyCols.map(col) :+ col("c.ant").as("ant")
         :+ col("c.jhj_c").as("jhj_c")): _*)
+    // the grid carries cos/sin of its own phase (gc, gs): trig of the
+    // NEW phase is computed once per GRID ENTRY as the checkpoint
+    // materializes, not once per visibility row per gather side — at
+    // 100 TB that moves ~4 libm calls/row/iteration onto a broadcast-
+    // class relation. Values are bit-identical: cos/sin of the very
+    // same double the phase column stores (round-13, guide §1.2 step 2).
     val grid0 = scatter0.groupBy(gridKeys.map(col): _*)
       .agg(sum(col("jhj_c")).as("jhj"))
       .withColumn("phase", lit(0.0))
-      .select((gridKeys.map(col) :+ col("phase") :+ col("jhj")): _*)
+      .select((gridKeys.map(col) :+ col("phase") :+ col("jhj")
+        :+ lit(1.0).as("gc") :+ lit(0.0).as("gs")): _*)
     var ckptRdd: RDD[Row] = grid0.rdd.localCheckpoint()
     val gridRows = ckptRdd.count() // eager + exact size for the join hint
     var prevRdd: RDD[Row] = null
@@ -140,15 +147,15 @@ object Calibrate {
     // BigInt stats arithmetic becomes the (exponential) bottleneck
     var phases: DataFrame = spark.createDataFrame(ckptRdd, grid0.schema)
 
-    val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 2)
-    val dIdx = gridKeys.size + 2      // field layout: keys..., phase, jhj, d
+    val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 4)
+    val dIdx = gridKeys.size + 4  // layout: keys..., phase, jhj, gc, gs, d
 
     var it = 0
     var maxDelta = Double.MaxValue
     while (it < maxIter && maxDelta > tol) {
       val withG = gatherJoin(in, phases, keyCols, bcastGrid)
-      val gp = CxCol(cos(col("gp.phase")), sin(col("gp.phase")))
-      val gq = CxCol(cos(col("gq.phase")), sin(col("gq.phase")))
+      val gp = CxCol(col("gp.gc"), col("gp.gs"))
+      val gq = CxCol(col("gq.gc"), col("gq.gs"))
       val m = CxCol(col("m_re"), col("m_im"))
       val v = CxCol(col("v_re"), col("v_im"))
       val vm = gp * m * gq.conj
@@ -165,9 +172,11 @@ object Calibrate {
         .groupBy(gridKeys.map(col): _*)
         .agg(jhrAgg(col("jhr_c")).as("jhr"))
       val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
+      val newPhase = col("phase") + d
       val updated = phases.join(step, gridKeys, "left")
-        .select((gridKeys.map(col) :+ (col("phase") + d).as("phase")
-          :+ col("jhj") :+ d.as("d")): _*)
+        .select((gridKeys.map(col) :+ newPhase.as("phase")
+          :+ col("jhj") :+ cos(newPhase).as("gc") :+ sin(newPhase).as("gs")
+          :+ d.as("d")): _*)
       it += 1
       if (it % checkEvery == 0 || it >= maxIter) {
         // materialize the grid AND compute the convergence scalar in one
@@ -239,17 +248,19 @@ object Calibrate {
         struct(col("ant2").as("ant"), jhjTerm.as("jhj_c")))).as("c")): _*)
       .select((keyCols.map(col) :+ col("c.ant").as("ant")
         :+ col("c.jhj_c").as("jhj_c")): _*)
+    // grid-level cos/sin (gc, gs) — same hoist as the DIE solver above
     val grid0 = scatter0.groupBy(gridKeys.map(col): _*)
       .agg(sum(col("jhj_c")).as("jhj"))
       .withColumn("phase", lit(0.0))
-      .select((gridKeys.map(col) :+ col("phase") :+ col("jhj")): _*)
+      .select((gridKeys.map(col) :+ col("phase") :+ col("jhj")
+        :+ lit(1.0).as("gc") :+ lit(0.0).as("gs")): _*)
     var ckptRdd: RDD[Row] = grid0.rdd.localCheckpoint()
     val gridRows = ckptRdd.count()
     var prevRdd: RDD[Row] = null
     var phases: DataFrame = spark.createDataFrame(ckptRdd, grid0.schema)
 
-    val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 2)
-    val dIdx = gridKeys.size + 2
+    val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 4)
+    val dIdx = gridKeys.size + 4
 
     // the residual is shared across directions: window over the
     // per-(row, chan) group (row_id makes it unique; extraKeys for clarity)
@@ -260,8 +271,8 @@ object Calibrate {
     var maxDelta = Double.MaxValue
     while (it < maxIter && maxDelta > tol) {
       val withG = gatherJoin(in, phases, keyCols, bcastGrid)
-      val gp = CxCol(cos(col("gp.phase")), sin(col("gp.phase")))
-      val gq = CxCol(cos(col("gq.phase")), sin(col("gq.phase")))
+      val gp = CxCol(col("gp.gc"), col("gp.gs"))
+      val gq = CxCol(col("gq.gc"), col("gq.gs"))
       val m = CxCol(col("m_re"), col("m_im"))
       val vm = gp * m * gq.conj
       val perDir = withG.select((Seq(col("x.row_id").as("row_id")) ++
@@ -284,9 +295,11 @@ object Calibrate {
         .groupBy(gridKeys.map(col): _*)
         .agg(jhrAgg(col("jhr_c")).as("jhr"))
       val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
+      val newPhase = col("phase") + d
       val updated = phases.join(step, gridKeys, "left")
-        .select((gridKeys.map(col) :+ (col("phase") + d).as("phase")
-          :+ col("jhj") :+ d.as("d")): _*)
+        .select((gridKeys.map(col) :+ newPhase.as("phase")
+          :+ col("jhj") :+ cos(newPhase).as("gc") :+ sin(newPhase).as("gs")
+          :+ d.as("d")): _*)
       it += 1
       val rdd = updated.rdd.localCheckpoint()
       maxDelta = rdd

@@ -56,40 +56,8 @@ object TextCombiner {
       .groupBy("code").agg(sum(col("cnt")).as("cnt"))
   }
 
-  /** 256-wide variant for the BPE trainer's merged-symbol space (t52):
-    * corpus text stays ASCII (< 128) and merged symbols occupy
-    * chr(128..255) — single UTF-16 units on the JVM and single CODEPOINTS
-    * in DuckDB (length/substr/ascii/binary order all agree at the
-    * codepoint level for U+0080..U+00FF, probed before this was built) —
-    * so a 64-128-merge vocabulary trains without breaking the "every
-    * char = one symbol" pair scan. Codes are cp(i)·256 + cp(i+1); the
-    * per-partition LUT is one long[65536] (512 KB) — still
-    * alphabet²-bounded at ANY corpus size. */
-  def pairCodeCounts256(docs: DataFrame, textCol: String): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    docs.select(col(textCol)).as[String].mapPartitions { it =>
-      val c = new Array[Long](65536)
-      it.foreach { t =>
-        if (t != null) {
-          var i = 0
-          val n = t.length
-          while (i + 1 < n) {
-            val a = t.charAt(i).toInt
-            val b = t.charAt(i + 1).toInt
-            if (a >= 256 || b >= 256)
-              throw new IllegalArgumentException(
-                s"pairCodeCounts256: code point past the 256-symbol space")
-            c(a * 256 + b) += 1L
-            i += 1
-          }
-        }
-      }
-      Iterator.range(0, 65536).filter(c(_) != 0L)
-        .map(i => (i.toLong, c(i)))
-    }.toDF("code", "cnt")
-      .groupBy("code").agg(sum(col("cnt")).as("cnt"))
-  }
+  // (the 256-wide BPE variant moved into graft.operators.Bpe's round
+  // loop in round 13 — the trainer no longer round-trips through SQL)
 
   /** Keyed variant: adjacent-pair counts PER GROUP —
     * (key: string, code: long, cnt: long). The per-partition state is

@@ -59,9 +59,10 @@ object SelfCalPipeline {
     * (phase_only.py:253-254 — tol=1e-4, maxiter=100; on noiseless data
     * the 0.5-step iteration converges at ~13 rounds). */
   def run(spark: SparkSession, msDir: String, skyModelPath: String,
-          solint: Int = 64, maxIter: Int = 100, tol: Double = 1e-4)
+          solint: Int = 64, maxIter: Int = 100, tol: Double = 1e-4,
+          mainRows: Option[Long] = None)
       : DataFrame = {
-    val r = cycle(spark, msDir, skyModelPath, solint, maxIter, tol)
+    val r = cycle(spark, msDir, skyModelPath, solint, maxIter, tol, mainRows)
     MsDataset.writeMember(r.corrected, msDir, OutTable)
     r.vis.unpersist(blocking = false)
     MsDataset.readMember(spark, msDir, OutTable)

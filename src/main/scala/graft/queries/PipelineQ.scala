@@ -42,8 +42,11 @@ object PipelineQ {
     * 50x replica dir) AND a same-cardinality regeneration with different
     * ids rebuild instead of silently reusing a stale MS (round-12 ADVICE:
     * count alone missed the second case). One aggregate job, read with
-    * Files.readString (no leaked handle). */
-  private[graft] def ensureMs(spark: SparkSession, dir: String): String = {
+    * Files.readString (no leaked handle). Returns (msDir, MAIN row count)
+    * — the count is already in the fingerprint, so callers thread it into
+    * the pipelines instead of re-counting MAIN (round-13: one scan job
+    * saved per pipeline invocation). */
+  private[graft] def ensureMs(spark: SparkSession, dir: String): (String, Long) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val msDir = s"/tmp/graft_p01_ms_$tag"
     val marker = java.nio.file.Paths.get(s"$msDir/_GRAFT_MS_ROWS")
@@ -61,7 +64,7 @@ object PipelineQ {
         spark, msDir, ids, NChan, NAnt, Ra0, Dec0)
       java.nio.file.Files.writeString(marker, fingerprint)
     }
-    msDir
+    (msDir, f.getLong(0))
   }
 
   /** Fixed broadcast-sized sky model: three WSClean point components
@@ -133,9 +136,9 @@ object PipelineQ {
 
   val qs: Seq[Q] = Seq(
     Q.noOracle("p01_predict_pipeline") { (s, dir) =>
-      val msDir = ensureMs(s, dir)
+      val (msDir, nMain) = ensureMs(s, dir)
       val md = graft.pipelines.PredictPipeline.modelDataFullJones(
-        s, msDir, ensureSkyModel(), ensureBeam())
+        s, msDir, ensureSkyModel(), ensureBeam(), mainRows = Some(nMain))
       graft.io.MsDataset.writeModelData(md, msDir)
       graft.io.MsDataset.readModelData(s, msDir)
     },
@@ -297,7 +300,8 @@ object PipelineQ {
     //    is invisible to DuckDB. The timed work includes the sink, the
     //    solver's driver loop, and the read-back.
     Q.noOracle("p04_selfcal_pipeline") { (s, dir) =>
-      val msDir = ensureMs(s, dir)
-      graft.pipelines.SelfCalPipeline.run(s, msDir, ensureSkyModel())
+      val (msDir, nMain) = ensureMs(s, dir)
+      graft.pipelines.SelfCalPipeline.run(s, msDir, ensureSkyModel(),
+        mainRows = Some(nMain))
     })
 }

@@ -4140,13 +4140,12 @@ object TrainingData {
     //    (count adjacent pairs → take the global argmax → rewrite the
     //    corpus with the merged symbol chr(round)), then encode the
     //    corpus with the learned table — the final rewritten text IS the
-    //    encoding (every char = one token). The G6 iterative idiom: a
-    //    driver loop over persisted DataFrames, where the ONLY thing
-    //    that ever reaches the driver is the 1-row argmax per round
-    //    (model-sized by definition); each round is one alphabet²-bounded
-    //    LUT-combiner rollup (TextCombiner — the shuffle carries ≤16 384
-    //    codes per partition at ANY corpus size) plus a zero-shuffle
-    //    corpus-linear rewrite projection. chr(1..16) stay inside the
+    //    encoding (every char = one token). The G6 iterative idiom as an
+    //    RDD driver loop (graft.operators.Bpe, round 13): per round ONE
+    //    treeAggregate merges alphabet²-bounded LUT partials (≤16 384
+    //    codes per partition at ANY corpus size) and the argmax is a
+    //    driver array scan; the rewrite is a corpus-linear mapValues with
+    //    the lineage cut by localCheckpoint. chr(1..16) stay inside the
     //    ASCII/128 contract, so merged symbols participate in later
     //    rounds exactly like base chars (real BPE over a 128-symbol
     //    alphabet). Tie-break: (count DESC, pair ASC) — pair-string
@@ -4184,59 +4183,25 @@ object TrainingData {
          |  md5(e) AS s
          |FROM m16""".stripMargin
     }) { (s, dir) =>
-      import graft.operators.TextCombiner
-      val nMerges = 16
-      var cur = Tables.documents(s, dir)
-        .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), col("text").as("e"))
-        .persist()
-      // ONE job per round: the argmax rollup itself materializes the
-      // lazily-persisted frame, so no separate count() job is needed —
-      // the PREVIOUS frame stays cached until its successor is
-      // materialized (≤2 cached copies, same bound as before; the
-      // round-10 job-count halving, measured on t52's 64 rounds)
-      var prev: org.apache.spark.sql.DataFrame = null
-      val merges = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
-      for (r <- 1 to nMerges) {
-        // the round's whole model update: ONE bounded rollup, ONE row out
-        val code = TextCombiner.pairCodeCounts(cur, "e")
-          .orderBy(col("cnt").desc, col("code")).limit(1)
-          .head.getLong(0)
-        if (prev != null) prev.unpersist()
-        merges += ((-r.toLong, code))
-        val pair = s"${(code / 128).toChar.toString}${(code % 128).toChar.toString}"
-        prev = cur
-        cur = cur.select(col("doc_id"),
-          org.apache.spark.sql.functions
-            .replace(col("e"), lit(pair), lit(r.toChar.toString)).as("e"))
-          .persist()
-      }
-      // the loop leaves the LAST predecessor pinned (it is normally
-      // unpersisted at the top of the NEXT round, which never comes):
-      // materialize the final frame (one extra job) so the predecessor
-      // is safe to release — without it a corpus-sized copy stays in
-      // executor storage for the rest of the session
-      cur.count()
-      if (prev != null) prev.unpersist()
-      import s.implicits._
-      val mtab = merges.toSeq.toDF("id", "val")
-        .select(col("id"), col("val"), lit("").as("s"))
-      mtab.unionByName(cur.select(col("doc_id").as("id"),
-        length(col("e")).cast("long").as("val"), md5(col("e")).as("s")))
+      // round-13: the RDD round loop (graft.operators.Bpe) — constant
+      // lineage depth (localCheckpoint per round) and no per-round
+      // Catalyst/codegen; same merges, same encoded corpus (BpeSpec)
+      graft.operators.Bpe.train(Tables.documents(s, dir), "text", "doc_id",
+        nMerges = 16, alphabet = 128, firstSym = 1)
     },
 
     // -- BPE trainer at a REAL vocabulary size (round-10, the r9 ask):
     //    64 merge rounds, with merged symbols at chr(128..191) — past the
     //    128-ASCII contract, so the pair scan runs over the 256-symbol
-    //    space (TextCombiner.pairCodeCounts256, LUT long[65536] — still
-    //    alphabet²-bounded at any corpus size). The cross-engine footing
+    //    space (LUT long[65536] — still alphabet²-bounded at any corpus
+    //    size). The cross-engine footing
     //    was probed, not assumed: for U+0080..U+00FF both engines agree
     //    at the CODEPOINT level on length/substr/ascii/replace, binary
     //    string order equals codepoint order (so the (count DESC, pair
     //    ASC) tie-break equals pair-code order), and md5 hashes the same
-    //    UTF-8 bytes. Loop shape unchanged from t51: per round ONE
-    //    bounded rollup, ONE 1-row argmax to the driver, one zero-shuffle
-    //    rewrite, lineage cut by persist/unpersist. Oracle: 64 rounds
+    //    UTF-8 bytes. Loop shape unchanged from t51 (graft.operators.Bpe):
+    //    per round ONE bounded LUT treeAggregate, a driver argmax, one
+    //    corpus-linear rewrite, lineage cut per round. Oracle: 64 rounds
     //    unrolled as MATERIALIZED CTEs (the t51 anti-inlining
     //    discipline).
     Q("t52_bpe_vocab64", {
@@ -4267,38 +4232,10 @@ object TrainingData {
          |  md5(e) AS s
          |FROM m$nM""".stripMargin
     }) { (s, dir) =>
-      import graft.operators.TextCombiner
-      val nMerges = 64
-      var cur = Tables.documents(s, dir)
-        .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), col("text").as("e"))
-        .persist()
-      // ONE job per round (the t51 loop shape): the rollup materializes
-      // the lazily-persisted frame; predecessor unpersisted after
-      var prev: org.apache.spark.sql.DataFrame = null
-      val merges = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
-      for (r <- 1 to nMerges) {
-        val code = TextCombiner.pairCodeCounts256(cur, "e")
-          .orderBy(col("cnt").desc, col("code")).limit(1)
-          .head.getLong(0)
-        if (prev != null) prev.unpersist()
-        merges += ((-r.toLong, code))
-        val pair = s"${(code / 256).toChar.toString}${(code % 256).toChar.toString}"
-        prev = cur
-        cur = cur.select(col("doc_id"),
-          org.apache.spark.sql.functions
-            .replace(col("e"), lit(pair), lit((127 + r).toChar.toString)).as("e"))
-          .persist()
-      }
-      // same post-loop release as t51: one extra job materializes the
-      // final frame, then the last predecessor is unpersisted
-      cur.count()
-      if (prev != null) prev.unpersist()
-      import s.implicits._
-      val mtab = merges.toSeq.toDF("id", "val")
-        .select(col("id"), col("val"), lit("").as("s"))
-      mtab.unionByName(cur.select(col("doc_id").as("id"),
-        length(col("e")).cast("long").as("val"), md5(col("e")).as("s")))
+      // round-13: the RDD round loop (graft.operators.Bpe; see t51) over
+      // the 256-symbol space — merged symbols at chr(128..191)
+      graft.operators.Bpe.train(Tables.documents(s, dir), "text", "doc_id",
+        nMerges = 64, alphabet = 256, firstSym = 128)
     })
 
   /** `split(text, " ")` — named so the t50 body reads next to its oracle
