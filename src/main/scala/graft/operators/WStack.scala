@@ -20,6 +20,16 @@ import graft.core.{Cx, CxCol}
   */
 object WStack {
 
+  /** Row_id-hash repartition at the session's shuffle width (AQE
+    * coalesces it by size) — the degrid gathers' width guard (see
+    * planeDegrid). This is the same N-row exchange the final agg used to
+    * pay, moved BEFORE the stencil explode; locally it stops the
+    * broadcast gather from inheriting a 1-2-split compressed-scan width.
+    * (Not `pts.rdd.getNumPartitions`: under AQE that materializes the
+    * child's query stages eagerly — measured 1.6× on the whole family.) */
+  private def widened(pts: DataFrame): DataFrame =
+    pts.repartition(col("row_id"))
+
   /** Plane assignment: index p ∈ [0, nPlanes) of the nearest plane on the
     * uniform grid [-wMax, wMax]; returns (plane, wPlane, dw). */
   def planeCols(w: Column, nPlanes: Int, wMax: Double): (Column, Column, Column) = {
@@ -229,7 +239,14 @@ object WStack {
     val tj = broadcast(offs.toDF("oj"))
     val wt = esWeight(col("oi") - col("fru"), w, beta) *
       esWeight(col("oj") - col("frv"), w, beta)
-    val gathered = pts.withColumn("wplane", p).withColumn("dw", dw)
+    // one explicit N-row exchange BEFORE the stencil explode (t44 class:
+    // without it the broadcast gather below runs at the scan's width —
+    // 1-2 splits for the compressed uvw columns — on one core). Hash
+    // partitioning by row_id also pre-satisfies the (row_id, dw) groupBy
+    // distribution, so the agg needs NO second exchange: net plan change
+    // vs the old sort-merge gather is "N×stencil² exchange + two sorts +
+    // N-row agg exchange" → "one N-row exchange".
+    val gathered = widened(pts).withColumn("wplane", p).withColumn("dw", dw)
       .withColumn("pu", round(col("cu")).cast("long"))
       .withColumn("pv", round(col("cv")).cast("long"))
       .withColumn("fru", col("cu") - col("pu"))
@@ -237,7 +254,17 @@ object WStack {
       .crossJoin(ti).crossJoin(tj)
       .withColumn("gu", col("pu") + col("oi"))
       .withColumn("gv", col("pv") + col("oj"))
-      .join(grids, Seq("wplane", "gu", "gv"))
+      // grid side BROADCAST (round 13, guide §3.1): the grid is bounded
+      // by occupied cells × planes ≤ image size — the same per-node bound
+      // the plane-parallel FFT (Fft.planeImages) and gridDense already
+      // assume — while the left side is the 49×-exploded DATA-sized
+      // stream; the planner's stats put it through a sort-merge join,
+      // shuffling AND sorting rows × stencil² by (wplane, gu, gv). With
+      // the broadcast the stencil terms of each row stay in its scan
+      // partition and the (row_id, dw) partial agg collapses them 49→1
+      // map-side. fsum terms are 1e-6-rounded longs — order-free, so the
+      // join-order change cannot move a bit.
+      .join(broadcast(grids), Seq("wplane", "gu", "gv"))
       .groupBy("row_id", "dw")
       .agg(fsum(col("g_re") * wt).as("s_re"),
         fsum(col("g_im") * wt).as("s_im"))
@@ -261,11 +288,13 @@ object WStack {
     val t = taps.toDF("off", "tap")
     val ti = broadcast(t.select(col("off").as("oi"), col("tap").as("wi")))
     val tj = broadcast(t.select(col("off").as("oj"), col("tap").as("wj")))
-    val gathered = pts.withColumn("wplane", p).withColumn("dw", dw)
+    val gathered = widened(pts).withColumn("wplane", p).withColumn("dw", dw)
       .crossJoin(ti).crossJoin(tj)
       .withColumn("gu", col("pu") + col("oi"))
       .withColumn("gv", col("pv") + col("oj"))
-      .join(grids, Seq("wplane", "gu", "gv"))
+      // broadcast gather (see planeDegridFrac): image-bounded grid vs
+      // 25×-exploded data-sized stream; fsum keeps every bit in place
+      .join(broadcast(grids), Seq("wplane", "gu", "gv"))
       .groupBy("row_id", "dw")
       .agg(fsum(col("g_re") * col("wi") * col("wj")).as("s_re"),
         fsum(col("g_im") * col("wi") * col("wj")).as("s_im"))
