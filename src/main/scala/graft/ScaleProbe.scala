@@ -28,6 +28,9 @@ object ScaleProbe {
     if (args.headOption.contains("selfcal")) {
       selfcalStages(spark, args(1)); return
     }
+    if (args.headOption.contains("predict")) {
+      predictStages(spark, args(1)); return
+    }
     val sf = "/root/testdata/sf0.1"
     val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "l_quantity")
@@ -571,6 +574,48 @@ object ScaleProbe {
       println(f"$name,$w%.2f,${spill.get() - sp0},${df.count()}")
     }
     } finally spark.sparkContext.removeSparkListener(spillListener)
+  }
+
+  /** Per-stage wall attribution for the p01 predict pipeline (round 13):
+    * MS ensure, dataset open + rankTimes, the RimeCompiler plan BUILD
+    * (driver-side — FITS read, beam staging, analysis of the fused
+    * full-Jones expressions), first execution (noop), the MODEL_DATA
+    * member write, and the read-back — run TWICE so the second pass
+    * shows the warm (bench-comparable) split. */
+  private def predictStages(spark: SparkSession, dir: String): Unit = {
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((msDir, nMain), tMs) =
+      time(graft.queries.PipelineQ.ensureMs(spark, dir))
+    val sky = graft.queries.PipelineQ.ensureSkyModel()
+    val beam = graft.queries.PipelineQ.ensureBeam()
+    println("pass,stage,wall_s")
+    for (pass <- 1 to 2) {
+      val rPlan = time(
+        graft.pipelines.PredictPipeline.modelDataFullJones(
+          spark, msDir, sky, beam, mainRows = Some(nMain)))
+      val md = rPlan._1
+      val rNoop = time(md.write.mode("overwrite").format("noop").save())
+      val rWrite = time(graft.io.MsDataset.writeModelData(md, msDir))
+      val rRead = time(
+        graft.io.MsDataset.readModelData(spark, msDir)
+          .write.mode("overwrite").format("noop").save())
+      if (pass == 1) println(f"1,ensure_ms,$tMs%.2f")
+      println(f"$pass,plan_build,${rPlan._2}%.2f")
+      println(f"$pass,first_noop,${rNoop._2}%.2f")
+      println(f"$pass,member_write,${rWrite._2}%.2f")
+      println(f"$pass,readback_noop,${rRead._2}%.2f")
+      // catalyst phase attribution for the final DF's own QueryExecution
+      md.queryExecution.tracker.phases.foreach { case (ph, s) =>
+        println(f"$pass,catalyst_$ph,${(s.endTimeMs - s.startTimeMs) / 1e3}%.2f")
+      }
+      md.queryExecution.tracker.topRulesByTime(8).foreach { case (r, s) =>
+        println(f"$pass,rule_${r.split('.').last},${s.totalTimeNs / 1e9}%.3f," +
+          s"${s.numInvocations}")
+      }
+    }
   }
 
   /** Per-stage wall attribution for the p04 self-cal cycle: MS ensure

@@ -84,7 +84,7 @@ object PipelineQ {
     f.getAbsolutePath
   }
 
-  private[queries] def ensureBeam(): String = {
+  private[graft] def ensureBeam(): String = {
     new java.io.File("/tmp/graft_p01_beam").mkdirs()
     val schema = "/tmp/graft_p01_beam/beam_$(corr)_$(reim).fits"
     graft.io.BeamFixture.ensureQuad(schema)

@@ -335,11 +335,24 @@ object RimeCompiler {
     def st(n: String): Column =
       if (spec.stokes.contains(n)) src(n.toLowerCase) else lit(0.0)
 
-    // X3 transform: the K sampler needs (l, m) + uvw + freq
-    val k: CxCol =
-      if (spec.hasTerm('K'))
-        Phase.phaseDelay(src("l"), src("m"),
+    // X3 transform: the K sampler needs (l, m) + uvw + freq.
+    // The trig subtree is PRE-PROJECTED as two columns on the expanded
+    // frame (round 13): inlined, it recurs in every corr sampler and
+    // again through each 2×2 sandwich product — the analyzed tree grew
+    // to hundreds of KB and ONE analysis (dominated by the untracked
+    // checkAnalysis walk) cost seconds per plan build at any data size.
+    // As a projected column the agg references a leaf attribute; the
+    // phase doubles are computed by the identical expression over the
+    // identical inputs, so every hashed surface is bit-for-bit unchanged
+    // (x01-x17 strict-gated).
+    val kCols: Option[(Column, Column)] =
+      if (spec.hasTerm('K')) {
+        val kc = Phase.phaseDelay(src("l"), src("m"),
           rows("u"), rows("v"), rows("w"), chans("freq"))
+        Some((kc.re, kc.im))
+      } else None
+    val k: CxCol =
+      if (spec.hasTerm('K')) CxCol(col("rime_k_re"), col("rime_k_im"))
       else Cx.one
 
     // per-corr fused sampler (brightness × phase) in the inferred feed
@@ -366,9 +379,15 @@ object RimeCompiler {
       else rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
     val groupCols = if (grouped) Seq("field_id", "ddid") else Seq.empty
     // stage the DDE terms' broadcast joins / derived columns (term
-    // protocol setup) before the source sum
-    val expanded = (spec.leftDde.map((_, "p")) ++ spec.rightDde.map((_, "q")))
-      .foldLeft(expanded0) { case (df, (c, side)) => terms(c).stage(df, side) }
+    // protocol setup) before the source sum; then the K phase columns
+    val expandedStaged =
+      (spec.leftDde.map((_, "p")) ++ spec.rightDde.map((_, "q")))
+        .foldLeft(expanded0) { case (df, (c, side)) => terms(c).stage(df, side) }
+    val expanded = kCols match {
+      case Some((kre, kim)) => expandedStaged
+        .withColumn("rime_k_re", kre).withColumn("rime_k_im", kim)
+      case None => expandedStaged
+    }
     val hasDde = spec.leftDde.nonEmpty || spec.rightDde.nonEmpty
     val needsAnts = spec.hasTerm('G') || spec.hasTerm('L') || hasDde
     val gKeys = groupCols ++
