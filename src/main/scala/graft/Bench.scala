@@ -74,7 +74,19 @@ object Bench {
       // Over 160+ queries × 2 runs that accumulated state taxes later
       // queries; forcing a GC every 16 queries keeps the JVM at
       // steady-state so timings measure the QUERY, not the backlog.
-      if (i % 16 == 15) { spark.catalog.clearCache(); System.gc() }
+      if (i % 16 == 15) {
+        spark.catalog.clearCache()
+        // clearCache only drops SQL-cached DataFrames; RAW persisted RDDs
+        // (rankTimes' epoch rank, the BPE corpus, solver/beam-staging
+        // localCheckpoints, pcaIterates' moment matrix) accumulate across
+        // 223 queries × 2 runs and tax late queries with block-manager
+        // and GC backlog (round 13: p01 measured 15.8 s late in the full
+        // sweep vs ~6 s solo, same binary). Queries are self-contained,
+        // so between queries every leftover RDD is garbage — sweep them.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
       // drain the async listener bus on BOTH sides of the timed runs so
       // spill/peak attribution is per-query exact (task-end events from
       // query i must not land after once() returns and be charged to

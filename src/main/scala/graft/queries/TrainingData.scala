@@ -137,17 +137,19 @@ object TrainingData {
       a2.join(broadcast(v), "j")
         .groupBy("i").agg(Det.fsum(col("a2") * col("vv")).as("w"))
     // any dyadic non-degenerate start vector works (normalization is by
-    // max-abs each iteration), so the 1/8 literal is dim-independent
+    // max-abs each iteration), so the 1/8 literal is dim-independent.
+    // The max-abs normalizer is ONE scalar of a d-row frame — round 13
+    // collects it to the driver (the e05 model-sized idiom) instead of
+    // crossJoin(broadcast(1-row agg)): same double, same division, two
+    // broadcast-build jobs and two joins less per consumer plan.
     val v0 = s.range(1, d + 1L)
       .select(col("id").as("j"), lit(125e-3).as("vv"))
     val w1 = matvec(v0)
-    val m1 = w1.agg(max(abs(col("w"))).as("m"))
-    val v1 = w1.crossJoin(broadcast(m1))
-      .select(col("i").as("j"), Det.r6(col("w") / col("m")).as("vv"))
+    val m1 = w1.agg(max(abs(col("w"))).as("m")).head().getDouble(0)
+    val v1 = w1.select(col("i").as("j"), Det.r6(col("w") / lit(m1)).as("vv"))
     val w2 = matvec(v1)
-    val m2 = w2.agg(max(abs(col("w"))).as("m"))
-    val v2 = w2.crossJoin(broadcast(m2))
-      .select(col("i"), Det.r6(col("w") / col("m")).as("v2"))
+    val m2 = w2.agg(max(abs(col("w"))).as("m")).head().getDouble(0)
+    val v2 = w2.select(col("i"), Det.r6(col("w") / lit(m2)).as("v2"))
     (v1, v2)
   }
 
