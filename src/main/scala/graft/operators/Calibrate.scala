@@ -150,10 +150,9 @@ object Calibrate {
     val bcastGrid = gridBroadcastable(spark, gridRows, gridKeys.size + 4)
     val dIdx = gridKeys.size + 4  // layout: keys..., phase, jhj, gc, gs, d
 
-    var it = 0
-    var maxDelta = Double.MaxValue
-    while (it < maxIter && maxDelta > tol) {
-      val withG = gatherJoin(in, phases, keyCols, bcastGrid)
+    // one iteration's update plan over whatever grid frame is current
+    def stepPlan(phasesDf: DataFrame): DataFrame = {
+      val withG = gatherJoin(in, phasesDf, keyCols, bcastGrid)
       val gp = CxCol(col("gp.gc"), col("gp.gs"))
       val gq = CxCol(col("gq.gc"), col("gq.gs"))
       val m = CxCol(col("m_re"), col("m_im"))
@@ -173,10 +172,44 @@ object Calibrate {
         .agg(jhrAgg(col("jhr_c")).as("jhr"))
       val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
       val newPhase = col("phase") + d
-      val updated = phases.join(step, gridKeys, "left")
+      phasesDf.join(step, gridKeys, "left")
         .select((gridKeys.map(col) :+ newPhase.as("phase")
           :+ col("jhj") :+ cos(newPhase).as("gc") :+ sin(newPhase).as("gs")
           :+ d.as("d")): _*)
+    }
+
+    var it = 0
+    var maxDelta = Double.MaxValue
+    if (bcastGrid) {
+      // DRIVER-RESIDENT grid loop (round 13): gridBroadcastable already
+      // certifies the grid is collect-safe — so instead of re-reading a
+      // checkpointed RDD through a broadcast-build JOB each iteration,
+      // hold the rows on the driver and hand each iteration a
+      // LocalRelation (its broadcast builds on the driver thread, no
+      // job) whose collect IS the convergence check: per-iteration jobs
+      // drop 2 → 1 and the checkpoint/unpersist machinery disappears.
+      // Same gather plan, same aggregation, same doubles — the grid just
+      // lives one hop closer. Grids past the threshold keep the
+      // distributed checkpoint loop below.
+      var localRows: Array[Row] = ckptRdd.collect()
+      ckptRdd.unpersist(blocking = false)
+      val schema = grid0.schema
+      while (it < maxIter && maxDelta > tol) {
+        val phasesL = spark.createDataFrame(
+          java.util.Arrays.asList(localRows: _*), schema)
+        val withD = stepPlan(phasesL).collect()
+        maxDelta = 0.0
+        localRows = withD.map { row =>
+          val d = math.abs(row.getDouble(dIdx))
+          if (d > maxDelta) maxDelta = d
+          Row.fromSeq(row.toSeq.dropRight(1))
+        }
+        it += 1
+      }
+      phases = spark.createDataFrame(
+        java.util.Arrays.asList(localRows: _*), schema)
+    } else while (it < maxIter && maxDelta > tol) {
+      val updated = stepPlan(phases)
       it += 1
       if (it % checkEvery == 0 || it >= maxIter) {
         // materialize the grid AND compute the convergence scalar in one
@@ -267,10 +300,8 @@ object Calibrate {
     val rowWin = Window.partitionBy(
       (Seq("row_id") ++ extraKeys).map(col): _*)
 
-    var it = 0
-    var maxDelta = Double.MaxValue
-    while (it < maxIter && maxDelta > tol) {
-      val withG = gatherJoin(in, phases, keyCols, bcastGrid)
+    def stepPlan(phasesDf: DataFrame): DataFrame = {
+      val withG = gatherJoin(in, phasesDf, keyCols, bcastGrid)
       val gp = CxCol(col("gp.gc"), col("gp.gs"))
       val gq = CxCol(col("gq.gc"), col("gq.gs"))
       val m = CxCol(col("m_re"), col("m_im"))
@@ -296,10 +327,37 @@ object Calibrate {
         .agg(jhrAgg(col("jhr_c")).as("jhr"))
       val d = coalesce(lit(0.5) * col("jhr") / col("jhj"), lit(0.0))
       val newPhase = col("phase") + d
-      val updated = phases.join(step, gridKeys, "left")
+      phasesDf.join(step, gridKeys, "left")
         .select((gridKeys.map(col) :+ newPhase.as("phase")
           :+ col("jhj") :+ cos(newPhase).as("gc") :+ sin(newPhase).as("gs")
           :+ d.as("d")): _*)
+    }
+
+    var it = 0
+    var maxDelta = Double.MaxValue
+    if (bcastGrid) {
+      // driver-resident grid loop — see the DIE solver above (round 13):
+      // per-iteration jobs 2 → 1, LocalRelation broadcast builds without
+      // a job, identical doubles; big grids keep the checkpoint loop.
+      var localRows: Array[Row] = ckptRdd.collect()
+      ckptRdd.unpersist(blocking = false)
+      val schema = grid0.schema
+      while (it < maxIter && maxDelta > tol) {
+        val phasesL = spark.createDataFrame(
+          java.util.Arrays.asList(localRows: _*), schema)
+        val withD = stepPlan(phasesL).collect()
+        maxDelta = 0.0
+        localRows = withD.map { row =>
+          val d = math.abs(row.getDouble(dIdx))
+          if (d > maxDelta) maxDelta = d
+          Row.fromSeq(row.toSeq.dropRight(1))
+        }
+        it += 1
+      }
+      phases = spark.createDataFrame(
+        java.util.Arrays.asList(localRows: _*), schema)
+    } else while (it < maxIter && maxDelta > tol) {
+      val updated = stepPlan(phases)
       it += 1
       val rdd = updated.rdd.localCheckpoint()
       maxDelta = rdd
