@@ -47,6 +47,26 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    // Fixed-work phase-calibration probe (round 14, VERDICT item 1): a
+    // deterministic CPU+shuffle microtask — same work at any SF, any
+    // registry — timed at sweep START and END and reported in the final
+    // one-line JSON, so any consumer of a cold-run record can normalize
+    // this machine's phase drift (r12/r13: same-binary totals swung
+    // 0.8-1.45x between runs; untouched-query medians were the only
+    // forensic control). min-of-2 like every query; never in `total`.
+    def calib(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(1L << 23)
+        .select(pmod(xxhash64(col("id")), lit(4096L)).as("k"),
+          sin(col("id").cast("double") * 1e-6).as("x"))
+        .groupBy("k").agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calib() // discarded: absorbs the probe shape's one-time codegen, so
+            // calib_start measures machine phase, not compiler startup
+    val calibStart = math.min(calib(), calib())
     // two timed runs per query, report the min — single-run wall-clock at
     // this scale is dominated by scheduler jitter. A failed run yields the
     // -1 sentinel (never a phantom elapsed time).
@@ -74,19 +94,14 @@ object Bench {
       // Over 160+ queries × 2 runs that accumulated state taxes later
       // queries; forcing a GC every 16 queries keeps the JVM at
       // steady-state so timings measure the QUERY, not the backlog.
-      if (i % 16 == 15) {
-        spark.catalog.clearCache()
-        // clearCache only drops SQL-cached DataFrames; RAW persisted RDDs
-        // (rankTimes' epoch rank, the BPE corpus, solver/beam-staging
-        // localCheckpoints, pcaIterates' moment matrix) accumulate across
-        // 223 queries × 2 runs and tax late queries with block-manager
-        // and GC backlog (round 13: p01 measured 15.8 s late in the full
-        // sweep vs ~6 s solo, same binary). Queries are self-contained,
-        // so between queries every leftover RDD is garbage — sweep them.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
+      // clearCache only drops SQL-cached DataFrames; RAW persisted RDDs
+      // (rankTimes' epoch rank, the BPE corpus, solver/beam-staging
+      // localCheckpoints, pcaIterates' moment matrix) accumulate across
+      // 223 queries × 2 runs and tax late queries with block-manager
+      // and GC backlog (round 13: p01 measured 15.8 s late in the full
+      // sweep vs ~6 s solo, same binary). Queries are SELF-CONTAINED —
+      // the invariant is stated loudly at Env.sweepSession.
+      if (i % 16 == 15) graft.core.Env.sweepSession(spark)
       // drain the async listener bus on BOTH sides of the timed runs so
       // spill/peak attribution is per-query exact (task-end events from
       // query i must not land after once() returns and be charged to
@@ -100,6 +115,7 @@ object Bench {
       org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       (q.name, v, spill.get() - s0, peak.get())
     }
+    val calibEnd = math.min(calib(), calib())
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     // Sort the per-query map FASTEST-FIRST: the driver records the TAIL
     // of stdout, so whatever is truncated is the cheap head — the slow
@@ -116,12 +132,25 @@ object Bench {
     val peakMax = if (results.isEmpty) 0L else results.map(_._4).max
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val calibJson = s""""calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"spilled":${results.count(_._3 > 0)},"spill_bytes":$spillMap,"peak_task_mem":$peakMax,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"spilled":${results.count(_._3 > 0)},"spill_bytes":$spillMap,"peak_task_mem":$peakMax,$calibJson,"sf":"$sfDir","queries":$qs}"""
     // The driver captures the TAIL of stdout, so the long per-query line
     // goes first (and to bench_results.json), and a SHORT headline object
     // is the very LAST stdout line — it survives truncation and parses.
     println(full)
+    // Tail-safe per-query contract (round 14, VERDICT item 1): the 223-
+    // entry map above is one ~9 KB line and arrives TRUNCATED in the
+    // driver's tail window (PERF_r12/r13 both lost the whole table to
+    // mid-key truncation). Each query therefore ALSO gets its own short
+    // self-contained JSON line; ascending by time so the expensive
+    // queries — the ones a regression diagnosis needs — sit nearest the
+    // end of stdout, inside any tail window. The one-line headline
+    // object stays LAST.
+    results.sortBy { case (_, v, _, _) => if (v < 0) Double.MaxValue else v }
+      .foreach { case (k, v, _, _) =>
+        println(s"""{"q":"$k","sec":${fmt(v)}}""")
+      }
     // only FULL runs update the committed record — a SPARK_GRAFT_ONLY
     // filtered iteration run must not clobber the 170+-query baseline
     if (only.isEmpty) try {
@@ -130,6 +159,6 @@ object Bench {
     } catch { case _: Throwable => }
     spark.stop()
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"spilled":${results.count(_._3 > 0)},"peak_task_mem":$peakMax,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"spilled":${results.count(_._3 > 0)},"peak_task_mem":$peakMax,$calibJson,"sf":"$sfDir"}""")
   }
 }

@@ -38,13 +38,8 @@ object Verify {
       // pending shuffle cleanup accumulate across a long sequential run
       // (ContextCleaner only fires on driver GC); at 10-20x data the
       // backlog measurably taxed later queries' single write task
-      if (i % 16 == 15) {
-        spark.catalog.clearCache()
-        // raw persisted RDDs too — see Bench's hygiene note (round 13)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
+      // self-contained-queries invariant stated at Env.sweepSession
+      if (i % 16 == 15) graft.core.Env.sweepSession(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

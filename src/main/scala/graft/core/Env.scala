@@ -26,6 +26,28 @@ object Env {
     builder
   }
 
+  /** Between-query session hygiene for the sequential harness mains
+    * (Bench/Verify): drop SQL-cached DataFrames AND every raw persisted
+    * RDD, then force a GC so the ContextCleaner's shuffle/broadcast
+    * backlog drains (it only fires on driver GC; over 200+ queries the
+    * backlog measurably taxed late queries — round 13: p01 15.8 s late
+    * in the sweep vs ~6 s solo, same binary).
+    *
+    * INVARIANT (round-14 ADVICE, stated loudly): queries must be
+    * SELF-CONTAINED — no query may rely on a cached/localCheckpointed
+    * DataFrame or RDD surviving from an earlier query. The sweep
+    * unpersists localCheckpointed RDDs whose blocks are the ONLY copy
+    * (lineage is truncated), so a future cross-query memoized fixture
+    * would fail far from here with "Checkpoint block not found". If such
+    * a fixture is ever needed, exempt it by name here rather than
+    * weakening the sweep. */
+  def sweepSession(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   /** Data-scaled repartition width: at least the session's default
     * parallelism (all cores busy), and at least enough partitions that
     * no task handles more than `unitsPerTask` work units. A FIXED width

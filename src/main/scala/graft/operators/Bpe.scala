@@ -32,11 +32,13 @@ import org.apache.spark.storage.StorageLevel
   *     used to be a TakeOrdered job becomes an array scan on the driver.
   *
   * Scale shape (unchanged claims, different plumbing): per round each of P
-  * partitions ships ONE long[alphabet²] partial (≤512 KB) — `treeAggregate`
-  * with depth ⌈log₆₄ P⌉ merges them in executor-side layers, so the driver
-  * receives exactly one array at ANY corpus size (the 10⁵-partition case
-  * merges 64-way twice). The rewrite is a per-string projection; the corpus
-  * is the only data-sized relation and lives MEMORY_AND_DISK.
+  * partitions ships ONE long[alphabet²] partial (≤512 KB). At ≤64
+  * partitions `treeAggregate` runs depth 1 — no executor-side merge
+  * layer, the driver reduces up to 64 partials itself (≤32 MB transient,
+  * fine); past 64 partitions the depth-⌈log₆₄ P⌉ executor layers take
+  * over and the driver receives exactly one array (the 10⁵-partition
+  * case merges 64-way twice). The rewrite is a per-string projection; the
+  * corpus is the only data-sized relation and lives MEMORY_AND_DISK.
   *
   * Determinism: counts are exact integers, the argmax tie-break is
   * (count DESC, pair-code ASC) — an ascending scan keeping strict maxima —
@@ -56,7 +58,17 @@ object Bpe {
     * the registered query contract). `firstSym` is the codepoint of the
     * first merged symbol (round r merges to chr(firstSym + r − 1)); all
     * corpus codepoints must stay < alphabet or the pair scan throws (the
-    * BigramFsum corpus contract, unchanged from TextCombiner). */
+    * BigramFsum corpus contract, unchanged from TextCombiner).
+    *
+    * CACHE LIFETIME (round-14 ADVICE, documented contract): the returned
+    * DataFrame is backed by the final persisted+localCheckpointed corpus
+    * RDD, which this method never releases — the result would otherwise
+    * recompute every merge round on each action. Each call therefore pins
+    * one corpus-sized cached RDD for the session. The sequential harness
+    * mains sweep it between queries (Env.sweepSession); any other caller
+    * that fully materializes the result and keeps the session alive
+    * should unpersist via `spark.sparkContext.getPersistentRDDs` (or
+    * Env.sweepSession) when done. */
   def train(docs: DataFrame, textCol: String, idCol: String,
             nMerges: Int, alphabet: Int, firstSym: Int): DataFrame = {
     val spark = docs.sparkSession

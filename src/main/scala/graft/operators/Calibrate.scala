@@ -181,6 +181,14 @@ object Calibrate {
     var it = 0
     var maxDelta = Double.MaxValue
     if (bcastGrid) {
+      // The driver-resident loop checks convergence EVERY iteration; a
+      // checkEvery > 1 caller would get different iteration counts (and
+      // thus different phases) depending on whether the grid happens to
+      // fit the broadcast threshold — fail loudly instead of diverging
+      // (round-14 ADVICE; all registry callers use the default 1).
+      require(checkEvery == 1,
+        s"checkEvery=$checkEvery unsupported on the driver-resident " +
+          "grid path (it checks every iteration); use checkEvery = 1")
       // DRIVER-RESIDENT grid loop (round 13): gridBroadcastable already
       // certifies the grid is collect-safe — so instead of re-reading a
       // checkpointed RDD through a broadcast-build JOB each iteration,

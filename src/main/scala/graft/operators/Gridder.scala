@@ -52,17 +52,21 @@ object Gridder {
     val tj = broadcast(t.select(col("off").as("oj"), col("tap").as("wj")))
     // explicit row_id-hash width guard + broadcast gather (round 13,
     // guide §3.1 — the WStack.planeDegrid rationale): the grid is
-    // image-bounded, the left side is the exploded data-sized stream;
-    // the repartition replaces the old N×25 join exchange AND the final
-    // agg exchange with one N-row exchange, at full width. Registered
-    // inputs are dyadic, so the per-group sum is exact in any order and
-    // the join-strategy change cannot move a bit (f07's oracle already
-    // sums in DuckDB's order).
+    // image-bounded BY CONTRACT (callers gate image size), the left side
+    // is the exploded data-sized stream; the repartition replaces the old
+    // N×25 join exchange AND the final agg exchange with one N-row
+    // exchange, at full width. Registered inputs are dyadic, so the
+    // per-group sum is exact in any order and the join-strategy change
+    // cannot move a bit (f07's oracle already sums in DuckDB's order).
+    // The hint respects a session that disabled broadcasting
+    // (threshold ≤ 0) — the escape hatch for an image past driver memory
+    // (round-14 ADVICE; same gate as WStack.gridBcast).
+    val g = if (Calibrate.broadcastThreshold(s) > 0) broadcast(grid) else grid
     pts.repartition(col("row_id"))
       .crossJoin(ti).crossJoin(tj)
       .withColumn("gu", col("pu") + col("oi"))
       .withColumn("gv", col("pv") + col("oj"))
-      .join(broadcast(grid), Seq("gu", "gv"))
+      .join(g, Seq("gu", "gv"))
       .groupBy("row_id")
       .agg(sum(col("g_re") * col("wi") * col("wj")).as("dg_re"),
         sum(col("g_im") * col("wi") * col("wj")).as("dg_im"))
