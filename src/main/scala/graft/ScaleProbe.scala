@@ -31,6 +31,9 @@ object ScaleProbe {
     if (args.headOption.contains("predict")) {
       predictStages(spark, args(1)); return
     }
+    if (args.headOption.contains("imaging")) {
+      imagingStages(spark, args(1)); return
+    }
     val sf = "/root/testdata/sf0.1"
     val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "l_quantity")
@@ -598,7 +601,8 @@ object ScaleProbe {
           spark, msDir, sky, beam, mainRows = Some(nMain)))
       val md = rPlan._1
       val rNoop = time(md.write.mode("overwrite").format("noop").save())
-      val rWrite = time(graft.io.MsDataset.writeModelData(md, msDir))
+      val rWrite = time(graft.io.MsDataset.writeModelData(md, msDir,
+        Some(nMain * 2)))
       val rRead = time(
         graft.io.MsDataset.readModelData(spark, msDir)
           .write.mode("overwrite").format("noop").save())
@@ -615,6 +619,47 @@ object ScaleProbe {
         println(f"$pass,rule_${r.split('.').last},${s.totalTimeNs / 1e9}%.3f," +
           s"${s.numInvocations}")
       }
+    }
+  }
+
+  /** Per-stage wall attribution for the p02 imaging major cycle (round
+    * 14): combined grid aggregation + checkpoint, PSF patch collect,
+    * dirty-image DFT, facet clean (components), and the residual
+    * subtraction — run twice so pass 2 is the warm split. */
+  private def imagingStages(spark: SparkSession, dir: String): Unit = {
+    import graft.pipelines.ImagingPipeline
+    val cfg = graft.queries.PipelineQ.ImgCfg
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    println("pass,stage,wall_s")
+    for (pass <- 1 to 2) {
+      val vis = graft.queries.PipelineQ.imagingVis(spark, dir)
+      val (both, tGrid) =
+        time(ImagingPipeline.combinedGrids(vis, cfg).localCheckpoint())
+      val ((psf, peak), tPsf) = time(ImagingPipeline.psfFromGrids(
+        both.select(col("wplane"), col("gu"), col("gv"),
+          col("u_re").as("g_re"), col("u_im").as("g_im")), cfg))
+      val (dirty, _) = time(graft.operators.WStack.dirtyImageDft(
+        both.select(col("wplane"), col("gu"), col("gv"),
+          col("g_re"), col("g_im")),
+        ImagingPipeline.pixelGrid(spark, cfg), cfg.taps,
+        cfg.nPlanes, cfg.wMax, fsum = c => sum(c), r6 = identity))
+      val (_, tDirty) = time(
+        dirty.write.mode("overwrite").format("noop").save())
+      val (comps, _) = time(ImagingPipeline.cleanFacets(
+        dirty.select(col("x"), col("y"),
+          (col("dirty_dt") / peak).as("value")), psf, cfg))
+      val (_, tClean) = time(
+        comps.write.mode("overwrite").format("noop").save())
+      val (_, tRes) = time(ImagingPipeline.residualVis(vis, comps, cfg)
+        .write.mode("overwrite").format("noop").save())
+      println(f"$pass,grid_ckpt,$tGrid%.2f")
+      println(f"$pass,psf_collect,$tPsf%.2f")
+      println(f"$pass,dirty_noop,$tDirty%.2f")
+      println(f"$pass,clean_noop,$tClean%.2f")
+      println(f"$pass,residual_noop,$tRes%.2f")
     }
   }
 
@@ -661,7 +706,8 @@ object ScaleProbe {
     val (_, tCorrect, spCorrect) = time(
       r.corrected.write.mode("overwrite").format("noop").save())
     val (_, tSink, spSink) = time {
-      graft.io.MsDataset.writeMember(r.corrected, msDir, "CORRECTED_DATA")
+      graft.io.MsDataset.writeMember(r.corrected, msDir, "CORRECTED_DATA",
+        Some(nMain * 2))
       graft.io.MsDataset.readMember(spark, msDir, "CORRECTED_DATA").count()
     }
     r.vis.unpersist(blocking = false)

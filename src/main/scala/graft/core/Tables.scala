@@ -71,6 +71,18 @@ object Det {
   def r6(c: Column): Column = round(c * 1e6) / 1e6
   def r9(c: Column): Column = round(c * 1e9) / 1e9
 
+  /** DRIVER-side mirror of [[r4]] — bit-identical to evaluating the
+    * Column form (Spark's Round on a double is
+    * BigDecimal.valueOf(x).setScale(0, HALF_UP).doubleValue(); NaN/Inf
+    * pass through). Lets driver-resident model data (the beam cube's
+    * voxels, already in JVM arrays) be rounded without a Spark job;
+    * DeterminismSpec asserts equality against the Column form over the
+    * live cube values. */
+  def r4Local(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x * 1e4)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e4
+
   /** SQL-side mirror of r4/r6/r9. r4 is for hashed surfaces whose values
     * pass through COMPOUND transcendental evaluation (trig of trig, cubes
     * of cos, large per-query value counts): the 100× wider rounding bucket

@@ -120,8 +120,9 @@ object MsDataset {
     * relational face is a `MODEL_DATA.parquet` member table keyed by
     * (row_id, chan), partitioned by chan so per-channel consumers prune;
     * `readModelData` joins it back against MAIN by row_id. */
-  def writeModelData(modelData: DataFrame, msDir: String): Unit =
-    writeMember(modelData, msDir, "MODEL_DATA")
+  def writeModelData(modelData: DataFrame, msDir: String,
+                     rowHint: Option[Long] = None): Unit =
+    writeMember(modelData, msDir, "MODEL_DATA", rowHint)
 
   def readModelData(spark: SparkSession, msDir: String): DataFrame =
     readMember(spark, msDir, "MODEL_DATA")
@@ -148,8 +149,37 @@ object MsDataset {
     * contract (none of the registry faces do — the pipelines sink
     * sequentially). */
   private val writeLock = new Object
-  def writeMember(df: DataFrame, msDir: String, name: String): Unit = writeLock.synchronized {
+
+  /** Below this row count the per-chan dynamic-partition layout is
+    * skipped (round 14, guide §6): a member table this small is a few
+    * dozen MB at most, any consumer scans it in one or two tasks, so the
+    * chan directories buy no pruning while the dynamic-partition commit
+    * constants (per-partition directories + rename dance + concurrent
+    * writers) dominate the write. Above it the partitioned layout and
+    * the concurrent-writer path stay exactly as before — the threshold
+    * is data-derived, not machine-derived, so the same binary picks the
+    * scan-pruning layout wherever it can matter (session-overridable via
+    * spark.graft.memberPartitionMinRows). */
+  private def partitionMinRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.memberPartitionMinRows")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** `rowHint`: the member table's row count when the caller already
+    * knows it (the pipelines derive it from ensureMs's fingerprint —
+    * counting here would re-execute the upstream plan). None keeps the
+    * partitioned layout unconditionally. */
+  def writeMember(df: DataFrame, msDir: String, name: String,
+                  rowHint: Option[Long] = None): Unit = writeLock.synchronized {
     val spark = df.sparkSession
+    if (rowHint.exists(_ < partitionMinRows(spark))) {
+      // plain layout: chan stays a regular column (readMember's cast is
+      // a no-op on it), moved LAST so the read-back column order matches
+      // the partitioned layout's (partition columns append at the end)
+      df.select((df.columns.filter(_ != "chan").map(col) :+ col("chan"))
+          .toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$msDir/$name.parquet")
+      return
+    }
     val key = "spark.sql.maxConcurrentOutputFileWriters"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "8")

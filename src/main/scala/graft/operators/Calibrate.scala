@@ -72,6 +72,131 @@ object Calibrate {
     thr > 0 && gridRows * (8L * nCols + 16L) <= thr
   }
 
+  /** Byte bound under which the whole SOLVE runs driver-resident (round
+    * 14, VERDICT item 6): when the solution-interval problem is this
+    * small, each distributed iteration is pure overhead (a plan + 2-3
+    * AQE stage jobs + a collect for ~μs of arithmetic — measured
+    * ~0.14-0.5 s/iteration at sf0.1), and the reference itself solves
+    * per-chunk in-process (phase_only.py runs on in-memory numpy
+    * chunks). The gate is data-derived — a 100 TB MAIN always exceeds it
+    * and keeps the distributed loop — and the collect is bounded by the
+    * threshold at ANY scale (the assignAuto escalation class). */
+  private[graft] def solveLocalMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.solveLocalMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  /** Driver mirror of one fsum TERM: round(x·scale) via the same
+    * BigDecimal HALF_UP path Spark's Round uses, cast-to-long truncation
+    * of the integral double — bit-identical to
+    * `round(term * 1e6).cast("long")`. */
+  private def fsumTermLong(x: Double): Long = {
+    val s = x * 1e6
+    if (s.isNaN || s.isInfinite) s.toLong
+    else java.math.BigDecimal.valueOf(s)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** The DIE solve entirely on the driver — the sub-threshold fast path
+    * of [[gaussNewtonPhaseOnly]]. Every double operation mirrors the
+    * distributed Column tree op for op (CxCol products, the fsum
+    * term rounding, d = (0.5·jhr)/jhj, cos/sin of the updated phase on
+    * the same JVM's Math), so detSum solves are BIT-identical to the
+    * distributed path (jhr terms are order-free rounded longs; jhj terms
+    * are dyadic-exact per the operator contract — g09 hash-gates this).
+    * Plain-sum (detSum=false) solves accumulate in row order instead of
+    * partition order — the same association-order freedom the g06/p04
+    * rows-only contracts already document. */
+  private def solveLocalDie(in: DataFrame, keyCols: Seq[String],
+                            maxIter: Int, tol: Double,
+                            detSum: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = in.sparkSession
+    val rows = in.collect()
+    val k = keyCols.size
+    // layout: keys 0..k-1, ant1 k, ant2 k+1, m_re k+2, m_im k+3,
+    //         v_re k+4, v_im k+5, w k+6
+    val idx = scala.collection.mutable.HashMap[Seq[Any], Int]()
+    val gridKeysBuf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def gidx(r: Row, antPos: Int): Int = {
+      val key = (0 until k).map(r.get) :+ r.get(antPos)
+      idx.getOrElseUpdate(key, { gridKeysBuf += key; gridKeysBuf.size - 1 })
+    }
+    val nr = rows.length
+    val i1s = new Array[Int](nr); val i2s = new Array[Int](nr)
+    val mre = new Array[Double](nr); val mim = new Array[Double](nr)
+    val vre = new Array[Double](nr); val vim = new Array[Double](nr)
+    val wgt = new Array[Double](nr)
+    var i = 0
+    while (i < nr) {
+      val r = rows(i)
+      i1s(i) = gidx(r, k); i2s(i) = gidx(r, k + 1)
+      mre(i) = r.getDouble(k + 2); mim(i) = r.getDouble(k + 3)
+      vre(i) = r.getDouble(k + 4); vim(i) = r.getDouble(k + 5)
+      wgt(i) = r.getDouble(k + 6)
+      i += 1
+    }
+    val n = gridKeysBuf.size
+    val jhj = new Array[Double](n)
+    i = 0
+    while (i < nr) { // model-only jhj, the DIAG_DIAG fast path
+      val t = wgt(i) * (mre(i) * mre(i) + mim(i) * mim(i))
+      jhj(i1s(i)) += t; jhj(i2s(i)) += t
+      i += 1
+    }
+    val phase = new Array[Double](n)
+    val gc = Array.fill(n)(1.0); val gs = new Array[Double](n)
+    var it = 0
+    var maxDelta = Double.MaxValue
+    while (it < maxIter && maxDelta > tol) {
+      val accL = if (detSum) new Array[Long](n) else null
+      val accD = if (detSum) null else new Array[Double](n)
+      i = 0
+      while (i < nr) {
+        val i1 = i1s(i); val i2 = i2s(i)
+        // gp·m (CxCol mul order), then ·gq.conj — x − (−y) ≡ x + y in
+        // IEEE doubles (single rounding either way)
+        val a1 = gc(i1) * mre(i) - gs(i1) * mim(i)
+        val b1 = gc(i1) * mim(i) + gs(i1) * mre(i)
+        val vmre = a1 * gc(i2) + b1 * gs(i2)
+        val vmim = b1 * gc(i2) - a1 * gs(i2)
+        val rre = vre(i) - vmre; val rim = vim(i) - vmim
+        val t = wgt(i) * (vmre * rim - vmim * rre)
+        if (detSum) { accL(i1) += fsumTermLong(t); accL(i2) += fsumTermLong(-t) }
+        else { accD(i1) += t; accD(i2) += -t }
+        i += 1
+      }
+      maxDelta = 0.0
+      var j = 0
+      while (j < n) {
+        val jhr = if (detSum) accL(j).toDouble / 1e6 else accD(j)
+        // the distributed coalesce(…, 0.0) only covers the left-join
+        // MISS (a grid key with no step row) — impossible here, since
+        // every grid key comes from a data row that contributes every
+        // iteration; so d mirrors the raw 0.5·jhr/jhj exactly
+        val d = (0.5 * jhr) / jhj(j)
+        val np = phase(j) + d
+        phase(j) = np; gc(j) = math.cos(np); gs(j) = math.sin(np)
+        val ad = math.abs(d)
+        if (ad > maxDelta) maxDelta = ad
+        j += 1
+      }
+      it += 1
+    }
+    val inSch = in.schema
+    val outKeys = Seq("time_index", "ant") ++ keyCols.drop(1)
+    val outSchema = StructType(
+      StructField("time_index", inSch(keyCols.head).dataType) +:
+        StructField("ant", inSch("ant1").dataType) +:
+        keyCols.drop(1).map(c => StructField(c, inSch(c).dataType)) :+
+        StructField("phase", DoubleType))
+    val out = (0 until n).map { j =>
+      val key = gridKeysBuf(j) // keyCols values :+ ant
+      Row.fromSeq((key.head +: key.last +: key.slice(1, k)) :+ phase(j))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(outKeys.map(col): _*)
+  }
+
   /** The per-iteration gather: `in` (aliased x) joined against the gain
     * grid twice — p-side on ant1, q-side on ant2 — through ONE broadcast
     * (or one exchange) of the grid. Extracted so PlanSpec can assert the
@@ -108,9 +233,37 @@ object Calibrate {
     val spark = df.sparkSession
     val keyCols = Seq("time_index") ++ extraKeys
     val gridKeys = keyCols :+ "ant"
+    // localCheckpoint, not cache (round 14, VERDICT item 6): a cached
+    // Dataset keeps its FULL logical plan (p04's carries the fused
+    // source-sum predict), and every iteration's stepPlan re-analyzes +
+    // re-optimizes that whole tree — measured ~0.9 s/iteration on p04 at
+    // sf0.1, planning-dominated. The checkpoint truncates the solver's
+    // input to a LogicalRDD LEAF: same rows, same partitions, same
+    // per-partition order (so even the plain-double jhr sums accumulate
+    // in the same order), while each iteration now plans leaf + grid +
+    // gather only. Lineage truncation is the engine-wide trade already
+    // taken for the grid checkpoints; blocks are freed via the id delta
+    // below (Dataset.unpersist cannot release checkpoint blocks).
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val in = df.select((keyCols ++
       Seq("ant1", "ant2", "m_re", "m_im", "v_re", "v_im", "w")).map(col): _*)
-      .cache()
+      .localCheckpoint()
+    val inRddIds =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(persistedBefore)
+    def releaseIn(): Unit =
+      inRddIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    // sub-threshold escalation (round 14): the whole solve runs on the
+    // driver when the problem fits the byte gate — see solveLocalDie
+    if (in.count() * (8L * (keyCols.size + 7) + 16L)
+        <= solveLocalMaxBytes(spark)) {
+      require(checkEvery == 1,
+        s"checkEvery=$checkEvery unsupported on the driver-resident " +
+          "solve (it checks every iteration); use checkEvery = 1")
+      val out = solveLocalDie(in, keyCols, maxIter, tol, detSum)
+      releaseIn()
+      return out
+    }
     val jhrAgg: Column => Column =
       if (detSum) c => Det.fsum(c) else c => sum(c)
 
@@ -241,10 +394,115 @@ object Calibrate {
         phases = updated.drop("d")
       }
     }
-    in.unpersist()
+    releaseIn()
     // output axis order mirrors the reference jones shape: time, ant, chan/dir
     val outKeys = Seq("time_index", "ant") ++ extraKeys
     phases.select((outKeys.map(col) :+ col("phase")): _*)
+      .orderBy(outKeys.map(col): _*)
+  }
+
+  /** Driver-resident DDE solve — [[solveLocalDie]]'s sibling for
+    * [[gaussNewtonPhaseOnlyDirs]]. The shared residual r = v − Σ_dir vm
+    * mirrors the distributed window sum; the registered face's n_dir = 2
+    * makes that 2-term add IEEE-exact in any order (the g10 determinism
+    * note), so detSum solves stay bit-identical. */
+  private def solveLocalDirs(in: DataFrame, keyCols: Seq[String],
+                             extraKeys: Seq[String],
+                             maxIter: Int, tol: Double,
+                             detSum: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = in.sparkSession
+    val rows = in.collect()
+    val k = keyCols.size
+    // layout: row_id 0, keys 1..k, ant1 k+1, ant2 k+2, m_re k+3,
+    //         m_im k+4, v_re k+5, v_im k+6, w k+7
+    val idx = scala.collection.mutable.HashMap[Seq[Any], Int]()
+    val gridKeysBuf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def gidx(r: Row, antPos: Int): Int = {
+      val key = (1 to k).map(r.get) :+ r.get(antPos)
+      idx.getOrElseUpdate(key, { gridKeysBuf += key; gridKeysBuf.size - 1 })
+    }
+    // shared-residual group: (row_id, extraKeys...) — extraKeys sit at
+    // keyCols indices 1..k-2, i.e. in positions 2..k-1
+    val gidxMap = scala.collection.mutable.HashMap[Seq[Any], Int]()
+    val nr = rows.length
+    val i1s = new Array[Int](nr); val i2s = new Array[Int](nr)
+    val grp = new Array[Int](nr)
+    val mre = new Array[Double](nr); val mim = new Array[Double](nr)
+    val vre = new Array[Double](nr); val vim = new Array[Double](nr)
+    val wgt = new Array[Double](nr)
+    var i = 0
+    while (i < nr) {
+      val r = rows(i)
+      i1s(i) = gidx(r, k + 1); i2s(i) = gidx(r, k + 2)
+      grp(i) = gidxMap.getOrElseUpdate(
+        r.get(0) +: extraKeys.indices.map(e => r.get(2 + e)), gidxMap.size)
+      mre(i) = r.getDouble(k + 3); mim(i) = r.getDouble(k + 4)
+      vre(i) = r.getDouble(k + 5); vim(i) = r.getDouble(k + 6)
+      wgt(i) = r.getDouble(k + 7)
+      i += 1
+    }
+    val n = gridKeysBuf.size; val ng = gidxMap.size
+    val jhj = new Array[Double](n)
+    i = 0
+    while (i < nr) {
+      val t = wgt(i) * (mre(i) * mre(i) + mim(i) * mim(i))
+      jhj(i1s(i)) += t; jhj(i2s(i)) += t
+      i += 1
+    }
+    val phase = new Array[Double](n)
+    val gc = Array.fill(n)(1.0); val gs = new Array[Double](n)
+    val vmre = new Array[Double](nr); val vmim = new Array[Double](nr)
+    var it = 0
+    var maxDelta = Double.MaxValue
+    while (it < maxIter && maxDelta > tol) {
+      val sre = new Array[Double](ng); val sim = new Array[Double](ng)
+      i = 0
+      while (i < nr) {
+        val i1 = i1s(i); val i2 = i2s(i)
+        val a1 = gc(i1) * mre(i) - gs(i1) * mim(i)
+        val b1 = gc(i1) * mim(i) + gs(i1) * mre(i)
+        vmre(i) = a1 * gc(i2) + b1 * gs(i2)
+        vmim(i) = b1 * gc(i2) - a1 * gs(i2)
+        sre(grp(i)) += vmre(i); sim(grp(i)) += vmim(i)
+        i += 1
+      }
+      val accL = if (detSum) new Array[Long](n) else null
+      val accD = if (detSum) null else new Array[Double](n)
+      i = 0
+      while (i < nr) {
+        val rre = vre(i) - sre(grp(i)); val rim = vim(i) - sim(grp(i))
+        val t = wgt(i) * (vmre(i) * rim - vmim(i) * rre)
+        if (detSum) {
+          accL(i1s(i)) += fsumTermLong(t); accL(i2s(i)) += fsumTermLong(-t)
+        } else { accD(i1s(i)) += t; accD(i2s(i)) += -t }
+        i += 1
+      }
+      maxDelta = 0.0
+      var j = 0
+      while (j < n) {
+        val jhr = if (detSum) accL(j).toDouble / 1e6 else accD(j)
+        val d = (0.5 * jhr) / jhj(j)
+        val np = phase(j) + d
+        phase(j) = np; gc(j) = math.cos(np); gs(j) = math.sin(np)
+        val ad = math.abs(d)
+        if (ad > maxDelta) maxDelta = ad
+        j += 1
+      }
+      it += 1
+    }
+    val inSch = in.schema
+    val outKeys = Seq("time_index", "ant") ++ keyCols.drop(1)
+    val outSchema = StructType(
+      StructField("time_index", inSch(keyCols.head).dataType) +:
+        StructField("ant", inSch("ant1").dataType) +:
+        keyCols.drop(1).map(c => StructField(c, inSch(c).dataType)) :+
+        StructField("phase", DoubleType))
+    val out = (0 until n).map { j =>
+      val key = gridKeysBuf(j)
+      Row.fromSeq((key.head +: key.last +: key.slice(1, k)) :+ phase(j))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
       .orderBy(outKeys.map(col): _*)
   }
 
@@ -275,9 +533,23 @@ object Calibrate {
     val spark = df.sparkSession
     val keyCols = Seq("time_index") ++ extraKeys :+ "dir"
     val gridKeys = keyCols :+ "ant"
+    // localCheckpoint leaf + id-delta release — see the DIE solver above
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val in = df.select((Seq("row_id") ++ keyCols ++
       Seq("ant1", "ant2", "m_re", "m_im", "v_re", "v_im", "w")).map(col): _*)
-      .cache()
+      .localCheckpoint()
+    val inRddIds =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(persistedBefore)
+    def releaseIn(): Unit =
+      inRddIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    // sub-threshold escalation (round 14) — see solveLocalDirs
+    if (in.count() * (8L * (keyCols.size + 8) + 16L)
+        <= solveLocalMaxBytes(spark)) {
+      val out = solveLocalDirs(in, keyCols, extraKeys, maxIter, tol, detSum)
+      releaseIn()
+      return out
+    }
     val jhrAgg: Column => Column =
       if (detSum) c => Det.fsum(c) else c => sum(c)
 
@@ -376,7 +648,7 @@ object Calibrate {
       ckptRdd = rdd
       phases = spark.createDataFrame(rdd, updated.schema).drop("d")
     }
-    in.unpersist()
+    releaseIn()
     val outKeys = Seq("time_index", "ant") ++ extraKeys :+ "dir"
     phases.select((outKeys.map(col) :+ col("phase")): _*)
       .orderBy(outKeys.map(col): _*)

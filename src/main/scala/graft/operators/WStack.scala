@@ -20,6 +20,19 @@ import graft.core.{Cx, CxCol}
   */
 object WStack {
 
+  /** Broadcast hint for the degrid gathers' grid side. The grid is
+    * image-bounded BY CONTRACT (occupied cells × planes ≤ image size —
+    * the same per-node bound the plane-parallel FFT and gridDense already
+    * assume; callers gate image size, not this operator), so the hint is
+    * safe where the contract holds — but it must not override a session
+    * that DISABLED broadcasting (autoBroadcastJoinThreshold ≤ 0, the
+    * escape hatch when an image outgrows driver memory): there the
+    * gather degrades to the pre-round-13 shuffle join instead of
+    * collecting the grid to the driver (round-14 ADVICE). */
+  private def gridBcast(grid: DataFrame): DataFrame =
+    if (Calibrate.broadcastThreshold(grid.sparkSession) > 0) broadcast(grid)
+    else grid
+
   /** Row_id-hash repartition at the session's shuffle width (AQE
     * coalesces it by size) — the degrid gathers' width guard (see
     * planeDegrid). This is the same N-row exchange the final agg used to
@@ -104,7 +117,19 @@ object WStack {
                      fsum: Column => Column): DataFrame = {
     val spacing = 2.0 * wMax / (nPlanes - 1)
     val theta = lit(2.0 * math.Pi) * (col("gu") * col("lx") + col("gv") * col("my"))
-    val pimg = grids.crossJoin(broadcast(px))
+    // t44 class, grid side (round 14): the (plane, cell) grid is a few
+    // hundred KB, so AQE coalesces whatever aggregation produced it to ONE
+    // partition — and the ×(npx) broadcast DFT expansion below (the trig-
+    // heavy part of the whole image path) then runs on one core. An
+    // EXPLICIT-width repartition of the grid (a dimension-sized exchange,
+    // ~10⁴ rows; the explicit count keeps AQE from re-coalescing it)
+    // spreads the expansion across the session's cores. fsum consumers
+    // are order-free longs, so the partition change cannot move a bit;
+    // the plain-sum consumer (p02's pipeline) is a rows-checked face.
+    val spread = grids.repartition(
+      grids.sparkSession.sparkContext.defaultParallelism,
+      col("wplane"), col("gu"), col("gv"))
+    val pimg = spread.crossJoin(broadcast(px))
       .groupBy("wplane", "x", "y", "lx", "my")
       .agg(
         fsum(col("g_re") * cos(theta) - col("g_im") * sin(theta)).as("img_re"),
@@ -226,11 +251,22 @@ object WStack {
     * must divide by Kernels.esTransform before the grid DFT, and then
     * vis(u) = Σ_g k(u−g)·G(g) reconstructs the continuous-coordinate
     * visibility to the kernel's aliasing ε — im2vis.py:16-183's epsilon).
-    * Output: (row_id, dg_re, dg_im). */
+    * Output: (row_id, carry..., dg_re, dg_im).
+    *
+    * `carry` (round 14): extra pts columns — MUST be functionally
+    * dependent on row_id — threaded through the gather's groupBy as
+    * additional grouping keys and emitted alongside the result. A
+    * consumer that needs the row payload next to the degridded value
+    * (f18's residual subtraction) then skips a whole join-back — and the
+    * extra scan of pts that recomputing the left side costs — while the
+    * groups (row_id already among the keys) and therefore every fsum are
+    * unchanged. Default Nil keeps the narrow shuffle for consumers that
+    * only need the values (f17; guide §2.3 — shuffle fewer bytes). */
   def planeDegridFrac(pts: DataFrame, grids: DataFrame,
                       w: Int, beta: Double,
                       nPlanes: Int, wMax: Double, eta: Double,
-                      fsum: Column => Column): DataFrame = {
+                      fsum: Column => Column,
+                      carry: Seq[String] = Nil): DataFrame = {
     val s = pts.sparkSession
     import s.implicits._
     val (p, _, dw) = planeCols(col("w"), nPlanes, wMax)
@@ -263,14 +299,16 @@ object WStack {
       // the broadcast the stencil terms of each row stay in its scan
       // partition and the (row_id, dw) partial agg collapses them 49→1
       // map-side. fsum terms are 1e-6-rounded longs — order-free, so the
-      // join-order change cannot move a bit.
-      .join(broadcast(grids), Seq("wplane", "gu", "gv"))
-      .groupBy("row_id", "dw")
+      // join-order change cannot move a bit. (Hint gated on the session
+      // threshold — see gridBcast.)
+      .join(gridBcast(grids), Seq("wplane", "gu", "gv"))
+      .groupBy("row_id", ("dw" +: carry): _*)
       .agg(fsum(col("g_re") * wt).as("s_re"),
         fsum(col("g_im") * wt).as("s_im"))
     val f = residualFactor(col("dw"), eta).conj
     val v = CxCol(col("s_re"), col("s_im")) * f
-    gathered.select(col("row_id"), v.re.as("dg_re"), v.im.as("dg_im"))
+    gathered.select((col("row_id") +: carry.map(col)) :+
+      v.re.as("dg_re") :+ v.im.as("dg_im"): _*)
   }
 
   /** Adjoint: sample each row's OWN w-plane grid with the stencil, then
@@ -294,7 +332,7 @@ object WStack {
       .withColumn("gv", col("pv") + col("oj"))
       // broadcast gather (see planeDegridFrac): image-bounded grid vs
       // 25×-exploded data-sized stream; fsum keeps every bit in place
-      .join(broadcast(grids), Seq("wplane", "gu", "gv"))
+      .join(gridBcast(grids), Seq("wplane", "gu", "gv"))
       .groupBy("row_id", "dw")
       .agg(fsum(col("g_re") * col("wi") * col("wj")).as("s_re"),
         fsum(col("g_im") * col("wi") * col("wj")).as("s_im"))

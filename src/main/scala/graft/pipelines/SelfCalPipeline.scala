@@ -63,7 +63,13 @@ object SelfCalPipeline {
           mainRows: Option[Long] = None)
       : DataFrame = {
     val r = cycle(spark, msDir, skyModelPath, solint, maxIter, tol, mainRows)
-    MsDataset.writeMember(r.corrected, msDir, OutTable)
+    // rowHint = MAIN rows × nchan when the caller supplied the count
+    // (the chans count is a dimension-table job) — lets the sink skip
+    // the per-chan dynamic-partition layout below its threshold
+    // (round 14, MsDataset.writeMember)
+    val rowHint = mainRows.map(_ *
+      MsDataset.chans(MsDataset.read(spark, msDir)).count())
+    MsDataset.writeMember(r.corrected, msDir, OutTable, rowHint)
     r.vis.unpersist(blocking = false)
     MsDataset.readMember(spark, msDir, OutTable)
   }

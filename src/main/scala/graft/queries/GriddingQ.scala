@@ -451,9 +451,15 @@ object GriddingQ {
       val grids = graft.operators.WStack.planeGridsFrac(p, W, beta,
         nPlanes = 4, wMax = 5.0, eta = 1e-2,
         fsum = c => Det.fsum(c)).drop("n_hits")
+      // the row payload rides the gather's grouping key (carry — round
+      // 14): the residual subtraction then needs NO join-back against p,
+      // which removes a recompute of the whole uvw⋈vis left side plus a
+      // two-sided row_id exchange; groups and fsums are unchanged, so
+      // every grid2 cell is bit-identical
       val hv = graft.operators.WStack.planeDegridFrac(p, grids, W, beta,
-        nPlanes = 4, wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c))
-      val res = p.join(hv, "row_id")
+        nPlanes = 4, wMax = 5.0, eta = 1e-2, fsum = c => Det.fsum(c),
+        carry = Seq("w", "cu", "cv", "re", "im"))
+      val res = hv
         .select(col("row_id"), col("w"), col("cu"), col("cv"),
           (col("re") - col("dg_re")).as("re"),
           (col("im") - col("dg_im")).as("im"))

@@ -114,8 +114,18 @@ object PipelineQ {
     * three sources. One zero-shuffle projection of the events scan. */
   private[graft] def imagingVis(spark: SparkSession, dir: String)
       : DataFrame = {
-    val ids = graft.core.Tables.events(spark, dir)
+    val ids0 = graft.core.Tables.events(spark, dir)
       .select(col("event_id").as("row_id"))
+    // t44 class, scan side (round 14): the single-column event_id scan
+    // compresses to one or two splits, and EVERYTHING downstream — the
+    // source-DFT trig here, the 25× stencil expansion and grid partial
+    // agg in the cycle — inherits that width. One explicit shuffle of
+    // the 8-byte ids to a DATA-SCALED width (the p01/p04 idiom; explicit
+    // count so AQE cannot re-coalesce the small-byte exchange) buys
+    // full-width execution for the whole cycle. The count is one
+    // metadata-cheap parquet job.
+    val width = graft.core.Env.scaledWidth(spark, ids0.count(), 8192L)
+    val ids = ids0.repartition(width, col("row_id"))
     val base = ids.select(
       col("row_id"),
       (pmod(col("row_id"), lit(48L)).cast("double") - 24.0).as("pu"),
@@ -139,7 +149,10 @@ object PipelineQ {
       val (msDir, nMain) = ensureMs(s, dir)
       val md = graft.pipelines.PredictPipeline.modelDataFullJones(
         s, msDir, ensureSkyModel(), ensureBeam(), mainRows = Some(nMain))
-      graft.io.MsDataset.writeModelData(md, msDir)
+      // rowHint = nMain × nchan (known from the ensureMs fingerprint):
+      // below the member-sink threshold the sink skips the per-chan
+      // dynamic-partition layout (round 14, MsDataset.writeMember)
+      graft.io.MsDataset.writeModelData(md, msDir, Some(nMain * NChan))
       graft.io.MsDataset.readModelData(s, msDir)
     },
 

@@ -87,26 +87,45 @@ final case class FullBeamCubeTerm(schema: String, lmZoom: Double,
                                   regenerate: Boolean = true)
     extends RimeCompiler.DdeTerm {
 
-  override def stage(df: DataFrame, side: String): DataFrame = {
+  override def stage(df: DataFrame, side: String): DataFrame =
+    stageFrom(df,
+      df.select((dimKeys(df) ++ Seq("l", "m", "freq")).map(col): _*)
+        .distinct())
+
+  /** Round 14: the staged blends depend only on the (src, chan[, ddid])
+    * dimension keys, so when the compiler offers the dimension product
+    * the staging table comes straight from it — unique per key by the
+    * join-back contract, no distinct, and crucially NO scan of the
+    * data-sized expanded frame inside the plan build (the old distinct
+    * ran a full MAIN pass per staging). Extra product rows whose keys
+    * never appear in the data are dropped by the inner join-back. */
+  override def stageWithDims(df: DataFrame, side: String,
+                             dims: () => DataFrame): DataFrame =
+    stageFrom(df,
+      dims().select((dimKeys(df) ++ Seq("l", "m", "freq")).map(col): _*))
+
+  // grouped MS (x17): the same chan NUMBER carries a different freq per
+  // DATA_DESC_ID, so the dimension key must include ddid or the
+  // join-back would cross-match SPWs (and duplicate rows)
+  private def dimKeys(df: DataFrame): Seq[String] =
+    Seq("src_id", "chan") ++
+      (if (df.columns.contains("ddid")) Seq("ddid") else Nil)
+
+  private def stageFrom(df: DataFrame, dim: DataFrame): DataFrame = {
     if (df.columns.contains("bce_xx_re")) return df // one beam, both sides
     val quad =
       if (regenerate) BeamFixture.ensureQuad(schema)
       else Fits.beamFilenames(schema, Seq(9, 10, 11, 12))
     // the beam E depends on (source, chan) ONLY — stage the four
-    // renormalized blends on the DIMENSION frame (nsrc × nchan rows, a
-    // partial-agg-collapsed distinct) and broadcast-join them back, so
-    // the expensive gather/renorm expressions evaluate 45 times instead
-    // of once per expanded (row × src × chan) row AND the sandwich
-    // downstream references plain join ATTRIBUTES — without this,
-    // CollapseProject inlines each blend ~6× into the 2×2 E·B·Eᴴ and the
-    // generated method passes the 8 KB JIT threshold (measured 16.1 s vs
-    // 1.9 s at sf0.1; the AuditSpec catch that motivated this shape)
-    // grouped MS (x17): the same chan NUMBER carries a different freq per
-    // DATA_DESC_ID, so the dimension key must include ddid or the
-    // join-back would cross-match SPWs (and duplicate rows)
-    val keys = Seq("src_id", "chan") ++
-      (if (df.columns.contains("ddid")) Seq("ddid") else Nil)
-    val dim = df.select((keys ++ Seq("l", "m", "freq")).map(col): _*).distinct()
+    // renormalized blends on the DIMENSION frame (nsrc × nchan rows) and
+    // broadcast-join them back, so the expensive gather/renorm
+    // expressions evaluate 45 times instead of once per expanded
+    // (row × src × chan) row AND the sandwich downstream references
+    // plain join ATTRIBUTES — without this, CollapseProject inlines each
+    // blend ~6× into the 2×2 E·B·Eᴴ and the generated method passes the
+    // 8 KB JIT threshold (measured 16.1 s vs 1.9 s at sf0.1; the
+    // AuditSpec catch that motivated this shape)
+    val keys = dimKeys(df)
     var blends = BeamCubeTerm.stageCoords(dim, quad.head._2._1, lmZoom)
     for ((corr, (reP, imP)) <- quad)
       blends = BeamCubeTerm.gatherBlend(blends, reP, imP, s"bce_$corr")
@@ -208,22 +227,20 @@ object BeamCubeTerm {
     require(reCube.nFreq == imCube.nFreq && reCube.npixX == imCube.npixX &&
       reCube.npixY == imCube.npixY, "re/im cube geometry mismatch")
     val nx = reCube.npixX; val ny = reCube.npixY
-    val spark = df.sparkSession
-    import spark.implicits._
-    val voxels = for {
-      f <- 0 until reCube.nFreq; y <- 0 until ny; x <- 0 until nx
-    } yield (x.toLong, y.toLong, f.toLong,
-      reCube.value(x, y, f), imCube.value(x, y, f))
-    // r4 shared rationals — the r16-proven bucket for file-vs-closed-form
-    val cube = voxels.toDF("li", "mi", "fi", "raw_re", "raw_im")
-      .select(col("li"), col("mi"), col("fi"),
-        Det.r4(col("raw_re")).as("b_re"), Det.r4(col("raw_im")).as("b_im"))
-    val flat = cube.select("li", "mi", "fi", "b_re", "b_im").collect()
+    // r4 shared rationals — the r16-proven bucket for file-vs-closed-form.
+    // The voxels are ALREADY driver-resident JVM arrays (Fits.beamCube),
+    // so the rounding runs on the driver (Det.r4Local — the bit-identical
+    // mirror of the Column form, DeterminismSpec-pinned) instead of
+    // shipping 405 values through a toDF + collect Spark JOB per cube
+    // pair; plan builds that stage 1-4 cubes (x12/x14/x17/p01) lose 1-4
+    // serial jobs each (round 14, guide §5 — the driver should do
+    // model-sized work itself, not schedule it).
     val reArr = Array.ofDim[Double](nx * ny * reCube.nFreq)
     val imArr = Array.ofDim[Double](nx * ny * reCube.nFreq)
-    flat.foreach { r =>
-      val i = ((r.getLong(2) * ny + r.getLong(1)) * nx + r.getLong(0)).toInt
-      reArr(i) = r.getDouble(3); imArr(i) = r.getDouble(4)
+    for (f <- 0 until reCube.nFreq; y <- 0 until ny; x <- 0 until nx) {
+      val i = (f * ny + y) * nx + x
+      reArr(i) = Det.r4Local(reCube.value(x, y, f))
+      imArr(i) = Det.r4Local(imCube.value(x, y, f))
     }
     val (reLit, imLit) = (typedLit(reArr.toSeq), typedLit(imArr.toSeq))
     var out = df

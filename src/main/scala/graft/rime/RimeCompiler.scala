@@ -105,6 +105,16 @@ object RimeCompiler {
       * per side BEFORE the source sum; must be idempotent when the term's
       * columns are side-independent. */
     def stage(df: DataFrame, side: String): DataFrame = df
+    /** Dimension-aware staging hook (round 14): `dims` builds the
+      * src × chans DIMENSION product (every (src_id, chan[, ddid]) key
+      * with its l/m/freq columns, unique per key by the same contract
+      * that makes the join-back keys unique). A term whose staged columns
+      * depend only on those keys can derive its staging table from it
+      * directly — where the old path ran a distinct over the EXPANDED
+      * (data-sized) frame, i.e. a full MAIN scan inside every plan
+      * build. Default delegates to [[stage]]. */
+    def stageWithDims(df: DataFrame, side: String,
+                      dims: () => DataFrame): DataFrame = stage(df, side)
     def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2
   }
 
@@ -379,10 +389,15 @@ object RimeCompiler {
       else rows.crossJoin(broadcast(src)).crossJoin(broadcast(chans))
     val groupCols = if (grouped) Seq("field_id", "ddid") else Seq.empty
     // stage the DDE terms' broadcast joins / derived columns (term
-    // protocol setup) before the source sum; then the K phase columns
+    // protocol setup) before the source sum; then the K phase columns.
+    // Terms whose staging depends only on the (src, chan) dimension keys
+    // receive the dimension product (round 14 — see DdeTerm.stageWithDims)
+    // so their staging never scans the data-sized expanded frame.
+    val dims = () => src.crossJoin(chans)
     val expandedStaged =
       (spec.leftDde.map((_, "p")) ++ spec.rightDde.map((_, "q")))
-        .foldLeft(expanded0) { case (df, (c, side)) => terms(c).stage(df, side) }
+        .foldLeft(expanded0) { case (df, (c, side)) =>
+          terms(c).stageWithDims(df, side, dims) }
     val expanded = kCols match {
       case Some((kre, kim)) => expandedStaged
         .withColumn("rime_k_re", kre).withColumn("rime_k_im", kim)

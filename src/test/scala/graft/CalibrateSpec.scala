@@ -87,6 +87,50 @@ class CalibrateSpec extends AnyFunSuite {
     assert(maxResid < 1e-6, s"max residual $maxResid")
   }
 
+  test("round 14: sub-threshold driver-resident solve is BIT-identical " +
+      "to the distributed loop in detSum mode (DIE and DDE)") {
+    import spark.implicits._
+    val rows = for {
+      t <- 0L until 3L
+      p <- 0L until 4L
+      q <- (p + 1) until 4L
+      c <- 0L until 2L
+    } yield {
+      val phiP = ((t * 7 + p * 3 + c * 5) % 11) * 0.05
+      val phiQ = ((t * 7 + q * 3 + c * 5) % 11) * 0.05
+      val mRe = 1.0 + 0.25 * ((t + p + q + c) % 3)
+      val mIm = 0.25 * ((t + 2 * p + q) % 4) - 0.375
+      val cs = math.cos(phiP - phiQ); val sn = math.sin(phiP - phiQ)
+      (t, p, q, c, mRe, mIm, mRe * cs - mIm * sn, mRe * sn + mIm * cs, 1.0)
+    }
+    val in = rows.toDF("time_index", "ant1", "ant2", "chan",
+      "m_re", "m_im", "v_re", "v_im", "w")
+    def solveDie(): Seq[((Long, Long, Long), Double)] =
+      Calibrate.gaussNewtonPhaseOnly(in, maxIter = 2, tol = 1e-12,
+          extraKeys = Seq("chan"), detSum = true)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    val inD = rows.flatMap { case (t, p, q, c, mRe, mIm, vRe, vIm, w) =>
+      // 2-dir clone: same model per dir, observed = 2-term sum
+      (0L until 2L).map(d => (t * 16 + p * 4 + q, t, p, q, c, d,
+        mRe, mIm, 2 * vRe, 2 * vIm, w))
+    }.toDF("row_id", "time_index", "ant1", "ant2", "chan", "dir",
+      "m_re", "m_im", "v_re", "v_im", "w")
+    def solveDirs(): Seq[((Long, Long, Long, Long), Double)] =
+      Calibrate.gaussNewtonPhaseOnlyDirs(inD, maxIter = 2, tol = 1e-12,
+          extraKeys = Seq("chan"), detSum = true)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          -> r.getDouble(4))
+    val localDie = solveDie(); val localDirs = solveDirs()
+    val (distDie, distDirs) = try {
+      spark.conf.set("spark.graft.solveLocalMaxBytes", "0")
+      (solveDie(), solveDirs())
+    } finally spark.conf.unset("spark.graft.solveLocalMaxBytes")
+    assert(localDie === distDie) // exact double equality, order included
+    assert(localDirs === distDirs)
+  }
+
   test("direction-dependent solve: 2-dir coupled residual converges to the observations") {
     import spark.implicits._
     // 3 times x 4 antennas x 1 chan x 2 dirs; v = sum_d gp_d m_d gq_d*

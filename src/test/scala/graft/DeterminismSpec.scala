@@ -578,6 +578,27 @@ class DeterminismSpec extends AnyFunSuite {
     assert(bad === 0L, "count-min under-estimated a key")
   }
 
+  test("round 14: Det.r4Local mirrors the Column r4 bit-for-bit over the " +
+      "live beam-cube voxels (the surface BeamCube rounds driver-side)") {
+    import graft.core.Det
+    val schema = "/tmp/graft_det_beam/beam_$(corr)_$(reim).fits"
+    new java.io.File("/tmp/graft_det_beam").mkdirs()
+    val (reP, imP) = graft.io.BeamFixture.ensurePair(schema)
+    val vals = Seq(reP, imP).flatMap { p =>
+      val c = graft.io.Fits.beamCube(p)
+      for (f <- 0 until c.nFreq; y <- 0 until c.npixY; x <- 0 until c.npixX)
+        yield c.value(x, y, f)
+    } ++ Seq(0.0, -0.0, 0.00005, -0.00005, 1.23455, -1.23455, 17.5e-4)
+    import spark.implicits._
+    val viaColumn = vals.toDF("x").select(Det.r4(col("x")).as("r"))
+      .collect().map(_.getDouble(0))
+    val viaLocal = vals.map(Det.r4Local)
+    viaColumn.zip(viaLocal).zip(vals).foreach { case ((a, b), v) =>
+      assert(java.lang.Double.doubleToRawLongBits(a) ===
+        java.lang.Double.doubleToRawLongBits(b), s"r4 mismatch at $v: $a vs $b")
+    }
+  }
+
   test("e10 silhouettes are in [-1, 1] and labels separate on average") {
     val rows = SparkEntry.queries("e10_silhouette")(spark, TestSpark.sf)
       .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
