@@ -34,6 +34,34 @@ object ScaleProbe {
     if (args.headOption.contains("imaging")) {
       imagingStages(spark, args(1)); return
     }
+    if (args.headOption.contains("planwall")) {
+      planWall(spark, args(1), args(2)); return
+    }
+    if (args.headOption.contains("beamstage")) {
+      // time the pieces of the full-Jones beam staging (round 14)
+      import graft.io.BeamFixture
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        println(f"$tag,${(System.nanoTime() - t0) / 1e9}%.3f"); a
+      }
+      for (pass <- 1 to 2) {
+        val quad = t(s"$pass,ensure_quad")(
+          BeamFixture.ensureQuad(BeamFixture.defaultQuadSchema))
+        t(s"$pass,fits_reads")(quad.foreach { case (_, (re, im)) =>
+          graft.io.Fits.beamCube(re); graft.io.Fits.beamCube(im) })
+        val dim = spark.range(8).select(col("id").as("src_id"),
+          (col("id") % lit(2L)).as("chan"),
+          (col("id").cast("double") * 1e-5).as("l"),
+          (col("id").cast("double") * -5e-6).as("m"),
+          (lit(1.2e9) + col("id").cast("double") * 1e8).as("freq"))
+        val term = graft.rime.FullBeamCubeTerm(
+          BeamFixture.defaultQuadSchema, 2048.0)
+        t(s"$pass,stage_full")(term.stage(dim
+          .crossJoin(spark.range(4).select(col("id").as("row_id"))), "p")
+          .columns.length)
+      }
+      return
+    }
     val sf = "/root/testdata/sf0.1"
     val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag", "l_quantity")
@@ -618,6 +646,31 @@ object ScaleProbe {
       md.queryExecution.tracker.topRulesByTime(8).foreach { case (r, s) =>
         println(f"$pass,rule_${r.split('.').last},${s.totalTimeNs / 1e9}%.3f," +
           s"${s.numInvocations}")
+      }
+    }
+  }
+
+  /** Construction-vs-execution attribution for one registered query
+    * (round 14): times q.fn() — every eager analysis and staging job
+    * taken while the DataFrame chain is BUILT — against the noop
+    * execution of the result, twice (pass 2 = warm). */
+  private def planWall(spark: SparkSession, name: String, dir: String): Unit = {
+    val q = SparkEntry.registry.find(_.name == name)
+      .getOrElse(sys.error(s"no such query: $name"))
+    println("pass,stage,wall_s")
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val df = q.fn(spark, dir)
+      val t1 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val t2 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val t3 = System.nanoTime()
+      println(f"$pass,construct,${(t1 - t0) / 1e9}%.2f")
+      println(f"$pass,first_noop,${(t2 - t1) / 1e9}%.2f")
+      println(f"$pass,second_noop,${(t3 - t2) / 1e9}%.2f")
+      df.queryExecution.tracker.phases.foreach { case (ph, s) =>
+        println(f"$pass,catalyst_$ph,${(s.endTimeMs - s.startTimeMs) / 1e3}%.2f")
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft.rime
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.core.{Cx, CxCol, Det}
 import graft.functions.Feeds.Jones2x2
@@ -124,18 +124,42 @@ final case class FullBeamCubeTerm(schema: String, lmZoom: Double,
     // plain join ATTRIBUTES — without this, CollapseProject inlines each
     // blend ~6× into the 2×2 E·B·Eᴴ and the generated method passes the
     // 8 KB JIT threshold (measured 16.1 s vs 1.9 s at sf0.1; the
-    // AuditSpec catch that motivated this shape)
+    // AuditSpec catch that motivated this shape).
+    //
+    // Round 14: the blends are computed ON THE DRIVER
+    // (BeamCubeTerm.blendLocal) instead of through a localCheckpointed
+    // Catalyst pipeline — the old pin job alone cost ~2.6 s WARM per
+    // plan build, dominated by optimizer/CSE walks over blend trees
+    // embedding eight 405-double array literals (every subtree equality
+    // compares whole arrays). Every mirrored operation is IEEE-exact
+    // (+,−,×,/, sqrt, compares, floor/cast — class (a)), so the staged
+    // doubles are bit-identical to the Column pipeline by IEEE
+    // semantics; BeamBlendLocalSpec pins the equality over the live
+    // fixture, and x14/x17 keep their strict hash gates.
     val keys = dimKeys(df)
-    var blends = BeamCubeTerm.stageCoords(dim, quad.head._2._1, lmZoom)
-    for ((corr, (reP, imP)) <- quad)
-      blends = BeamCubeTerm.gatherBlend(blends, reP, imP, s"bce_$corr")
-    val cols = keys ++ quad.flatMap { case (c, _) =>
-      Seq(s"bce_${c}_re", s"bce_${c}_im") }
-    // pin the 45-row blend table (the t11 localCheckpoint idiom): the
-    // four gather/renorm chains would otherwise still form one >8 KB
-    // generated method on the dimension side — materializing the tiny
-    // table leaves only plain attributes in the final plan
-    val pinned = blends.select(cols.map(col): _*).localCheckpoint()
+    val spark = df.sparkSession
+    val dimRows = dim.collect() // dimension product: model-sized
+    val cubes = quad.map { case (corr, (reP, imP)) =>
+      (corr, Fits.beamCube(reP), Fits.beamCube(imP))
+    }
+    val hdu = Fits.read(quad.head._2._1)
+    val out = dimRows.map { r =>
+      val co = BeamCubeTerm.coordsLocal(
+        r.getDouble(keys.size), r.getDouble(keys.size + 1),
+        r.getDouble(keys.size + 2), hdu, cubes.head._2, lmZoom)
+      val blends = cubes.flatMap { case (_, reC, imC) =>
+        val (re, im) = BeamCubeTerm.blendLocal(co, reC, imC)
+        Seq(re, im)
+      }
+      Row.fromSeq((0 until keys.size).map(r.get) ++ blends)
+    }
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val pinnedSchema = StructType(
+      keys.map(k => dim.schema(k)) ++ quad.flatMap { case (c, _) =>
+        Seq(StructField(s"bce_${c}_re", DoubleType),
+          StructField(s"bce_${c}_im", DoubleType)) })
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(out.toIndexedSeq: _*), pinnedSchema)
     df.join(broadcast(pinned), keys)
   }
 
@@ -153,11 +177,79 @@ object BeamCubeTerm {
   val corners: Seq[(String, Int, Int, Int)] =
     for (a <- 0 to 1; b <- 0 to 1; c <- 0 to 1) yield (s"bc$a$b$c", a, b, c)
 
+  /** Sampling coordinates of one (l, m, freq) point — the DRIVER mirror
+    * of [[stageCoords]], operation for operation. Every op is IEEE-exact
+    * (compares, +,−,×,/, floor, long cast), so the values are
+    * bit-identical to the Column pipeline by IEEE semantics;
+    * BeamBlendLocalSpec pins the equality over the live fixture. */
+  private[graft] final case class LocalCoords(f0: Int, fw: Double,
+      l0: Int, dl: Double, m0: Int, dm: Double)
+
+  private[graft] def coordsLocal(l: Double, m: Double, freq: Double,
+                                hdu: Fits.Hdu, cube: Fits.BeamCube,
+                                lmZoom: Double): LocalCoords = {
+    require(hdu.num("CRVAL1").getOrElse(0.0) == 0.0 &&
+      hdu.num("CRVAL2").getOrElse(0.0) == 0.0,
+      "beam term assumes a zero-centred CRVAL (fixture layout)")
+    val crpix1 = hdu.num("CRPIX1").getOrElse(1.0) - 1.0
+    val crpix2 = hdu.num("CRPIX2").getOrElse(1.0) - 1.0
+    val cdelt1 = hdu.num("CDELT1").getOrElse(1.0)
+    val cdelt2 = hdu.num("CDELT2").getOrElse(1.0)
+    val nx = cube.npixX; val ny = cube.npixY
+    val freqs = cube.freqs
+    val fmin = freqs.head; val fmax = freqs.last
+    val fscale = if (freq < fmin) freq / fmin
+      else if (freq > fmax) freq / fmax else 1e0
+    val fc = if (freq < fmin) fmin else if (freq > fmax) fmax else freq
+    var f0 = 0L
+    var k = 1
+    while (k < freqs.length - 1) { if (fc >= freqs(k)) f0 += 1L; k += 1 }
+    val fw = (fc - freqs(f0.toInt)) /
+      (freqs(f0.toInt + 1) - freqs(f0.toInt))
+    def pix(lm: Double, crpix: Double, cdeltDeg: Double, n: Int)
+        : (Int, Double) = {
+      val raw = crpix +
+        (lm * lmZoom * fscale) / (cdeltDeg * (math.Pi / 180e0))
+      val cc = math.max(0e0, math.min(raw, (n - 1).toDouble))
+      val c0 = math.min(math.floor(cc).toLong, (n - 2).toLong)
+      (c0.toInt, cc - c0.toDouble)
+    }
+    val (l0, dl) = pix(l, crpix1, cdelt1, nx)
+    val (m0, dm) = pix(m, crpix2, cdelt2, ny)
+    LocalCoords(f0.toInt, fw, l0, dl, m0, dm)
+  }
+
+  /** One renormalized trilinear blend — the DRIVER mirror of
+    * [[gatherBlend]]'s expression tree (same corner order, same
+    * left-associated sums and products, same r4-rounded voxels). */
+  private[graft] def blendLocal(co: LocalCoords,
+                               reC: Fits.BeamCube, imC: Fits.BeamCube)
+      : (Double, Double) = {
+    def w(a: Int, b: Int, c: Int): Double =
+      (if (a == 0) 1e0 - co.dl else co.dl) *
+        (if (b == 0) 1e0 - co.dm else co.dm) *
+        (if (c == 0) 1e0 - co.fw else co.fw)
+    def at(cube: Fits.BeamCube, a: Int, b: Int, c: Int): Double =
+      Det.r4Local(cube.value(co.l0 + a, co.m0 + b, co.f0 + c))
+    def blend(f: (Int, Int, Int) => Double): Double =
+      corners.map { case (_, a, b, c) => w(a, b, c) * f(a, b, c) }
+        .reduce(_ + _)
+    val wre = blend((a, b, c) => at(reC, a, b, c))
+    val wim = blend((a, b, c) => at(imC, a, b, c))
+    val wabs = blend { (a, b, c) =>
+      val re = at(reC, a, b, c); val im = at(imC, a, b, c)
+      math.sqrt(re * re + im * im)
+    }
+    val den = math.sqrt(wre * wre + wim * wim)
+    if (den == 0e0) (wre, wim)
+    else (wre * (wabs / den), wim * (wabs / den))
+  }
+
   /** Shared geometry staging: derive the per-(source, chan) sampling
     * coordinates (frequency bracket + weight, snap-clamped pixel cells +
     * fractions) from the cube header — freq_grid_interp
     * (fast_beam_cubes.py:10-54) plus the reference's edge handling. */
-  private[rime] def stageCoords(df: DataFrame, reP: String,
+  private[graft] def stageCoords(df: DataFrame, reP: String,
                                 lmZoom: Double): DataFrame = {
     val hdu = Fits.read(reP)
     val reCube = Fits.beamCube(reP)
@@ -184,7 +276,13 @@ object BeamCubeTerm {
         (acc, k) => when(i === k.toLong, lit(freqs(k + off))).otherwise(acc)
       }
     // spatial map: pix = (crpix-1) + zoom·l·fscale / (cdelt·π/180),
-    // snap-clamped to the grid (the reference's edge handling)
+    // snap-clamped to the grid (the reference's edge handling).
+    // NOTE (round 14, measured): keep the step-by-step withColumn form —
+    // each derived column stays its OWN projection slot that per-row
+    // codegen evaluates once. A collapsed single-select variant (corner
+    // lookups inlined into the blends) ran x12's DATA-sized inline
+    // staging 3× SLOWER: CollapseProject does NOT re-inline multi-use
+    // non-cheap columns, so the separate slots are load-bearing.
     def pixCols(lm: Column, crpix: Double, cdeltDeg: Double, n: Int,
                 p: String): DataFrame => DataFrame = { d =>
       val raw = lit(crpix) +
@@ -220,7 +318,7 @@ object BeamCubeTerm {
     * version read, so every double on the hashed surface is
     * bit-identical to the join plan; the collect is cube-sized (405
     * voxels per file) — dimension-table bounded at any data scale. */
-  private[rime] def gatherBlend(df: DataFrame, reP: String, imP: String,
+  private[graft] def gatherBlend(df: DataFrame, reP: String, imP: String,
                                 prefix: String): DataFrame = {
     val reCube = Fits.beamCube(reP)
     val imCube = Fits.beamCube(imP)
@@ -243,6 +341,8 @@ object BeamCubeTerm {
       imArr(i) = Det.r4Local(imCube.value(x, y, f))
     }
     val (reLit, imLit) = (typedLit(reArr.toSeq), typedLit(imArr.toSeq))
+    // step-by-step projection slots, NOT a collapsed single select — see
+    // the pixCols note (measured 3× on x12's data-sized inline staging)
     var out = df
     for ((nm, a, b, c) <- corners) {
       val idx = (((col("bcf0") + c) * ny + (col("bcm0") + b)) * nx +
