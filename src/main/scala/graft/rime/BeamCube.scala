@@ -68,6 +68,43 @@ final case class BeamCubeTerm(schema: String, lmZoom: Double,
     BeamCubeTerm.gatherBlend(out, reP, imP, "bce")
   }
 
+  /** Round 14: when the compiler offers the dimension product, the
+    * diagonal blend is computed ON THE DRIVER (the FullBeamCubeTerm
+    * path — coordsLocal/blendLocal, BeamBlendLocalSpec-pinned
+    * bit-identical) and broadcast-joined back. The r13 dimension-staging
+    * loss came from the distinct + checkpoint Catalyst pipeline, which
+    * the driver computation removes. */
+  override def stageWithDims(df: DataFrame, side: String,
+                             dims: () => DataFrame): DataFrame = {
+    if (df.columns.contains("bce_re")) return df
+    val (reP, imP) =
+      if (regenerate) BeamFixture.ensurePair(schema)
+      else {
+        val Seq((_, pair)) = Fits.beamFilenames(schema, Seq(9))
+        pair
+      }
+    val keys = Seq("src_id", "chan") ++
+      (if (df.columns.contains("ddid")) Seq("ddid") else Nil)
+    val dim = dims().select((keys ++ Seq("l", "m", "freq")).map(col): _*)
+    val spark = df.sparkSession
+    val hdu = Fits.read(reP)
+    val reC = Fits.beamCube(reP); val imC = Fits.beamCube(imP)
+    val out = dim.collect().map { r =>
+      val co = BeamCubeTerm.coordsLocal(
+        r.getDouble(keys.size), r.getDouble(keys.size + 1),
+        r.getDouble(keys.size + 2), hdu, reC, lmZoom)
+      val (re, im) = BeamCubeTerm.blendLocal(co, reC, imC)
+      Row.fromSeq((0 until keys.size).map(r.get) ++ Seq(re, im))
+    }
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val pinnedSchema = StructType(
+      keys.map(k => dim.schema(k)) :+
+        StructField("bce_re", DoubleType) :+ StructField("bce_im", DoubleType))
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(out.toIndexedSeq: _*), pinnedSchema)
+    df.join(broadcast(pinned), keys)
+  }
+
   def jones(src: Column, time: Column, ant: Column, side: String): Jones2x2 = {
     val e = CxCol(col("bce_re"), col("bce_im"))
     Jones2x2(e, Cx.zero, Cx.zero, e)

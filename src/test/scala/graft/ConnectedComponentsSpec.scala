@@ -64,6 +64,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     for ((n, l) <- got if l == n) assert(got(l) === l)
   }
 
+  test("round 14: driver-resident loops equal the distributed rounds " +
+      "exactly (integers — no fp caveat)") {
+    val n = nodes.toDF("cid")
+    val sym = ConnectedComponents.symmetrize(edges.toDF("a", "b"))
+    def all(): (Map[Long, Long], Map[Long, Long], Map[Long, Long]) = (
+      ConnectedComponents.labelPropagation(n, sym, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      ConnectedComponents.pointerDoubling(n, sym, 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      ConnectedComponents.fixedPointPageRank(n, sym, 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val local = all()
+    val dist = try {
+      spark.conf.set("spark.graft.ccLocalMaxBytes", "0")
+      all()
+    } finally spark.conf.unset("spark.graft.ccLocalMaxBytes")
+    assert(local === dist)
+  }
+
   test("plans stay keyed: no single-partition funnel in either labeler") {
     val n = nodes.toDF("cid")
     val sym = ConnectedComponents.symmetrize(edges.toDF("a", "b"))
