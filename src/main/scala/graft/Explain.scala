@@ -69,7 +69,16 @@ object Explain {
         // InMemoryRelation — that subtree executed once at caching time
         // and is NOT this query's live shape, so drop everything indented
         // under it (the parallel-suite audit flake this guards against:
-        // e11's a2 cache made 12 stored-plan Projects look interpreted)
+        // e11's a2 cache made 12 stored-plan Projects look interpreted).
+        // Anchor the skip at the InMemoryTableScan line, NOT the
+        // InMemoryRelation below it: a stored plan cached under an AQE
+        // session prints AdaptiveSparkPlan "== Final/Initial Plan =="
+        // sections whose tree indentation RESETS to plain spaces — often
+        // SHALLOWER than the InMemoryRelation line, which un-skipped 32
+        // star-less stored-plan Projects in t53 once the round-14 local
+        // label table made its cached subtrees canonical across suites.
+        // The section indent stays deeper than the scan line's, so the
+        // scan anchor covers both print shapes.
         val lines = {
           val out = Seq.newBuilder[String]
           var skipBelow = -1
@@ -80,7 +89,10 @@ object Explain {
             val ind = indentOf(l)
             if (skipBelow >= 0 && ind > skipBelow) () // inside cached subtree
             else {
-              skipBelow = if (l.contains("InMemoryRelation")) ind else -1
+              skipBelow =
+                if (l.contains("InMemoryTableScan") ||
+                  l.contains("InMemoryRelation")) ind
+                else -1
               if (skipBelow < 0) out += l
             }
           }

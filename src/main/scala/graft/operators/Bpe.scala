@@ -77,6 +77,29 @@ object Bpe {
       s"merged symbols chr($firstSym..${firstSym + nMerges - 1}) must stay " +
         s"inside the $alphabet-symbol space")
 
+    // Sub-threshold escalation (round 14): when the filtered corpus fits
+    // spark.graft.bpeLocalMaxBytes (default 64 MB; the size probe is one
+    // cheap aggregate, BEFORE any collect), the whole round loop runs on
+    // the driver — nMerges distributed rounds at sf0.1 were ~3.5 s of
+    // pure per-round job overhead for ~1.5 MB of corpus. Counts are
+    // exact integers (order-free sums), the argmax tie-break and the
+    // String.replace rewrite are the very same JVM code the executors
+    // run, and the md5/length surface is mirrored exactly (BpeSpec pins
+    // local ≡ distributed) — so t51/t52's hashed bytes cannot move. A
+    // corpus-scale input exceeds the gate and keeps the RDD loop.
+    val localMax = spark.conf.getOption("spark.graft.bpeLocalMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val sz = docs.filter(length(col(textCol)) >= 2)
+      .agg(count(lit(1)), sum(length(col(textCol)))).head()
+    val nDocs = sz.getLong(0)
+    val totChars = if (sz.isNullAt(1)) 0L else sz.getLong(1)
+    if (totChars * 2L + nDocs * 32L <= localMax) {
+      val corpus = docs.filter(length(col(textCol)) >= 2)
+        .select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)].collect()
+      return trainLocal(spark, corpus, nMerges, alphabet, firstSym, idCol)
+    }
+
     var cur: RDD[(Long, String)] = docs
       .filter(length(col(textCol)) >= 2)
       .select(col(idCol).cast("long"), col(textCol))
@@ -127,6 +150,58 @@ object Bpe {
     mtab.unionByName(cur.toDF(idCol, "e")
       .select(col(idCol).as("id"),
         length(col("e")).cast("long").as("val"), md5(col("e")).as("s")))
+  }
+
+  /** Driver-resident round loop for sub-threshold corpora — the same
+    * pair-count/argmax/replace sequence the RDD loop runs, on local
+    * arrays. Identical integers, identical tie-break, identical
+    * String.replace; the output surface (merge rows + per-doc
+    * length/md5) mirrors the Spark expressions exactly (Spark's length =
+    * codepoint count — equal to String.length for our sub-0x10000
+    * symbol space — and md5 = lowercase hex over UTF-8 bytes). */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         corpus0: Array[(Long, String)], nMerges: Int,
+                         alphabet: Int, firstSym: Int,
+                         idCol: String): DataFrame = {
+    val ids = corpus0.map(_._1)
+    val texts = corpus0.map(_._2)
+    val merges = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    val counts = new Array[Long](alphabet * alphabet)
+    for (r <- 1 to nMerges) {
+      java.util.Arrays.fill(counts, 0L)
+      texts.foreach(t => countPairs(counts, t, alphabet))
+      var bestCnt = 0L; var code = -1
+      var i = 0
+      while (i < counts.length) {
+        if (counts(i) > bestCnt) { bestCnt = counts(i); code = i }
+        i += 1
+      }
+      require(code >= 0, s"BPE round $r: no adjacent pairs left")
+      merges += ((-r.toLong, code.toLong))
+      val pair =
+        s"${(code / alphabet).toChar.toString}${(code % alphabet).toChar.toString}"
+      val sym = (firstSym + r - 1).toChar.toString
+      var d = 0
+      while (d < texts.length) { texts(d) = texts(d).replace(pair, sym); d += 1 }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("val", LongType), StructField("s", StringType)))
+    val rows = merges.map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v, "")
+    } ++ ids.indices.map { i =>
+      org.apache.spark.sql.Row(
+        ids(i), texts(i).codePointCount(0, texts(i).length).toLong,
+        md5hex(texts(i)))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
   }
 
   /** Executor-side merge layers: 64-way fan-in per layer keeps the driver

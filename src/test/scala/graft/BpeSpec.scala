@@ -80,6 +80,25 @@ class BpeSpec extends AnyFunSuite {
     check(texts, nMerges = 8, alphabet = 256, firstSym = 128)
   }
 
+  test("round 14: sub-threshold driver loop equals the distributed RDD " +
+      "loop exactly (the t51/t52 hashed surface)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val texts = (0L until 40L).map(i =>
+      (i, ("abcdabcdbcda" * (3 + (i % 5)).toInt) + ("aab" * (i % 3).toInt)))
+    val docs = texts.toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, String)] =
+      Bpe.train(docs, "text", "doc_id", 6, 256, 128).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2))
+    val local = run() // default gate: corpus is tiny, driver loop
+    val dist = try {
+      s.conf.set("spark.graft.bpeLocalMaxBytes", "0")
+      run()
+    } finally s.conf.unset("spark.graft.bpeLocalMaxBytes")
+    assert(local === dist)
+  }
+
   test("partition-invariant: 1 vs 7 partitions, same surface") {
     val s = TestSpark.spark
     import s.implicits._

@@ -161,18 +161,22 @@ class PlanSpec extends AnyFunSuite {
       "t19 lost the exact gram join:\n" + p.take(2000))
   }
 
-  test("x12: fused beam term — corner gather join-free, one source-sum exchange") {
+  test("x12: fused beam term — one broadcast blend join, one source-sum exchange") {
     val p = planOf("x12_fused_rime_beam")
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("Exchange SinglePartition"))
-    // the 8-corner gather is literal-array element_at lookups inside the
-    // projection — it must add NO joins over the expanded fact frame (the
-    // only joins are x01's broadcast source/channel expansions), and the
-    // only wide exchange is the source sum
-    assert("BroadcastHashJoin".r.findAllIn(p).size === 0,
-      "corner gather regressed to per-voxel joins:\n" + p.take(3000))
-    assert(p.contains("element_at"),
-      "corner gather lost its literal-array lookups:\n" + p.take(3000))
+    // round 14: the 8-corner gather/renorm no longer evaluates per
+    // expanded row AT ALL — the (src × chan) blend table is computed on
+    // the driver (BeamCubeTerm.blendLocal, IEEE-exact mirror pinned by
+    // BeamBlendLocalSpec) and hands the stream ONE dimension-sized
+    // broadcast join (LocalTableScan build side); the only wide exchange
+    // stays the source sum
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1,
+      "blend gather must be exactly one broadcast join:\n" + p.take(3000))
+    assert(p.contains("LocalTableScan"),
+      "blends must come from the driver-computed table:\n" + p.take(3000))
+    assert(!p.contains("element_at"),
+      "corner gather regressed to per-row voxel lookups:\n" + p.take(3000))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       "only the source-sum exchange may shuffle:\n" + p.take(3000))
   }
@@ -503,14 +507,17 @@ class PlanSpec extends AnyFunSuite {
 
   test("x14: full-Jones beam blends ride a broadcast of the pinned dimension table") {
     // the round-7 inlining lesson: the four gather/renorm chains must
-    // NOT evaluate per expanded row — they live in a localCheckpoint'd
-    // (src × chan) table (Scan ExistingRDD) that broadcast-joins onto
-    // the stream, and no single-partition funnel may appear
+    // NOT evaluate per expanded row — they live in a (src × chan) blend
+    // table that broadcast-joins onto the stream, and no single-partition
+    // funnel may appear. Round 14 computes that table ON THE DRIVER
+    // (BeamCubeTerm.blendLocal — a LocalTableScan leaf, no staging job,
+    // no giant-literal analysis walk); BeamBlendLocalSpec pins the
+    // driver mirror bit-exact against the Column pipeline.
     val p = planOf("x14_fused_rime_beam_full")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "x14 beam table must broadcast-join:\n" + p.take(3000))
-    assert(p.contains("Scan ExistingRDD"),
-      "x14 blends must come from the pinned dimension table:\n" + p.take(3000))
+    assert(p.contains("LocalTableScan"),
+      "x14 blends must come from the driver-computed table:\n" + p.take(3000))
     assert(!p.contains("Exchange SinglePartition"),
       "x14 funnels through one partition:\n" + p.take(3000))
     assert(!p.contains("element_at"),
@@ -531,8 +538,8 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "x17 beam table must broadcast-join:\n" + p.take(3000))
-    assert(p.contains("Scan ExistingRDD"),
-      "x17 blends must come from the pinned dimension table:\n" + p.take(3000))
+    assert(p.contains("LocalTableScan"),
+      "x17 blends must come from the driver-computed table:\n" + p.take(3000))
     assert(!p.contains("Exchange SinglePartition"),
       "x17 funnels through one partition:\n" + p.take(3000))
     // element_at(UVW, …) is the legitimate rows projection; a VOXEL
