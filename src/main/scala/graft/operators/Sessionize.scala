@@ -131,4 +131,52 @@ object Sessionize {
     s.createDataFrame(rdd,
       sch.add("bin", org.apache.spark.sql.types.LongType))
   }
+
+  /** [[timeBins]] — the GREEDY accumulated-interval rule, unchanged —
+    * with payload carry (round 14): every input column rides the
+    * binner's single (ant1, ant2) shuffle and `bin` is appended, the
+    * [[timeBinsCarry]] plumbing applied to the greedy rule. The thin
+    * variant forces a row_id join-back to reattach payload, which
+    * recomputes the upstream fact a second time AND re-shuffles both
+    * sides by row_id — at scale two extra fact-sized exchanges plus
+    * their sorts (guide §2.4). Binning state machine, sort order and
+    * key coercions are IDENTICAL to [[timeBins]], so the (row_id, bin)
+    * pairs are bit-identical (SessionizeSpec pins carry ≡ thin+join on
+    * an irregular-interval fixture). */
+  def timeBinsGreedy(df: DataFrame, binSecs: Double,
+                     intervalCol: String = "interval"): DataFrame = {
+    val s = df.sparkSession
+    val dfc = df
+      .withColumn("ant1", col("ant1").cast("long"))
+      .withColumn("ant2", col("ant2").cast("long"))
+      .withColumn("time", col("time").cast("double"))
+      .withColumn(intervalCol, col(intervalCol).cast("double"))
+    val part = dfc.repartition(col("ant1"), col("ant2"))
+      .sortWithinPartitions(col("ant1"), col("ant2"), col("time"),
+        col("row_id"))
+    val sch = part.schema
+    val iA1 = sch.fieldIndex("ant1"); val iA2 = sch.fieldIndex("ant2")
+    val iT = sch.fieldIndex("time"); val iI = sch.fieldIndex(intervalCol)
+    val rdd = part.rdd.mapPartitions { it =>
+      var curA1 = Long.MinValue; var curA2 = Long.MinValue
+      var bin = -1L; var acc = 0.0; var lastTime = Double.NaN
+      it.map { r =>
+        val a1 = r.getLong(iA1); val a2 = r.getLong(iA2)
+        if (a1 != curA1 || a2 != curA2) {
+          curA1 = a1; curA2 = a2
+          bin = -1L; acc = 0.0; lastTime = Double.NaN
+        }
+        val t = r.getDouble(iT)
+        if (lastTime != t) {
+          val ivl = r.getDouble(iI)
+          if (bin < 0L || acc + ivl > binSecs) { bin += 1L; acc = 0.0 }
+          acc += ivl
+          lastTime = t
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    s.createDataFrame(rdd,
+      sch.add("bin", org.apache.spark.sql.types.LongType))
+  }
 }

@@ -133,13 +133,18 @@ object AveragingQ {
 
   // ---- Spark-side building blocks ---------------------------------------
 
-  /** avRows + sessionizer bins joined back on row_id (the real operator
-    * path: payload never passes through flatMapGroups). */
-  private def binned(s: SparkSession, dir: String): DataFrame = {
-    val av = avRows(s, dir)
-    val bins = Sessionize.timeBins(av, 4.0, "ivl").select("row_id", "bin")
-    av.join(bins, "row_id")
-  }
+  /** avRows through the sessionizer with payload CARRY (round 14): the
+    * greedy binner's single (ant1, ant2) shuffle carries every column
+    * and appends `bin`. The previous thin-binner + row_id join-back
+    * recomputed avRows (scan + seq window) TWICE and paid two extra
+    * row_id exchanges + SMJ sorts per consumer — a04/a06/a07 measured
+    * 5.9 → 4.1 s combined at sf0.1 (a07 3.2 → 1.8). Binning rule and
+    * sort order are
+    * bit-identical to the thin path (SessionizeSpec pins it); all
+    * averaged inputs stay exact dyadics, so every downstream aggregate
+    * is unchanged. */
+  private def binned(s: SparkSession, dir: String): DataFrame =
+    Sessionize.timeBinsGreedy(avRows(s, dir), 4.0, "ivl")
 
   def rowAverage(df: DataFrame): DataFrame = {
     import Averaging.{cwhen, sigmaOut}

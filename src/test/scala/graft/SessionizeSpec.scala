@@ -59,4 +59,29 @@ class SessionizeSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got === Map(11L -> 0L, 12L -> 0L, 10L -> 1L))
   }
+
+  test("round 14: greedy payload carry equals thin binner + row_id join " +
+      "exactly, and carries every column") {
+    import spark.implicits._
+    // irregular intervals + duplicate timesteps + a payload column —
+    // the general case, not the dense a04 fixture
+    val rows = Seq(
+      (0L, 0L, 1L, 0.0, 3.0, 10.5), (1L, 0L, 1L, 1.0, 2.0, -1.25),
+      (2L, 0L, 1L, 5.0, 1.0, 0.0), (3L, 0L, 1L, 6.0, 1.0, 7.75),
+      (4L, 0L, 1L, 7.0, 4.0, 2.5), (5L, 0L, 1L, 7.0, 4.0, 3.0),
+      (6L, 2L, 2L, 0.0, 1.0, -9.0), (7L, 2L, 2L, 9.0, 1.0, 4.5))
+      .toDF("row_id", "ant1", "ant2", "time", "interval", "payload")
+    val thin = Sessionize.timeBins(rows, 4.0).select("row_id", "bin")
+    val joined = rows.join(thin, "row_id")
+      .select("row_id", "ant1", "ant2", "time", "interval", "payload", "bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))).toMap
+    val carried = Sessionize.timeBinsGreedy(rows, 4.0)
+      .select("row_id", "ant1", "ant2", "time", "interval", "payload", "bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))).toMap
+    assert(carried === joined)
+  }
 }
