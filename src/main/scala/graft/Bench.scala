@@ -13,12 +13,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // Multi-executor masters only (round 14, the 4-JVM 100× gate): when a
+    // query's memory pressure kills an executor, its in-flight tasks die
+    // with RejectedExecutionException and ALL FOUR retries burn on the
+    // same dying JVM within milliseconds — long before the scheduler
+    // processes the executor's removal — because a single-host
+    // local-cluster has no topology spread. Task-level exclusion sends
+    // retry 2 to a DIFFERENT executor immediately (what a real cluster's
+    // node spread gives for free); the node-level thresholds are lifted
+    // so the one shared "localhost" node can never be starved. Scheduler
+    // placement only — cannot change any result; local[*] keeps stock
+    // behavior.
+    if (!master.startsWith("local[")) builder
+      .config("spark.task.maxFailures", "8")
+      .config("spark.excludeOnFailure.enabled", "true")
+      .config("spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor", "1")
+      .config("spark.excludeOnFailure.task.maxTaskAttemptsPerNode", "4")
+      .config("spark.excludeOnFailure.stage.maxFailedExecutorsPerNode", "1000")
+      .config("spark.excludeOnFailure.application.maxFailedExecutorsPerNode", "1000")
     graft.core.Env.applyExtraConf(builder)
     val spark = builder.getOrCreate()
     // SPARK_GRAFT_LOG=INFO captures per-task serialized sizes (TaskSetManager)
@@ -80,6 +99,48 @@ object Bench {
         None
       }
     }
+    // Executor-quorum guard (round 14, the 4-JVM 100× gate lesson): when
+    // a query's own OOM kills an executor, the replacement registers
+    // ASYNCHRONOUSLY — and until it does, the next run's tasks (and all
+    // their retries: a same-host local-cluster has no healthy-node
+    // exclusion, so every attempt re-lands on the dying executor's
+    // thread pool) abort as RejectedExecutionException. Three of the
+    // four 100×-sweep "failures" were exactly this window — each query
+    // passed solo. Waiting for the post-warmup executor count to
+    // recover, OUTSIDE every timed region, makes each measurement start
+    // from the same healthy topology; no-op on local[*] where the count
+    // never drops.
+    // live-count source: scheduler-level add/remove events, NOT
+    // getExecutorMemoryStatus — dead executors' block managers linger in
+    // that map long enough for the next query to schedule onto the dying
+    // JVMs anyway (measured: the guard's first BM-based version was a
+    // no-op through a 4-executor OOM storm)
+    // seeded with the post-warmup healthy topology (the originals
+    // registered before this listener attached); the listener then
+    // tracks add/remove deltas exactly
+    val liveExecs = new java.util.concurrent.atomic.AtomicInteger(
+      math.max(0, spark.sparkContext.getExecutorMemoryStatus.size - 1))
+    // quorum = the HIGH WATERMARK of concurrently-live executors, so a
+    // pre-listener registration (seed) and late registrations both count;
+    // a flapping executor (die + respawn) leaves it unchanged
+    val quorum = new java.util.concurrent.atomic.AtomicInteger(liveExecs.get())
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onExecutorAdded(
+            e: org.apache.spark.scheduler.SparkListenerExecutorAdded): Unit =
+          quorum.accumulateAndGet(liveExecs.incrementAndGet(), math.max(_, _))
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          liveExecs.decrementAndGet()
+      })
+    def awaitQuorum(): Unit = {
+      // removal events ride the async listener bus — drain it first so a
+      // loss that already happened is visible to the check below
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (liveExecs.get() < quorum.get() && System.nanoTime() < deadline)
+        Thread.sleep(500)
+    }
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -108,7 +169,8 @@ object Bench {
       // query i+1, nor be clobbered by the peak reset)
       org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       val s0 = spill.get(); peak.set(0L)
-      val v = (once(q), once(q)) match {
+      def run(): Option[Double] = { awaitQuorum(); once(q) }
+      val v = (run(), run()) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case _ => -1.0
       }

@@ -15,12 +15,23 @@ object Verify {
     // re-gates the engine across REAL executor JVM boundaries (closure
     // serialization, torrent broadcasts, off-driver task state) — the
     // round-10 multi-JVM discipline; the driver always runs plain local
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // multi-executor masters: retry away from a dying executor
+    // immediately (see Bench — scheduler placement only, single-host
+    // node thresholds lifted so "localhost" is never starved)
+    if (!master.startsWith("local[")) builder
+      .config("spark.task.maxFailures", "8")
+      .config("spark.excludeOnFailure.enabled", "true")
+      .config("spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor", "1")
+      .config("spark.excludeOnFailure.task.maxTaskAttemptsPerNode", "4")
+      .config("spark.excludeOnFailure.stage.maxFailedExecutorsPerNode", "1000")
+      .config("spark.excludeOnFailure.application.maxFailedExecutorsPerNode", "1000")
     // local iteration only (driver never sets it): "k=v;k=v" extra confs —
     // e.g. a lowered autoBroadcastJoinThreshold to hash-gate the size-aware
     // escalations (SemDedup.assignAuto) with the escalation ENGAGED
@@ -30,6 +41,33 @@ object Verify {
     // for the multi-JVM task-binary distribution audit; default stays WARN
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     new java.io.File(outDir).mkdirs()
+    // executor-quorum guard — same rationale and mechanics as Bench's:
+    // on a multi-JVM master an executor lost to the previous query's OOM
+    // respawns asynchronously, and tasks scheduled in that window abort
+    // on the dying executor (no healthy-node exclusion on one host).
+    // Scheduler-level add/remove listener seeded with the current
+    // topology; BM-based counting lags executor death (see Bench).
+    val liveExecs = new java.util.concurrent.atomic.AtomicInteger(
+      math.max(0, spark.sparkContext.getExecutorMemoryStatus.size - 1))
+    // high-watermark quorum: Verify has no warmup, so the executors of a
+    // multi-JVM master register AFTER this point — the watermark counts
+    // them as they arrive (local[*]: stays 0, guard is a no-op)
+    val quorum = new java.util.concurrent.atomic.AtomicInteger(liveExecs.get())
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onExecutorAdded(
+            e: org.apache.spark.scheduler.SparkListenerExecutorAdded): Unit =
+          quorum.accumulateAndGet(liveExecs.incrementAndGet(), math.max(_, _))
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          liveExecs.decrementAndGet()
+      })
+    def awaitQuorum(): Unit = {
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (liveExecs.get() < quorum.get() && System.nanoTime() < deadline)
+        Thread.sleep(500)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
@@ -40,6 +78,7 @@ object Verify {
       // backlog measurably taxed later queries' single write task
       // self-contained-queries invariant stated at Env.sweepSession
       if (i % 16 == 15) graft.core.Env.sweepSession(spark)
+      awaitQuorum()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
