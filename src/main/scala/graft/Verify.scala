@@ -47,26 +47,31 @@ object Verify {
     // on the dying executor (no healthy-node exclusion on one host).
     // Scheduler-level add/remove listener seeded with the current
     // topology; BM-based counting lags executor death (see Bench).
+    // one tiny warmup job so a multi-JVM master's executors register
+    // BEFORE the quorum seed below is read (Verify has no bench warmup)
+    spark.range(spark.sparkContext.defaultParallelism.toLong)
+      .repartition(spark.sparkContext.defaultParallelism).count()
     val liveExecs = new java.util.concurrent.atomic.AtomicInteger(
       math.max(0, spark.sparkContext.getExecutorMemoryStatus.size - 1))
-    // high-watermark quorum: Verify has no warmup, so the executors of a
-    // multi-JVM master register AFTER this point — the watermark counts
-    // them as they arrive (local[*]: stays 0, guard is a no-op)
+    // FIXED seed quorum with adopt-on-timeout — NOT a high watermark;
+    // see Bench for the transient-overlap stall this avoids. local[*]:
+    // seed 0, guard is a no-op.
     val quorum = new java.util.concurrent.atomic.AtomicInteger(liveExecs.get())
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onExecutorAdded(
             e: org.apache.spark.scheduler.SparkListenerExecutorAdded): Unit =
-          quorum.accumulateAndGet(liveExecs.incrementAndGet(), math.max(_, _))
+          liveExecs.incrementAndGet()
         override def onExecutorRemoved(
             e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
           liveExecs.decrementAndGet()
       })
     def awaitQuorum(): Unit = {
       org.apache.spark.graft.Listeners.drain(spark.sparkContext)
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       while (liveExecs.get() < quorum.get() && System.nanoTime() < deadline)
         Thread.sleep(500)
+      if (liveExecs.get() < quorum.get()) quorum.set(liveExecs.get())
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
